@@ -1,0 +1,95 @@
+"""Codeless, hot-swappable rule configuration.
+
+The reference's stated requirement is that validation rules live
+outside code and can change without redeploy
+(proof-of-concept/README.md:9-12); it ships three interchangeable
+encodings of the same rules (JSON list custom-poc/elr-schema.json,
+CSV-Schema DSL digital-preservation-poc/elr-schema.csvs, JSON Schema
+parse-compare). Here the rule-set is one declarative dict/JSON doc
+compiled at job start to Column expressions + Arrow validators
+(validate.py) — no per-row Python, no redeploy.
+
+Rule vocabulary (SURVEY.md §2.3 operator numbers):
+
+- required            V11  notEmpty fields (elr-schema.csvs:31,61)
+- conditional_groups  V12  >=1 of N non-empty (ConditionallyRequiredFieldValidator.java:13-26)
+- allowed_values      V13  value in list (cerberus_data_validation.py:40)
+- regex_rules         V14  value matches regex (proof-of-concept/README.md:116)
+- max_length          V10  max field length (XLSX version sheet, 2000 chars)
+- token_range         V10' every token in [lo, hi) — tokenized analogue
+- length_equals       V8   n_tok == size(tokens) — column-count analogue
+                           (elr-schema.csvs:2 @totalColumns)
+- int_fields          V15  value parses as integer (cerberus_data_validation.py:38-39)
+- version_literal     V3   version column equals literal (XLSX order-6/7)
+- op_whitelist        F3   event ops processed; others skipped-not-failed
+                           (FnDecompressor.kt:67-71)
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class RuleSet:
+    required: tuple[str, ...] = ()
+    conditional_groups: tuple[tuple[str, ...], ...] = ()
+    allowed_values: tuple[tuple[str, tuple], ...] = ()  # (col, values)
+    regex_rules: tuple[tuple[str, str], ...] = ()  # (col, pattern)
+    max_length: tuple[tuple[str, int], ...] = ()  # (col, chars)
+    token_range: tuple[tuple[str, int, int], ...] = ()  # (col, lo, hi)
+    length_equals: tuple[tuple[str, str], ...] = ()  # (len_col, array_col)
+    int_fields: tuple[str, ...] = ()
+    version_literal: tuple[tuple[str, str], ...] = ()  # (col, literal)
+    op_whitelist: tuple[str, ...] = ("insert", "update", "delete")
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "RuleSet":
+        def tt(x):
+            return tuple(tuple(i) if isinstance(i, (list, tuple)) else i for i in x)
+
+        return cls(
+            required=tuple(d.get("required", ())),
+            conditional_groups=tt(d.get("conditional_groups", ())),
+            allowed_values=tuple((c, tuple(v)) for c, v in d.get("allowed_values", ())),
+            regex_rules=tt(d.get("regex_rules", ())),
+            max_length=tt(d.get("max_length", ())),
+            token_range=tt(d.get("token_range", ())),
+            length_equals=tt(d.get("length_equals", ())),
+            int_fields=tuple(d.get("int_fields", ())),
+            version_literal=tt(d.get("version_literal", ())),
+            op_whitelist=tuple(d.get("op_whitelist", ("insert", "update", "delete"))),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "RuleSet":
+        return cls.from_dict(json.loads(s))
+
+
+VOCAB_SIZE = 50257  # GPT-2-style vocab bound (FIXTURES.md §1)
+SOURCE_WHITELIST = ("web", "books", "code", "wiki")
+
+
+def sequences_ruleset() -> RuleSet:
+    """Default rule-set for the tokenized-sequence payload — the
+    re-targeted equivalents of the reference's COVID-ELR rules
+    (COVID_19_File_and_Row_Level_Validation.xlsx order 1-13)."""
+    return RuleSet(
+        required=("doc_id", "tokens", "n_tok", "source"),  # V11
+        length_equals=(("n_tok", "tokens"),),  # V8 column-count analogue
+        token_range=(("tokens", 0, VOCAB_SIZE),),  # V10 analogue
+        allowed_values=(("source", SOURCE_WHITELIST),),  # V13
+    )
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Engine knobs; everything else is derived or Spark conf."""
+
+    num_buckets: int = 16
+    salt_buckets: int = 8  # hot-key salting fan (north_star skew handling)
+    vocab_size: int = VOCAB_SIZE
+    quarantine_subdir: str = "quarantine"
+    lineage_subdir: str = "lineage"
+    rules: RuleSet = field(default_factory=sequences_ruleset)

@@ -1,0 +1,322 @@
+"""LakeTable — a minimal bucketed copy-on-write table format.
+
+Iceberg-shaped semantics (atomic snapshot commits, MERGE upsert,
+schema evolution, idempotent epoch markers) over plain parquet, because
+this sandbox has no Iceberg/Delta runtime jars. The module API is the
+one the engine would use against Iceberg (`MERGE INTO t USING batch ON
+t.doc_id = batch.doc_id`); swap this file for an Iceberg catalog in
+production and nothing upstream changes.
+
+Layout::
+
+    <root>/_snapshots/snap-00000001.json    # versioned manifests
+    <root>/data/commit-00000001/_bucket=<b>/part-*.parquet
+
+Design for scale
+----------------
+* **Key-bucketed copy-on-write.** Rows are hash-bucketed on the merge
+  key (``pmod(xxhash64(key), num_buckets)``). A MERGE only rewrites the
+  buckets that contain changed keys — at 10^10 rows with, say, 4096
+  buckets and a change batch touching 1% of keys, ~99% of data files
+  are carried forward untouched in the new snapshot (same idea as
+  Iceberg bucket partitioning + storage-partitioned joins).
+* **One Spark job per merge, no driver-side row loops.** Survivors are
+  computed with a single ``left_anti`` join of the affected-bucket scan
+  against the (already per-key-deduped) change batch; AQE picks
+  broadcast vs shuffle join and splits skewed partitions.
+* **Atomic commit.** Data files are written first; the manifest is
+  written to a temp file and ``os.rename``d into place (atomic on
+  POSIX). Readers always see a complete snapshot. Mirrors the
+  reference's atomic move-to-processed (AzureBlobServiceImpl.kt:26-48)
+  and its idempotent id-prefixed output layout (FnDecompressor.kt:94-95).
+* **Exactly-once.** Each commit records the change-log epochs it
+  applied in the manifest (``committed_epochs``); redelivery of an
+  already-committed epoch is a no-op (north_star: "idempotent
+  batch-epoch commit markers").
+
+Reference parity notes: the 3-state blob lifecycle ingest->processed|
+error (dtos/ConnectionNames.kt:14-18) maps to change-log -> LakeTable |
+quarantine table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .schema import evolution_actions, reconcile
+
+_SNAP_DIR = "_snapshots"
+_DATA_DIR = "data"
+
+
+class ConcurrentCommitError(RuntimeError):
+    pass
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # ------------------------------------------------------------ manifest
+
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self.root, _SNAP_DIR, f"snap-{version:08d}.json")
+
+    def current_version(self) -> int:
+        d = os.path.join(self.root, _SNAP_DIR)
+        if not os.path.isdir(d):
+            return 0
+        versions = [
+            int(n[5:13]) for n in os.listdir(d) if n.startswith("snap-") and n.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def manifest(self) -> dict:
+        v = self.current_version()
+        if v == 0:
+            raise FileNotFoundError(f"no snapshot at {self.root}")
+        with open(self._snap_path(v)) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> int:
+        """Atomically publish ``manifest`` as the next snapshot."""
+        version = manifest["version"]
+        snap_dir = os.path.join(self.root, _SNAP_DIR)
+        os.makedirs(snap_dir, exist_ok=True)
+        tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        final = self._snap_path(version)
+        if os.path.exists(final):  # optimistic concurrency: lost the race
+            os.unlink(tmp)
+            raise ConcurrentCommitError(f"snapshot v{version} already exists")
+        os.rename(tmp, final)
+        return version
+
+    # ------------------------------------------------------------ properties
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.manifest()["schema"])
+
+    @property
+    def key(self) -> str:
+        return self.manifest()["key"]
+
+    @property
+    def num_buckets(self) -> int:
+        return self.manifest()["num_buckets"]
+
+    def committed_epochs(self) -> set[int]:
+        return set(self.manifest().get("committed_epochs", []))
+
+    def is_epoch_committed(self, epoch: int) -> bool:
+        return epoch in self.committed_epochs()
+
+    # ------------------------------------------------------------ create
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key: str = "doc_id",
+        num_buckets: int = 16,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        t = cls(spark, root)
+        if t.current_version() != 0:
+            raise FileExistsError(f"table already exists at {root}")
+        t._commit(
+            {
+                "version": 1,
+                "parent": 0,
+                "key": key,
+                "num_buckets": num_buckets,
+                "schema": schema.jsonValue(),
+                "buckets": {},
+                "committed_epochs": [],
+                "properties": properties or {},
+                "evolution": [],
+            }
+        )
+        return t
+
+    # ------------------------------------------------------------ read
+
+    def _bucket_col(self, df: DataFrame, key: str, n: int) -> DataFrame:
+        return df.withColumn("_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n)).cast("int"))
+
+    def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project ``df`` to ``schema``: cast matching columns (int
+        widening), null-fill missing ones (additive evolution)."""
+        cols = []
+        have = {f.name for f in df.schema.fields}
+        for f in schema.fields:
+            if f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current snapshot as a DataFrame (optionally bucket-pruned).
+
+        Files are grouped by commit (a commit's files share one schema)
+        and each group is aligned to the table schema — this is how old
+        int32 files coexist with a widened int64 column.
+        """
+        m = self.manifest()
+        schema = T.StructType.fromJson(m["schema"])
+        file_lists = m["buckets"]
+        wanted = {str(b) for b in buckets} if buckets is not None else None
+        by_commit: dict[str, list[str]] = {}
+        for b, files in file_lists.items():
+            if wanted is not None and b not in wanted:
+                continue
+            for rel in files:
+                commit = rel.split("/")[1]  # data/commit-XXXX/...
+                by_commit.setdefault(commit, []).append(os.path.join(self.root, rel))
+        if not by_commit:
+            return self.spark.createDataFrame([], schema)
+        parts = [
+            self._align(self.spark.read.parquet(*files), schema)
+            for files in by_commit.values()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ------------------------------------------------------------ write
+
+    def _write_commit(self, df: DataFrame, version: int) -> dict[str, list[str]]:
+        """Write ``df`` (which must carry ``_bucket``) under a fresh
+        commit dir, one directory per bucket; return bucket -> relpaths."""
+        commit_rel = os.path.join(_DATA_DIR, f"commit-{version:08d}")
+        commit_dir = os.path.join(self.root, commit_rel)
+        # partitionBy gives parallel per-bucket files; repartition by
+        # bucket first so each task writes few buckets (fewer small files).
+        df.repartition("_bucket").write.partitionBy("_bucket").parquet(commit_dir)
+        out: dict[str, list[str]] = {}
+        for entry in sorted(os.listdir(commit_dir)):
+            if not entry.startswith("_bucket="):
+                continue
+            b = entry.split("=", 1)[1]
+            files = [
+                os.path.join(commit_rel, entry, f)
+                for f in sorted(os.listdir(os.path.join(commit_dir, entry)))
+                if f.endswith(".parquet")
+            ]
+            if files:
+                out[b] = files
+        return out
+
+    def overwrite(self, df: DataFrame, epochs: list[int] | None = None) -> int:
+        """Replace the full table contents atomically (initial load)."""
+        m = self.manifest()
+        version = m["version"] + 1
+        schema = reconcile(T.StructType.fromJson(m["schema"]), df.schema)
+        data = self._bucket_col(self._align(df, schema), m["key"], m["num_buckets"])
+        buckets = self._write_commit(data, version)
+        m.update(
+            version=version,
+            parent=m["version"],
+            schema=schema.jsonValue(),
+            buckets=buckets,
+            committed_epochs=sorted(set(m.get("committed_epochs", [])) | set(epochs or [])),
+        )
+        return self._commit(m)
+
+    def merge(
+        self,
+        upserts: DataFrame,
+        delete_keys: DataFrame | None = None,
+        epochs: list[int] | None = None,
+    ) -> dict:
+        """MERGE: last-writer-wins upsert + key deletes, copy-on-write.
+
+        ``upserts`` must contain at most one row per key (run
+        dedup.latest_per_key first) and be alignable to the table schema
+        (run schema reconcile first — this method evolves the manifest
+        schema additively). ``delete_keys`` is a 1-column (key) frame.
+
+        Equivalent SQL (Iceberg):
+            MERGE INTO t USING batch ON t.k = batch.k
+            WHEN MATCHED AND batch.op = 'delete' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED AND batch.op != 'delete' THEN INSERT *
+
+        Returns {"version", "rows_written", "buckets_rewritten"}.
+        """
+        m = self.manifest()
+        key, n_buckets = m["key"], m["num_buckets"]
+        old_schema = T.StructType.fromJson(m["schema"])
+        schema = reconcile(old_schema, upserts.schema)
+        evo = evolution_actions(old_schema, upserts.schema)
+        version = m["version"] + 1
+
+        ups = self._bucket_col(self._align(upserts, schema), key, n_buckets)
+        all_keys = ups.select(key, "_bucket")
+        if delete_keys is not None:
+            dels = self._bucket_col(delete_keys.select(key), key, n_buckets)
+            all_keys = all_keys.unionByName(dels)
+        all_keys = all_keys.select(key, "_bucket").dropDuplicates([key])
+
+        # Bucket pruning: only buckets containing changed keys are read
+        # and rewritten. The distinct-bucket list is tiny (<= num_buckets)
+        # so collecting it to the driver is scale-safe.
+        affected = [r["_bucket"] for r in all_keys.select("_bucket").distinct().collect()]
+        if not affected:
+            mm = dict(m)
+            mm.update(
+                version=version,
+                parent=m["version"],
+                committed_epochs=sorted(set(m["committed_epochs"]) | set(epochs or [])),
+            )
+            self._commit(mm)
+            return {"version": version, "rows_written": 0, "buckets_rewritten": 0}
+
+        current = self._bucket_col(
+            self._align(self.read(buckets=affected), schema), key, n_buckets
+        )
+        # Survivors: current rows of affected buckets whose key is NOT in
+        # the change set. Anti-join on the key; AQE broadcasts the change
+        # keys when small and splits skew otherwise.
+        survivors = current.join(all_keys.select(key), on=key, how="left_anti")
+        survivors = self._bucket_col(self._align(survivors, schema), key, n_buckets)
+        new_state = survivors.unionByName(ups)
+
+        buckets = dict(m["buckets"])
+        written = self._write_commit(new_state, version)
+        rewritten = 0
+        for b in affected:
+            bs = str(b)
+            if bs in written:
+                buckets[bs] = written[bs]
+            else:
+                buckets.pop(bs, None)  # bucket emptied by deletes
+            rewritten += 1
+        mm = dict(m)
+        mm.update(
+            version=version,
+            parent=m["version"],
+            schema=schema.jsonValue(),
+            buckets=buckets,
+            committed_epochs=sorted(set(m["committed_epochs"]) | set(epochs or [])),
+            evolution=m.get("evolution", []) + [{"version": version, "actions": evo}] if evo else m.get("evolution", []),
+        )
+        self._commit(mm)
+        return {
+            "version": version,
+            "buckets_rewritten": rewritten,
+            "evolution": evo,
+        }

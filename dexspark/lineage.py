@@ -1,0 +1,83 @@
+"""Lineage + quarantine sinks.
+
+Mirrors the reference's OK/FAIL derived events with embedded parent
+provenance (dtos/DecompressEventMessages.kt:5-20: the FAIL event
+carries the raw message, the parsed message, and failReason) and its
+error container routing (FnDecompressor.kt:109,163-169):
+
+- quarantine rows keep the full original raw line + parsed envelope +
+  ``fail_reasons array<string>``;
+- lineage rows aggregate per (batch_epoch, partition_id, source):
+  events_seen / events_applied / rejects / skipped + batch-level
+  rows_merged and wall_ms (the PoC's per-phase timing,
+  parse-compare ValidateEntry.java:167-185).
+
+Both are written with **dynamic partition overwrite on batch_epoch**:
+redelivering an epoch rewrites exactly that epoch's partition, so the
+sinks are idempotent under replay just like the table itself (the
+reference gets the same property from id-prefixed output paths,
+FnDecompressor.kt:94-95).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_epoch", T.LongType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("events_seen", T.LongType()),
+        T.StructField("events_applied", T.LongType()),
+        T.StructField("rejects", T.LongType()),
+        T.StructField("skipped", T.LongType()),
+        T.StructField("rows_merged", T.LongType()),
+        T.StructField("wall_ms", T.LongType()),
+    ]
+)
+
+
+def _write_epoch_partitioned(df: DataFrame, path: str) -> None:
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_epoch")
+        .parquet(path)
+    )
+
+
+def write_quarantine(df: DataFrame, path: str) -> None:
+    """df: raw + envelope columns + fail_reasons + batch_epoch."""
+    _write_epoch_partitioned(df, path)
+
+
+def lineage_rows(classified: DataFrame) -> DataFrame:
+    """Aggregate per-partition lineage from a classified event frame.
+
+    ``spark_partition_id()`` is captured at scan time (before any
+    shuffle), so the rollup reflects input-partition provenance —
+    SURVEY.md A4."""
+    return (
+        classified.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("batch_epoch", "partition_id", F.col("payload.source").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("events_seen"),
+            F.sum((F.col("event_class") == "apply").cast("long")).alias("events_applied"),
+            F.sum((F.col("event_class") == "reject").cast("long")).alias("rejects"),
+            F.sum((F.col("event_class") == "skip").cast("long")).alias("skipped"),
+        )
+    )
+
+
+def write_lineage(
+    rows: DataFrame, path: str, rows_merged: int, wall_ms: int
+) -> None:
+    out = rows.withColumn("rows_merged", F.lit(rows_merged).cast("long")).withColumn(
+        "wall_ms", F.lit(wall_ms).cast("long")
+    )
+    _write_epoch_partitioned(out, path)
+
+
+def read_lineage(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,134 @@
+"""Canonical schemas + schema-evolution reconciler.
+
+The target table holds pre-tokenized training sequences
+(BASELINE.json input_hint):
+
+    sequences(doc_id string, tokens array<int>, n_tok int, source string)
+
+Change events mirror the reference's event envelope — a lenient JSON
+record with the raw line preserved alongside the parsed struct
+(reference: fns-csv-pipeline FnDecompressor.kt:52-65 keeps
+``rawEvents.zip(events)``; dtos/AzureBlobCreateEventMessage.kt:5 parses
+leniently, ignoring unknown fields).
+
+Evolution rules (north_star): additive nullable columns are accepted and
+the table schema widens; integer types may widen (int -> bigint).
+This mirrors the reference's header-reconciliation primitive
+(digital-preservation-poc Entry.java:51-107 rewrites the schema against
+the actual file header at runtime) and its "unknown headers may be
+accepted" JSON path (proof-of-concept/README.md:102-105).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------- sequences
+
+def sequences_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+
+
+# ------------------------------------------------------------ change events
+
+def payload_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+
+
+def change_event_schema(payload: T.StructType | None = None) -> T.StructType:
+    """Schema of a parsed change-event envelope.
+
+    op: insert|update|delete (unknown ops are skipped, not failed —
+    reference FnDecompressor.kt:67-71 skips non-BlobCreated event types).
+    (commit_ts, lsn) is the total order used for last-writer-wins dedup.
+    """
+    return T.StructType(
+        [
+            T.StructField("op", T.StringType(), True),
+            T.StructField("doc_id", T.StringType(), True),
+            T.StructField("payload", payload or payload_schema(), True),
+            T.StructField("commit_ts", T.TimestampType(), True),
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("batch_epoch", T.LongType(), True),
+        ]
+    )
+
+
+# ----------------------------------------------------------- evolution
+
+_INT_WIDTH = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+
+
+def _widen(a: T.DataType, b: T.DataType, path: str) -> T.DataType:
+    """Widened type accepting both ``a`` (table) and ``b`` (incoming)."""
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    if an in _INT_WIDTH and bn in _INT_WIDTH:
+        return a if _INT_WIDTH[an] >= _INT_WIDTH[bn] else b
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        return T.ArrayType(_widen(a.elementType, b.elementType, path + ".element"), True)
+    if isinstance(a, T.StructType) and isinstance(b, T.StructType):
+        return reconcile(a, b)
+    raise SchemaEvolutionError(
+        f"incompatible type change at {path!r}: table={a.simpleString()} "
+        f"incoming={b.simpleString()} (only additive columns and integer "
+        f"widening are supported)"
+    )
+
+
+class SchemaEvolutionError(ValueError):
+    pass
+
+
+def reconcile(table: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Merge an incoming batch schema into the table schema.
+
+    - columns present in both: types must match or int-widen;
+    - columns only in the table: kept (incoming rows get null);
+    - columns only in the incoming batch: appended as nullable
+      (additive evolution).
+
+    Returns the evolved table schema. Raises SchemaEvolutionError for
+    narrowing or non-integer type changes.
+    """
+    by_name = {f.name: f for f in incoming.fields}
+    out: list[T.StructField] = []
+    for f in table.fields:
+        g = by_name.pop(f.name, None)
+        if g is None:
+            out.append(f)
+        else:
+            out.append(T.StructField(f.name, _widen(f.dataType, g.dataType, f.name), f.nullable or g.nullable))
+    for f in incoming.fields:  # preserve incoming order for new columns
+        if f.name in by_name:
+            out.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(out)
+
+
+def evolution_actions(table: T.StructType, incoming: T.StructType) -> list[str]:
+    """Human/lineage-readable description of what reconcile() changed."""
+    evolved = reconcile(table, incoming)
+    actions = []
+    old = {f.name: f.dataType for f in table.fields}
+    for f in evolved.fields:
+        if f.name not in old:
+            actions.append(f"add column {f.name} {f.dataType.simpleString()}")
+        elif old[f.name] != f.dataType:
+            actions.append(
+                f"widen {f.name} {old[f.name].simpleString()} -> {f.dataType.simpleString()}"
+            )
+    return actions

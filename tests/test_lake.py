@@ -1,0 +1,119 @@
+"""LakeTable: create / read / merge / delete / epoch idempotence /
+schema evolution. Mirrors the reference's blob-lifecycle + atomic-move
+guarantees (SURVEY.md S5, §2.9 exactly-once)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from dexspark.lake import LakeTable
+from dexspark.schema import SchemaEvolutionError, reconcile, sequences_schema
+
+
+def _rows(table):
+    return {r["doc_id"]: r.asDict(recursive=True) for r in table.read().collect()}
+
+
+@pytest.fixture()
+def table(spark, tmp_warehouse):
+    root = os.path.join(tmp_warehouse, "sequences")
+    t = LakeTable.create(spark, root, sequences_schema(), key="doc_id", num_buckets=4)
+    base = spark.createDataFrame(
+        [("a", [1, 2], 2, "web"), ("b", [3], 1, "books"), ("c", [4, 5, 6], 3, "code")],
+        schema=sequences_schema(),
+    )
+    t.overwrite(base)
+    return t
+
+
+def test_create_and_read(table):
+    rows = _rows(table)
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"]["tokens"] == [1, 2]
+
+
+def test_merge_upsert_insert_delete(spark, table):
+    ups = spark.createDataFrame(
+        [("a", [9, 9], 2, "wiki"), ("d", [7], 1, "web")], schema=sequences_schema()
+    )
+    dels = spark.createDataFrame([("b",)], "doc_id string")
+    info = table.merge(ups, dels, epochs=[1])
+    assert info["version"] == 3
+    rows = _rows(table)
+    assert set(rows) == {"a", "c", "d"}
+    assert rows["a"]["tokens"] == [9, 9] and rows["a"]["source"] == "wiki"
+    assert table.is_epoch_committed(1)
+
+
+def test_merge_only_rewrites_affected_buckets(spark, table):
+    m0 = table.manifest()
+    ups = spark.createDataFrame([("a", [9], 1, "web")], schema=sequences_schema())
+    table.merge(ups, epochs=[2])
+    m1 = table.manifest()
+    changed = [b for b in m0["buckets"] if m1["buckets"].get(b) != m0["buckets"][b]]
+    # only the bucket containing 'a' (plus possibly-empty new ones) rewritten
+    untouched = [b for b in m0["buckets"] if m1["buckets"].get(b) == m0["buckets"][b]]
+    assert len(changed) <= 1
+    assert untouched, "unaffected buckets must carry forward their files"
+
+
+def test_delete_for_absent_key_is_noop(spark, table):
+    dels = spark.createDataFrame([("zz",)], "doc_id string")
+    table.merge(spark.createDataFrame([], sequences_schema()), dels, epochs=[3])
+    assert set(_rows(table)) == {"a", "b", "c"}
+
+
+def test_epoch_markers(spark, table):
+    ups = spark.createDataFrame([("e", [1], 1, "web")], schema=sequences_schema())
+    table.merge(ups, epochs=[7])
+    assert table.committed_epochs() == {7}
+
+
+def test_additive_schema_evolution(spark, table):
+    evolved = T.StructType(
+        list(sequences_schema().fields) + [T.StructField("lang", T.StringType(), True)]
+    )
+    ups = spark.createDataFrame([("x", [1], 1, "web", "en")], schema=evolved)
+    info = table.merge(ups, epochs=[4])
+    assert "add column lang string" in info["evolution"]
+    rows = _rows(table)
+    assert rows["x"]["lang"] == "en"
+    assert rows["a"]["lang"] is None  # old rows null-filled
+
+
+def test_int_widening(spark, table):
+    widened = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.LongType()), True),
+            T.StructField("n_tok", T.LongType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    ups = spark.createDataFrame([("y", [2**40], 1, "web")], schema=widened)
+    info = table.merge(ups, epochs=[5])
+    assert any("widen" in a for a in info["evolution"])
+    rows = _rows(table)
+    assert rows["y"]["tokens"] == [2**40]
+    assert rows["a"]["tokens"] == [1, 2]  # old int32 data still readable
+    assert dict(table.read().dtypes)["n_tok"] == "bigint"
+
+
+def test_reconcile_rejects_narrowing():
+    wide = T.StructType([T.StructField("n_tok", T.LongType(), True)])
+    narrow = T.StructType([T.StructField("n_tok", T.StringType(), True)])
+    with pytest.raises(SchemaEvolutionError):
+        reconcile(wide, narrow)
+
+
+def test_bucket_pruned_read(spark, table):
+    m = table.manifest()
+    # read() with bucket pruning returns exactly the rows hashed there
+    all_rows = table.read().withColumn(
+        "_b", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(m["num_buckets"])).cast("int")
+    )
+    for b in {r["_b"] for r in all_rows.collect()}:
+        want = {r["doc_id"] for r in all_rows.filter(F.col("_b") == b).collect()}
+        got = {r["doc_id"] for r in table.read(buckets=[b]).collect()}
+        assert got == want
