@@ -86,7 +86,7 @@ def parse_envelopes(raw_df: DataFrame, payload_schema: T.StructType | None = Non
     return df.withColumn(
         "envelope_fail",
         F.when(F.col("_parse_failed"), F.lit(PARSE_FAIL)).otherwise(
-            F.array_compact(F.array(*missing)).getItem(0)
+            F.get(F.array_compact(F.array(*missing)), 0)
         ),
     ).drop("_parse_failed")
 

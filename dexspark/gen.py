@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -157,7 +157,7 @@ def write_binlog(df: DataFrame, out_dir: str) -> list[str]:
     (partitionBy), then a driver-side rename of part files (cheap:
     O(files)). Returns the file paths in epoch order."""
     os.makedirs(out_dir, exist_ok=True)
-    tmp = tempfile.mkdtemp(prefix="binlog-", dir=out_dir)
+    tmp = os.path.join(out_dir, f"_staging-{uuid.uuid4().hex}")  # Spark creates it
     try:
         (
             df.select("batch_epoch", "value")

@@ -1,0 +1,1103 @@
+"""Operator query surface for the driver contract (__spark_entry__).
+
+Every SQL-expressible operator from SURVEY.md §2 gets a named query
+over the driver's testdata tables plus a DuckDB oracle SQL twin in
+ORACLE_SQL. Column names/aliases match exactly; floats are rounded to
+stabilize cross-engine hashing; timestamps are exported as epoch
+micros.
+
+Sections:
+  1. scans/filters/predicates   (F1-F7)
+  2. validation rules           (V8, V10-V14, V17)
+  3. aggregations               (A1-A5)
+  4. windows                    (W)
+  5. joins + TPC-H-ish          (J3/J4, q1/q3/q5, rollup)
+  6. training-data ops: dedup (exact/minhash/simhash/ngram-jaccard/
+     embedding-cosine), ANN search, text analysis
+"""
+
+from __future__ import annotations
+
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+QUERIES: dict = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# 1. scans / filters / predicates
+# =====================================================================
+
+# F1: extension predicate + 2-way partition + A1 pass/fail counts
+# (reference: csvValidationFunction_Generic.kt:60-84 classifies blobs
+# by lower(name).endsWith and renders pass/fail counts)
+@query(
+    "f1_suffix_partition",
+    """
+    SELECT CASE WHEN lower(source) LIKE '%0' THEN 'passed'
+                WHEN lower(source) LIKE '%1' THEN 'failed'
+                ELSE 'skipped' END AS status,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def f1_suffix_partition(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    status = (
+        F.when(F.lower("source").endswith("0"), "passed")
+        .when(F.lower("source").endswith("1"), "failed")
+        .otherwise("skipped")
+    )
+    return d.groupBy(status.alias("status")).agg(F.count("*").alias("n"))
+
+
+# F2: single-key lookup filter (CSVValidationWhenFileNameProvided.kt:41-60)
+@query(
+    "f2_single_key_lookup",
+    "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+)
+def f2_single_key_lookup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 42)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+# F3: event-type whitelist filter; unknown types skipped (FnDecompressor.kt:67-71)
+@query(
+    "f3_event_type_filter",
+    """
+    SELECT event_type, count(*) AS n FROM events
+    WHERE event_type IN ('click','view','purchase') GROUP BY event_type
+    """,
+)
+def f3_event_type_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# F4: required-params null-check conjunction (FnDecompressor.kt:76-84)
+@query(
+    "f4_required_fields",
+    """
+    SELECT CAST(user_id IS NOT NULL AND event_type IS NOT NULL
+                AND trim(props) <> '' AND value IS NOT NULL AS INT) AS is_valid,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def f4_required_fields(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    valid = (
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & (F.trim("props") != "")
+        & F.col("value").isNotNull()
+    )
+    return e.groupBy(valid.cast("int").alias("is_valid")).agg(F.count("*").alias("n"))
+
+
+# F5: path destructure: split + element_at + size guard (FnDecompressor.kt:171-182)
+@query(
+    "f5_split_destructure",
+    """
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS first_word,
+           len(string_split(text, ' ')) AS n_parts,
+           CAST(len(string_split(text, ' ')) >= 5 AS INT) AS long_enough
+    FROM documents
+    """,
+)
+def f5_split_destructure(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    parts = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.element_at(parts, 1).alias("first_word"),
+        F.size(parts).alias("n_parts"),
+        (F.size(parts) >= 5).cast("int").alias("long_enough"),
+    )
+
+
+# F7/J4: existence anti-join (event refers to missing entity,
+# FnDecompressor.kt:98-101 doesBlobExist else FAIL)
+@query(
+    "f7_existence_antijoin",
+    """
+    SELECT count(*) AS n_orphans FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    """,
+)
+def f7_existence_antijoin(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+    )
+
+
+# =====================================================================
+# 2. validation rules over documents (SURVEY.md §2.3)
+# =====================================================================
+
+# V8: column-count / n_tok==len(tokens) analogue: n_chars == length(text)
+@query(
+    "v8_length_invariant",
+    """
+    SELECT CAST(n_chars = length(text) AS INT) AS ok, count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def v8_length_invariant(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        (F.col("n_chars") == F.length("text")).cast("int").alias("ok")
+    ).agg(F.count("*").alias("n"))
+
+
+# V10: max field length (XLSX version sheet: field <= 2000 chars)
+@query(
+    "v10_max_length",
+    """
+    SELECT CAST(n_chars > 400 AS INT) AS too_long, count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def v10_max_length(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy((F.col("n_chars") > 400).cast("int").alias("too_long")).agg(
+        F.count("*").alias("n")
+    )
+
+
+# V11: required/notEmpty (elr-schema.csvs:31,61 patient_id notEmpty)
+@query(
+    "v11_required_fields",
+    """
+    SELECT CAST(text IS NOT NULL AND trim(text) <> ''
+            AND lang IS NOT NULL AND trim(lang) <> '' AS INT) AS ok,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def v11_required_fields(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    ok = (
+        F.col("text").isNotNull()
+        & (F.trim("text") != "")
+        & F.col("lang").isNotNull()
+        & (F.trim("lang") != "")
+    )
+    return d.groupBy(ok.cast("int").alias("ok")).agg(F.count("*").alias("n"))
+
+
+# V12: conditionally-required group: >=1 of N non-empty
+# (ConditionallyRequiredFieldValidator.java:13-26 fails iff numSet==0)
+@query(
+    "v12_conditional_group",
+    """
+    SELECT event_type,
+           sum(CASE WHEN (props IS NULL OR trim(props) = '')
+                     AND value IS NULL THEN 1 ELSE 0 END) AS violations,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def v12_conditional_group(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    all_blank = (F.col("props").isNull() | (F.trim("props") == "")) & F.col(
+        "value"
+    ).isNull()
+    return e.groupBy("event_type").agg(
+        F.sum(all_blank.cast("long")).alias("violations"), F.count("*").alias("n")
+    )
+
+
+# V13: allowed-value list (cerberus_data_validation.py:40)
+@query(
+    "v13_allowed_values",
+    """
+    SELECT lang, CAST(lang IN ('en','es','de','fr','zh') AS INT) AS allowed,
+           count(*) AS n
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def v13_allowed_values(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        "lang", F.col("lang").isin("en", "es", "de", "fr", "zh").cast("int").alias("allowed")
+    ).agg(F.count("*").alias("n"))
+
+
+# V14: regex rule (proof-of-concept/README.md:116)
+@query(
+    "v14_regex",
+    """
+    SELECT CAST(regexp_matches(text, '^(the|spark|join)\\s') AS INT) AS matched,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def v14_regex(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.col("text").rlike(r"^(the|spark|join)\s").cast("int").alias("matched")
+    ).agg(F.count("*").alias("n"))
+
+
+# V17: error accumulation — all violated rules reported per row
+# (ExternalFunctions.java:9-16), exported as a joined string
+@query(
+    "v17_fail_reasons",
+    """
+    SELECT doc_id,
+           coalesce(array_to_string(list_filter([
+             CASE WHEN n_chars <> length(text) THEN 'length_mismatch' END,
+             CASE WHEN lang NOT IN ('en','es','de','fr','zh') THEN 'bad_lang' END,
+             CASE WHEN n_chars > 400 THEN 'too_long' END
+           ], x -> x IS NOT NULL), '|'), '') AS fail_reasons
+    FROM documents
+    """,
+)
+def v17_fail_reasons(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("n_chars") != F.length("text"), F.lit("length_mismatch")),
+            F.when(~F.col("lang").isin("en", "es", "de", "fr", "zh"), F.lit("bad_lang")),
+            F.when(F.col("n_chars") > 400, F.lit("too_long")),
+        )
+    )
+    return d.select("doc_id", F.array_join(reasons, "|").alias("fail_reasons"))
+
+
+# =====================================================================
+# 3. aggregations
+# =====================================================================
+
+# A1: pass/fail counts per run (csvValidationFunction_Generic.kt:87-109)
+@query(
+    "a1_status_counts",
+    """
+    SELECT source, sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS passed,
+           sum(CASE WHEN n_chars <= 200 THEN 1 ELSE 0 END) AS failed
+    FROM documents GROUP BY source
+    """,
+)
+def a1_status_counts(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum((F.col("n_chars") > 200).cast("long")).alias("passed"),
+        F.sum((F.col("n_chars") <= 200).cast("long")).alias("failed"),
+    )
+
+
+# A2: row-wise group-membership count via higher-order function
+# (ConditionallyRequiredFieldValidator.java:16 stream().filter(isSet).count())
+@query(
+    "a2_group_membership",
+    """
+    SELECT num_set, count(*) AS n FROM (
+      SELECT (CASE WHEN props IS NOT NULL AND trim(props) <> '' THEN 1 ELSE 0 END
+            + CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END
+            + CASE WHEN event_type IS NOT NULL THEN 1 ELSE 0 END) AS num_set
+      FROM events) GROUP BY num_set
+    """,
+)
+def a2_group_membership(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    num_set = F.size(
+        F.filter(
+            F.array(
+                (F.col("props").isNotNull() & (F.trim("props") != "")),
+                F.col("value").isNotNull(),
+                F.col("event_type").isNotNull(),
+            ),
+            lambda x: x,
+        )
+    )
+    return e.groupBy(num_set.alias("num_set")).agg(F.count("*").alias("n"))
+
+
+# A3: benchmark stats mean + stddev (ValidateEntry.java:135-164)
+@query(
+    "a3_phase_stats",
+    """
+    SELECT event_type, round(avg(value), 4) AS avg_value,
+           round(stddev_pop(value), 4) AS sd_value, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def a3_phase_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_pop("value"), 4).alias("sd_value"),
+        F.count("*").alias("n"),
+    )
+
+
+# A4: per-source lineage rollup (events applied / rejects per slice)
+@query(
+    "a4_source_rollup",
+    """
+    SELECT source, count(*) AS events_seen, sum(n_chars) AS chars_total
+    FROM documents GROUP BY source
+    """,
+)
+def a4_source_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").alias("events_seen"), F.sum("n_chars").alias("chars_total"))
+    )
+
+
+# A5: CDC dedup — latest change per key by (ts, id) total order
+# (north_star window row_number; engine uses skew-proof max_by — both
+# implementations proven equal in tests/test_dedup.py)
+@query(
+    "a5_dedup_latest",
+    """
+    SELECT user_id, event_type AS last_event_type,
+           round(value, 4) AS last_value, event_id AS last_event_id
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def a5_dedup_latest(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    row = F.max_by(
+        F.struct("event_type", "value", "event_id"), F.struct("ts", "event_id")
+    ).alias("r")
+    return (
+        e.groupBy("user_id")
+        .agg(row)
+        .select(
+            "user_id",
+            F.col("r.event_type").alias("last_event_type"),
+            F.round("r.value", 4).alias("last_value"),
+            F.col("r.event_id").alias("last_event_id"),
+        )
+    )
+
+
+# =====================================================================
+# 4. windows
+# =====================================================================
+
+@query(
+    "w1_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, rk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) WHERE rk <= 2
+    """,
+)
+def w1_topk_per_group(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+@query(
+    "w2_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def w2_running_sum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+# =====================================================================
+# 5. joins + TPC-H-ish headline queries
+# =====================================================================
+
+# J3: change-batch ⋈ target on key — the MERGE join shape; small dim
+# side broadcast (SURVEY.md J3)
+@query(
+    "j3_key_join",
+    """
+    SELECT c.c_mktsegment, round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j3_key_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+# J4: anti-join (customers that never ordered)
+@query(
+    "j4_anti_join",
+    """
+    SELECT count(*) AS n_customers_without_orders FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j4_anti_join(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count("*").alias("n_customers_without_orders")
+    )
+
+
+# TPC-H Q1 shape: pricing summary (flagship batch aggregate)
+@query(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# TPC-H Q3 shape: shipping priority (3-way join, selective filters)
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderpriority
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderpriority")
+    )
+
+
+# TPC-H Q5 shape: multi-join star traversal, revenue per nation
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# grouping sets: rollup totals (reference has none; standard engine op)
+@query(
+    "rollup_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+# =====================================================================
+# 6. training-data pipeline ops (dedup / similarity / text analysis)
+# =====================================================================
+# These go beyond the reference's own operators: the operations a
+# large-scale training-data pipeline needs over the same engine.
+
+# ---- exact dedup: hash-groupBy --------------------------------------
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("rep_doc"), F.count("*").alias("n_copies")
+    )
+
+
+# ---- shared shingle helpers ----------------------------------------
+
+def _shingles_spark(d: DataFrame, n: int = 4) -> DataFrame:
+    """doc_id, shingle (distinct word n-grams). JVM-side only."""
+    words = F.split(F.col("text"), " ")
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    return (
+        d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
+    )
+
+
+_SHINGLES_SQL = """
+      SELECT DISTINCT doc_id, unnest(
+        [array_to_string(w[i:i+{m}], ' ')
+         FOR i IN range(1, greatest(len(w) - {m}, 0) + 1)]) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+"""
+
+
+# ---- n-gram Jaccard near-dup ----------------------------------------
+# Pipeline: shingle explode -> co-occurrence self-join on shingle ->
+# per-pair intersection count -> |A|+|B|-inter -> Jaccard histogram.
+# (Histogram output keeps the result small + deterministic while still
+# exercising the full pairwise pipeline.)
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL.format(m=3)}),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 1) AS jaccard_bucket,
+           count(*) AS n_pairs
+    FROM inter JOIN sizes sa ON inter.da = sa.doc_id
+               JOIN sizes sb ON inter.db = sb.doc_id
+    GROUP BY 1
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    sh = _shingles_spark(_t(spark, sf_dir, "documents"), n=4)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    jac = (
+        inter.join(sa, "da")
+        .join(sb, "db")
+        .select(
+            F.round(
+                F.col("i").cast("double") / (F.col("sza") + F.col("szb") - F.col("i")), 1
+            ).alias("jaccard_bucket")
+        )
+    )
+    return jac.groupBy("jaccard_bucket").agg(F.count("*").alias("n_pairs"))
+
+
+# ---- MinHash + LSH banding ------------------------------------------
+# signature: 8 minhashes = min over shingles of md5(seed || shingle)
+# (md5 hex strings order identically in Spark and DuckDB); 4 bands of 2
+# rows; docs sharing a band bucket become candidate pairs.
+_MINHASH_K = 8
+_MINHASH_BANDS = 4
+
+
+def _minhash_sql() -> str:
+    sig_cols = ",\n      ".join(
+        f"min(md5('{k}' || shingle)) AS h{k}" for k in range(_MINHASH_K)
+    )
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLES_SQL.format(m=3)}),
+    sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+    bands AS ({band_selects}),
+    pairs AS (
+      SELECT DISTINCT a.band, a.doc_id AS da, b.doc_id AS db
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT band, count(*) AS n_candidate_pairs FROM pairs GROUP BY band
+    """
+
+
+@query("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(spark, sf_dir):
+    sh = _shingles_spark(_t(spark, sf_dir, "documents"), n=4)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(k)), F.col("shingle")).cast("binary"))).alias(f"h{k}")
+            for k in range(_MINHASH_K)
+        ]
+    )
+    rows_per_band = _MINHASH_K // _MINHASH_BANDS
+    bands = None
+    for b in range(_MINHASH_BANDS):
+        key = F.concat(
+            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("key"))
+        bands = part if bands is None else bands.unionByName(part)
+    a, bb = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.band").alias("band"), F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    return pairs.groupBy("band").agg(F.count("*").alias("n_candidate_pairs"))
+
+
+# ---- SimHash ---------------------------------------------------------
+# 16-bit simhash over word hashes (15 hex chars of md5 -> int64; per
+# bit: sign of sum(+1/-1) weighted by word occurrences).
+_SIMHASH_BITS = 16
+
+
+def _simhash_sql() -> str:
+    bit_sums = ",\n      ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substring(md5(word), 1, 15))::BIGINT AS h FROM words
+    ),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {combine} AS simhash FROM bits
+    """
+
+
+@query("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    h = F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashed = words.select("doc_id", h.alias("h"))
+    bits = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(_SIMHASH_BITS)
+        ]
+    )
+    combine = reduce(
+        lambda acc, b: acc
+        + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)),
+        range(1, _SIMHASH_BITS),
+        F.when(F.col("s0") > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return bits.select("doc_id", combine.cast("long").alias("simhash"))
+
+
+# ---- embedding cosine near-dup --------------------------------------
+# brute-force cosine over a deterministic sample (vec_id % 20 == 0);
+# float32 -> float64 before multiply so both engines do the same math.
+
+_COS_SQL_EXPR = """
+      list_sum([a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                FOR i IN range(1, len(a.embedding) + 1)])
+      / sqrt(list_sum([a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE
+                FOR i IN range(1, len(a.embedding) + 1)]))
+      / sqrt(list_sum([b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE
+                FOR i IN range(1, len(b.embedding) + 1)]))
+"""
+
+
+def _cos_spark(a: str, b: str) -> F.Column:
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u.cast("double") * v.cast("double")),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    ax, bx = F.col(f"{a}.embedding"), F.col(f"{b}.embedding")
+    return dot(ax, bx) / F.sqrt(dot(ax, ax)) / F.sqrt(dot(bx, bx))
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_SQL_EXPR}, 4) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id AND a.vec_id % 20 = 0 AND b.vec_id % 20 = 0
+    WHERE {_COS_SQL_EXPR} >= 0.2
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 20 == 0).alias("a")
+    b = e.filter(F.col("vec_id") % 20 == 0).alias("b")
+    cos = _cos_spark("a", "b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("_cos"),
+        )
+        .filter(F.col("_cos") >= 0.2)
+        .select("vec_a", "vec_b", F.round("_cos", 4).alias("cos_sim"))
+    )
+
+
+# ---- ANN: brute-force top-k ------------------------------------------
+@query(
+    "ann_topk_bruteforce",
+    f"""
+    SELECT * FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_COS_SQL_EXPR}, 4) AS cos_sim,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL_EXPR} DESC, b.vec_id) AS rk
+      FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+    ) WHERE rk <= 10
+    """,
+)
+def ann_topk_bruteforce(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") < 5).alias("a")
+    b = e.alias("b")
+    cos = _cos_spark("a", "b")
+    scored = a.join(b, F.col("b.vec_id") != F.col("a.vec_id")).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        cos.alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("query_id", "neighbor_id", F.round("_cos", 4).alias("cos_sim"), "rk")
+    )
+
+
+# ---- ANN: LSH-bucketed (sign-bit hyperplane buckets) -----------------
+# The scale path: bucket on the sign pattern of the first 8 dims, then
+# search only within the query's bucket (candidate set ~ N/256).
+@query(
+    "ann_lsh_bucketed",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END
+                              FOR i IN range(1, 9)], '') AS bucket
+      FROM embeddings
+    )
+    SELECT * FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket AS bucket,
+             round({_COS_SQL_EXPR}, 4) AS cos_sim,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL_EXPR} DESC, b.vec_id) AS rk
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id <> b.vec_id AND a.vec_id < 20
+    ) WHERE rk <= 3
+    """,
+)
+def ann_lsh_bucketed(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(F.col("embedding"), i) >= 0, "1").otherwise("0")
+            for i in range(1, 9)
+        ],
+    )
+    bk = e.withColumn("bucket", bucket)
+    a = bk.filter(F.col("vec_id") < 20).alias("a")
+    b = bk.alias("b")
+    cos = _cos_spark("a", "b")
+    scored = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("query_id"),
+        F.col("b.vec_id").alias("neighbor_id"),
+        F.col("a.bucket").alias("bucket"),
+        cos.alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("query_id", "neighbor_id", "bucket", F.round("_cos", 4).alias("cos_sim"), "rk")
+    )
+
+
+# =====================================================================
+# 7. text analysis (language-ID, quality, token count, fingerprint)
+# =====================================================================
+
+@query(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_bpe_ish"),
+    )
+
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@query(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+      round(len(list_filter(string_split(text, ' '),
+                w -> w IN {_STOPWORDS!r}))::DOUBLE
+            / len(string_split(text, ' ')), 4) AS stopword_ratio,
+      round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
+            / length(text), 4) AS punct_ratio,
+      CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END AS length_ok
+    FROM documents
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_ratio = F.size(
+        F.filter(words, lambda w: w.isin(*_STOPWORDS))
+    ).cast("double") / F.size(words)
+    punct_ratio = F.length(
+        F.regexp_replace(F.col("text"), r"[^.!?,;:]", "")
+    ).cast("double") / F.length("text")
+    return d.select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.col("n_chars").between(100, 400).cast("int").alias("length_ok"),
+    )
+
+
+_LANG_MARKERS = {
+    "lang_a": ("the", "a", "fast", "slow"),
+    "lang_b": ("join", "merge", "sort", "hash"),
+    "lang_c": ("spark", "stream", "batch", "query"),
+}
+
+
+def _langid_sql() -> str:
+    scores = ",\n      ".join(
+        f"len(list_filter(string_split(text, ' '), w -> w IN {m!r})) AS {k}"
+        for k, m in _LANG_MARKERS.items()
+    )
+    keys = list(_LANG_MARKERS)
+    pred = (
+        f"CASE WHEN {keys[0]} >= {keys[1]} AND {keys[0]} >= {keys[2]} THEN '{keys[0]}' "
+        f"WHEN {keys[1]} >= {keys[2]} THEN '{keys[1]}' ELSE '{keys[2]}' END"
+    )
+    return f"""
+    WITH scored AS (SELECT doc_id, {scores} FROM documents)
+    SELECT doc_id, {pred} AS lang_pred FROM scored
+    """
+
+
+def _marker_hits(words: F.Column, markers: tuple[str, ...]) -> F.Column:
+    # single-arg lambda (PySpark uses lambda arity: 2 args would mean
+    # (element, index)); markers captured by closure
+    def is_marker(w):
+        return reduce(lambda a, s: a | (w == s), markers[1:], w == markers[0])
+
+    return F.size(F.filter(words, is_marker))
+
+
+@query("text_langid", _langid_sql())
+def text_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    scored = d.select(
+        "doc_id",
+        *[_marker_hits(words, m).alias(k) for k, m in _LANG_MARKERS.items()],
+    )
+    keys = list(_LANG_MARKERS)
+    pred = (
+        F.when(
+            (F.col(keys[0]) >= F.col(keys[1])) & (F.col(keys[0]) >= F.col(keys[2])),
+            keys[0],
+        )
+        .when(F.col(keys[1]) >= F.col(keys[2]), keys[1])
+        .otherwise(keys[2])
+    )
+    return scored.select("doc_id", pred.alias("lang_pred"))
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " "
+        ).cast("binary")
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

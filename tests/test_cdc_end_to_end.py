@@ -1,0 +1,93 @@
+"""End-to-end CDC: generated binlog -> engine apply -> oracle equality.
+
+The correctness bar from BASELINE.json: 100% per-doc_id token-array
+equality vs the single-threaded reference replay, including anomaly
+routing (quarantine/skip) per the reference's negative matrix
+(Unit_FnDecompressor.kt:153-459)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dexspark import gen, oracle
+from dexspark.config import EngineConfig
+from dexspark.lake import LakeTable
+from dexspark.schema import sequences_schema
+from dexspark.stream import CdcEngine
+
+N_DOCS = 300
+N_EVENTS = 2_000
+
+
+@pytest.fixture()
+def setup(spark, tmp_warehouse):
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "sequences"), sequences_schema(),
+        key="doc_id", num_buckets=8,
+    )
+    base = gen.base_sequences(spark, n_docs=N_DOCS, max_len=16).cache()
+    table.overwrite(base)
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    events = gen.change_events(
+        spark, n_events=N_EVENTS, n_docs=N_DOCS, n_epochs=4, max_len=16, anomaly_pct=10
+    )
+    gen.write_binlog(events, binlog)
+    engine = CdcEngine(spark, table, tmp_warehouse, EngineConfig(num_buckets=8))
+    base_state = oracle.state_from_rows(base.collect())
+    base.unpersist()
+    return engine, table, binlog, base_state
+
+
+def test_batch_apply_matches_oracle(spark, setup):
+    engine, table, binlog, base_state = setup
+    metrics = engine.apply_binlog(binlog)
+    want = oracle.replay(binlog, base_state=base_state)
+    oracle.assert_equal_state(want.state, table.read().collect(), "batch apply")
+    assert metrics.events_seen == N_EVENTS
+    assert metrics.rejects == want.quarantined
+    assert metrics.skipped == want.skipped
+
+
+def test_quarantine_and_lineage_written(spark, setup):
+    engine, table, binlog, base_state = setup
+    engine.apply_binlog(binlog)
+    want = oracle.replay(binlog, base_state=base_state)
+    q = spark.read.parquet(engine.quarantine_path)
+    assert q.count() == want.quarantined
+    # every quarantined row carries its raw line + at least one reason
+    assert q.filter(F.size("fail_reasons") == 0).count() == 0
+    assert q.filter(F.col("raw").isNull()).count() == 0
+    lin = spark.read.parquet(engine.lineage_path)
+    agg = lin.agg(
+        F.sum("events_seen"), F.sum("rejects") , F.sum("skipped")
+    ).collect()[0]
+    assert agg[0] == N_EVENTS
+    assert agg[2] == want.skipped
+
+
+def test_epoch_redelivery_is_noop(spark, setup):
+    engine, table, binlog, base_state = setup
+    engine.apply_binlog(binlog)
+    v1 = table.current_version()
+    state1 = {r["doc_id"]: r.asDict(recursive=True) for r in table.read().collect()}
+    # redeliver the full binlog: all epochs already committed
+    m2 = engine.apply_binlog(binlog)
+    assert m2.epochs == []
+    state2 = {r["doc_id"]: r.asDict(recursive=True) for r in table.read().collect()}
+    assert state1 == state2
+    # no data rewrite happened (at most a no-op manifest bump)
+    assert table.current_version() <= v1 + 1
+    q1 = spark.read.parquet(engine.quarantine_path).count()
+    want = oracle.replay(binlog, base_state=base_state)
+    assert q1 == want.quarantined  # quarantine not duplicated either
+
+
+def test_epochwise_apply_equals_single_shot(spark, setup, tmp_warehouse):
+    """Apply epoch files one at a time -> same final state as one shot."""
+    engine, table, binlog, base_state = setup
+    files = sorted(os.listdir(binlog))
+    for f in files:
+        engine.apply_binlog(os.path.join(binlog, f))
+    want = oracle.replay(binlog, base_state=base_state)
+    oracle.assert_equal_state(want.state, table.read().collect(), "epochwise")

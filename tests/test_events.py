@@ -1,0 +1,77 @@
+"""Envelope parsing: the reference's negative matrix re-expressed
+(Unit_FnDecompressor.kt:153-375 — empty message, malformed JSON,
+missing fields, unknown event type -> silent skip, extra fields
+ignored)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dexspark.events import PARSE_FAIL, classify, parse_envelopes
+
+
+def _classify_lines(spark, lines):
+    raw = spark.createDataFrame([(l,) for l in lines], "raw string")
+    return classify(parse_envelopes(raw)).collect()
+
+
+GOOD = (
+    '{"op":"insert","doc_id":"d1","payload":{"tokens":[1,2],"n_tok":2,"source":"web"},'
+    '"commit_ts":"2024-01-01T00:00:00.000Z","lsn":1,"batch_epoch":0}'
+)
+
+
+def test_happy_path(spark):
+    (r,) = _classify_lines(spark, [GOOD])
+    assert r["event_class"] == "apply"
+    assert r["doc_id"] == "d1" and r["payload"]["tokens"] == [1, 2]
+    assert r["raw"] == GOOD  # raw preserved for lineage (J1 duality)
+
+
+def test_malformed_json_rejected_not_fatal(spark):
+    rows = _classify_lines(spark, ["{not json at all", GOOD])
+    by = {r["event_class"]: r for r in rows}
+    assert by["reject"]["envelope_fail"] == PARSE_FAIL
+    assert by["apply"]["doc_id"] == "d1"  # batch continues (error isolation)
+
+
+@pytest.mark.parametrize("missing", ["op", "doc_id", "commit_ts", "lsn", "batch_epoch"])
+def test_missing_required_envelope_field(spark, missing):
+    import json
+
+    ev = json.loads(
+        GOOD.replace('"commit_ts":"2024-01-01T00:00:00.000Z"', '"commit_ts":"2024-01-01 00:00:00"')
+    )
+    del ev[missing]
+    (r,) = _classify_lines(spark, [json.dumps(ev)])
+    assert r["event_class"] == "reject"
+    assert r["envelope_fail"] == f"envelope:{missing}:required envelope field missing"
+
+
+def test_unknown_op_skipped_not_failed(spark):
+    line = GOOD.replace('"op":"insert"', '"op":"compact"')
+    (r,) = _classify_lines(spark, [line])
+    assert r["event_class"] == "skip"
+    assert r["envelope_fail"] is None
+
+
+def test_extra_fields_ignored(spark):
+    """Lenient parse (AzureBlobCreateEventMessage.kt:5; test injects
+    extraField at Unit_FnDecompressor.kt:573-574)."""
+    line = GOOD[:-1] + ',"extraField":"im confused"}'
+    (r,) = _classify_lines(spark, [line])
+    assert r["event_class"] == "apply" and r["doc_id"] == "d1"
+
+
+def test_blank_line_skipped(spark):
+    rows = _classify_lines(spark, ["   ", GOOD])
+    classes = sorted(r["event_class"] for r in rows)
+    assert classes == ["apply", "skip"]
+
+
+def test_delete_without_payload_applies(spark):
+    line = (
+        '{"op":"delete","doc_id":"d9","commit_ts":"2024-01-01T00:00:01.000Z",'
+        '"lsn":2,"batch_epoch":0}'
+    )
+    (r,) = _classify_lines(spark, [line])
+    assert r["event_class"] == "apply" and r["payload"] is None

@@ -1,0 +1,99 @@
+"""Structured Streaming: tail -> exactly-once merge; kill/resume
+reconvergence (north_rule; reference analogue: Durable-Functions
+replay, DummyFSPAllAsOne.kt:225-235)."""
+
+import os
+import shutil
+
+import pytest
+
+from dexspark import gen, oracle
+from dexspark.config import EngineConfig
+from dexspark.lake import LakeTable
+from dexspark.schema import sequences_schema
+from dexspark.stream import CdcEngine
+
+N_DOCS = 200
+N_EVENTS = 1_200
+N_EPOCHS = 6
+
+
+def _mk_engine(spark, root, tag):
+    table = LakeTable.create(
+        spark, os.path.join(root, f"seq-{tag}"), sequences_schema(), num_buckets=8
+    )
+    base = gen.base_sequences(spark, n_docs=N_DOCS, max_len=16)
+    table.overwrite(base)
+    return CdcEngine(spark, table, os.path.join(root, tag), EngineConfig(num_buckets=8))
+
+
+@pytest.fixture()
+def binlog_files(spark, tmp_warehouse):
+    src = os.path.join(tmp_warehouse, "binlog-src")
+    events = gen.change_events(
+        spark, n_events=N_EVENTS, n_docs=N_DOCS, n_epochs=N_EPOCHS, max_len=16, anomaly_pct=8
+    )
+    return gen.write_binlog(events, src)
+
+
+def test_stream_matches_oracle(spark, tmp_warehouse, binlog_files):
+    live = os.path.join(tmp_warehouse, "live")
+    os.makedirs(live)
+    for f in binlog_files:
+        shutil.copy(f, live)
+    engine = _mk_engine(spark, tmp_warehouse, "stream")
+    base_state = oracle.state_from_rows(engine.table.read().collect())
+    engine.run_until_caught_up(live, os.path.join(tmp_warehouse, "ckpt-stream"))
+    want = oracle.replay(live, base_state=base_state)
+    oracle.assert_equal_state(want.state, engine.table.read().collect(), "stream")
+
+
+def test_kill_and_resume_reconverges(spark, tmp_warehouse, binlog_files):
+    """Process half the log, 'die', resume from checkpoint with the full
+    log present; final state == single-shot oracle replay, and epochs
+    seen twice are not double-applied."""
+    live = os.path.join(tmp_warehouse, "live2")
+    os.makedirs(live)
+    half = len(binlog_files) // 2
+    for f in binlog_files[:half]:
+        shutil.copy(f, live)
+    engine = _mk_engine(spark, tmp_warehouse, "resume")
+    base_state = oracle.state_from_rows(engine.table.read().collect())
+    ckpt = os.path.join(tmp_warehouse, "ckpt-resume")
+
+    engine.run_until_caught_up(live, ckpt)  # run 1: first half, then stop
+    epochs_after_half = set(engine.table.committed_epochs())
+    assert epochs_after_half, "first run must have committed some epochs"
+
+    for f in binlog_files[half:]:
+        shutil.copy(f, live)
+    engine.run_until_caught_up(live, ckpt)  # run 2: resume from checkpoint
+
+    want = oracle.replay(live, base_state=base_state)
+    oracle.assert_equal_state(want.state, engine.table.read().collect(), "resume")
+
+
+def test_resume_equals_single_shot(spark, tmp_warehouse, binlog_files):
+    """The resumed table equals a table produced by one uninterrupted
+    run over the same input (replay determinism)."""
+    live = os.path.join(tmp_warehouse, "live3")
+    os.makedirs(live)
+    for f in binlog_files:
+        shutil.copy(f, live)
+    single = _mk_engine(spark, tmp_warehouse, "single")
+    single.run_until_caught_up(live, os.path.join(tmp_warehouse, "ckpt-single"))
+
+    resumed = _mk_engine(spark, tmp_warehouse, "resumed")
+    ckpt = os.path.join(tmp_warehouse, "ckpt-resumed")
+    live2 = os.path.join(tmp_warehouse, "live4")
+    os.makedirs(live2)
+    for f in binlog_files[:2]:
+        shutil.copy(f, live2)
+    resumed.run_until_caught_up(live2, ckpt)
+    for f in binlog_files[2:]:
+        shutil.copy(f, live2)
+    resumed.run_until_caught_up(live2, ckpt)
+
+    a = {r["doc_id"]: r.asDict(recursive=True) for r in single.table.read().collect()}
+    b = {r["doc_id"]: r.asDict(recursive=True) for r in resumed.table.read().collect()}
+    assert a == b
