@@ -1,0 +1,210 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] plus an
+end-to-end CDC apply (deterministic synthetic binlog -> validate ->
+dedup -> MERGE) and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "cdc_events_per_sec": ..., "cdc_events": ...}
+
+Scaling mode (north_rule evidence, no real cluster in this sandbox):
+  python bench.py --scaling
+runs the SAME CDC job at two parallelism levels (local[8] vs local[32])
+in separate JVMs on identical input and prints both throughputs plus
+efficiency = (T8/T32) / (32/8 cores).
+
+Worker mode (internal): python bench.py --worker-cdc --cpus N
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "a5_dedup_latest",
+    "w1_topk_per_group",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "text_fingerprint",
+    "text_langid",
+    "ann_topk_bruteforce",
+    "multimodal_decode",
+]
+
+# CDC bench scale (deterministic; ~1.2M events over 100k keys)
+CDC_DOCS = 100_000
+CDC_EVENTS = 1_200_000
+CDC_EPOCHS = 8
+
+
+def _mk_spark(cpus: int):
+    from dexspark.session import get_spark
+
+    return get_spark(
+        "dexspark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.sql.sources.partitionOverwriteMode": "dynamic"},
+    )
+
+
+def run_cdc(spark, workdir: str) -> dict:
+    """End-to-end: binlog tail -> validate -> dedup -> MERGE. Returns
+    {events, gen_sec, apply_sec, events_per_sec}."""
+    from dexspark import gen
+    from dexspark.config import EngineConfig
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+    from dexspark.stream import CdcEngine
+
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    t0 = time.monotonic()
+    table = LakeTable.create(
+        spark, os.path.join(workdir, "seq"), sequences_schema(), num_buckets=64
+    )
+    table.overwrite(gen.base_sequences(spark, n_docs=CDC_DOCS, max_len=64))
+    binlog = os.path.join(workdir, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark,
+            n_events=CDC_EVENTS,
+            n_docs=CDC_DOCS,
+            n_epochs=CDC_EPOCHS,
+            max_len=64,
+            anomaly_pct=5,
+        ),
+        binlog,
+    )
+    gen_sec = time.monotonic() - t0
+
+    engine = CdcEngine(spark, table, workdir, EngineConfig(num_buckets=64))
+    t1 = time.monotonic()
+    metrics = engine.apply_binlog(binlog)
+    apply_sec = time.monotonic() - t1
+    assert metrics.events_seen == CDC_EVENTS, metrics
+    return {
+        "events": CDC_EVENTS,
+        "gen_sec": round(gen_sec, 2),
+        "apply_sec": round(apply_sec, 3),
+        "events_per_sec": round(CDC_EVENTS / apply_sec, 1),
+        "rows_merged": metrics.rows_merged,
+        "rejects": metrics.rejects,
+    }
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from dexspark.queries import QUERIES
+
+    out = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        df.count()  # full execution without driver-side row transfer
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main_default(sf_dir: str, cpus: int) -> None:
+    spark = _mk_spark(cpus)
+    t0 = time.monotonic()
+    queries = run_queries(spark, sf_dir)
+    cdc = run_cdc(spark, f"/tmp/dexspark-bench-{cpus}")
+    queries["cdc_apply"] = cdc["apply_sec"]
+    total = round(time.monotonic() - t0, 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline queries + CDC apply (tail->validate->dedup->merge)",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "cdc_events": cdc["events"],
+                "cdc_events_per_sec": cdc["events_per_sec"],
+                "cdc_rows_merged": cdc["rows_merged"],
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_worker_cdc(cpus: int) -> None:
+    spark = _mk_spark(cpus)
+    cdc = run_cdc(spark, f"/tmp/dexspark-scaling-{cpus}")
+    print("WORKER_RESULT " + json.dumps({"cpus": cpus, **cdc}))
+    spark.stop()
+
+
+def main_scaling(levels=(8, 32)) -> None:
+    results = {}
+    for cpus in levels:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker-cdc", "--cpus", str(cpus)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
+        if not line:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-4000:], file=sys.stderr)
+            raise RuntimeError(f"worker at {cpus} cpus failed")
+        results[cpus] = json.loads(line[-1][len("WORKER_RESULT "):])
+    lo, hi = levels
+    speedup = results[lo]["apply_sec"] / results[hi]["apply_sec"]
+    efficiency = speedup / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "change-events applied/sec at two parallelism levels",
+                "unit": "events/sec",
+                "levels": {
+                    str(c): {
+                        "apply_sec": r["apply_sec"],
+                        "events_per_sec": r["events_per_sec"],
+                    }
+                    for c, r in results.items()
+                },
+                "events": results[lo]["events"],
+                "speedup": round(speedup, 3),
+                "scaling_efficiency": round(efficiency, 3),
+                "target": 0.8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--worker-cdc", action="store_true")
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args()
+    if args.worker_cdc:
+        main_worker_cdc(args.cpus)
+    elif args.scaling:
+        main_scaling()
+    else:
+        main_default(args.sf_dir, args.cpus)

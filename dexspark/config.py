@@ -90,6 +90,14 @@ class EngineConfig:
     num_buckets: int = 16
     salt_buckets: int = 8  # hot-key salting fan (north_star skew handling)
     vocab_size: int = VOCAB_SIZE
+    # Validation execution path — both are vectorized, zero per-row
+    # Python; proven equal in tests/test_validate.py.
+    #   "jvm":   whole-stage-codegen Column exprs (size()/exists()).
+    #            Measured 3-5x faster on 1.2M events (BENCH notes):
+    #            no Python worker IPC at all.
+    #   "arrow": mapInArrow masks on the Arrow buffers — the path for
+    #            rules that need numpy-class math.
+    validator: str = "jvm"
     quarantine_subdir: str = "quarantine"
     lineage_subdir: str = "lineage"
     rules: RuleSet = field(default_factory=sequences_ruleset)

@@ -1101,3 +1101,148 @@ def text_fingerprint(spark, sf_dir):
         ).cast("binary")
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# =====================================================================
+# 8. multimodal plumbing + the CDC engine itself as queries
+# =====================================================================
+
+# Multimodal decode: binary payload -> typed metadata via Arrow-batched
+# mapInPandas (decode stub — see dexspark/operators/multimodal.py).
+# The stub's outputs are deterministic functions of the bytes, so even
+# the Python-side path has a full SQL oracle.
+@query(
+    "multimodal_decode",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             text AS payload_text
+      FROM documents
+    ),
+    h AS (SELECT media_id, kind, length(payload_text) AS n_bytes,
+                 sha256(payload_text) AS dig,
+                 ('0x' || substring(sha256(payload_text), 1, 8))::BIGINT AS seed
+          FROM media)
+    SELECT media_id, kind, n_bytes,
+           CAST(seed % 1920 + 1 AS INT) AS width,
+           CAST((seed // 1920) % 1080 + 1 AS INT) AS height,
+           CAST(CASE WHEN kind = 'video' THEN seed % 240 + 1 ELSE 1 END AS INT) AS n_frames,
+           substring(dig, 1, 16) AS sha_prefix
+    FROM h
+    """,
+)
+def multimodal_decode(spark, sf_dir):
+    from .operators.multimodal import decode_media_stub, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return decode_media_stub(media).select(
+        "media_id", "kind", "n_bytes", "width", "height", "n_frames", "sha_prefix"
+    )
+
+
+# Frame sampling plan: one row per sampled frame (JVM explode)
+@query(
+    "multimodal_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+             ('0x' || substring(sha256(text), 1, 8))::BIGINT AS seed
+      FROM documents
+    )
+    SELECT media_id, kind, unnest(
+      CASE WHEN kind = 'video'
+           THEN [CAST(x AS INT) for x in range(0, seed % 240 + 1, 30)]
+           ELSE [0] END) AS frame_idx
+    FROM media
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    from .operators.multimodal import (
+        decode_media_stub,
+        frame_sample,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    return frame_sample(decode_media_stub(media), every_n=30).select(
+        "media_id", "kind", "frame_idx"
+    )
+
+
+# The CDC engine end-to-end as a query: deterministic base + binlog ->
+# validate -> dedup -> MERGE -> final state. No SQL oracle (stateful
+# multi-step pipeline -> driver does the rows-only check; full equality
+# vs the pandas replay oracle is asserted in tests/test_cdc_end_to_end).
+@query("cdc_apply_pipeline")
+def cdc_apply_pipeline(spark, sf_dir):
+    import tempfile
+
+    from . import gen
+    from .config import EngineConfig
+    from .lake import LakeTable
+    from .schema import sequences_schema
+    from .stream import CdcEngine
+
+    tmp = tempfile.mkdtemp(prefix="dexspark-q-")
+    table = LakeTable.create(
+        spark, os.path.join(tmp, "seq"), sequences_schema(), num_buckets=8
+    )
+    table.overwrite(gen.base_sequences(spark, n_docs=500, max_len=16))
+    binlog = os.path.join(tmp, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=3000, n_docs=500, n_epochs=3, max_len=16, anomaly_pct=10
+        ),
+        binlog,
+    )
+    engine = CdcEngine(spark, table, tmp, EngineConfig(num_buckets=8))
+    engine.apply_binlog(binlog)
+    return table.read().select(
+        "doc_id",
+        F.array_join(F.col("tokens").cast("array<string>"), ",").alias("tokens_csv"),
+        "n_tok",
+        "source",
+    )
+
+
+# =====================================================================
+# 9. remaining operator families: S3 JSON envelope parse, §2.8 scalars
+# =====================================================================
+
+# S3: lenient JSON envelope parse, raw preserved (FnDecompressor.kt:52-65)
+@query(
+    "s3_json_envelope_parse",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def s3_json_envelope_parse(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy((k % 10).alias("k_mod")).agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+
+
+# §2.8 date/time family: ISO parse/format, year-month rollup
+# (reference: LocalDateTime ISO handling, DummyFSPAllAsOne.kt:130-133)
+@query(
+    "scalar_datetime_rollup",
+    """
+    SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS yr,
+           CAST(strftime(o_orderdate, '%m') AS INT) AS mo,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def scalar_datetime_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))

@@ -15,7 +15,8 @@ Shuffle budget per batch: ONE shuffle at the dedup aggregate (with
 map-side partial aggregation) and ONE join at the merge (broadcast
 when the change set is small — AQE decides). Everything else is
 narrow. Filters and column pruning reach the scans; validation is
-Column exprs + one MapInPandas, no per-row Python.
+whole-stage-codegen Column exprs (or mapInArrow masks when configured);
+no per-row Python anywhere.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ from .dedup import latest_per_key
 from .events import classify, parse_envelopes, read_binlog, read_binlog_stream
 from .lake import LakeTable
 from .lineage import lineage_rows, write_lineage, write_quarantine
-from .validate import FAIL_COL, arrow_validate, split_quarantine
+from .validate import FAIL_COL, split_quarantine, validate_frame
 
 
 @dataclass
@@ -100,7 +101,7 @@ class CdcEngine:
                 "batch_epoch",
             )
             upsert_flat = flat.filter(F.col("op") != "delete")
-            validated = arrow_validate(upsert_flat, rules)
+            validated = validate_frame(upsert_flat, rules, self.config.validator).cache()
             ok_upserts, bad_rows = split_quarantine(validated)
             deletes = flat.filter(F.col("op") == "delete").select(
                 "raw", "op", "doc_id", "commit_ts", "lsn", "batch_epoch"
@@ -117,18 +118,19 @@ class CdcEngine:
             quarantine = env_rejects.unionByName(val_rejects)
 
             # --- dedup: deletes compete with upserts per key ----------
+            # raw/batch_epoch dropped first: the shuffle only carries
+            # what the MERGE needs (raw lives on only in quarantine).
             payload_cols = [
                 c for c in ok_upserts.columns if c not in ("raw", "op", "doc_id", "commit_ts", "lsn", "batch_epoch")
             ]
-            dedup_input = ok_upserts.unionByName(
+            dedup_cols = ["op", "doc_id", *payload_cols, "commit_ts", "lsn"]
+            dedup_input = ok_upserts.select(*dedup_cols).unionByName(
                 deletes.select(
-                    "raw",
                     "op",
                     "doc_id",
                     *[F.lit(None).cast(dict(ok_upserts.dtypes)[c]).alias(c) for c in payload_cols],
                     "commit_ts",
                     "lsn",
-                    "batch_epoch",
                 )
             )
             latest = latest_per_key(dedup_input, key="doc_id").cache()
@@ -170,6 +172,7 @@ class CdcEngine:
                 return metrics
             finally:
                 latest.unpersist()
+                validated.unpersist()
         finally:
             ev.unpersist()
 

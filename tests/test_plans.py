@@ -23,7 +23,7 @@ def test_arrow_validate_no_per_row_python(spark):
     df = gen.base_sequences(spark, n_docs=10, max_len=8)
     plan = _plan(arrow_validate(df, sequences_ruleset()))
     assert "BatchEvalPython" not in plan
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan
 
 
 def test_generator_is_jvm_only(spark):

@@ -1,0 +1,80 @@
+"""Self-check of the driver contract: a subset of __spark_entry__
+queries vs their DuckDB oracles at sf0.001 (the full set is verified
+by tools/check_oracle.py and by the driver at sf0.01)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+SUBSET = [
+    "q1_pricing_summary",
+    "a5_dedup_latest",
+    "v17_fail_reasons",
+    "dedup_minhash_lsh",
+    "ann_lsh_bucketed",
+    "text_langid",
+    "multimodal_decode",
+]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else f"{v:.6g}"
+    if isinstance(v, bool):
+        return int(v)
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as m
+
+    return m
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.sql(f"create view {t} as select * from read_parquet('{p}')")
+    return con
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, entrymod, duck, name):
+    sdf = entrymod.queries()[name](spark, SF_DIR)
+    s_cols = [c.lower() for c in sdf.columns]
+    s_rows = [tuple(r) for r in sdf.collect()]
+    rel = duck.sql(entrymod.oracle_sql()[name])
+    d_cols = [c.lower() for c in rel.columns]
+    d_rows = rel.fetchall()
+    assert sorted(s_cols) == sorted(d_cols)
+    assert _rowset(s_cols, s_rows) == _rowset(d_cols, d_rows)
+
+
+def test_entry_smoke(spark, entrymod):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+    assert "sum_disc_price" in df.columns
+
+
+def test_every_query_has_callable(entrymod):
+    qs = entrymod.queries()
+    assert len(qs) >= 35
+    missing_oracles = set(qs) - set(entrymod.oracle_sql())
+    # only genuinely non-SQL-expressible ops may omit the oracle
+    assert missing_oracles <= {"cdc_apply_pipeline"}

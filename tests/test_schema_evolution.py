@@ -1,0 +1,93 @@
+"""Schema evolution through the engine: additive nullable payload
+column + int widening arrive via the binlog, reconcile against the
+table, and old rows remain readable (SURVEY.md J2/V6/V15; reference
+analogue: runtime header reconciliation,
+digital-preservation-poc Entry.java:51-107)."""
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from dexspark.config import EngineConfig
+from dexspark.lake import LakeTable
+from dexspark.schema import payload_schema, sequences_schema
+from dexspark.stream import CdcEngine
+
+
+def _write_lines(path, lines):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _event(doc_id, lsn, epoch, payload, op="update"):
+    return json.dumps(
+        {
+            "op": op,
+            "doc_id": doc_id,
+            "payload": payload,
+            "commit_ts": f"2024-01-01T00:00:{lsn:02d}.000Z",
+            "lsn": lsn,
+            "batch_epoch": epoch,
+        }
+    )
+
+
+def test_additive_column_via_binlog(spark, tmp_warehouse):
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "seq"), sequences_schema(), num_buckets=4
+    )
+    base = spark.createDataFrame([("a", [1], 1, "web")], sequences_schema())
+    table.overwrite(base)
+
+    evolved_payload = T.StructType(
+        list(payload_schema().fields) + [T.StructField("lang", T.StringType(), True)]
+    )
+    engine = CdcEngine(
+        spark, table, tmp_warehouse, EngineConfig(num_buckets=4),
+        payload_schema=evolved_payload,
+    )
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    _write_lines(
+        os.path.join(binlog, "e0.ndjson"),
+        [
+            _event("b", 1, 0, {"tokens": [5, 6], "n_tok": 2, "source": "wiki", "lang": "en"}),
+        ],
+    )
+    engine.apply_binlog(binlog)
+    rows = {r["doc_id"]: r.asDict(recursive=True) for r in table.read().collect()}
+    assert rows["b"]["lang"] == "en"
+    assert rows["a"]["lang"] is None  # pre-evolution rows null-filled
+    evo = table.manifest()["evolution"]
+    assert any("add column lang" in a for e in evo for a in e["actions"])
+
+
+def test_int_widening_via_binlog(spark, tmp_warehouse):
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "seq2"), sequences_schema(), num_buckets=4
+    )
+    table.overwrite(spark.createDataFrame([("a", [1], 1, "web")], sequences_schema()))
+
+    wide_payload = T.StructType(
+        [
+            T.StructField("tokens", T.ArrayType(T.LongType()), True),
+            T.StructField("n_tok", T.LongType(), True),
+            T.StructField("source", T.StringType(), True),
+        ]
+    )
+    engine = CdcEngine(
+        spark, table, tmp_warehouse, EngineConfig(num_buckets=4),
+        payload_schema=wide_payload,
+    )
+    binlog = os.path.join(tmp_warehouse, "binlog2")
+    big = 2**40
+    _write_lines(
+        os.path.join(binlog, "e0.ndjson"),
+        [_event("c", 1, 0, {"tokens": [big], "n_tok": 1, "source": "web"})],
+    )
+    engine.apply_binlog(binlog)
+    got = {r["doc_id"]: r.asDict(recursive=True) for r in table.read().collect()}
+    assert got["c"]["tokens"] == [big]
+    assert got["a"]["tokens"] == [1]  # old int32 file readable post-widening
+    assert dict(table.read().dtypes)["tokens"] == "array<bigint>"
