@@ -49,8 +49,8 @@ HEADLINE = [
 ]
 
 # CDC bench scale (deterministic; ~1.2M events over 100k keys)
-CDC_DOCS = 100_000
-CDC_EVENTS = 1_200_000
+CDC_DOCS = 200_000
+CDC_EVENTS = 4_000_000
 CDC_EPOCHS = 8
 
 
@@ -61,7 +61,12 @@ def _mk_spark(cpus: int):
         "dexspark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 8),
-        extra_conf={"spark.sql.sources.partitionOverwriteMode": "dynamic"},
+        extra_conf={
+            "spark.sql.sources.partitionOverwriteMode": "dynamic",
+            # keep scan splits small so the tail parallelizes at any
+            # core count (binlog files are line-splittable text)
+            "spark.sql.files.maxPartitionBytes": "32m",
+        },
     )
 
 
@@ -107,6 +112,7 @@ def run_cdc(spark, workdir: str) -> dict:
         "events_per_sec": round(CDC_EVENTS / apply_sec, 1),
         "rows_merged": metrics.rows_merged,
         "rejects": metrics.rejects,
+        "phase_ms": metrics.phase_ms,
     }
 
 

@@ -1,23 +1,31 @@
 """Change-event envelope parsing — raw + parsed duality.
 
-Mirrors the reference's envelope handling exactly (re-expressed
-declaratively):
+Mirrors the reference's envelope handling (re-expressed declaratively):
 
-- the raw message is preserved next to the parsed struct for lineage
-  (FnDecompressor.kt:62-65 ``rawEvents.zip(events)`` → here one
-  DataFrame with both a ``raw`` string column and parsed columns — the
-  "positional self-join" J1 disappears);
 - parsing is lenient: unknown JSON fields are ignored
   (dtos/AzureBlobCreateEventMessage.kt:5, test
   Unit_FnDecompressor.kt:573-574 injects extraField);
-- malformed JSON does not abort the batch: the row is tagged with a
-  parse fail reason and routed to quarantine, the rest proceeds
-  (per-event error isolation, FnDecompressor.kt:163-169);
+- malformed JSON does not abort the batch: the row is tagged and routed
+  to quarantine, the rest proceeds (per-event error isolation,
+  FnDecompressor.kt:163-169);
 - unknown op types are SKIPPED, not failed (eventType filter,
   FnDecompressor.kt:67-71), and counted in lineage;
-- required envelope fields (doc_id, commit_ts, lsn — the analogues of
-  id/contentType/contentLength/url, FnDecompressor.kt:76-84) are
-  checked as one null-check conjunction; violations → quarantine.
+- required envelope fields (doc_id, commit_ts, lsn — analogues of
+  id/contentType/contentLength/url, FnDecompressor.kt:76-84) are one
+  null-check conjunction; violations -> quarantine;
+- raw provenance (FnDecompressor.kt:62-65 ``rawEvents.zip(events)``):
+  malformed rows carry their original line (the corrupt-record
+  column); well-formed rows carry a canonical ``to_json`` re-render,
+  computed lazily so passes that never touch ``raw`` never pay for it.
+
+Execution note (measured, see BENCH notes): the binlog is read with the
+**native JSON datasource** (``spark.read.schema(...).json`` /
+``readStream``), which parses each line exactly once at the scan and
+lets Catalyst prune unused envelope fields INTO the parser. The
+``from_json``-over-text path (``parse_envelopes``) is kept for ad-hoc
+raw-string frames and tests; inlined from_json re-evaluates per
+referencing operator after projection collapse, which measured 5-20x
+slower in multi-pass pipelines.
 """
 
 from __future__ import annotations
@@ -29,12 +37,51 @@ from .schema import change_event_schema
 RAW_COL = "raw"
 PARSE_FAIL = "envelope:raw:malformed JSON"
 _REQUIRED_ENVELOPE = ("op", "doc_id", "commit_ts", "lsn", "batch_epoch")
+_CORRUPT = "_corrupt"
 
 
-def read_binlog(spark: SparkSession, path: str, payload_schema: T.StructType | None = None) -> DataFrame:
-    """Batch-read a newline-delimited-JSON change log directory."""
-    return parse_envelopes(spark.read.text(path).withColumnRenamed("value", RAW_COL),
-                           payload_schema)
+def _parse_schema(payload_schema: T.StructType | None) -> T.StructType:
+    schema = change_event_schema(payload_schema)
+    return T.StructType(list(schema.fields) + [T.StructField(_CORRUPT, T.StringType(), True)])
+
+
+def _finalize(df: DataFrame, blank_col: F.Column | None = None) -> DataFrame:
+    """Add raw / envelope_fail / is_blank to a parsed envelope frame
+    (which carries the event fields + _corrupt)."""
+    fields = [f for f in df.schema.fieldNames() if f not in (_CORRUPT, RAW_COL)]
+    missing = [
+        F.when(F.col(c).isNull(), F.lit(f"envelope:{c}:required envelope field missing"))
+        for c in _REQUIRED_ENVELOPE
+    ]
+    raw = (
+        F.col(RAW_COL)
+        if RAW_COL in df.columns
+        else F.coalesce(F.col(_CORRUPT), F.to_json(F.struct(*fields)))
+    )
+    return df.select(
+        raw.alias(RAW_COL),
+        *fields,
+        F.when(F.col(_CORRUPT).isNotNull(), F.lit(PARSE_FAIL))
+        .otherwise(F.get(F.array_compact(F.array(*missing)), 0))
+        .alias("envelope_fail"),
+        (blank_col if blank_col is not None else F.lit(False)).alias("is_blank"),
+    )
+
+
+def read_binlog(
+    spark: SparkSession, path: str, payload_schema: T.StructType | None = None
+) -> DataFrame:
+    """Batch-read a newline-delimited-JSON change log directory.
+
+    Native JSON scan: single parse per line, column pruning reaches the
+    parser, malformed lines land in the corrupt-record column."""
+    df = (
+        spark.read.schema(_parse_schema(payload_schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .json(path)
+    )
+    return _finalize(df)
 
 
 def read_binlog_stream(
@@ -43,62 +90,47 @@ def read_binlog_stream(
     payload_schema: T.StructType | None = None,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Streaming tail of the change log (file source; Kafka in prod —
-    swap ``format("kafka")`` + ``value`` cast, nothing else changes)."""
-    reader = spark.readStream.format("text")
+    """Streaming tail of the change log (JSON file source; Kafka in
+    prod — swap ``format("kafka")`` + from_json on ``value``)."""
+    reader = (
+        spark.readStream.schema(_parse_schema(payload_schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+    )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.load(path).withColumnRenamed("value", RAW_COL)
-    return parse_envelopes(raw, payload_schema)
+    return _finalize(reader.json(path))
 
 
 def parse_envelopes(raw_df: DataFrame, payload_schema: T.StructType | None = None) -> DataFrame:
-    """raw:string -> raw + op/doc_id/payload/commit_ts/lsn/batch_epoch +
-    ``envelope_fail`` (null when the envelope is well-formed).
+    """raw:string frame -> parsed envelope frame (from_json path).
 
-    from_json is lenient like GSON here: extra fields ignored, missing
-    fields null. A null parse result == malformed JSON.
-    """
-    schema = change_event_schema(payload_schema)
-    # PERMISSIVE mode + explicit corrupt-record column: malformed JSON
-    # lands in _corrupt instead of aborting (the reference's
-    # createFailEvent-on-JsonSyntaxException, FnDecompressor.kt:52-58).
-    parse_schema = T.StructType(
-        list(schema.fields) + [T.StructField("_corrupt", T.StringType(), True)]
-    )
+    Kept for ad-hoc raw frames (e.g. Kafka values, unit tests). from_json
+    is lenient like GSON: extra fields ignored, missing fields null;
+    blank lines are tagged is_blank (skipped, FnDecompressor.kt:45-49)."""
+    schema = _parse_schema(payload_schema)
     df = raw_df.withColumn(
         "_ev",
-        F.from_json(
-            F.col(RAW_COL), parse_schema, {"columnNameOfCorruptRecord": "_corrupt"}
-        ),
+        F.from_json(F.col(RAW_COL), schema, {"columnNameOfCorruptRecord": _CORRUPT}),
     )
-    df = df.select(
+    flat = df.select(
         RAW_COL,
-        *[F.col(f"_ev.{f.name}").alias(f.name) for f in schema.fields],
-        (F.col("_ev").isNull() | F.col("_ev._corrupt").isNotNull()).alias("_parse_failed"),
+        *[F.col(f"_ev.{f.name}").alias(f.name) for f in schema.fields if f.name != _CORRUPT],
+        # from_json returns null struct for some malformed inputs;
+        # fold that into the corrupt column
+        F.when(F.col("_ev").isNull(), F.col(RAW_COL))
+        .otherwise(F.col(f"_ev.{_CORRUPT}"))
+        .alias(_CORRUPT),
     )
-    missing = [
-        F.when(
-            F.col(c).isNull(), F.lit(f"envelope:{c}:required envelope field missing")
-        )
-        for c in _REQUIRED_ENVELOPE
-    ]
-    return df.withColumn(
-        "envelope_fail",
-        F.when(F.col("_parse_failed"), F.lit(PARSE_FAIL)).otherwise(
-            F.get(F.array_compact(F.array(*missing)), 0)
-        ),
-    ).drop("_parse_failed")
+    return _finalize(flat, blank_col=F.trim(F.col(RAW_COL)) == "")
 
 
 def classify(df: DataFrame, op_whitelist: tuple[str, ...] = ("insert", "update", "delete")) -> DataFrame:
-    """Tag each event: 'apply' | 'skip' (unknown op) | 'reject'
-    (malformed/missing envelope). Blank/whitespace-only lines are
-    skipped like the reference's empty-message guard
-    (FnDecompressor.kt:45-49)."""
+    """Tag each event: 'apply' | 'skip' (blank line / unknown op) |
+    'reject' (malformed / missing envelope fields)."""
     return df.withColumn(
         "event_class",
-        F.when(F.trim(F.col(RAW_COL)) == "", F.lit("skip"))
+        F.when(F.col("is_blank"), F.lit("skip"))
         .when(F.col("envelope_fail").isNotNull(), F.lit("reject"))
         .when(~F.col("op").isin(*op_whitelist), F.lit("skip"))
         .otherwise(F.lit("apply")),

@@ -151,17 +151,19 @@ def change_events(
     return df.withColumn("value", value)
 
 
-def write_binlog(df: DataFrame, out_dir: str) -> list[str]:
-    """Write the event frame as one ndjson file set per epoch:
+def write_binlog(df: DataFrame, out_dir: str, files_per_epoch: int = 4) -> list[str]:
+    """Write the event frame as ndjson files per epoch:
     ``<out>/epoch-<E>-<i>.ndjson``. One distributed write job
     (partitionBy), then a driver-side rename of part files (cheap:
-    O(files)). Returns the file paths in epoch order."""
+    O(files)). ``files_per_epoch`` > 1 keeps the tail scan parallel
+    (one reader task per file at minimum). Returns paths in epoch order."""
     os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, f"_staging-{uuid.uuid4().hex}")  # Spark creates it
     try:
         (
-            df.select("batch_epoch", "value")
-            .repartition("batch_epoch")
+            df.select("batch_epoch", "value", F.pmod(F.col("lsn"), F.lit(files_per_epoch)).alias("_f"))
+            .repartition(F.col("batch_epoch"), F.col("_f"))
+            .drop("_f")
             .write.partitionBy("batch_epoch")
             .text(tmp)
         )

@@ -1246,3 +1246,22 @@ def scalar_datetime_rollup(spark, sf_dir):
     return o.groupBy(
         F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
     ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+# S6: 1 -> N fan-out (recursive decompress analogue: one input yields N
+# derived rows, FnDecompressor.kt:118-150 explodes zip entries)
+@query(
+    "s6_explode_fanout",
+    """
+    SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def s6_explode_fanout(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+    )

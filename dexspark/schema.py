@@ -132,3 +132,51 @@ def evolution_actions(table: T.StructType, incoming: T.StructType) -> list[str]:
                 f"widen {f.name} {old[f.name].simpleString()} -> {f.dataType.simpleString()}"
             )
     return actions
+
+
+# ----------------------------------------------------------- headers
+# The reference's header rules (XLSX order 8-10) + normalization
+# (elr-schema.csvs:3 @ignoreColumnNameCase; trailing-whitespace headers
+# tolerated, digital-preservation-poc Entry.java:89-98).
+
+
+class HeaderError(ValueError):
+    pass
+
+
+def normalize_columns(df):
+    """V7: case-insensitive, whitespace-tolerant header normalization."""
+    return df.toDF(*[c.strip().lower() for c in df.columns])
+
+
+def check_headers(
+    columns: list[str],
+    required: tuple[str, ...] = (),
+    known: tuple[str, ...] | None = None,
+    allow_unknown: bool = True,
+) -> list[str]:
+    """V4 required-columns-present, V5 no-duplicate-headers,
+    V6 unknown-headers policy (the JSON path ignores unknowns, the
+    csv-schema path rejects them — proof-of-concept/README.md:97-105;
+    here unknown+nullable = additive evolution when allowed).
+
+    Returns the list of unknown columns (candidates for evolution);
+    raises HeaderError on missing/duplicate (+unknown when disallowed).
+    """
+    norm = [c.strip().lower() for c in columns]
+    seen, dups = set(), []
+    for c in norm:
+        if c in seen:
+            dups.append(c)
+        seen.add(c)
+    if dups:
+        raise HeaderError(f"duplicate headers: {sorted(set(dups))}")  # V5
+    missing = [r for r in required if r.lower() not in seen]
+    if missing:
+        raise HeaderError(f"missing required headers: {missing}")  # V4
+    unknown = []
+    if known is not None:
+        unknown = [c for c in norm if c not in {k.lower() for k in known}]
+        if unknown and not allow_unknown:
+            raise HeaderError(f"unknown headers: {unknown}")  # V6 strict
+    return unknown

@@ -32,7 +32,7 @@ def get_spark(
         # Deterministic timestamps across JVM/pandas/DuckDB comparisons.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("DEXSPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("DEXSPARK_DRIVER_MEM", "24g"))
     )
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))

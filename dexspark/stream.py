@@ -25,13 +25,13 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
 
 from .config import EngineConfig
 from .dedup import latest_per_key
 from .events import classify, parse_envelopes, read_binlog, read_binlog_stream
 from .lake import LakeTable
-from .lineage import lineage_rows, write_lineage, write_quarantine
+from .lineage import LINEAGE_SCHEMA, _write_epoch_partitioned, write_quarantine
 from .validate import FAIL_COL, split_quarantine, validate_frame
 
 
@@ -44,6 +44,7 @@ class BatchMetrics:
     rows_merged: int = 0
     epochs: list[int] = field(default_factory=list)
     wall_ms: int = 0
+    phase_ms: dict = field(default_factory=dict)  # per-phase wall (debug)
 
 
 class CdcEngine:
@@ -70,111 +71,156 @@ class CdcEngine:
     def apply_batch(self, parsed: DataFrame) -> BatchMetrics:
         """Apply one micro-batch of parsed change events exactly-once."""
         t0 = time.monotonic()
+        phases: dict[str, int] = {}
+
+        def _mark(name: str, since: float) -> float:
+            now = time.monotonic()
+            phases[name] = int((now - since) * 1000)
+            return now
+
         rules = self.config.rules
-        ev = classify(parsed, op_whitelist=rules.op_whitelist).cache()
-        try:
-            # Exactly-once: drop epochs this table already committed.
-            # (Distinct epoch ids per batch are few — driver-safe.)
-            committed = self.table.committed_epochs()
-            batch_epochs = [
-                r[0]
-                for r in ev.select("batch_epoch").distinct().collect()
-                if r[0] is not None
-            ]
-            new_epochs = sorted(set(batch_epochs) - committed)
-            if not new_epochs and batch_epochs:
-                return BatchMetrics(epochs=[], wall_ms=int((time.monotonic() - t0) * 1000))
-            keep_epoch = F.col("batch_epoch").isNull()  # rejects may lack an epoch
-            if new_epochs:
-                keep_epoch = keep_epoch | F.col("batch_epoch").isin(new_epochs)
-            live = ev.filter(keep_epoch)
+        ev = classify(parsed, op_whitelist=rules.op_whitelist)
 
-            # --- payload validation on applicable upserts -------------
-            apply_df = live.filter(F.col("event_class") == "apply")
-            flat = apply_df.select(
-                "raw",
-                "op",
-                "doc_id",
-                F.col("payload.*"),
-                "commit_ts",
-                "lsn",
+        # Exactly THREE passes over the batch, none persisted: Spark's
+        # block-cache build did not parallelize on this data (measured:
+        # flat ~13s at any core count, vs recompute scaling at ~0.93
+        # efficiency — see BENCH notes), while each pass below is a
+        # single scan -> single from_json (projection collapse + codegen
+        # subexpression elimination) -> consumer, which scales linearly.
+
+        # --- pass 1: one aggregate = epochs + lineage + all counts ----
+        groups = (
+            ev.withColumn("partition_id", F.spark_partition_id())
+            .groupBy(
                 "batch_epoch",
+                "partition_id",
+                F.col("payload.source").alias("source"),
+                "event_class",
             )
-            upsert_flat = flat.filter(F.col("op") != "delete")
-            validated = validate_frame(upsert_flat, rules, self.config.validator).cache()
-            ok_upserts, bad_rows = split_quarantine(validated)
-            deletes = flat.filter(F.col("op") == "delete").select(
-                "raw", "op", "doc_id", "commit_ts", "lsn", "batch_epoch"
-            )
+            .count()
+            .collect()
+        )
+        committed = self.table.committed_epochs()
+        batch_epochs = sorted({r["batch_epoch"] for r in groups if r["batch_epoch"] is not None})
+        new_epochs = sorted(set(batch_epochs) - committed)
+        tp = _mark("scan_counts", t0)
+        if not new_epochs and batch_epochs:
+            return BatchMetrics(epochs=[], wall_ms=int((time.monotonic() - t0) * 1000))
 
-            # --- quarantine: envelope rejects + validation failures ---
+        live_groups = [
+            r
+            for r in groups
+            if r["batch_epoch"] is None or r["batch_epoch"] in set(new_epochs)
+        ]
+        by_class: dict[str, int] = {}
+        for r in live_groups:
+            by_class[r["event_class"]] = by_class.get(r["event_class"], 0) + r["count"]
+
+        keep_epoch = F.col("batch_epoch").isNull()  # rejects may lack an epoch
+        if new_epochs:
+            keep_epoch = keep_epoch | F.col("batch_epoch").isin(new_epochs)
+        live = ev.filter(keep_epoch)
+
+        # --- pass 2: validate -> dedup -> MERGE ------------------------
+        flat = (
+            live.filter(F.col("event_class") == "apply")
+            .select("op", "doc_id", F.col("payload.*"), "commit_ts", "lsn")
+        )
+        validated = validate_frame(
+            flat.filter(F.col("op") != "delete"), rules, self.config.validator
+        )
+        ok_upserts, _ = split_quarantine(validated)
+        payload_cols = [
+            c
+            for c in ok_upserts.columns
+            if c not in ("op", "doc_id", "commit_ts", "lsn")
+        ]
+        deletes = flat.filter(F.col("op") == "delete").select(
+            "op",
+            "doc_id",
+            *[F.lit(None).cast(dict(ok_upserts.dtypes)[c]).alias(c) for c in payload_cols],
+            "commit_ts",
+            "lsn",
+        )
+        dedup_input = ok_upserts.select(
+            "op", "doc_id", *payload_cols, "commit_ts", "lsn"
+        ).unionByName(deletes)
+        # `latest` IS persisted: it is small (one row per touched key)
+        # and feeds two merge jobs + a count.
+        latest = latest_per_key(dedup_input, key="doc_id").cache()
+        try:
+            upserts = latest.filter(F.col("op") != "delete").select("doc_id", *payload_cols)
+            delete_keys = latest.filter(F.col("op") == "delete").select("doc_id")
+            rows_merged = latest.count()
+            td = _mark("validate_dedup", tp)
+            self.table.merge(upserts, delete_keys, epochs=new_epochs)
+            tm = _mark("merge", td)
+
+            # --- pass 3: quarantine (the only raw-bearing pass) --------
+            # envelope rejects + validation failures, with the reject
+            # count riding the write as an Observation (no extra pass).
             env_rejects = live.filter(F.col("event_class") == "reject").select(
                 "raw",
                 F.lit(None).cast("string").alias("doc_id"),
                 F.array("envelope_fail").alias(FAIL_COL),
                 F.col("batch_epoch"),
             )
-            val_rejects = bad_rows.select("raw", "doc_id", FAIL_COL, "batch_epoch")
-            quarantine = env_rejects.unionByName(val_rejects)
-
-            # --- dedup: deletes compete with upserts per key ----------
-            # raw/batch_epoch dropped first: the shuffle only carries
-            # what the MERGE needs (raw lives on only in quarantine).
-            payload_cols = [
-                c for c in ok_upserts.columns if c not in ("raw", "op", "doc_id", "commit_ts", "lsn", "batch_epoch")
-            ]
-            dedup_cols = ["op", "doc_id", *payload_cols, "commit_ts", "lsn"]
-            dedup_input = ok_upserts.select(*dedup_cols).unionByName(
-                deletes.select(
-                    "op",
-                    "doc_id",
-                    *[F.lit(None).cast(dict(ok_upserts.dtypes)[c]).alias(c) for c in payload_cols],
-                    "commit_ts",
-                    "lsn",
-                )
+            flat_raw = (
+                live.filter((F.col("event_class") == "apply") & (F.col("op") != "delete"))
+                .select("raw", "op", "doc_id", F.col("payload.*"), "commit_ts", "lsn", "batch_epoch")
             )
-            latest = latest_per_key(dedup_input, key="doc_id").cache()
-            try:
-                upserts = latest.filter(F.col("op") != "delete").select("doc_id", *payload_cols)
-                delete_keys = latest.filter(F.col("op") == "delete").select("doc_id")
+            _, bad_rows = split_quarantine(
+                validate_frame(flat_raw, rules, self.config.validator)
+            )
+            quarantine = env_rejects.unionByName(
+                bad_rows.select("raw", "doc_id", FAIL_COL, "batch_epoch")
+            )
+            # Unattributable rows (malformed JSON -> no epoch) get a
+            # per-batch fallback partition, -1-min(epoch), so a later
+            # batch's dynamic overwrite can never erase them.
+            fallback_epoch = -1 - (min(new_epochs) if new_epochs else 0)
+            obs = Observation()
+            quarantined = quarantine.withColumn(
+                "batch_epoch",
+                F.coalesce(F.col("batch_epoch"), F.lit(fallback_epoch)),
+            ).observe(obs, F.count(F.lit(1)).alias("n_quarantined"))
+            write_quarantine(quarantined, self.quarantine_path)
+            n_env_rejects = by_class.get("reject", 0)
+            n_val_rejects = int(obs.get["n_quarantined"]) - n_env_rejects
 
-                # --- counts (one aggregation pass over cached ev) -----
-                lin = lineage_rows(live).cache()
-                counts = lin.agg(
-                    F.sum("events_seen"), F.sum("events_applied"), F.sum("rejects"), F.sum("skipped")
-                ).collect()[0]
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            metrics = BatchMetrics(
+                events_seen=sum(by_class.values()),
                 # validation rejects were classified 'apply' upstream
-                n_val_rejects = val_rejects.count()
-                rows_merged = latest.count()
-
-                # --- MERGE (schema reconcile inside) ------------------
-                self.table.merge(upserts, delete_keys, epochs=new_epochs)
-
-                wall_ms = int((time.monotonic() - t0) * 1000)
-                metrics = BatchMetrics(
-                    events_seen=int(counts[0] or 0),
-                    events_applied=int(counts[1] or 0) - n_val_rejects,
-                    rejects=int(counts[2] or 0) + n_val_rejects,
-                    skipped=int(counts[3] or 0),
-                    rows_merged=rows_merged,
-                    epochs=new_epochs,
-                    wall_ms=wall_ms,
+                events_applied=by_class.get("apply", 0) - n_val_rejects,
+                rejects=n_env_rejects + n_val_rejects,
+                skipped=by_class.get("skip", 0),
+                rows_merged=rows_merged,
+                epochs=new_epochs,
+                wall_ms=wall_ms,
+            )
+            # lineage from the pass-1 groups — pure driver-side rollup
+            lin_rows = [
+                (
+                    int(r["batch_epoch"]) if r["batch_epoch"] is not None else fallback_epoch,
+                    int(r["partition_id"]),
+                    r["source"],
+                    int(r["count"]),
+                    int(r["count"]) if r["event_class"] == "apply" else 0,
+                    int(r["count"]) if r["event_class"] == "reject" else 0,
+                    int(r["count"]) if r["event_class"] == "skip" else 0,
+                    int(rows_merged),
+                    int(wall_ms),
                 )
-
-                # --- sinks (idempotent per-epoch overwrite) -----------
-                write_quarantine(
-                    quarantine.withColumn(
-                        "batch_epoch", F.coalesce(F.col("batch_epoch"), F.lit(-1))
-                    ),
-                    self.quarantine_path,
-                )
-                write_lineage(lin, self.lineage_path, metrics.rows_merged, wall_ms)
-                return metrics
-            finally:
-                latest.unpersist()
-                validated.unpersist()
+                for r in live_groups
+            ]
+            lin = self.spark.createDataFrame(lin_rows, LINEAGE_SCHEMA)
+            _write_epoch_partitioned(lin, self.lineage_path)
+            _mark("sinks", tm)
+            metrics.phase_ms = phases
+            return metrics
         finally:
-            ev.unpersist()
+            latest.unpersist()
 
     # ------------------------------------------------------------ batch API
 

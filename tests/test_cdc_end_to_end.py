@@ -91,3 +91,7 @@ def test_epochwise_apply_equals_single_shot(spark, setup, tmp_warehouse):
         engine.apply_binlog(os.path.join(binlog, f))
     want = oracle.replay(binlog, base_state=base_state)
     oracle.assert_equal_state(want.state, table.read().collect(), "epochwise")
+    # quarantine accumulates across batches (per-batch fallback
+    # partitions must not overwrite earlier unattributable rows)
+    q = spark.read.parquet(engine.quarantine_path)
+    assert q.count() == want.quarantined
