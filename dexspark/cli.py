@@ -1,0 +1,90 @@
+"""spark-submit entrypoint for the CDC engine.
+
+Cluster run (the north-rule deployment shape)::
+
+    spark-submit --py-files dexspark.zip -m dexspark.cli \\
+        --table  s3://lake/sequences \\
+        --binlog s3://logs/changes \\
+        --checkpoint s3://ckpt/sequences \\
+        --warehouse s3://lake/_meta/sequences \\
+        [--create --num-buckets 4096] [--follow] [--rules rules.json]
+
+or locally::
+
+    python -m dexspark.cli --table /tmp/seq --binlog /tmp/binlog \\
+        --checkpoint /tmp/ckpt --warehouse /tmp/wh --create
+
+No ``--master`` handling here: spark-submit/cluster manager owns that.
+The same code runs at N or 4N executors; partitioning is keyed, not
+topology-aware (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="dexspark", description=__doc__)
+    ap.add_argument("--table", required=True, help="LakeTable root path")
+    ap.add_argument("--binlog", required=True, help="change-event log dir (ndjson)")
+    ap.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
+    ap.add_argument("--warehouse", required=True, help="quarantine/lineage root")
+    ap.add_argument("--create", action="store_true", help="create table if absent")
+    ap.add_argument("--num-buckets", type=int, default=64)
+    ap.add_argument("--rules", help="JSON rule-set file (default: sequences rules)")
+    ap.add_argument("--follow", action="store_true", help="keep tailing (processingTime trigger); default: availableNow catch-up")
+    ap.add_argument("--trigger", default="10 seconds")
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .config import EngineConfig, RuleSet
+    from .lake import LakeTable
+    from .schema import sequences_schema
+    from .stream import CdcEngine
+
+    spark = SparkSession.builder.appName("dexspark-cdc").getOrCreate()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    table = LakeTable(spark, args.table)
+    if args.create and table.current_version() == 0:
+        LakeTable.create(
+            spark, args.table, sequences_schema(), num_buckets=args.num_buckets
+        )
+
+    cfg = EngineConfig(num_buckets=args.num_buckets)
+    if args.rules:
+        with open(args.rules) as f:
+            cfg = EngineConfig(
+                num_buckets=args.num_buckets, rules=RuleSet.from_dict(json.load(f))
+            )
+
+    engine = CdcEngine(spark, table, args.warehouse, cfg)
+    if args.follow:
+        q = engine.run_stream(
+            args.binlog,
+            args.checkpoint,
+            available_now=False,
+            processing_time=args.trigger,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        q.awaitTermination()
+    else:
+        engine.run_until_caught_up(args.binlog, args.checkpoint)
+        print(
+            json.dumps(
+                {
+                    "table_version": table.current_version(),
+                    "committed_epochs": sorted(table.committed_epochs()),
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -34,6 +34,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("DEXSPARK_DRIVER_MEM", "24g"))
     )
+    # Shuffle/spill scratch on tmpfs when available: this sandbox's
+    # buffered disk writes cap at ~90MB/s, which would put a serial
+    # floor under every shuffle. On a real cluster this is local NVMe.
+    local_dir = os.environ.get("DEXSPARK_LOCAL_DIR") or (
+        "/dev/shm/dexspark-scratch" if os.path.isdir("/dev/shm") else None
+    )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if shuffle_partitions is not None:
         builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():

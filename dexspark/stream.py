@@ -153,8 +153,6 @@ class CdcEngine:
             delete_keys = latest.filter(F.col("op") == "delete").select("doc_id")
             rows_merged = latest.count()
             td = _mark("validate_dedup", tp)
-            self.table.merge(upserts, delete_keys, epochs=new_epochs)
-            tm = _mark("merge", td)
 
             # --- pass 3: quarantine (the only raw-bearing pass) --------
             # envelope rejects + validation failures, with the reject
@@ -184,7 +182,23 @@ class CdcEngine:
                 "batch_epoch",
                 F.coalesce(F.col("batch_epoch"), F.lit(fallback_epoch)),
             ).observe(obs, F.count(F.lit(1)).alias("n_quarantined"))
-            write_quarantine(quarantined, self.quarantine_path)
+
+            # MERGE and quarantine-write are independent given `latest`
+            # (cached) — submit them from two driver threads so the
+            # scheduler overlaps one job's I/O waits with the other's
+            # compute (both still exactly-once: different sinks).
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_merge = pool.submit(
+                    self.table.merge, upserts, delete_keys, epochs=new_epochs
+                )
+                f_quar = pool.submit(
+                    write_quarantine, quarantined, self.quarantine_path
+                )
+                f_merge.result()
+                f_quar.result()
+            tm = _mark("merge_and_quarantine", td)
             n_env_rejects = by_class.get("reject", 0)
             n_val_rejects = int(obs.get["n_quarantined"]) - n_env_rejects
 
