@@ -53,10 +53,14 @@ def test_dedup_partial_aggregation(spark):
     assert plan.index("Exchange") < plan.index("partial_max_by")
 
 
-def test_wholestage_codegen_covers_validation_exprs(spark):
+def test_jvm_validator_has_no_python_nodes(spark):
+    """The default validator is pure JVM expressions — no Python
+    boundary of any kind in the plan (higher-order functions like
+    exists()/filter() stay JVM-side even though they opt out of
+    whole-stage codegen)."""
     from dexspark.validate import with_fail_reasons
 
     df = gen.base_sequences(spark, n_docs=10, max_len=8)
     plan = _plan(with_fail_reasons(df, sequences_ruleset()))
-    assert "WholeStageCodegen" in plan
-    assert "BatchEvalPython" not in plan
+    assert "Python" not in plan
+    assert "required:doc_id" in plan  # rules compiled into the projection
