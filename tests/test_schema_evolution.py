@@ -76,8 +76,13 @@ def test_int_widening_via_binlog(spark, tmp_warehouse):
             T.StructField("source", T.StringType(), True),
         ]
     )
+    # token_range is intentionally absent: this test isolates TYPE
+    # widening; a 2**40 token would (correctly) be quarantined by V10.
+    from dexspark.config import RuleSet
+
+    rules = RuleSet(required=("doc_id",), length_equals=(("n_tok", "tokens"),))
     engine = CdcEngine(
-        spark, table, tmp_warehouse, EngineConfig(num_buckets=4),
+        spark, table, tmp_warehouse, EngineConfig(num_buckets=4, rules=rules),
         payload_schema=wide_payload,
     )
     binlog = os.path.join(tmp_warehouse, "binlog2")
