@@ -1248,6 +1248,247 @@ def scalar_datetime_rollup(spark, sf_dir):
     ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
 
 
+# V1: file-not-empty — empty input partition detected, not crashed
+# (XLSX order-3/4/5; cerberus_data_validation.py:60-61 df.empty)
+@query(
+    "v1_not_empty",
+    """
+    SELECT source, count(*) AS n_rows,
+           sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS n_blank,
+           CAST(count(*) = sum(CASE WHEN text IS NULL OR trim(text) = ''
+                               THEN 1 ELSE 0 END) AS INT) AS all_blank
+    FROM documents GROUP BY source
+    """,
+)
+def v1_not_empty(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    blank = (F.col("text").isNull() | (F.trim("text") == "")).cast("long")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(blank).alias("n_blank"),
+        (F.count("*") == F.sum(blank)).cast("int").alias("all_blank"),
+    )
+
+
+# V7: header case/whitespace normalization (elr-schema.csvs:3
+# @ignoreColumnNameCase; digital-preservation Entry.java:89-98). The
+# Spark side feeds a deliberately messy header (' Doc_ID ', 'LANG ')
+# through schema.normalize_columns; the oracle states the clean result.
+@query(
+    "v7_header_normalize",
+    "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+)
+def v7_header_normalize(spark, sf_dir):
+    from .schema import normalize_columns
+
+    messy = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias(" Doc_ID "), F.col("lang").alias("LANG ")
+    )
+    clean = normalize_columns(messy)
+    return clean.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+# V9: blank-row detection — trim(concat_ws('', cols)) == ''
+# (XLSX order-13 blank records between records)
+@query(
+    "v9_blank_rows",
+    """
+    SELECT CAST(trim(concat_ws('', text, lang, source)) = '' AS INT) AS is_blank,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def v9_blank_rows(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    is_blank = (F.trim(F.concat_ws("", "text", "lang", "source")) == "").cast("int")
+    return d.groupBy(is_blank.alias("is_blank")).agg(F.count("*").alias("n"))
+
+
+# V15: type-coercion check via try_cast — ANSI-safe integer parse
+# (cerberus_data_validation.py:38-39 'type': 'integer')
+@query(
+    "v15_type_coercion",
+    """
+    SELECT CAST(TRY_CAST(split_part(text, ' ', 1) AS BIGINT) IS NOT NULL AS INT)
+             AS first_word_is_int,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def v15_type_coercion(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    is_int = (
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).try_cast("long").isNotNull()
+    ).cast("int")
+    return d.groupBy(is_int.alias("first_word_is_int")).agg(F.count("*").alias("n"))
+
+
+# V16: canonical column ordering before sink write
+# (digital-preservation Entry.java:84-98 enforces order; DataFrame
+# projects to canonical order instead)
+@query(
+    "v16_canonical_order",
+    "SELECT doc_id, lang, n_chars, source FROM documents",
+)
+def v16_canonical_order(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars", "doc_id", "lang")
+    return d.select(*sorted(c for c in d.columns if c != "text"))
+
+
+# F6: config-driven required-metadata-keys check over a map column,
+# keys lowercased at load (FnDecompressor.kt:184-197;
+# AzureBlobServiceImpl.kt:23 mapKeys{lowercase}) — exercises the
+# §2.8 map family: from_json to map, transform_keys, element_at
+@query(
+    "f6_metadata_required_keys",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') IS NOT NULL
+                AND trim(json_extract_string(props, '$.k')) <> '' AS INT) AS has_required,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def f6_metadata_required_keys(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    meta = F.transform_keys(
+        F.from_json(F.col("props"), "map<string,string>"), lambda k, _: F.lower(k)
+    )
+    v = F.element_at(meta, "k")
+    has = (v.isNotNull() & (F.trim(v) != "")).cast("int")
+    return e.groupBy(has.alias("has_required")).agg(F.count("*").alias("n"))
+
+
+# §2.8 string family in one pass: lower/endswith/trim/length/
+# regexp_replace/concat_ws (csvValidationFunction_Generic.kt:65,71;
+# Entry.java:81-102; FnDecompressor.kt:179)
+@query(
+    "scalar_string_family",
+    """
+    SELECT doc_id,
+           lower(source) AS src_lower,
+           CAST(ends_with(lower(source), '0') AS INT) AS src_ends_0,
+           length(trim(text)) AS len_trim,
+           length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_novowel,
+           concat_ws('|', lang, source) AS lang_src
+    FROM documents
+    """,
+)
+def scalar_string_family(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower("source").alias("src_lower"),
+        F.lower("source").endswith("0").cast("int").alias("src_ends_0"),
+        F.length(F.trim("text")).alias("len_trim"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("len_novowel"),
+        F.concat_ws("|", "lang", "source").alias("lang_src"),
+    )
+
+
+# Event-time tumbling window aggregate — the batch form of the
+# streaming windowed agg (§2.9; same F.window expr runs unchanged
+# under readStream + withWatermark, see tests/test_stream.py)
+@query(
+    "stream_window_counts",
+    """
+    SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS win_start_us,
+           event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_window_counts(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            # ts is TIMESTAMP_NTZ; session tz is UTC, so the cast is exact
+            F.unix_micros(F.col("win.start").cast("timestamp")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+# As-of (backward) join — each event matched to the latest order of the
+# same customer at-or-before the event time. Spark lacks a native
+# ASOF JOIN: composed as range join + max_by reduction (tie-broken by
+# orderkey so both engines are deterministic).
+@query(
+    "j5_asof_join",
+    """
+    WITH j AS (
+      SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+      FROM events e JOIN orders o
+        ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+      WHERE e.event_id < 2000
+    )
+    SELECT event_id, o_orderkey AS asof_orderkey,
+           round(o_totalprice, 2) AS asof_totalprice
+    FROM j WHERE rk = 1
+    """,
+)
+def j5_asof_join(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    o = _t(spark, sf_dir, "orders")
+    joined = e.join(
+        F.broadcast(o),
+        (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts),
+    )
+    best = F.max_by(
+        F.struct("o_orderkey", "o_totalprice"), F.struct("o_orderdate", "o_orderkey")
+    ).alias("b")
+    return (
+        joined.groupBy("event_id")
+        .agg(best)
+        .select(
+            "event_id",
+            F.col("b.o_orderkey").alias("asof_orderkey"),
+            F.round("b.o_totalprice", 2).alias("asof_totalprice"),
+        )
+    )
+
+
+# §2.7 set ops: union of two classified slices + intersect
+@query(
+    "setop_union_classes",
+    """
+    SELECT doc_id, 'long' AS cls FROM documents WHERE n_chars > 300
+    UNION ALL
+    SELECT doc_id, 'english' AS cls FROM documents WHERE lang = 'en'
+    """,
+)
+def setop_union_classes(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    long_docs = d.filter(F.col("n_chars") > 300).select(
+        "doc_id", F.lit("long").alias("cls")
+    )
+    en_docs = d.filter(F.col("lang") == "en").select(
+        "doc_id", F.lit("english").alias("cls")
+    )
+    return long_docs.unionByName(en_docs)
+
+
+@query(
+    "setop_intersect",
+    """
+    SELECT doc_id FROM documents WHERE lang = 'en'
+    INTERSECT
+    SELECT doc_id FROM documents WHERE n_chars > 300
+    """,
+)
+def setop_intersect(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang") == "en")
+        .select("doc_id")
+        .intersect(d.filter(F.col("n_chars") > 300).select("doc_id"))
+    )
+
+
 # S6: 1 -> N fan-out (recursive decompress analogue: one input yields N
 # derived rows, FnDecompressor.kt:118-150 explodes zip entries)
 @query(

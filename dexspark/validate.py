@@ -128,7 +128,7 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
         if col in dtypes and isinstance(dtypes[col], T.StringType):
             checks.append(
                 (
-                    F.col(col).isNotNull() & F.col(col).cast("long").isNull(),
+                    F.col(col).isNotNull() & F.col(col).try_cast("long").isNull(),
                     _msg("int_field", col, "not an integer"),
                 )
             )

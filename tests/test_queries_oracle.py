@@ -17,6 +17,9 @@ SUBSET = [
     "ann_lsh_bucketed",
     "text_langid",
     "multimodal_decode",
+    "j5_asof_join",
+    "stream_window_counts",
+    "f6_metadata_required_keys",
 ]
 
 pytestmark = pytest.mark.skipif(
