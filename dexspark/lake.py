@@ -241,6 +241,7 @@ class LakeTable:
         upserts: DataFrame,
         delete_keys: DataFrame | None = None,
         epochs: list[int] | None = None,
+        affected_buckets: list[int] | None = None,
     ) -> dict:
         """MERGE: last-writer-wins upsert + key deletes, copy-on-write.
 
@@ -273,8 +274,15 @@ class LakeTable:
 
         # Bucket pruning: only buckets containing changed keys are read
         # and rewritten. The distinct-bucket list is tiny (<= num_buckets)
-        # so collecting it to the driver is scale-safe.
-        affected = [r["_bucket"] for r in all_keys.select("_bucket").distinct().collect()]
+        # so collecting it to the driver is scale-safe. Callers that
+        # already aggregated the change set (CdcEngine) pass the bucket
+        # list in, saving this job's round trip.
+        if affected_buckets is not None:
+            affected = list(affected_buckets)
+        else:
+            affected = [
+                r["_bucket"] for r in all_keys.select("_bucket").distinct().collect()
+            ]
         if not affected:
             mm = dict(m)
             mm.update(

@@ -21,6 +21,8 @@ FnDecompressor.kt:94-95).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 LINEAGE_SCHEMA = T.StructType(
@@ -50,6 +52,50 @@ def _write_epoch_partitioned(df: DataFrame, path: str) -> None:
 def write_quarantine(df: DataFrame, path: str) -> None:
     """df: raw + envelope columns + fail_reasons + batch_epoch."""
     _write_epoch_partitioned(df, path)
+
+
+def write_lineage_rows(rows: list[tuple], path: str) -> None:
+    """Driver-side lineage write (pyarrow, no Spark job).
+
+    The lineage rollup is computed by an aggregate whose result is
+    already collected on the driver (it is tiny: one row per
+    (epoch, input-partition, source, class) group), so spinning up a
+    Spark write job for it costs ~2-4s of pure scheduling latency per
+    batch. Instead the driver writes hive-partitioned parquet directly:
+    one file per batch_epoch dir, temp-file + rename (atomic on POSIX),
+    existing files for the epoch removed first — the same idempotent
+    dynamic-partition-overwrite semantics as the Spark path, readable
+    by ``spark.read.parquet(path)`` unchanged.
+    """
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names = [f.name for f in LINEAGE_SCHEMA.fields]
+    by_epoch: dict[int, list[tuple]] = {}
+    for r in rows:
+        by_epoch.setdefault(int(r[0]), []).append(r[1:])
+    for epoch, epoch_rows in by_epoch.items():
+        part_dir = os.path.join(path, f"batch_epoch={epoch}")
+        os.makedirs(part_dir, exist_ok=True)
+        cols = list(zip(*epoch_rows))
+        tbl = pa.table(
+            {
+                "partition_id": pa.array(cols[0], pa.int32()),
+                "source": pa.array(cols[1], pa.string()),
+                **{
+                    n: pa.array(cols[i + 2], pa.int64())
+                    for i, n in enumerate(names[3:])
+                },
+            }
+        )
+        tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, tmp)
+        for old in os.listdir(part_dir):
+            if old.endswith(".parquet") and not old.startswith(".tmp-"):
+                os.unlink(os.path.join(part_dir, old))
+        os.rename(tmp, os.path.join(part_dir, f"part-{uuid.uuid4().hex}.parquet"))
 
 
 def lineage_rows(classified: DataFrame) -> DataFrame:

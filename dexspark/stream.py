@@ -25,14 +25,13 @@ import os
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Observation, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .config import EngineConfig
-from .dedup import latest_per_key
 from .events import classify, parse_envelopes, read_binlog, read_binlog_stream
 from .lake import LakeTable
-from .lineage import LINEAGE_SCHEMA, _write_epoch_partitioned, write_quarantine
-from .validate import FAIL_COL, split_quarantine, validate_frame
+from .lineage import write_lineage_rows, write_quarantine
+from .validate import FAIL_COL, validate_frame
 
 
 @dataclass
@@ -81,12 +80,16 @@ class CdcEngine:
         rules = self.config.rules
         ev = classify(parsed, op_whitelist=rules.op_whitelist)
 
-        # Exactly THREE passes over the batch, none persisted: Spark's
-        # block-cache build did not parallelize on this data (measured:
-        # flat ~13s at any core count, vs recompute scaling at ~0.93
-        # efficiency — see BENCH notes), while each pass below is a
-        # single scan -> single from_json (projection collapse + codegen
-        # subexpression elimination) -> consumer, which scales linearly.
+        # Exactly TWO passes over the batch: (1) an envelope-only count
+        # aggregate (column pruning reaches the JSON parser — token
+        # arrays are never parsed here), and (2) ONE full scan that
+        # validates, dedups, and stages quarantine rows through a single
+        # keyed aggregate whose output (small: one row per touched key)
+        # is cached and fan-consumed by merge + quarantine + counts.
+        # Full-batch persistence was measured NOT to pay off (block-
+        # cache build flat ~13s at any core count; a staging parquet
+        # write costs more than the scan it saves — see BENCH notes),
+        # but this tiny post-aggregate cache is cheap and load-bearing.
 
         # --- pass 1: one aggregate = epochs + lineage + all counts ----
         groups = (
@@ -121,67 +124,129 @@ class CdcEngine:
             keep_epoch = keep_epoch | F.col("batch_epoch").isin(new_epochs)
         live = ev.filter(keep_epoch)
 
-        # --- pass 2: validate -> dedup -> MERGE ------------------------
-        flat = (
-            live.filter(F.col("event_class") == "apply")
-            .select("op", "doc_id", F.col("payload.*"), "commit_ts", "lsn")
-        )
-        validated = validate_frame(
-            flat.filter(F.col("op") != "delete"), rules, self.config.validator
-        )
-        ok_upserts, _ = split_quarantine(validated)
-        payload_cols = [
-            c
-            for c in ok_upserts.columns
-            if c not in ("op", "doc_id", "commit_ts", "lsn")
-        ]
-        deletes = flat.filter(F.col("op") == "delete").select(
+        # --- pass 2: THE single full scan ------------------------------
+        # validate -> tag quarantine rows -> one dedup aggregate that
+        # carries BOTH streams: good rows group by doc_id (last-writer-
+        # wins), quarantine rows ride the same shuffle under unique
+        # synthetic keys ('q#'+lsn; 'q#'+xxhash64(raw) for malformed
+        # lines with no lsn), so the raw change log is parsed exactly
+        # once per batch. Byte-identical malformed lines collapse into
+        # one group and are re-expanded from the group count at write
+        # time, so quarantine row counts stay event-exact.
+        flat = live.filter(F.col("event_class") != "skip").select(
+            "raw",
+            "event_class",
             "op",
             "doc_id",
-            *[F.lit(None).cast(dict(ok_upserts.dtypes)[c]).alias(c) for c in payload_cols],
+            F.col("payload.*"),
             "commit_ts",
             "lsn",
+            "batch_epoch",
+            "envelope_fail",
         )
-        dedup_input = ok_upserts.select(
-            "op", "doc_id", *payload_cols, "commit_ts", "lsn"
-        ).unionByName(deletes)
-        # `latest` IS persisted: it is small (one row per touched key)
-        # and feeds two merge jobs + a count.
-        latest = latest_per_key(dedup_input, key="doc_id").cache()
+        meta_cols = (
+            "raw", "event_class", "op", "doc_id",
+            "commit_ts", "lsn", "batch_epoch", "envelope_fail", FAIL_COL,
+        )
+        payload_cols = [c for c in flat.columns if c not in meta_cols]
+        # fail_reasons for every row, then gated: envelope rejects carry
+        # their envelope failure; only apply-upserts keep payload-rule
+        # failures (deletes have no payload to validate).
+        validated = validate_frame(flat, rules, self.config.validator)
+        gated = validated.withColumn(
+            FAIL_COL,
+            F.when(F.col("event_class") == "reject", F.array("envelope_fail"))
+            .when(
+                (F.col("event_class") == "apply") & (F.col("op") != "delete"),
+                F.col(FAIL_COL),
+            ),
+        )
+        is_q = (F.col("event_class") == "reject") | F.coalesce(
+            F.size(FAIL_COL) > 0, F.lit(False)
+        )
+        qkey = F.when(~is_q, F.col("doc_id")).otherwise(
+            F.concat(
+                F.lit("q#"),
+                F.coalesce(
+                    F.col("lsn").cast("string"), F.xxhash64("raw").cast("string")
+                ),
+            )
+        )
+        staged = gated.select(
+            qkey.alias("_qkey"),
+            is_q.alias("_is_q"),
+            # raw (a lazy to_json re-render for well-formed rows) is
+            # materialized + shuffled ONLY for quarantine rows
+            F.when(is_q, F.col("raw")).alias("raw"),
+            "op",
+            "doc_id",
+            *payload_cols,
+            "commit_ts",
+            "lsn",
+            "batch_epoch",
+            FAIL_COL,
+        )
+        row_cols = [c for c in staged.columns if c != "_qkey"]
+        # `latest` IS persisted: it is small (one row per touched key +
+        # one per quarantined event) and feeds a count + two merge
+        # inputs + the quarantine write.
+        latest = (
+            staged.groupBy("_qkey")
+            .agg(
+                F.max_by(F.struct(*row_cols), F.struct("commit_ts", "lsn")).alias("_r"),
+                F.count(F.lit(1)).alias("_n_events"),
+            )
+            .select(F.col("_r.*"), "_n_events")
+            .cache()
+        )
         try:
-            upserts = latest.filter(F.col("op") != "delete").select("doc_id", *payload_cols)
-            delete_keys = latest.filter(F.col("op") == "delete").select("doc_id")
-            rows_merged = latest.count()
+            upserts = latest.filter(
+                ~F.col("_is_q") & (F.col("op") != "delete")
+            ).select("doc_id", *payload_cols)
+            delete_keys = latest.filter(
+                ~F.col("_is_q") & (F.col("op") == "delete")
+            ).select("doc_id")
+            # ONE aggregate job builds the cache AND yields everything
+            # the driver needs: merged-row count, the affected-bucket
+            # set (passed into merge so it skips its own distinct+
+            # collect job), and the quarantined-event count (exact even
+            # for collapsed duplicate groups, via _n_events).
+            nb = self.table.num_buckets
+            stats = latest.agg(
+                F.sum((~F.col("_is_q")).cast("long")).alias("rows_merged"),
+                F.collect_set(
+                    F.when(
+                        ~F.col("_is_q"),
+                        F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"),
+                    )
+                ).alias("buckets"),
+                F.sum(
+                    F.when(F.col("_is_q"), F.col("_n_events")).otherwise(F.lit(0))
+                ).alias("q_events"),
+            ).collect()[0]
+            rows_merged = int(stats["rows_merged"] or 0)
+            affected_buckets = sorted(stats["buckets"])
+            n_quarantined = int(stats["q_events"] or 0)
             td = _mark("validate_dedup", tp)
 
-            # --- pass 3: quarantine (the only raw-bearing pass) --------
-            # envelope rejects + validation failures, with the reject
-            # count riding the write as an Observation (no extra pass).
-            env_rejects = live.filter(F.col("event_class") == "reject").select(
-                "raw",
-                F.lit(None).cast("string").alias("doc_id"),
-                F.array("envelope_fail").alias(FAIL_COL),
-                F.col("batch_epoch"),
-            )
-            flat_raw = (
-                live.filter((F.col("event_class") == "apply") & (F.col("op") != "delete"))
-                .select("raw", "op", "doc_id", F.col("payload.*"), "commit_ts", "lsn", "batch_epoch")
-            )
-            _, bad_rows = split_quarantine(
-                validate_frame(flat_raw, rules, self.config.validator)
-            )
-            quarantine = env_rejects.unionByName(
-                bad_rows.select("raw", "doc_id", FAIL_COL, "batch_epoch")
-            )
             # Unattributable rows (malformed JSON -> no epoch) get a
             # per-batch fallback partition, -1-min(epoch), so a later
             # batch's dynamic overwrite can never erase them.
             fallback_epoch = -1 - (min(new_epochs) if new_epochs else 0)
-            obs = Observation()
-            quarantined = quarantine.withColumn(
-                "batch_epoch",
-                F.coalesce(F.col("batch_epoch"), F.lit(fallback_epoch)),
-            ).observe(obs, F.count(F.lit(1)).alias("n_quarantined"))
+            quarantined = (
+                latest.filter(F.col("_is_q"))
+                # re-expand collapsed duplicates (same qkey) so the
+                # quarantine stays one row per rejected event
+                .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("_n_events"))))
+                .select(
+                    "raw",
+                    "doc_id",
+                    FAIL_COL,
+                    F.coalesce(F.col("batch_epoch"), F.lit(fallback_epoch)).alias(
+                        "batch_epoch"
+                    ),
+                )
+            )
 
             # MERGE and quarantine-write are independent given `latest`
             # (cached) — submit them from two driver threads so the
@@ -191,7 +256,11 @@ class CdcEngine:
 
             with ThreadPoolExecutor(max_workers=2) as pool:
                 f_merge = pool.submit(
-                    self.table.merge, upserts, delete_keys, epochs=new_epochs
+                    self.table.merge,
+                    upserts,
+                    delete_keys,
+                    epochs=new_epochs,
+                    affected_buckets=affected_buckets,
                 )
                 f_quar = pool.submit(
                     write_quarantine, quarantined, self.quarantine_path
@@ -200,7 +269,7 @@ class CdcEngine:
                 f_quar.result()
             tm = _mark("merge_and_quarantine", td)
             n_env_rejects = by_class.get("reject", 0)
-            n_val_rejects = int(obs.get["n_quarantined"]) - n_env_rejects
+            n_val_rejects = n_quarantined - n_env_rejects
 
             wall_ms = int((time.monotonic() - t0) * 1000)
             metrics = BatchMetrics(
@@ -228,8 +297,7 @@ class CdcEngine:
                 )
                 for r in live_groups
             ]
-            lin = self.spark.createDataFrame(lin_rows, LINEAGE_SCHEMA)
-            _write_epoch_partitioned(lin, self.lineage_path)
+            write_lineage_rows(lin_rows, self.lineage_path)
             _mark("sinks", tm)
             metrics.phase_ms = phases
             return metrics
