@@ -4,19 +4,28 @@ Pipeline per micro-batch (SURVEY.md §3.1 "new-engine trace"):
 
     parse envelopes (events.py, raw+parsed duality)
       -> classify apply/skip/reject            (op filter F3, null-checks F4)
-      -> drop already-committed epochs          (exactly-once, idempotent)
+      -> drop already-committed epochs          (exactly-once, idempotent;
+                                                 known from the manifest,
+                                                 no scan needed)
       -> payload validation                     (validate.py, V8/V10/V11/V13...)
-      -> quarantine split                       (V17 error accumulation)
+      -> quarantine tagging                     (V17 error accumulation)
       -> per-key last-writer-wins dedup         (A5; skew-proof aggregate)
       -> schema reconcile + MERGE               (J2/J3/J4; lake.py)
       -> lineage + epoch markers                (A4; lineage.py)
 
-Shuffle budget per batch: ONE shuffle at the dedup aggregate (with
-map-side partial aggregation) and ONE join at the merge (broadcast
-when the change set is small — AQE decides). Everything else is
-narrow. Filters and column pruning reach the scans; validation is
-whole-stage-codegen Column exprs (or mapInArrow masks when configured);
-no per-row Python anywhere.
+Execution shape per batch: the change log is scanned and parsed
+EXACTLY ONCE. That one scan feeds a single grouping-sets aggregate
+(set 1 = per-key dedup, with quarantined/skipped events passing
+through under unique synthetic keys; set 2 = the per-(epoch,
+partition, source, class) lineage rollup), whose small output is
+locally checkpointed and fan-consumed by the stats collect, the MERGE
+inputs, and the quarantine write. Shuffle budget: ONE shuffle at that
+aggregate (map-side partial aggregation collapses hot keys before the
+exchange) and ONE join + bucket-write shuffle at the merge. Filters
+and column pruning reach the scans; validation is whole-stage-codegen
+Column exprs (or mapInArrow masks when configured); no per-row Python
+anywhere; lineage is written driver-side (pyarrow) because its rollup
+is already collected.
 """
 
 from __future__ import annotations
@@ -80,60 +89,28 @@ class CdcEngine:
         rules = self.config.rules
         ev = classify(parsed, op_whitelist=rules.op_whitelist)
 
-        # Exactly TWO passes over the batch: (1) an envelope-only count
-        # aggregate (column pruning reaches the JSON parser — token
-        # arrays are never parsed here), and (2) ONE full scan that
-        # validates, dedups, and stages quarantine rows through a single
-        # keyed aggregate whose output (small: one row per touched key)
-        # is cached and fan-consumed by merge + quarantine + counts.
-        # Full-batch persistence was measured NOT to pay off (block-
-        # cache build flat ~13s at any core count; a staging parquet
-        # write costs more than the scan it saves — see BENCH notes),
-        # but this tiny post-aggregate cache is cheap and load-bearing.
-
-        # --- pass 1: one aggregate = epochs + lineage + all counts ----
-        groups = (
-            ev.withColumn("partition_id", F.spark_partition_id())
-            .groupBy(
-                "batch_epoch",
-                "partition_id",
-                F.col("payload.source").alias("source"),
-                "event_class",
-            )
-            .count()
-            .collect()
-        )
+        # ONE full scan per batch. Committed epochs are known from the
+        # table manifest (driver-side, no scan), so the batch filters
+        # them out up front; everything else — validation, last-writer-
+        # wins dedup, quarantine staging, AND the per-(epoch, partition,
+        # source, class) lineage rollup — rides a single scan + shuffle
+        # via GROUPING SETS: set 1 groups by the dedup key (quarantined
+        # and skipped events pass through under unique synthetic keys
+        # 'q#'+lsn, or 'q#'+xxhash64(raw) for malformed lines with no
+        # lsn), set 2 groups by the lineage dimensions. Full-batch
+        # persistence was measured NOT to pay off (block-cache build
+        # flat ~13s at any core count; a staging parquet write costs
+        # more than the scan it saves — see BENCH notes), but the
+        # post-aggregate output is tiny (one row per touched key + one
+        # per quarantined/skipped event + lineage groups) and is cached
+        # for its consumers: stats, merge inputs, quarantine write.
         committed = self.table.committed_epochs()
-        batch_epochs = sorted({r["batch_epoch"] for r in groups if r["batch_epoch"] is not None})
-        new_epochs = sorted(set(batch_epochs) - committed)
-        tp = _mark("scan_counts", t0)
-        if not new_epochs and batch_epochs:
-            return BatchMetrics(epochs=[], wall_ms=int((time.monotonic() - t0) * 1000))
-
-        live_groups = [
-            r
-            for r in groups
-            if r["batch_epoch"] is None or r["batch_epoch"] in set(new_epochs)
-        ]
-        by_class: dict[str, int] = {}
-        for r in live_groups:
-            by_class[r["event_class"]] = by_class.get(r["event_class"], 0) + r["count"]
-
         keep_epoch = F.col("batch_epoch").isNull()  # rejects may lack an epoch
-        if new_epochs:
-            keep_epoch = keep_epoch | F.col("batch_epoch").isin(new_epochs)
+        keep_epoch = keep_epoch | ~F.col("batch_epoch").isin(sorted(committed)) \
+            if committed else F.lit(True)
         live = ev.filter(keep_epoch)
 
-        # --- pass 2: THE single full scan ------------------------------
-        # validate -> tag quarantine rows -> one dedup aggregate that
-        # carries BOTH streams: good rows group by doc_id (last-writer-
-        # wins), quarantine rows ride the same shuffle under unique
-        # synthetic keys ('q#'+lsn; 'q#'+xxhash64(raw) for malformed
-        # lines with no lsn), so the raw change log is parsed exactly
-        # once per batch. Byte-identical malformed lines collapse into
-        # one group and are re-expanded from the group count at write
-        # time, so quarantine row counts stay event-exact.
-        flat = live.filter(F.col("event_class") != "skip").select(
+        flat = live.select(
             "raw",
             "event_class",
             "op",
@@ -143,10 +120,12 @@ class CdcEngine:
             "lsn",
             "batch_epoch",
             "envelope_fail",
+            # input-partition provenance, captured at scan time (A4)
+            F.spark_partition_id().alias("_pid"),
         )
         meta_cols = (
             "raw", "event_class", "op", "doc_id",
-            "commit_ts", "lsn", "batch_epoch", "envelope_fail", FAIL_COL,
+            "commit_ts", "lsn", "batch_epoch", "envelope_fail", "_pid", FAIL_COL,
         )
         payload_cols = [c for c in flat.columns if c not in meta_cols]
         # fail_reasons for every row, then gated: envelope rejects carry
@@ -164,7 +143,8 @@ class CdcEngine:
         is_q = (F.col("event_class") == "reject") | F.coalesce(
             F.size(FAIL_COL) > 0, F.lit(False)
         )
-        qkey = F.when(~is_q, F.col("doc_id")).otherwise(
+        passthrough = is_q | (F.col("event_class") == "skip")
+        qkey = F.when(~passthrough, F.col("doc_id")).otherwise(
             F.concat(
                 F.lit("q#"),
                 F.coalesce(
@@ -172,8 +152,16 @@ class CdcEngine:
                 ),
             )
         )
+        src = (
+            F.col("source") if "source" in payload_cols
+            else F.lit(None).cast("string")
+        )
         staged = gated.select(
             qkey.alias("_qkey"),
+            F.col("batch_epoch").alias("_epoch"),
+            F.col("_pid"),
+            src.alias("_src"),
+            F.col("event_class").alias("_class"),
             is_q.alias("_is_q"),
             # raw (a lazy to_json re-render for well-formed rows) is
             # materialized + shuffled ONLY for quarantine rows
@@ -184,39 +172,71 @@ class CdcEngine:
             "commit_ts",
             "lsn",
             "batch_epoch",
+            "event_class",
             FAIL_COL,
         )
-        row_cols = [c for c in staged.columns if c != "_qkey"]
-        # `latest` IS persisted: it is small (one row per touched key +
-        # one per quarantined event) and feeds a count + two merge
-        # inputs + the quarantine write.
-        latest = (
-            staged.groupBy("_qkey")
+        grouping_cols = ("_qkey", "_epoch", "_pid", "_src", "_class")
+        row_cols = [c for c in staged.columns if c not in grouping_cols]
+        # localCheckpoint (NOT cache): the aggregate output is consumed
+        # by four downstream jobs (lineage collect, stats, merge,
+        # quarantine write) through unions/joins, where Spark 4.1's
+        # cache-plan substitution proved unreliable (measured: the
+        # merge job silently re-ran the full JSON scan+aggregate while
+        # a plain count hit the cache). Checkpointing truncates the
+        # lineage so every consumer reads the materialized blocks by
+        # construction. Blocks are freed by the ContextCleaner when the
+        # batch's DataFrame is garbage-collected.
+        agg = (
+            staged.groupingSets(
+                [["_qkey"], ["_epoch", "_pid", "_src", "_class"]],
+                *grouping_cols,
+            )
             .agg(
                 F.max_by(F.struct(*row_cols), F.struct("commit_ts", "lsn")).alias("_r"),
                 F.count(F.lit(1)).alias("_n_events"),
             )
-            .select(F.col("_r.*"), "_n_events")
-            .cache()
+            .localCheckpoint(eager=True)
+        )
+        # set 1 rows have a non-null dedup key; set 2 (lineage) rows don't
+        latest = agg.filter(F.col("_qkey").isNotNull()).select(
+            F.col("_r.*"), "_n_events"
         )
         try:
-            upserts = latest.filter(
-                ~F.col("_is_q") & (F.col("op") != "delete")
-            ).select("doc_id", *payload_cols)
-            delete_keys = latest.filter(
-                ~F.col("_is_q") & (F.col("op") == "delete")
-            ).select("doc_id")
-            # ONE aggregate job builds the cache AND yields everything
-            # the driver needs: merged-row count, the affected-bucket
-            # set (passed into merge so it skips its own distinct+
-            # collect job), and the quarantined-event count (exact even
-            # for collapsed duplicate groups, via _n_events).
+            # job 1 (builds the cache): collect the tiny lineage rollup
+            lin_groups = [
+                r
+                for r in agg.filter(F.col("_qkey").isNull())
+                .select("_epoch", "_pid", "_src", "_class", "_n_events")
+                .collect()
+            ]
+            new_epochs = sorted(
+                {int(r["_epoch"]) for r in lin_groups if r["_epoch"] is not None}
+            )
+            by_class: dict[str, int] = {}
+            for r in lin_groups:
+                by_class[r["_class"]] = by_class.get(r["_class"], 0) + r["_n_events"]
+            if not lin_groups:  # empty binlog or every epoch already committed
+                return BatchMetrics(
+                    epochs=[], wall_ms=int((time.monotonic() - t0) * 1000)
+                )
+
+            is_good = ~F.col("_is_q") & (F.col("event_class") == "apply")
+            upserts = latest.filter(is_good & (F.col("op") != "delete")).select(
+                "doc_id", *payload_cols
+            )
+            delete_keys = latest.filter(is_good & (F.col("op") == "delete")).select(
+                "doc_id"
+            )
+            # job 2 (over the cache, cheap): merged-row count, the
+            # affected-bucket set (passed into merge so it skips its own
+            # distinct+collect job), and the quarantined-event count
+            # (exact even for collapsed duplicate groups, via _n_events).
             nb = self.table.num_buckets
             stats = latest.agg(
-                F.sum((~F.col("_is_q")).cast("long")).alias("rows_merged"),
+                F.sum(is_good.cast("long")).alias("rows_merged"),
                 F.collect_set(
                     F.when(
-                        ~F.col("_is_q"),
+                        is_good,
                         F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"),
                     )
                 ).alias("buckets"),
@@ -227,7 +247,7 @@ class CdcEngine:
             rows_merged = int(stats["rows_merged"] or 0)
             affected_buckets = sorted(stats["buckets"])
             n_quarantined = int(stats["q_events"] or 0)
-            td = _mark("validate_dedup", tp)
+            td = _mark("scan_validate_dedup", t0)
 
             # Unattributable rows (malformed JSON -> no epoch) get a
             # per-batch fallback partition, -1-min(epoch), so a later
@@ -282,27 +302,27 @@ class CdcEngine:
                 epochs=new_epochs,
                 wall_ms=wall_ms,
             )
-            # lineage from the pass-1 groups — pure driver-side rollup
+            # lineage from the grouping-set rollup — driver-side write
             lin_rows = [
                 (
-                    int(r["batch_epoch"]) if r["batch_epoch"] is not None else fallback_epoch,
-                    int(r["partition_id"]),
-                    r["source"],
-                    int(r["count"]),
-                    int(r["count"]) if r["event_class"] == "apply" else 0,
-                    int(r["count"]) if r["event_class"] == "reject" else 0,
-                    int(r["count"]) if r["event_class"] == "skip" else 0,
+                    int(r["_epoch"]) if r["_epoch"] is not None else fallback_epoch,
+                    int(r["_pid"]),
+                    r["_src"],
+                    int(r["_n_events"]),
+                    int(r["_n_events"]) if r["_class"] == "apply" else 0,
+                    int(r["_n_events"]) if r["_class"] == "reject" else 0,
+                    int(r["_n_events"]) if r["_class"] == "skip" else 0,
                     int(rows_merged),
                     int(wall_ms),
                 )
-                for r in live_groups
+                for r in lin_groups
             ]
             write_lineage_rows(lin_rows, self.lineage_path)
             _mark("sinks", tm)
             metrics.phase_ms = phases
             return metrics
         finally:
-            latest.unpersist()
+            agg.unpersist()
 
     # ------------------------------------------------------------ batch API
 

@@ -95,3 +95,31 @@ def test_epochwise_apply_equals_single_shot(spark, setup, tmp_warehouse):
     # partitions must not overwrite earlier unattributable rows)
     q = spark.read.parquet(engine.quarantine_path)
     assert q.count() == want.quarantined
+
+
+def test_duplicate_malformed_lines_each_quarantined(spark, tmp_warehouse):
+    """Byte-identical malformed lines collapse into one dedup group in
+    the single-scan pipeline and are re-expanded at write time — the
+    quarantine must still carry one row per rejected event."""
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "seq"), sequences_schema(), num_buckets=4
+    )
+    table.overwrite(gen.base_sequences(spark, n_docs=10, max_len=8))
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    os.makedirs(binlog)
+    good = (
+        '{"op":"update","doc_id":"doc00000001","payload":{"tokens":[1,2],'
+        '"n_tok":2,"source":"web"},"commit_ts":"2024-01-01 00:00:01",'
+        '"lsn":7,"batch_epoch":0}'
+    )
+    with open(os.path.join(binlog, "epoch-000000-000.ndjson"), "w") as f:
+        f.write(good + "\n")
+        f.write("{not json at all\n")
+        f.write("{not json at all\n")  # byte-identical duplicate
+        f.write("{not json at all\n")
+    engine = CdcEngine(spark, table, tmp_warehouse, EngineConfig(num_buckets=4))
+    metrics = engine.apply_binlog(binlog)
+    assert metrics.rejects == 3
+    q = spark.read.parquet(engine.quarantine_path)
+    assert q.count() == 3
+    assert q.filter(F.col("raw") == "{not json at all").count() == 3
