@@ -277,9 +277,53 @@ def main_scaling(levels=(2, 8), rounds: int = 2, cooldown: int = 240) -> None:
     )
 
 
+def main_weak_scaling(levels=(2, 8), cooldown: int = 240) -> None:
+    """Weak scaling: N cores on D events vs 4N cores on 4D events —
+    the realistic cluster growth scenario (more executors ingest a
+    proportionally larger change stream). Perfect weak scaling keeps
+    wall time constant; efficiency = T_small/T_large."""
+    lo, hi = levels
+    ratio = hi // lo
+    results = {}
+    for cpus, n_events in ((hi, CDC_EVENTS), (lo, CDC_EVENTS // ratio)):
+        time.sleep(cooldown)
+        env = dict(os.environ, DEXSPARK_CDC_EVENTS=str(n_events))
+        proc = subprocess.run(
+            [
+                sys.executable, os.path.abspath(__file__), "--worker-cdc",
+                "--cpus", str(cpus),
+            ],
+            capture_output=True, text=True, timeout=3600, env=env,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
+        if not line:
+            print(proc.stderr[-4000:], file=sys.stderr)
+            raise RuntimeError(f"worker at {cpus} cpus failed")
+        results[cpus] = json.loads(line[-1][len("WORKER_RESULT "):])
+    eff = results[lo]["apply_sec"] / results[hi]["apply_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "weak scaling: N cores on D events vs 4N on 4D",
+                "levels": {
+                    str(c): {
+                        "events": r["events"],
+                        "apply_sec": r["apply_sec"],
+                        "events_per_sec": r["events_per_sec"],
+                    }
+                    for c, r in results.items()
+                },
+                "weak_scaling_efficiency": round(eff, 3),
+                "target": 0.8,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--weak-scaling", action="store_true")
     ap.add_argument("--worker-cdc", action="store_true")
     ap.add_argument("--warmup", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
@@ -291,6 +335,9 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.worker_cdc:
         main_worker_cdc(args.cpus, args.shared_binlog, args.warmup)
+    elif args.weak_scaling:
+        lo, hi = (int(x) for x in args.levels.split(","))
+        main_weak_scaling(levels=(lo, hi), cooldown=args.cooldown)
     elif args.scaling:
         lo, hi = (int(x) for x in args.levels.split(","))
         main_scaling(levels=(lo, hi), rounds=args.rounds, cooldown=args.cooldown)
