@@ -405,6 +405,36 @@ def a5_dedup_latest(spark, sf_dir):
     )
 
 
+# A5 (salted): the explicit two-phase skew-defusing dedup — same
+# oracle as a5_dedup_latest, proving the salted plan is semantically
+# identical (north_star: "salted on hot doc_id prefixes")
+@query(
+    "a5_dedup_salted",
+    """
+    SELECT user_id, event_type AS last_event_type,
+           round(value, 4) AS last_value, event_id AS last_event_id
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def a5_dedup_salted(spark, sf_dir):
+    from .dedup import latest_per_key_salted
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id"), "event_type", "value", "event_id",
+        F.col("ts").alias("commit_ts"), F.col("event_id").alias("lsn"),
+    )
+    latest = latest_per_key_salted(
+        e, key="user_id", order_cols=("commit_ts", "lsn"), salt_buckets=8
+    )
+    return latest.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 4).alias("last_value"),
+        F.col("event_id").alias("last_event_id"),
+    )
+
+
 # =====================================================================
 # 4. windows
 # =====================================================================

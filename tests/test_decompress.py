@@ -1,0 +1,62 @@
+"""Archive fan-out mirror of Unit_FnDecompressor's matrix:
+4-file nested zip happy path (:105-146), non-zip labeled zip
+(:381-405), empty zip (:408-432)."""
+
+import io
+import os
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from dexspark.operators.decompress import read_and_explode
+
+
+def _zip_bytes(entries: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in entries.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def archive_dir(tmp_path):
+    inner = _zip_bytes({"c.csv": b"c1\n", "d/e.csv": b"e1\n"})
+    nested = _zip_bytes({"a.csv": b"a1\n", "b.csv": b"b1\n", "inner.zip": inner})
+    (tmp_path / "nested.zip").write_bytes(nested)
+    (tmp_path / "fake.zip").write_bytes(b"this is not a zip archive")
+    (tmp_path / "empty.zip").write_bytes(_zip_bytes({}))
+    return str(tmp_path)
+
+
+def test_nested_zip_yields_every_leaf(spark, archive_dir):
+    out = read_and_explode(spark, archive_dir)
+    rows = {
+        (os.path.basename(r["source_path"]), r["entry_path"]): (
+            bytes(r["content"]) if r["content"] is not None else None,
+            r["error"],
+        )
+        for r in out.collect()
+    }
+    # 4-file nested happy path: every leaf, with provenance
+    assert rows[("nested.zip", "a.csv")] == (b"a1\n", None)
+    assert rows[("nested.zip", "b.csv")] == (b"b1\n", None)
+    assert rows[("nested.zip", "inner.zip/c.csv")] == (b"c1\n", None)
+    assert rows[("nested.zip", "inner.zip/d/e.csv")] == (b"e1\n", None)
+
+
+def test_error_rows_for_bad_archives(spark, archive_dir):
+    out = read_and_explode(spark, archive_dir)
+    errs = {
+        os.path.basename(r["source_path"]): r["error"]
+        for r in out.filter(F.col("error").isNotNull()).collect()
+    }
+    assert "not a zip" in errs["fake.zip"]
+    assert "empty zip" in errs["empty.zip"]
+
+
+def test_plan_is_arrow_batched(spark, archive_dir):
+    plan = read_and_explode(spark, archive_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
