@@ -243,6 +243,12 @@ class CdcEngine:
                 F.sum(
                     F.when(F.col("_is_q"), F.col("_n_events")).otherwise(F.lit(0))
                 ).alias("q_events"),
+                F.min(
+                    F.when(
+                        F.col("_is_q") & F.col("batch_epoch").isNull(),
+                        F.xxhash64("raw"),
+                    )
+                ).alias("q_sig"),
             ).collect()[0]
             rows_merged = int(stats["rows_merged"] or 0)
             affected_buckets = sorted(stats["buckets"])
@@ -250,9 +256,17 @@ class CdcEngine:
             td = _mark("scan_validate_dedup", t0)
 
             # Unattributable rows (malformed JSON -> no epoch) get a
-            # per-batch fallback partition, -1-min(epoch), so a later
-            # batch's dynamic overwrite can never erase them.
-            fallback_epoch = -1 - (min(new_epochs) if new_epochs else 0)
+            # fallback partition derived from their CONTENT hash: the
+            # same rows land in the same partition on redelivery (the
+            # dynamic overwrite is then a no-op rewrite, keeping the
+            # quarantine exactly-once), while a different later batch's
+            # unattributable rows land elsewhere and can never erase
+            # them.
+            fallback_epoch = (
+                -1 - (abs(int(stats["q_sig"])) % 1_000_003)
+                if stats["q_sig"] is not None
+                else -1
+            )
             quarantined = (
                 latest.filter(F.col("_is_q"))
                 # re-expand collapsed duplicates (same qkey) so the
@@ -275,17 +289,26 @@ class CdcEngine:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=2) as pool:
-                f_merge = pool.submit(
-                    self.table.merge,
-                    upserts,
-                    delete_keys,
-                    epochs=new_epochs,
-                    affected_buckets=affected_buckets,
+                # merge only when there are epochs to commit — a pure
+                # redelivery (every epoch already in the manifest)
+                # must not bump the table version. Quarantine rewrite
+                # stays: its dynamic overwrite is content-idempotent.
+                f_merge = (
+                    pool.submit(
+                        self.table.merge,
+                        upserts,
+                        delete_keys,
+                        epochs=new_epochs,
+                        affected_buckets=affected_buckets,
+                    )
+                    if new_epochs
+                    else None
                 )
                 f_quar = pool.submit(
                     write_quarantine, quarantined, self.quarantine_path
                 )
-                f_merge.result()
+                if f_merge is not None:
+                    f_merge.result()
                 f_quar.result()
             tm = _mark("merge_and_quarantine", td)
             n_env_rejects = by_class.get("reject", 0)

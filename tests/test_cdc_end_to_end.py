@@ -123,3 +123,31 @@ def test_duplicate_malformed_lines_each_quarantined(spark, tmp_warehouse):
     q = spark.read.parquet(engine.quarantine_path)
     assert q.count() == 3
     assert q.filter(F.col("raw") == "{not json at all").count() == 3
+
+
+def test_replay_with_nonzero_epochs_is_exactly_once(spark, tmp_warehouse):
+    """Regression: the unattributable-row fallback partition must be
+    stable across redelivery even when the batch's epochs don't start
+    at 0 (it is derived from content, not from min(new_epochs))."""
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "seq"), sequences_schema(), num_buckets=4
+    )
+    table.overwrite(gen.base_sequences(spark, n_docs=20, max_len=8))
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    os.makedirs(binlog)
+    with open(os.path.join(binlog, "epoch-000007-000.ndjson"), "w") as f:
+        f.write(
+            '{"op":"update","doc_id":"doc00000002","payload":{"tokens":[3,4],'
+            '"n_tok":2,"source":"web"},"commit_ts":"2024-01-01 00:00:01",'
+            '"lsn":1,"batch_epoch":7}\n'
+        )
+        f.write("{malformed line one\n")
+        f.write("{malformed line two\n")
+    engine = CdcEngine(spark, table, tmp_warehouse, EngineConfig(num_buckets=4))
+    engine.apply_binlog(binlog)
+    v1 = table.current_version()
+    q1 = spark.read.parquet(engine.quarantine_path).count()
+    m2 = engine.apply_binlog(binlog)  # full redelivery
+    assert m2.epochs == []
+    assert table.current_version() == v1  # no version churn on replay
+    assert spark.read.parquet(engine.quarantine_path).count() == q1 == 2
