@@ -726,7 +726,12 @@ _SHINGLES_SQL = """
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    sh = _shingles_spark(_t(spark, sf_dir, "documents"), n=4)
+    # checkpoint: the shingle frame feeds the self-join (twice) and the
+    # size aggregate — recomputing the explode per consumer measured
+    # 2.5x slower at sf0.1
+    sh = _shingles_spark(_t(spark, sf_dir, "documents"), n=4).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -785,12 +790,15 @@ def _minhash_sql() -> str:
 @query("dedup_minhash_lsh", _minhash_sql())
 def dedup_minhash_lsh(spark, sf_dir):
     sh = _shingles_spark(_t(spark, sf_dir, "documents"), n=4)
+    # checkpoint: the signature frame (one row per doc) feeds 4 band
+    # projections x 2 join sides = 8 consumers; without it the whole
+    # shingle+minhash pipeline re-executes per consumer
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(str(k)), F.col("shingle")).cast("binary"))).alias(f"h{k}")
             for k in range(_MINHASH_K)
         ]
-    )
+    ).localCheckpoint(eager=False)
     rows_per_band = _MINHASH_K // _MINHASH_BANDS
     bands = None
     for b in range(_MINHASH_BANDS):
