@@ -32,6 +32,11 @@ lineage   per-batch per-source lineage metrics + quarantine sink
 stream    Structured Streaming driver (foreachBatch pipeline)
 gen       deterministic synthetic base-table + binlog generator
 oracle    single-threaded pandas replay oracle for equality testing
+csv_ingest CSV file validation (the reference's home domain):
+          parse-integrity, header checks, row rules, quarantine
+listing   recursive listing classification (the HTTP entry point)
+queries   the driver-contract operator query surface + DuckDB oracles
+operators multimodal payload plumbing; recursive archive fan-out
 """
 
 __version__ = "0.1.0"
