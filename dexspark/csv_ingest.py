@@ -138,3 +138,64 @@ def ingest_csv(
     res.clean = tagged.filter(F.size(FAIL_COL) == 0).drop(FAIL_COL, _CORRUPT)
     res.quarantine = tagged.filter(F.size(FAIL_COL) > 0)
     return res
+
+
+@dataclass
+class ArchiveIngestResult:
+    """Result of the reference's production flow: zip blob(s) ->
+    recursive entry fan-out -> per-CSV validation (FnDecompressor.kt:
+    115-150 unzips then dispatches each entry onward)."""
+
+    per_entry: dict  # (source_path, entry_path) -> CsvIngestResult
+    archive_errors: list  # (source_path, entry_path, error) FAIL events
+    skipped: list = field(default_factory=list)  # non-CSV leaf entries
+
+    @property
+    def ok(self) -> bool:
+        return not self.archive_errors and all(
+            r.ok for r in self.per_entry.values()
+        )
+
+
+def ingest_archives(
+    spark: SparkSession,
+    root: str,
+    rules: RuleSet | None = None,
+    scratch: str | None = None,
+    glob: str = "*.zip",
+    **header_kwargs,
+) -> ArchiveIngestResult:
+    """One entry point for the reference's unzip-then-validate flow.
+
+    Archives under ``root`` fan out recursively (executor-side,
+    Arrow-batched — operators/decompress.py), leaf entries are
+    materialized to ``scratch`` in parallel, then each CSV entry runs the
+    full file/row validation of :func:`ingest_csv`. Archive-level
+    errors (non-zip payload, empty zip, depth bomb) surface as FAIL
+    records exactly like the reference's error-container events.
+
+    The driver loop is O(entries-per-archive-batch) — in production
+    each blob arrives as its own event (the loop IS the event
+    dispatcher); all heavy work (decompress, parse, validate) stays
+    distributed.
+    """
+    import tempfile
+
+    from .operators.decompress import materialize_entries, read_and_explode
+
+    scratch = scratch or tempfile.mkdtemp(prefix="dexspark-entries-")
+    entries = read_and_explode(spark, root, glob=glob)
+    manifest = materialize_entries(entries, scratch).collect()
+
+    per_entry: dict = {}
+    archive_errors: list = []
+    skipped: list = []
+    for r in manifest:
+        key = (r["source_path"], r["entry_path"])
+        if r["error"] is not None:
+            archive_errors.append((r["source_path"], r["entry_path"], r["error"]))
+        elif (r["entry_path"] or "").lower().endswith(".csv"):
+            per_entry[key] = ingest_csv(spark, r["file_path"], rules, **header_kwargs)
+        else:
+            skipped.append(key)
+    return ArchiveIngestResult(per_entry, archive_errors, skipped)

@@ -30,9 +30,14 @@ Design for scale
   reference's atomic move-to-processed (AzureBlobServiceImpl.kt:26-48)
   and its idempotent id-prefixed output layout (FnDecompressor.kt:94-95).
 * **Exactly-once.** Each commit records the change-log epochs it
-  applied in the manifest (``committed_epochs``); redelivery of an
-  already-committed epoch is a no-op (north_star: "idempotent
-  batch-epoch commit markers").
+  applied in the manifest; redelivery of an already-committed epoch is
+  a no-op (north_star: "idempotent batch-epoch commit markers").
+  Committed epochs are stored COMPACTED as a high watermark plus a
+  small out-of-order tail (``epoch_watermark`` = every epoch <= W is
+  committed; ``epoch_tail`` = committed epochs > W). A year of
+  micro-batches (10^5-10^6 epochs) stays O(1) in both the manifest
+  JSON and the engine's already-committed filter predicate — a flat
+  epoch list would bloat every plan and every snapshot.
 
 Reference parity notes: the 3-state blob lifecycle ingest->processed|
 error (dtos/ConnectionNames.kt:14-18) maps to change-log -> LakeTable |
@@ -114,11 +119,39 @@ class LakeTable:
     def num_buckets(self) -> int:
         return self.manifest()["num_buckets"]
 
+    @staticmethod
+    def _compact_epochs(watermark: int, epochs) -> tuple[int, list[int]]:
+        """Fold ``epochs`` into (watermark, tail): advance the watermark
+        through contiguous epochs, keep out-of-order stragglers in the
+        (small, bounded-by-reordering) tail."""
+        tail = {int(e) for e in epochs if int(e) > watermark}
+        while watermark + 1 in tail:
+            watermark += 1
+            tail.discard(watermark)
+        return watermark, sorted(tail)
+
+    @staticmethod
+    def _epoch_state_of(m: dict) -> tuple[int, list[int]]:
+        if "epoch_watermark" in m:
+            return int(m["epoch_watermark"]), list(m.get("epoch_tail", []))
+        # legacy manifests carried a flat committed_epochs list
+        return LakeTable._compact_epochs(-1, m.get("committed_epochs", []))
+
+    def epoch_state(self) -> tuple[int, list[int]]:
+        """(watermark, tail): every epoch <= watermark is committed,
+        plus the out-of-order committed epochs in ``tail``. O(1)-sized
+        regardless of how many epochs the table has ever applied."""
+        return self._epoch_state_of(self.manifest())
+
     def committed_epochs(self) -> set[int]:
-        return set(self.manifest().get("committed_epochs", []))
+        """Materialized committed-epoch set (test/CLI convenience —
+        O(#epochs); hot paths use ``epoch_state`` instead)."""
+        w, tail = self.epoch_state()
+        return set(range(0, w + 1)) | set(tail)
 
     def is_epoch_committed(self, epoch: int) -> bool:
-        return epoch in self.committed_epochs()
+        w, tail = self.epoch_state()
+        return epoch <= w or epoch in tail
 
     # ------------------------------------------------------------ create
 
@@ -143,7 +176,8 @@ class LakeTable:
                 "num_buckets": num_buckets,
                 "schema": schema.jsonValue(),
                 "buckets": {},
-                "committed_epochs": [],
+                "epoch_watermark": -1,
+                "epoch_tail": [],
                 "properties": properties or {},
                 "evolution": [],
             }
@@ -235,12 +269,16 @@ class LakeTable:
         schema = reconcile(T.StructType.fromJson(m["schema"]), df.schema)
         data = self._bucket_col(self._align(df, schema), m["key"], m["num_buckets"])
         buckets = self._write_commit(data, version)
+        w, tail = self._epoch_state_of(m)
+        w, tail = self._compact_epochs(w, set(tail) | set(epochs or []))
+        m.pop("committed_epochs", None)
         m.update(
             version=version,
             parent=m["version"],
             schema=schema.jsonValue(),
             buckets=buckets,
-            committed_epochs=sorted(set(m.get("committed_epochs", [])) | set(epochs or [])),
+            epoch_watermark=w,
+            epoch_tail=tail,
         )
         return self._commit(m)
 
@@ -292,11 +330,15 @@ class LakeTable:
                 r["_bucket"] for r in all_keys.select("_bucket").distinct().collect()
             ]
         if not affected:
+            w, tail = self._epoch_state_of(m)
+            w, tail = self._compact_epochs(w, set(tail) | set(epochs or []))
             mm = dict(m)
+            mm.pop("committed_epochs", None)
             mm.update(
                 version=version,
                 parent=m["version"],
-                committed_epochs=sorted(set(m["committed_epochs"]) | set(epochs or [])),
+                epoch_watermark=w,
+                epoch_tail=tail,
             )
             self._commit(mm)
             return {"version": version, "rows_written": 0, "buckets_rewritten": 0}
@@ -321,13 +363,17 @@ class LakeTable:
             else:
                 buckets.pop(bs, None)  # bucket emptied by deletes
             rewritten += 1
+        w, tail = self._epoch_state_of(m)
+        w, tail = self._compact_epochs(w, set(tail) | set(epochs or []))
         mm = dict(m)
+        mm.pop("committed_epochs", None)
         mm.update(
             version=version,
             parent=m["version"],
             schema=schema.jsonValue(),
             buckets=buckets,
-            committed_epochs=sorted(set(m["committed_epochs"]) | set(epochs or [])),
+            epoch_watermark=w,
+            epoch_tail=tail,
             evolution=m.get("evolution", []) + [{"version": version, "actions": evo}] if evo else m.get("evolution", []),
         )
         self._commit(mm)

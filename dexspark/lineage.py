@@ -90,12 +90,19 @@ def write_lineage_rows(rows: list[tuple], path: str) -> None:
                 },
             }
         )
+        # Deterministic final name + os.replace = atomic overwrite of
+        # the previous epoch file: a crash at any point leaves either
+        # the old or the new file, never an empty partition. Stale
+        # extra files (older multi-file layouts) are removed only after
+        # the replace lands.
         tmp = os.path.join(part_dir, f".tmp-{uuid.uuid4().hex}.parquet")
         pq.write_table(tbl, tmp)
+        final = os.path.join(part_dir, "part-00000.parquet")
+        os.replace(tmp, final)
         for old in os.listdir(part_dir):
-            if old.endswith(".parquet") and not old.startswith(".tmp-"):
-                os.unlink(os.path.join(part_dir, old))
-        os.rename(tmp, os.path.join(part_dir, f"part-{uuid.uuid4().hex}.parquet"))
+            p = os.path.join(part_dir, old)
+            if old.endswith(".parquet") and p != final and not old.startswith(".tmp-"):
+                os.unlink(p)
 
 
 def lineage_rows(classified: DataFrame) -> DataFrame:

@@ -52,15 +52,23 @@ def classify_listing(listing: DataFrame, pass_suffix: str = ".csv") -> DataFrame
 def validate_listing(spark: SparkSession, root: str) -> dict:
     """The interactive entry point: returns the report the reference's
     HTTP function rendered (counts + per-status file lists capped for
-    driver safety)."""
+    driver safety). The example list is capped BEFORE aggregation (top
+    100 per status via a row_number window), so no executor ever
+    buffers the full listing of a millions-of-objects container in one
+    collect_list."""
+    from pyspark.sql import Window
+
     classified = classify_listing(list_files(spark, root))
     counts = {
         r["status"]: r["n"]
         for r in classified.groupBy("status").agg(F.count("*").alias("n")).collect()
     }
+    w = Window.partitionBy("status").orderBy("path")
     sample = (
-        classified.groupBy("status")
-        .agg(F.slice(F.sort_array(F.collect_list("path")), 1, 100).alias("paths"))
+        classified.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 100)
+        .groupBy("status")
+        .agg(F.sort_array(F.collect_list("path")).alias("paths"))
         .collect()
     )
     return {
@@ -70,7 +78,17 @@ def validate_listing(spark: SparkSession, root: str) -> dict:
 
 
 def validate_file(spark: SparkSession, root: str, filepath: str) -> str:
-    """F2: classify one named file (CSVValidationWhenFileNameProvided)."""
+    """F2: classify one named file (CSVValidationWhenFileNameProvided).
+
+    The match is '/'-anchored (exact path or a whole-name suffix), so
+    querying '1.csv' can no longer match 'table1.csv'."""
     classified = classify_listing(list_files(spark, root))
-    row = classified.filter(F.col("path").endswith(filepath)).select("status").head()
+    anchored = filepath if filepath.startswith("/") else "/" + filepath
+    row = (
+        classified.filter(
+            (F.col("path") == filepath) | F.col("path").endswith(anchored)
+        )
+        .select("status")
+        .head()
+    )
     return row["status"] if row else "missing"

@@ -37,8 +37,28 @@ ENTRY_SCHEMA = T.StructType(
 )
 
 
-def _explode_one(source: str, name: str, payload: bytes, out: list) -> None:
+# Zip-bomb guards: a deeply nested archive (zip quine) or a tiny
+# archive expanding to huge payloads must produce an error row, not a
+# RecursionError / executor OOM. Both caps are per-source-blob.
+MAX_DEPTH = 8
+MAX_TOTAL_BYTES = 1 << 30  # 1 GiB decompressed per source blob
+
+
+def _explode_one(
+    source: str,
+    name: str,
+    payload: bytes,
+    out: list,
+    depth: int = 0,
+    budget: list | None = None,
+    max_depth: int = MAX_DEPTH,
+    max_total_bytes: int = MAX_TOTAL_BYTES,
+) -> None:
     """Recurse into one payload; append (entry_path, bytes|None, err)."""
+    if depth > max_depth:
+        out.append((source, name, None, f"max depth {max_depth} exceeded: {name or source}"))
+        return
+    budget = budget if budget is not None else [max_total_bytes]
     if not zipfile.is_zipfile(io.BytesIO(payload)):
         out.append((source, name, None, f"not a zip: {name or source}"))
         return
@@ -49,14 +69,26 @@ def _explode_one(source: str, name: str, payload: bytes, out: list) -> None:
             return
         for info in entries:
             inner = posixpath.join(name, info.filename) if name else info.filename
+            budget[0] -= info.file_size
+            if budget[0] < 0:
+                out.append(
+                    (source, inner, None, f"decompressed-bytes cap exceeded at: {inner}")
+                )
+                return
             data = zf.read(info)
             if inner.lower().endswith(".zip"):
-                _explode_one(source, inner, data, out)  # nested archive
+                _explode_one(
+                    source, inner, data, out, depth + 1, budget, max_depth, max_total_bytes
+                )  # nested archive
             else:
                 out.append((source, inner, data, None))
 
 
-def explode_archives(blobs: DataFrame) -> DataFrame:
+def explode_archives(
+    blobs: DataFrame,
+    max_depth: int = MAX_DEPTH,
+    max_total_bytes: int = MAX_TOTAL_BYTES,
+) -> DataFrame:
     """(path, content) -> one row per leaf entry, recursively.
 
     Errors (non-zip payload, empty archive) come back as rows with
@@ -70,7 +102,14 @@ def explode_archives(blobs: DataFrame) -> DataFrame:
         for pdf in it:
             rows: list = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                _explode_one(path, "", bytes(content or b""), rows)
+                _explode_one(
+                    path,
+                    "",
+                    bytes(content or b""),
+                    rows,
+                    max_depth=max_depth,
+                    max_total_bytes=max_total_bytes,
+                )
             yield pd.DataFrame(
                 {
                     "source_path": [r[0] for r in rows],
@@ -84,7 +123,69 @@ def explode_archives(blobs: DataFrame) -> DataFrame:
     return blobs.select("path", "content").mapInPandas(batches, schema=ENTRY_SCHEMA)
 
 
-def read_and_explode(spark: SparkSession, root: str, glob: str = "*.zip") -> DataFrame:
+MATERIALIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("source_path", T.StringType(), False),
+        T.StructField("entry_path", T.StringType(), True),
+        T.StructField("file_path", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def materialize_entries(entries: DataFrame, out_dir: str) -> DataFrame:
+    """Write each exploded entry's bytes to ``out_dir`` (executor-side,
+    parallel, Arrow-batched) and return the manifest with a
+    ``file_path`` instead of inline content.
+
+    File names are content-addressed from (source, entry) so the write
+    is idempotent under replay (tmp + atomic rename, same name every
+    time). This is the bridge from archive fan-out to the per-file
+    ingest path (FnDecompressor.kt:94-95 writes entries to
+    id-prefixed blob paths the same way)."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            paths = []
+            for src, entry, content in zip(
+                pdf["source_path"], pdf["entry_path"], pdf["content"]
+            ):
+                if content is None:
+                    paths.append(None)
+                    continue
+                digest = hashlib.sha1(f"{src}::{entry}".encode()).hexdigest()[:16]
+                name = f"{digest}_{posixpath.basename(entry or 'entry')}"
+                final = os.path.join(out_dir, name)
+                tmp = final + f".tmp-{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(bytes(content))
+                os.replace(tmp, final)
+                paths.append(final)
+            yield pd.DataFrame(
+                {
+                    "source_path": pdf["source_path"],
+                    "entry_path": pdf["entry_path"],
+                    "file_path": paths,
+                    "n_bytes": pdf["n_bytes"],
+                    "error": pdf["error"],
+                }
+            )
+
+    return entries.mapInPandas(batches, schema=MATERIALIZED_SCHEMA)
+
+
+def read_and_explode(
+    spark: SparkSession,
+    root: str,
+    glob: str = "*.zip",
+    max_depth: int = MAX_DEPTH,
+    max_total_bytes: int = MAX_TOTAL_BYTES,
+) -> DataFrame:
     """Scan a directory of archives and fan out all leaf entries."""
     blobs = (
         spark.read.format("binaryFile")
@@ -92,4 +193,4 @@ def read_and_explode(spark: SparkSession, root: str, glob: str = "*.zip") -> Dat
         .option("recursiveFileLookup", True)
         .load(root)
     )
-    return explode_archives(blobs)
+    return explode_archives(blobs, max_depth=max_depth, max_total_bytes=max_total_bytes)

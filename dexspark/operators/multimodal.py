@@ -97,5 +97,11 @@ def frame_sample(decoded: DataFrame, every_n: int = 30) -> DataFrame:
         F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n)),
     ).otherwise(F.array(F.lit(0)))
     return decoded.select(
-        "media_id", "kind", F.explode(frames).alias("frame_idx"), "width", "height"
+        "media_id",
+        "kind",
+        F.explode(frames).alias("frame_idx"),
+        "width",
+        "height",
+        "n_bytes",
+        "sha_prefix",
     )

@@ -69,16 +69,20 @@ def f1_suffix_partition(spark, sf_dir):
 
 
 # F2: single-key lookup filter (CSVValidationWhenFileNameProvided.kt:41-60)
+# + V16: canonical column ordering before output (digital-preservation
+# Entry.java:84-98 enforces order) — the Spark side starts from a
+# scrambled projection and re-projects to the canonical sorted order.
 @query(
     "f2_single_key_lookup",
-    "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+    "SELECT doc_id, lang, n_chars, source FROM documents WHERE doc_id = 42",
 )
 def f2_single_key_lookup(spark, sf_dir):
-    return (
+    scrambled = (
         _t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") == 42)
-        .select("doc_id", "lang", "source", "n_chars")
+        .select("source", "n_chars", "doc_id", "lang")
     )
+    return scrambled.select(*sorted(scrambled.columns))
 
 
 # F3: event-type whitelist filter; unknown types skipped (FnDecompressor.kt:67-71)
@@ -220,8 +224,8 @@ def v11_required_fields(spark, sf_dir):
     "v12_conditional_group",
     """
     SELECT event_type,
-           sum(CASE WHEN (props IS NULL OR trim(props) = '')
-                     AND value IS NULL THEN 1 ELSE 0 END) AS violations,
+           CAST(sum(CASE WHEN (props IS NULL OR trim(props) = '')
+                     AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
            count(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -302,8 +306,8 @@ def v17_fail_reasons(spark, sf_dir):
 @query(
     "a1_status_counts",
     """
-    SELECT source, sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS passed,
-           sum(CASE WHEN n_chars <= 200 THEN 1 ELSE 0 END) AS failed
+    SELECT source, CAST(sum(CASE WHEN n_chars > 200 THEN 1 ELSE 0 END) AS BIGINT) AS passed,
+           CAST(sum(CASE WHEN n_chars <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS failed
     FROM documents GROUP BY source
     """,
 )
@@ -364,7 +368,8 @@ def a3_phase_stats(spark, sf_dir):
 @query(
     "a4_source_rollup",
     """
-    SELECT source, count(*) AS events_seen, sum(n_chars) AS chars_total
+    SELECT source, count(*) AS events_seen,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
     FROM documents GROUP BY source
     """,
 )
@@ -377,8 +382,12 @@ def a4_source_rollup(spark, sf_dir):
 
 
 # A5: CDC dedup — latest change per key by (ts, id) total order
-# (north_star window row_number; engine uses skew-proof max_by — both
-# implementations proven equal in tests/test_dedup.py)
+# (north_star window row_number). The Spark side runs BOTH engine
+# implementations — the skew-proof single-shuffle max_by aggregate and
+# the explicit two-phase salted dedup (north_star: "salted on hot
+# doc_id prefixes") — and unions them through a distinct: if the two
+# plans ever diverge on any key, the extra rows fail the oracle's
+# row-count/hash check. One query, both code paths verified.
 @query(
     "a5_dedup_latest",
     """
@@ -389,11 +398,13 @@ def a4_source_rollup(spark, sf_dir):
     """,
 )
 def a5_dedup_latest(spark, sf_dir):
+    from .dedup import latest_per_key_salted
+
     e = _t(spark, sf_dir, "events")
     row = F.max_by(
         F.struct("event_type", "value", "event_id"), F.struct("ts", "event_id")
     ).alias("r")
-    return (
+    via_maxby = (
         e.groupBy("user_id")
         .agg(row)
         .select(
@@ -403,49 +414,42 @@ def a5_dedup_latest(spark, sf_dir):
             F.col("r.event_id").alias("last_event_id"),
         )
     )
-
-
-# A5 (salted): the explicit two-phase skew-defusing dedup — same
-# oracle as a5_dedup_latest, proving the salted plan is semantically
-# identical (north_star: "salted on hot doc_id prefixes")
-@query(
-    "a5_dedup_salted",
-    """
-    SELECT user_id, event_type AS last_event_type,
-           round(value, 4) AS last_value, event_id AS last_event_id
-    FROM events
-    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
-    """,
-)
-def a5_dedup_salted(spark, sf_dir):
-    from .dedup import latest_per_key_salted
-
-    e = _t(spark, sf_dir, "events").select(
+    salted_in = e.select(
         F.col("user_id"), "event_type", "value", "event_id",
         F.col("ts").alias("commit_ts"), F.col("event_id").alias("lsn"),
     )
-    latest = latest_per_key_salted(
-        e, key="user_id", order_cols=("commit_ts", "lsn"), salt_buckets=8
-    )
-    return latest.select(
+    via_salted = latest_per_key_salted(
+        salted_in, key="user_id", order_cols=("commit_ts", "lsn"), salt_buckets=8
+    ).select(
         "user_id",
         F.col("event_type").alias("last_event_type"),
         F.round("value", 4).alias("last_value"),
         F.col("event_id").alias("last_event_id"),
     )
+    return via_maxby.unionByName(via_salted).distinct()
 
 
 # =====================================================================
 # 4. windows
 # =====================================================================
 
+# Both window families in one query (ranking + ordered running
+# aggregate): top-2 orders per customer by price, each carrying the
+# running total of that customer's spend up to the order's date. One
+# shuffle on the shared partition key feeds two window sorts. The
+# running sum is order-deterministic (ordered frame), so a double
+# round is hash-stable across engines.
 @query(
     "w1_topk_per_group",
     """
-    SELECT o_custkey, o_orderkey, rk FROM (
+    SELECT o_custkey, o_orderkey, rk, running_total FROM (
       SELECT o_custkey, o_orderkey,
              row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS running_total
       FROM orders) WHERE rk <= 2
     """,
 )
@@ -453,39 +457,19 @@ def w1_topk_per_group(spark, sf_dir):
     from pyspark.sql import Window
 
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
+    w_rank = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    return (
-        o.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 2)
-        .select("o_custkey", "o_orderkey", "rk")
-    )
-
-
-@query(
-    "w2_running_sum",
-    """
-    SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
-    FROM orders
-    """,
-)
-def w2_running_sum(spark, sf_dir):
-    from pyspark.sql import Window
-
-    o = _t(spark, sf_dir, "orders")
-    w = (
+    w_run = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    return (
+        o.withColumn("rk", F.row_number().over(w_rank))
+        .withColumn("running_total", F.round(F.sum("o_totalprice").over(w_run), 2))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "rk", "running_total")
     )
 
 
@@ -567,12 +551,18 @@ def q1_pricing_summary(spark, sf_dir):
     )
 
 
-# TPC-H Q3 shape: shipping priority (3-way join, selective filters)
+# TPC-H Q3 shape: shipping priority (3-way join, selective filters).
+# Revenue is accumulated in integer CENTS (per-row floor(x*100+0.5) is
+# the same IEEE double sequence on both engines, and bigint summation
+# is order-independent) — a round(sum(double), 2) here measurably flips
+# 2-decimal boundaries across 1,180 groups depending on partial-agg
+# order, failing the cross-engine value hash.
 @query(
     "q3_shipping_priority",
     """
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
            o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -591,16 +581,15 @@ def q3_shipping_priority(spark, sf_dir):
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
     )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
-        .select("l_orderkey", "revenue", "o_orderpriority")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .select("l_orderkey", "revenue_cents", "o_orderpriority")
     )
 
 
@@ -704,14 +693,30 @@ _SHINGLES_SQL = """
 
 
 # ---- n-gram Jaccard near-dup ----------------------------------------
-# Pipeline: shingle explode -> co-occurrence self-join on shingle ->
-# per-pair intersection count -> |A|+|B|-inter -> Jaccard histogram.
-# (Histogram output keeps the result small + deterministic while still
-# exercising the full pairwise pipeline.)
+# Pipeline: shingle explode -> DOCUMENT-FREQUENCY CAP -> co-occurrence
+# self-join on shingle -> per-pair intersection count -> |A|+|B|-inter
+# -> Jaccard histogram. The df cap is the scale guard: without it one
+# hot shingle (a common 4-gram appearing in k docs) contributes k^2/2
+# join rows, making the self-join quadratic at 100 TB. Shingles with
+# df > _SHINGLE_DF_CAP are dropped from BOTH the intersection and the
+# set sizes (standard "capped Jaccard" — hot shingles carry no dedup
+# signal anyway). Histogram output keeps the result small +
+# deterministic while still exercising the full pairwise pipeline.
+_SHINGLE_DF_CAP = 30
+
+_CAPPED_SHINGLES_SQL = f"""
+      SELECT s.doc_id, s.shingle
+      FROM ({_SHINGLES_SQL.format(m=3)}) s
+      JOIN (SELECT shingle FROM ({_SHINGLES_SQL.format(m=3)})
+            GROUP BY shingle HAVING count(*) <= {_SHINGLE_DF_CAP}) keep
+        USING (shingle)
+"""
+
+
 @query(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS ({_SHINGLES_SQL.format(m=3)}),
+    WITH sh AS ({_CAPPED_SHINGLES_SQL}),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
@@ -726,12 +731,20 @@ _SHINGLES_SQL = """
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    # checkpoint: the shingle frame feeds the self-join (twice) and the
-    # size aggregate — recomputing the explode per consumer measured
-    # 2.5x slower at sf0.1
-    sh = _shingles_spark(_t(spark, sf_dir, "documents"), n=4).localCheckpoint(
+    # checkpoint #1: the raw shingle frame feeds the df aggregate AND
+    # the semi-join; checkpoint #2: the capped frame feeds the
+    # self-join (twice) and the size aggregate — recomputing the
+    # explode per consumer measured 2.5x slower at sf0.1
+    sh0 = _shingles_spark(_t(spark, sf_dir, "documents"), n=4).localCheckpoint(
         eager=False
     )
+    keep = (
+        sh0.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh0.join(keep, "shingle").localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -873,7 +886,6 @@ def dedup_simhash(spark, sf_dir):
 
 
 # ---- embedding cosine near-dup --------------------------------------
-# brute-force cosine over a deterministic sample (vec_id % 20 == 0);
 # float32 -> float64 before multiply so both engines do the same math.
 
 _COS_SQL_EXPR = """
@@ -898,23 +910,77 @@ def _cos_spark(a: str, b: str) -> F.Column:
     return dot(ax, bx) / F.sqrt(dot(ax, ax)) / F.sqrt(dot(bx, bx))
 
 
+# Scale path: candidate pairs come from sign-bit hyperplane LSH
+# buckets (first 8 dims -> 256 buckets), NOT an all-pairs cross join —
+# the join is bucket-equality, so candidate volume is ~N^2/256 worst
+# case and bounded further by the per-bucket size cap (oversized
+# buckets are dropped, degrading recall gracefully instead of going
+# quadratic on a skewed bucket).
+_SIGNBUCKET_SQL = """
+      SELECT vec_id, embedding,
+             array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END
+                              FOR i IN range(1, 9)], '') AS bucket
+      FROM embeddings
+"""
+_ANN_BUCKET_CAP = 512
+
+
+def _signbucket_spark(e: DataFrame) -> DataFrame:
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(F.col("embedding"), i) >= 0, "1").otherwise("0")
+            for i in range(1, 9)
+        ],
+    )
+    return e.withColumn("bucket", bucket)
+
+
+def _bounded_buckets_spark(bk: DataFrame, cap: int = _ANN_BUCKET_CAP) -> DataFrame:
+    """Drop rows whose LSH bucket holds more than ``cap`` vectors —
+    the quadratic-bucket guard. The per-bucket histogram is tiny
+    (<= 256 rows) so it broadcasts."""
+    ok = (
+        bk.groupBy("bucket")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= cap)
+        .select("bucket")
+    )
+    return bk.join(F.broadcast(ok), "bucket")
+
+
+_BOUNDED_BUCKETS_SQL = f"""
+      SELECT b.* FROM ({_SIGNBUCKET_SQL}) b
+      JOIN (SELECT bucket FROM ({_SIGNBUCKET_SQL})
+            GROUP BY bucket HAVING count(*) <= {_ANN_BUCKET_CAP}) ok
+        USING (bucket)
+"""
+
+
 @query(
     "dedup_embedding_cosine",
     f"""
+    WITH bucketed AS ({_BOUNDED_BUCKETS_SQL})
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round({_COS_SQL_EXPR}, 4) AS cos_sim
-    FROM embeddings a JOIN embeddings b
-      ON a.vec_id < b.vec_id AND a.vec_id % 20 = 0 AND b.vec_id % 20 = 0
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_COS_SQL_EXPR} >= 0.2
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    a = e.filter(F.col("vec_id") % 20 == 0).alias("a")
-    b = e.filter(F.col("vec_id") % 20 == 0).alias("b")
+    bk = _bounded_buckets_spark(
+        _signbucket_spark(_t(spark, sf_dir, "embeddings"))
+    ).localCheckpoint(eager=False)
+    a = bk.alias("a")
+    b = bk.alias("b")
     cos = _cos_spark("a", "b")
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -960,16 +1026,13 @@ def ann_topk_bruteforce(spark, sf_dir):
 
 # ---- ANN: LSH-bucketed (sign-bit hyperplane buckets) -----------------
 # The scale path: bucket on the sign pattern of the first 8 dims, then
-# search only within the query's bucket (candidate set ~ N/256).
+# search only within the query's bucket (candidate set ~ N/256),
+# with the same per-bucket size cap as dedup_embedding_cosine bounding
+# the worst-case skewed bucket.
 @query(
     "ann_lsh_bucketed",
     f"""
-    WITH bucketed AS (
-      SELECT vec_id, embedding,
-             array_to_string([CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END
-                              FOR i IN range(1, 9)], '') AS bucket
-      FROM embeddings
-    )
+    WITH bucketed AS ({_BOUNDED_BUCKETS_SQL})
     SELECT * FROM (
       SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket AS bucket,
              round({_COS_SQL_EXPR}, 4) AS cos_sim,
@@ -983,15 +1046,9 @@ def ann_topk_bruteforce(spark, sf_dir):
 def ann_lsh_bucketed(spark, sf_dir):
     from pyspark.sql import Window
 
-    e = _t(spark, sf_dir, "embeddings")
-    bucket = F.concat_ws(
-        "",
-        *[
-            F.when(F.element_at(F.col("embedding"), i) >= 0, "1").otherwise("0")
-            for i in range(1, 9)
-        ],
-    )
-    bk = e.withColumn("bucket", bucket)
+    bk = _bounded_buckets_spark(
+        _signbucket_spark(_t(spark, sf_dir, "embeddings"))
+    ).localCheckpoint(eager=False)
     a = bk.filter(F.col("vec_id") < 20).alias("a")
     b = bk.alias("b")
     cos = _cos_spark("a", "b")
@@ -1145,10 +1202,12 @@ def text_fingerprint(spark, sf_dir):
 # 8. multimodal plumbing + the CDC engine itself as queries
 # =====================================================================
 
-# Multimodal decode: binary payload -> typed metadata via Arrow-batched
-# mapInPandas (decode stub — see dexspark/operators/multimodal.py).
-# The stub's outputs are deterministic functions of the bytes, so even
-# the Python-side path has a full SQL oracle.
+# Multimodal pipeline in one query: binary payload -> typed metadata
+# via Arrow-batched mapInPandas (decode stub — see
+# dexspark/operators/multimodal.py) -> frame sampling (JVM sequence +
+# explode, one row per sampled frame). The stub's outputs are
+# deterministic functions of the bytes, so even the Python-side path
+# has a full SQL oracle.
 @query(
     "multimodal_decode",
     """
@@ -1162,43 +1221,23 @@ def text_fingerprint(spark, sf_dir):
     h AS (SELECT media_id, kind, length(payload_text) AS n_bytes,
                  sha256(payload_text) AS dig,
                  ('0x' || substring(sha256(payload_text), 1, 8))::BIGINT AS seed
-          FROM media)
-    SELECT media_id, kind, n_bytes,
-           CAST(seed % 1920 + 1 AS INT) AS width,
-           CAST((seed // 1920) % 1080 + 1 AS INT) AS height,
-           CAST(CASE WHEN kind = 'video' THEN seed % 240 + 1 ELSE 1 END AS INT) AS n_frames,
-           substring(dig, 1, 16) AS sha_prefix
-    FROM h
+          FROM media),
+    d AS (
+      SELECT media_id, kind, n_bytes,
+             CAST(seed % 1920 + 1 AS INT) AS width,
+             CAST((seed // 1920) % 1080 + 1 AS INT) AS height,
+             CAST(CASE WHEN kind = 'video' THEN seed % 240 + 1 ELSE 1 END AS INT)
+               AS n_frames,
+             substring(dig, 1, 16) AS sha_prefix
+      FROM h)
+    SELECT media_id, kind, n_bytes, width, height, sha_prefix,
+           unnest(CASE WHEN kind = 'video'
+                  THEN [CAST(x AS INT) for x in range(0, n_frames, 30)]
+                  ELSE [0] END) AS frame_idx
+    FROM d
     """,
 )
 def multimodal_decode(spark, sf_dir):
-    from .operators.multimodal import decode_media_stub, media_from_documents
-
-    media = media_from_documents(_t(spark, sf_dir, "documents"))
-    return decode_media_stub(media).select(
-        "media_id", "kind", "n_bytes", "width", "height", "n_frames", "sha_prefix"
-    )
-
-
-# Frame sampling plan: one row per sampled frame (JVM explode)
-@query(
-    "multimodal_frame_sample",
-    """
-    WITH media AS (
-      SELECT doc_id AS media_id,
-             CASE WHEN doc_id % 3 = 0 THEN 'image'
-                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-             ('0x' || substring(sha256(text), 1, 8))::BIGINT AS seed
-      FROM documents
-    )
-    SELECT media_id, kind, unnest(
-      CASE WHEN kind = 'video'
-           THEN [CAST(x AS INT) for x in range(0, seed % 240 + 1, 30)]
-           ELSE [0] END) AS frame_idx
-    FROM media
-    """,
-)
-def multimodal_frame_sample(spark, sf_dir):
     from .operators.multimodal import (
         decode_media_stub,
         frame_sample,
@@ -1207,15 +1246,73 @@ def multimodal_frame_sample(spark, sf_dir):
 
     media = media_from_documents(_t(spark, sf_dir, "documents"))
     return frame_sample(decode_media_stub(media), every_n=30).select(
-        "media_id", "kind", "frame_idx"
+        "media_id", "kind", "n_bytes", "width", "height", "sha_prefix", "frame_idx"
     )
 
 
 # The CDC engine end-to-end as a query: deterministic base + binlog ->
-# validate -> dedup -> MERGE -> final state. No SQL oracle (stateful
-# multi-step pipeline -> driver does the rows-only check; full equality
-# vs the pandas replay oracle is asserted in tests/test_cdc_end_to_end).
-@query("cdc_apply_pipeline")
+# validate -> dedup -> MERGE -> final state. The Spark side exports its
+# generated inputs (base table + raw ndjson change lines) to a fixed
+# path; the oracle re-derives the final table state in pure SQL from
+# those exports: JSON envelope parse (json_valid + required fields) ->
+# payload rule predicates (required / n_tok==len(tokens) / token range
+# / source whitelist, mirroring config.sequences_ruleset) -> last-
+# writer-wins dedup (QUALIFY row_number over commit_ts DESC, lsn DESC)
+# -> upsert/delete apply via anti-join against the base. Full replay
+# equality vs the independent pandas oracle is additionally asserted
+# in tests/test_cdc_end_to_end.
+_CDC_EXPORT_DIR = "/tmp/dexspark_cdc_oracle"
+
+_CDC_ORACLE_SQL = f"""
+    WITH base AS (
+      SELECT * FROM read_parquet('{_CDC_EXPORT_DIR}/base/*.parquet')
+    ),
+    raw AS (
+      SELECT value FROM read_parquet('{_CDC_EXPORT_DIR}/events/*.parquet')
+    ),
+    p AS (
+      SELECT json_extract_string(value, '$.op') AS op,
+             json_extract_string(value, '$.doc_id') AS doc_id,
+             json_extract_string(value, '$.commit_ts') AS commit_ts,
+             TRY_CAST(json_extract_string(value, '$.lsn') AS BIGINT) AS lsn,
+             TRY_CAST(json_extract_string(value, '$.batch_epoch') AS BIGINT)
+               AS batch_epoch,
+             TRY_CAST(json_extract(value, '$.payload.tokens') AS INTEGER[])
+               AS tokens,
+             TRY_CAST(json_extract_string(value, '$.payload.n_tok') AS INTEGER)
+               AS n_tok,
+             json_extract_string(value, '$.payload.source') AS source
+      FROM raw WHERE json_valid(value)
+    ),
+    valid AS (
+      SELECT * FROM p
+      WHERE op IS NOT NULL AND doc_id IS NOT NULL AND commit_ts IS NOT NULL
+        AND lsn IS NOT NULL AND batch_epoch IS NOT NULL
+        AND op IN ('insert', 'update', 'delete')
+        AND (op = 'delete' OR (
+          tokens IS NOT NULL AND n_tok IS NOT NULL
+          AND source IS NOT NULL AND trim(source) <> ''
+          AND n_tok = len(tokens)
+          AND len([t FOR t IN tokens IF t IS NULL OR t < 0 OR t >= 50257]) = 0
+          AND source IN ('web', 'books', 'code', 'wiki')))
+    ),
+    latest AS (
+      SELECT * FROM valid
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY commit_ts DESC, lsn DESC) = 1
+    ),
+    final AS (
+      SELECT b.doc_id, b.tokens, b.n_tok, b.source FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.doc_id = b.doc_id)
+      UNION ALL
+      SELECT doc_id, tokens, n_tok, source FROM latest WHERE op <> 'delete'
+    )
+    SELECT doc_id, array_to_string(tokens, ',') AS tokens_csv, n_tok, source
+    FROM final
+"""
+
+
+@query("cdc_apply_pipeline", _CDC_ORACLE_SQL)
 def cdc_apply_pipeline(spark, sf_dir):
     import tempfile
 
@@ -1226,16 +1323,22 @@ def cdc_apply_pipeline(spark, sf_dir):
     from .stream import CdcEngine
 
     tmp = tempfile.mkdtemp(prefix="dexspark-q-")
+    base = gen.base_sequences(spark, n_docs=500, max_len=16)
     table = LakeTable.create(
         spark, os.path.join(tmp, "seq"), sequences_schema(), num_buckets=8
     )
-    table.overwrite(gen.base_sequences(spark, n_docs=500, max_len=16))
+    table.overwrite(base)
     binlog = os.path.join(tmp, "binlog")
-    gen.write_binlog(
-        gen.change_events(
-            spark, n_events=3000, n_docs=500, n_epochs=3, max_len=16, anomaly_pct=10
-        ),
-        binlog,
+    events = gen.change_events(
+        spark, n_events=3000, n_docs=500, n_epochs=3, max_len=16, anomaly_pct=10
+    )
+    gen.write_binlog(events, binlog)
+    # export the oracle's inputs: the base state + the exact raw ndjson
+    # lines the engine will consume (fixed path; the driver runs the
+    # Spark query before the oracle SQL)
+    base.write.mode("overwrite").parquet(os.path.join(_CDC_EXPORT_DIR, "base"))
+    events.select("value").write.mode("overwrite").parquet(
+        os.path.join(_CDC_EXPORT_DIR, "events")
     )
     engine = CdcEngine(spark, table, tmp, EngineConfig(num_buckets=8))
     engine.apply_binlog(binlog)
@@ -1292,7 +1395,8 @@ def scalar_datetime_rollup(spark, sf_dir):
     "v1_not_empty",
     """
     SELECT source, count(*) AS n_rows,
-           sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END) AS n_blank,
+           CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_blank,
            CAST(count(*) = sum(CASE WHEN text IS NULL OR trim(text) = ''
                                THEN 1 ELSE 0 END) AS INT) AS all_blank
     FROM documents GROUP BY source
@@ -1359,18 +1463,6 @@ def v15_type_coercion(spark, sf_dir):
         F.split_part(F.col("text"), F.lit(" "), F.lit(1)).try_cast("long").isNotNull()
     ).cast("int")
     return d.groupBy(is_int.alias("first_word_is_int")).agg(F.count("*").alias("n"))
-
-
-# V16: canonical column ordering before sink write
-# (digital-preservation Entry.java:84-98 enforces order; DataFrame
-# projects to canonical order instead)
-@query(
-    "v16_canonical_order",
-    "SELECT doc_id, lang, n_chars, source FROM documents",
-)
-def v16_canonical_order(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").select("source", "n_chars", "doc_id", "lang")
-    return d.select(*sorted(c for c in d.columns if c != "text"))
 
 
 # F6: config-driven required-metadata-keys check over a map column,
@@ -1470,10 +1562,13 @@ def stream_window_counts(spark, sf_dir):
     """,
 )
 def j5_asof_join(spark, sf_dir):
+    # broadcast the FILTERED events side (bounded: event_id < 2000) —
+    # broadcasting the unbounded orders table would blow executor
+    # memory at larger scale factors
     e = _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
     o = _t(spark, sf_dir, "orders")
-    joined = e.join(
-        F.broadcast(o),
+    joined = F.broadcast(e).join(
+        o,
         (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts),
     )
     best = F.max_by(
@@ -1490,16 +1585,22 @@ def j5_asof_join(spark, sf_dir):
     )
 
 
-# §2.7 set ops: union of two classified slices + intersect
+# §2.7 set ops in one query: UNION ALL of two classified slices plus
+# an INTERSECT slice tagged 'both' (docs that are long AND english).
 @query(
-    "setop_union_classes",
+    "setop_union_intersect",
     """
     SELECT doc_id, 'long' AS cls FROM documents WHERE n_chars > 300
     UNION ALL
     SELECT doc_id, 'english' AS cls FROM documents WHERE lang = 'en'
+    UNION ALL
+    SELECT doc_id, 'both' AS cls FROM (
+      SELECT doc_id FROM documents WHERE lang = 'en'
+      INTERSECT
+      SELECT doc_id FROM documents WHERE n_chars > 300)
     """,
 )
-def setop_union_classes(spark, sf_dir):
+def setop_union_intersect(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     long_docs = d.filter(F.col("n_chars") > 300).select(
         "doc_id", F.lit("long").alias("cls")
@@ -1507,40 +1608,41 @@ def setop_union_classes(spark, sf_dir):
     en_docs = d.filter(F.col("lang") == "en").select(
         "doc_id", F.lit("english").alias("cls")
     )
-    return long_docs.unionByName(en_docs)
-
-
-@query(
-    "setop_intersect",
-    """
-    SELECT doc_id FROM documents WHERE lang = 'en'
-    INTERSECT
-    SELECT doc_id FROM documents WHERE n_chars > 300
-    """,
-)
-def setop_intersect(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return (
+    both = (
         d.filter(F.col("lang") == "en")
         .select("doc_id")
         .intersect(d.filter(F.col("n_chars") > 300).select("doc_id"))
+        .select("doc_id", F.lit("both").alias("cls"))
     )
+    return long_docs.unionByName(en_docs).unionByName(both)
 
 
-# S6: 1 -> N fan-out (recursive decompress analogue: one input yields N
-# derived rows, FnDecompressor.kt:118-150 explodes zip entries)
-@query(
-    "s6_explode_fanout",
-    """
-    SELECT word, count(*) AS n, count(DISTINCT doc_id) AS n_docs
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
-    GROUP BY word
-    """,
-)
+# S6: recursive archive fan-out — the REAL operator
+# (operators/decompress.py mirroring FnDecompressor.kt:118-150,199-245)
+# over a deterministic nested-zip corpus: flat, nested zip-in-zip,
+# directory entries, empty zip + non-zip payload (error rows), and a
+# 12-deep depth bomb that must trip the recursion cap. The oracle is
+# the hand-enumerated entry manifest as a VALUES literal.
+@query("s6_explode_fanout", None)
 def s6_explode_fanout(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return (
-        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("word"))
-        .groupBy("word")
-        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+    from .operators.decompress import read_and_explode
+    from .operators.zipcorpus import write_corpus
+
+    corpus_dir = write_corpus()
+    entries = read_and_explode(spark, corpus_dir)
+    # NULL-free projection (sentinels '' / -1) so cross-engine rowset
+    # hashing never has to order NULLs
+    return entries.select(
+        F.element_at(F.split("source_path", "/"), -1).alias("source_file"),
+        F.coalesce("entry_path", F.lit("")).alias("entry_path"),
+        F.coalesce("n_bytes", F.lit(-1)).alias("n_bytes"),
+        F.coalesce(F.md5("content"), F.lit("")).alias("content_md5"),
+        F.coalesce(
+            F.split_part(F.col("error"), F.lit(":"), F.lit(1)), F.lit("")
+        ).alias("error_kind"),
     )
+
+
+from .operators.zipcorpus import expected_values_sql as _s6_values  # noqa: E402
+
+ORACLE_SQL["s6_explode_fanout"] = _s6_values()

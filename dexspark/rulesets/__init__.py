@@ -1,0 +1,46 @@
+"""Shipped, codeless rule-set artifacts.
+
+The reference requires validation rules to live outside code and be
+hot-swappable (proof-of-concept/README.md:9-12); it ships three
+encodings of the COVID-ELR rules (elr-schema.csvs, elr-schema.json,
+JSON Schema). This package ships the engine's equivalent: one JSON doc
+per rule-set, covering BOTH the file-level header contract (required /
+known columns, additive-unknown policy — V4/V5/V6) and the row-level
+RuleSet (V3 version literal, V10 max length, V11 required, V12
+conditional groups) compiled to Column expressions at load.
+
+Usage::
+
+    rules, header = load_ruleset("elr_v2020_07_30")
+    result = ingest_csv(spark, path, rules=rules, **header)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from ..config import RuleSet
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def available_rulesets() -> list[str]:
+    return sorted(
+        f[:-5] for f in os.listdir(_DIR) if f.endswith(".json")
+    )
+
+
+def load_ruleset(name: str) -> tuple[RuleSet, dict]:
+    """Load a shipped rule-set: (row-level RuleSet, header kwargs for
+    ``ingest_csv``: required_columns / known_columns / allow_unknown)."""
+    with open(os.path.join(_DIR, f"{name}.json")) as f:
+        doc = json.load(f)
+    rules = RuleSet.from_dict(doc.get("rules", {}))
+    h = doc.get("header", {})
+    header = {
+        "required_columns": tuple(h.get("required_columns", ())),
+        "known_columns": tuple(h.get("known_columns", ())) or None,
+        "allow_unknown": bool(h.get("allow_unknown", True)),
+    }
+    return rules, header

@@ -104,10 +104,23 @@ class CdcEngine:
         # post-aggregate output is tiny (one row per touched key + one
         # per quarantined/skipped event + lineage groups) and is cached
         # for its consumers: stats, merge inputs, quarantine write.
-        committed = self.table.committed_epochs()
-        keep_epoch = F.col("batch_epoch").isNull()  # rejects may lack an epoch
-        keep_epoch = keep_epoch | ~F.col("batch_epoch").isin(sorted(committed)) \
-            if committed else F.lit(True)
+        # Already-committed filter stays O(1)-sized no matter how many
+        # epochs the table has applied: a high-watermark comparison
+        # plus an isin over the (bounded-by-reordering) out-of-order
+        # tail. A flat isin over every epoch ever committed would grow
+        # the predicate/plan linearly with stream lifetime (10^5-10^6
+        # literals after a year of micro-batches).
+        watermark, tail = self.table.epoch_state()
+        if watermark >= 0 or tail:
+            fresh = F.col("batch_epoch") > watermark
+            if tail:
+                fresh = fresh & ~F.col("batch_epoch").isin(tail)
+            # rejects may lack an epoch (NULL): always kept — and kept
+            # OUTSIDE the isin (NOT IN over NULL is NULL, which filter
+            # would drop)
+            keep_epoch = F.col("batch_epoch").isNull() | fresh
+        else:
+            keep_epoch = F.lit(True)
         live = ev.filter(keep_epoch)
 
         flat = live.select(
@@ -243,12 +256,22 @@ class CdcEngine:
                 F.sum(
                     F.when(F.col("_is_q"), F.col("_n_events")).otherwise(F.lit(0))
                 ).alias("q_events"),
-                F.min(
+                # order-independent full-width signature of the whole
+                # unattributable-row set: XOR of per-row 64-bit hashes
+                # plus the row count (so multisets that XOR-cancel
+                # still differ)
+                F.bit_xor(
                     F.when(
                         F.col("_is_q") & F.col("batch_epoch").isNull(),
                         F.xxhash64("raw"),
                     )
-                ).alias("q_sig"),
+                ).alias("q_xor"),
+                F.sum(
+                    F.when(
+                        F.col("_is_q") & F.col("batch_epoch").isNull(),
+                        F.col("_n_events"),
+                    ).otherwise(F.lit(0))
+                ).alias("q_null_n"),
             ).collect()[0]
             rows_merged = int(stats["rows_merged"] or 0)
             affected_buckets = sorted(stats["buckets"])
@@ -256,17 +279,22 @@ class CdcEngine:
             td = _mark("scan_validate_dedup", t0)
 
             # Unattributable rows (malformed JSON -> no epoch) get a
-            # fallback partition derived from their CONTENT hash: the
-            # same rows land in the same partition on redelivery (the
-            # dynamic overwrite is then a no-op rewrite, keeping the
-            # quarantine exactly-once), while a different later batch's
-            # unattributable rows land elsewhere and can never erase
-            # them.
-            fallback_epoch = (
-                -1 - (abs(int(stats["q_sig"])) % 1_000_003)
-                if stats["q_sig"] is not None
-                else -1
-            )
+            # fallback partition derived from a full-width hash of the
+            # ENTIRE unattributable-row multiset: identical redelivery
+            # lands in the same partition (dynamic overwrite is a no-op
+            # rewrite, keeping the quarantine exactly-once), while any
+            # different batch lands in a different 62-bit partition —
+            # collision odds ~2^-62 per pair vs ~2^-20 for the old
+            # min-hash % 1e6 scheme, which could silently erase an
+            # earlier batch's rows on collision.
+            if stats["q_xor"] is not None:
+                combined = (
+                    int(stats["q_xor"]) * 0x9E3779B97F4A7C15
+                    + int(stats["q_null_n"] or 0)
+                ) % (1 << 63)
+                fallback_epoch = -1 - (combined % (1 << 62))
+            else:
+                fallback_epoch = -1
             quarantined = (
                 latest.filter(F.col("_is_q"))
                 # re-expand collapsed duplicates (same qkey) so the

@@ -1,0 +1,143 @@
+"""The reference's ACTUAL golden files, end-to-end.
+
+Runs ``ingest_csv`` with the shipped COVID-ELR rule-set
+(dexspark/rulesets/elr_v2020_07_30.json, mirroring
+digital-preservation-poc elr-schema.csvs:19-105 + custom-poc
+elr-schema.json:1-16) over the real 101-column corpus at
+``sample-data/HL7v2 lab (COVID ELR)/`` and asserts each scenario's
+expected outcome from COVID_19_File_and_Row_Level_Validation.xlsx
+(encoded P/F in the scenario file names):
+
+- valid template + nested quotes  -> all rows clean
+- empty file / missing headers    -> file-level FAIL (V1/V4)
+- duplicate headers (old templates / incorrect-version upload)
+                                  -> file-level FAIL (V5)
+- extra unknown column            -> additive evolution, still clean (V6)
+- one of a conditional pair blank -> clean (V12 satisfied)
+- both of the pair blank          -> every row quarantined (V12 fail)
+"""
+
+import os
+
+import pytest
+
+from dexspark.csv_ingest import ingest_csv
+from dexspark.rulesets import load_ruleset
+
+CORPUS = "/root/reference/sample-data/HL7v2 lab (COVID ELR)"
+_SC = (
+    "InterPartner~CELR~NYSTATE~AIMSPlatform~Prod~Prod~20200415082416800~STOP~V2_"
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(CORPUS), reason="reference corpus not present"
+)
+
+
+@pytest.fixture(scope="module")
+def elr():
+    rules, header = load_ruleset("elr_v2020_07_30")
+    return rules, header
+
+
+def _ingest(spark, elr, name):
+    rules, header = elr
+    return ingest_csv(spark, os.path.join(CORPUS, name), rules, **header)
+
+
+def test_scenario_1_valid_template_clean(spark, elr):
+    res = _ingest(spark, elr, _SC + "Scenario_1_CSV_template_20200730.csv")
+    assert res.ok
+    assert len(res.header) == 101
+    assert res.clean.count() == 4
+    assert res.quarantine.count() == 0
+
+
+def test_nested_quotes_parse_clean(spark, elr):
+    # AT_COVID_Valid_Nested Quotes: RFC 4180 doubled quotes everywhere,
+    # including a triple-quoted specimen id on the last row
+    res = _ingest(spark, elr, "AT_COVID_Valid_Nested Quotes_CSV File_V2020-07-30_V2.csv")
+    assert res.ok
+    rows = res.clean.collect()
+    assert len(rows) == 4
+    assert res.quarantine.count() == 0
+    # raw cell is 7 quotes each side -> decodes to 3 literal quotes
+    # (verified identical under Python's csv module)
+    specimens = sorted(r["testing_lab_specimen_id"] for r in rows)
+    assert '"""M00000595"""' in specimens
+    labs = {r["testing_lab_name"] for r in rows}
+    assert 'Public Health Laboratory, AR' in labs  # comma inside quotes
+    assert '"""Public Health Laboratory, AR"""' in labs
+
+
+def test_empty_file_fails_file_level(spark, elr):
+    res = _ingest(spark, elr, "AT_COVID_Empty File_CSV File_V2020-07-30_V2.csv")
+    assert not res.ok
+    assert any("header" in e or "file_empty" in e for e in res.file_errors)
+
+
+def test_missing_headers_fails_file_level(spark, elr):
+    res = _ingest(spark, elr, "AT_COVID_Missing Headers_CSV File_V2020-07-30_V2.csv")
+    assert not res.ok
+    assert any("header" in e for e in res.file_errors)
+
+
+def test_incorrect_version_upload_fails(spark, elr):
+    # old template: duplicate Instrument_instance_ID header (V5) and
+    # V2020-04-18 version rows — rejected at the header gate
+    res = _ingest(spark, elr, "CSVUpload_incorrect version.csv")
+    assert not res.ok
+
+
+def test_scenario_1a_old_template_duplicate_header_fails(spark, elr):
+    res = _ingest(spark, elr, _SC + "Scenario_1a_CSV_template_20200706.csv")
+    assert not res.ok
+
+
+def test_scenario_1b_old_template_fails(spark, elr):
+    res = _ingest(spark, elr, _SC + "Scenario_1b_CSV_template_OLD_PE.csv")
+    assert not res.ok
+
+
+def test_scenario_1c_extra_column_additive_clean(spark, elr):
+    # 102 columns: one beyond the template -> tolerated additively (V6),
+    # recorded in unknown_columns, rows still clean
+    res = _ingest(spark, elr, _SC + "Scenario_1c_CSV_template_Update2_P.csv")
+    assert res.ok
+    assert res.unknown_columns
+    assert res.clean.count() == 4
+    assert res.quarantine.count() == 0
+
+
+def test_scenario_2_specimen_id_blank_passes(spark, elr):
+    # accession number present -> conditional pair satisfied
+    res = _ingest(spark, elr, _SC + "Scenario_2_Testing_lab_specimen_ID-NodataP.csv")
+    assert res.ok
+    assert res.clean.count() == 4
+    assert res.quarantine.count() == 0
+
+
+def test_scenario_3_accession_blank_passes(spark, elr):
+    res = _ingest(
+        spark, elr, _SC + "Scenario_3_Testing_lab_accession_number_No_DataP.csv"
+    )
+    assert res.ok
+    assert res.clean.count() == 4
+    assert res.quarantine.count() == 0
+
+
+def test_scenario_4_both_blank_quarantines_every_row(spark, elr):
+    res = _ingest(
+        spark,
+        elr,
+        _SC + "Scenario_4_Testing_lab_accession_number_Specimen_ID_missingF.csv",
+    )
+    assert res.ok  # header is fine; the failure is row-level
+    assert res.clean.count() == 0
+    q = res.quarantine.collect()
+    assert len(q) == 4
+    for r in q:
+        assert any(
+            "conditional:testing_lab_accession_number|testing_lab_specimen_id" in x
+            for x in r["fail_reasons"]
+        )

@@ -70,6 +70,32 @@ def test_epoch_markers(spark, table):
     assert table.committed_epochs() == {7}
 
 
+def test_epoch_watermark_compaction(spark, table):
+    # 10k contiguous epochs compact to ONE integer — O(1) manifest and
+    # O(1) already-committed predicate regardless of stream lifetime
+    ups = spark.createDataFrame([], sequences_schema())
+    table.merge(ups, epochs=list(range(0, 5000)))
+    table.merge(ups, epochs=list(range(5000, 10_000)))
+    m = table.manifest()
+    assert m["epoch_watermark"] == 9_999
+    assert m["epoch_tail"] == []
+    assert "committed_epochs" not in m
+    assert table.is_epoch_committed(0) and table.is_epoch_committed(9_999)
+    assert not table.is_epoch_committed(10_000)
+
+
+def test_epoch_out_of_order_tail(spark, table):
+    # gaps stay in the bounded tail until the missing epochs arrive
+    ups = spark.createDataFrame([], sequences_schema())
+    table.merge(ups, epochs=[0, 1, 5, 7])
+    w, tail = table.epoch_state()
+    assert (w, tail) == (1, [5, 7])
+    assert table.is_epoch_committed(5) and not table.is_epoch_committed(2)
+    table.merge(ups, epochs=[2, 3, 4, 6])  # fills the gaps
+    w, tail = table.epoch_state()
+    assert (w, tail) == (7, [])
+
+
 def test_additive_schema_evolution(spark, table):
     evolved = T.StructType(
         list(sequences_schema().fields) + [T.StructField("lang", T.StringType(), True)]

@@ -32,7 +32,8 @@ def _norm(v):
 
 def _rowset(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in idx) for r in rows)
+    # sort by repr: None/mixed-type cells stay orderable
+    return sorted((tuple(_norm(r[i]) for i in idx) for r in rows), key=repr)
 
 
 def main():
