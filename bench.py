@@ -61,6 +61,28 @@ HEADLINE = [
 CDC_DOCS = int(os.environ.get("DEXSPARK_CDC_DOCS", "200000"))
 CDC_EVENTS = int(os.environ.get("DEXSPARK_CDC_EVENTS", "4000000"))
 CDC_EPOCHS = 8
+# Binlog wire format: ndjson (default) | gzip | zstd | parquet.
+# The compressed/columnar encodings trade scan CPU for memory-bus
+# bandwidth — on this bandwidth-saturated host they are what keeps
+# core-scaling honest (see BENCH.md scaling notes).
+BINLOG_FORMAT = os.environ.get("DEXSPARK_BINLOG_FORMAT", "ndjson")
+
+
+def _write_bench_binlog(spark, binlog: str, fmt: str = BINLOG_FORMAT) -> None:
+    from dexspark import gen
+
+    events = gen.change_events(
+        spark,
+        n_events=CDC_EVENTS,
+        n_docs=CDC_DOCS,
+        n_epochs=CDC_EPOCHS,
+        max_len=64,
+        anomaly_pct=5,
+    )
+    if fmt == "parquet":
+        gen.write_binlog_parquet(events, binlog)
+    else:
+        gen.write_binlog(events, binlog, codec=None if fmt == "ndjson" else fmt)
 
 
 def _mk_spark(cpus: int):
@@ -109,17 +131,7 @@ def run_cdc(
         binlog = shared_binlog  # literally identical input across levels
     else:
         binlog = shared_binlog or os.path.join(workdir, "binlog")
-        gen.write_binlog(
-            gen.change_events(
-                spark,
-                n_events=CDC_EVENTS,
-                n_docs=CDC_DOCS,
-                n_epochs=CDC_EPOCHS,
-                max_len=64,
-                anomaly_pct=5,
-            ),
-            binlog,
-        )
+        _write_bench_binlog(spark, binlog)
     gen_sec = time.monotonic() - t0
 
     if warmup:
@@ -228,18 +240,10 @@ def main_scaling(levels=(2, 8), rounds: int = 2, cooldown: int = 240) -> None:
     therefore systematically penalize the high-parallelism side;
     letting the machine idle ~4 min restores it. Best-of over cooled
     runs approximates what a non-throttled cluster node would measure."""
-    shared = f"{SCRATCH}/dexspark-scaling-input/binlog"
+    shared = f"{SCRATCH}/dexspark-scaling-input/binlog-{BINLOG_FORMAT}"
     if not os.path.isdir(shared):
         spark = _mk_spark(DEFAULT_CPUS)
-        from dexspark import gen
-
-        gen.write_binlog(
-            gen.change_events(
-                spark, n_events=CDC_EVENTS, n_docs=CDC_DOCS,
-                n_epochs=CDC_EPOCHS, max_len=64, anomaly_pct=5,
-            ),
-            shared,
-        )
+        _write_bench_binlog(spark, shared)
         spark.stop()
     results: dict[int, dict] = {}
     runs: dict[int, list] = {c: [] for c in levels}

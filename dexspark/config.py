@@ -100,4 +100,12 @@ class EngineConfig:
     validator: str = "jvm"
     quarantine_subdir: str = "quarantine"
     lineage_subdir: str = "lineage"
+    # Per-event OK lineage: when on, every batch also writes a slim
+    # side-table of the WINNING applied events (doc_id, lsn,
+    # batch_epoch, op, commit_ts) so applied table rows keep their
+    # raw-event provenance, like the reference's OK events carry the
+    # full parent envelope (dtos/DecompressEventMessages.kt:5-20).
+    # Off by default: it adds one (small) write job per batch.
+    applied_lineage: bool = False
+    applied_subdir: str = "applied"
     rules: RuleSet = field(default_factory=sequences_ruleset)

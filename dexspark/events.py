@@ -84,6 +84,35 @@ def read_binlog(
     return _finalize(df)
 
 
+def read_binlog_parquet(
+    spark: SparkSession, path: str, payload_schema: T.StructType | None = None
+) -> DataFrame:
+    """Batch-read a STRUCTURED (parquet) change-log directory — the
+    schema-ful staging shape written by ``gen.write_binlog_parquet``.
+
+    No JSON parse at all: envelope columns decode columnar, epoch
+    partition pruning reaches the scan, and the same classify /
+    validate / dedup pipeline runs downstream unchanged. Rows the
+    producer could not parse arrive with NULL envelope columns + the
+    raw line and classify as rejects, exactly like the ndjson path."""
+    schema = change_event_schema(payload_schema)
+    df = spark.read.parquet(path)
+    cols = []
+    have = set(df.columns)
+    for f in schema.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    raw = (
+        F.col(RAW_COL)
+        if RAW_COL in have
+        else F.to_json(F.struct(*[f.name for f in schema.fields if f.name in have]))
+    )
+    flat = df.select(raw.alias(RAW_COL), *cols, F.lit(None).cast("string").alias(_CORRUPT))
+    return _finalize(flat)
+
+
 def read_binlog_stream(
     spark: SparkSession,
     path: str,

@@ -54,6 +54,21 @@ def write_quarantine(df: DataFrame, path: str) -> None:
     _write_epoch_partitioned(df, path)
 
 
+def write_applied(df: DataFrame, path: str) -> None:
+    """Per-event OK lineage: one row per WINNING applied event
+    (doc_id, lsn, op, commit_ts, partitioned by batch_epoch). Joining
+    the table on doc_id (latest epoch wins) answers "which change
+    event produced this row" — the engine's analogue of the
+    reference's OK events carrying their parent envelope
+    (dtos/DecompressEventMessages.kt:5-20). Same dynamic-overwrite
+    idempotence as the other sinks."""
+    _write_epoch_partitioned(df, path)
+
+
+def read_applied(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def write_lineage_rows(rows: list[tuple], path: str) -> None:
     """Driver-side lineage write (pyarrow, no Spark job).
 

@@ -37,10 +37,31 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .config import EngineConfig
-from .events import classify, parse_envelopes, read_binlog, read_binlog_stream
+from .events import (
+    classify,
+    parse_envelopes,
+    read_binlog,
+    read_binlog_parquet,
+    read_binlog_stream,
+)
 from .lake import LakeTable
-from .lineage import write_lineage_rows, write_quarantine
+from .lineage import write_applied, write_lineage_rows, write_quarantine
 from .validate import FAIL_COL, validate_frame
+
+
+def _looks_parquet(path: str) -> bool:
+    """True if the binlog dir holds a structured parquet log (either
+    bare part files or epoch=... partition dirs)."""
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return False
+    for e in entries:
+        if e.endswith(".parquet"):
+            return True
+        if e.startswith("batch_epoch="):
+            return True
+    return False
 
 
 @dataclass
@@ -73,6 +94,7 @@ class CdcEngine:
         self.payload_schema = payload_schema
         self.quarantine_path = os.path.join(warehouse, self.config.quarantine_subdir)
         self.lineage_path = os.path.join(warehouse, self.config.lineage_subdir)
+        self.applied_path = os.path.join(warehouse, self.config.applied_subdir)
 
     # ------------------------------------------------------------ one batch
 
@@ -310,13 +332,14 @@ class CdcEngine:
                 )
             )
 
-            # MERGE and quarantine-write are independent given `latest`
-            # (cached) — submit them from two driver threads so the
-            # scheduler overlaps one job's I/O waits with the other's
-            # compute (both still exactly-once: different sinks).
+            # MERGE, quarantine-write and (optional) applied-lineage
+            # write are independent given `latest` (cached) — submit
+            # them from driver threads so the scheduler overlaps one
+            # job's I/O waits with another's compute (all still
+            # exactly-once: different sinks).
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=2) as pool:
+            with ThreadPoolExecutor(max_workers=3) as pool:
                 # merge only when there are epochs to commit — a pure
                 # redelivery (every epoch already in the manifest)
                 # must not bump the table version. Quarantine rewrite
@@ -335,9 +358,19 @@ class CdcEngine:
                 f_quar = pool.submit(
                     write_quarantine, quarantined, self.quarantine_path
                 )
+                f_applied = None
+                if self.config.applied_lineage and new_epochs:
+                    applied_rows = latest.filter(is_good).select(
+                        "doc_id", "lsn", "op", "commit_ts", "batch_epoch"
+                    )
+                    f_applied = pool.submit(
+                        write_applied, applied_rows, self.applied_path
+                    )
                 if f_merge is not None:
                     f_merge.result()
                 f_quar.result()
+                if f_applied is not None:
+                    f_applied.result()
             tm = _mark("merge_and_quarantine", td)
             n_env_rejects = by_class.get("reject", 0)
             n_val_rejects = n_quarantined - n_env_rejects
@@ -377,9 +410,16 @@ class CdcEngine:
 
     # ------------------------------------------------------------ batch API
 
-    def apply_binlog(self, binlog_path: str) -> BatchMetrics:
-        """Apply a whole change-log directory as one batch (replay)."""
-        parsed = read_binlog(self.spark, binlog_path, self.payload_schema)
+    def apply_binlog(self, binlog_path: str, format: str | None = None) -> BatchMetrics:
+        """Apply a whole change-log directory as one batch (replay).
+
+        ``format``: "json" (ndjson, optionally compressed) or
+        "parquet" (structured staging, ``gen.write_binlog_parquet``);
+        auto-sniffed from the directory contents when omitted."""
+        if format is None:
+            format = "parquet" if _looks_parquet(binlog_path) else "json"
+        reader = read_binlog_parquet if format == "parquet" else read_binlog
+        parsed = reader(self.spark, binlog_path, self.payload_schema)
         return self.apply_batch(parsed)
 
     # --------------------------------------------------------- streaming API
