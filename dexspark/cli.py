@@ -35,6 +35,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--create", action="store_true", help="create table if absent")
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--rules", help="JSON rule-set file (default: sequences rules)")
+    ap.add_argument(
+        "--applied-lineage",
+        action="store_true",
+        help="also write the per-event OK-lineage side-table (winning doc_id/lsn/epoch per batch)",
+    )
+    ap.add_argument(
+        "--batch",
+        action="store_true",
+        help="apply the whole log as one batch (no streaming checkpoint); auto-detects ndjson[.gz] vs structured parquet logs",
+    )
     ap.add_argument("--follow", action="store_true", help="keep tailing (processingTime trigger); default: availableNow catch-up")
     ap.add_argument("--trigger", default="10 seconds")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
@@ -56,15 +66,36 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.table, sequences_schema(), num_buckets=args.num_buckets
         )
 
-    cfg = EngineConfig(num_buckets=args.num_buckets)
+    rules = None
     if args.rules:
         with open(args.rules) as f:
-            cfg = EngineConfig(
-                num_buckets=args.num_buckets, rules=RuleSet.from_dict(json.load(f))
-            )
+            rules = RuleSet.from_dict(json.load(f))
+    cfg_kwargs = dict(
+        num_buckets=args.num_buckets, applied_lineage=args.applied_lineage
+    )
+    if rules is not None:
+        cfg_kwargs["rules"] = rules
+    cfg = EngineConfig(**cfg_kwargs)
 
     engine = CdcEngine(spark, table, args.warehouse, cfg)
-    if args.follow:
+
+    def _status() -> None:
+        w, tail = table.epoch_state()
+        print(
+            json.dumps(
+                {
+                    "table_version": table.current_version(),
+                    "committed_epochs": sorted(table.committed_epochs()),
+                    "epoch_watermark": w,
+                    "epoch_tail": tail,
+                }
+            )
+        )
+
+    if args.batch:
+        engine.apply_binlog(args.binlog)
+        _status()
+    elif args.follow:
         q = engine.run_stream(
             args.binlog,
             args.checkpoint,
@@ -75,14 +106,7 @@ def main(argv: list[str] | None = None) -> int:
         q.awaitTermination()
     else:
         engine.run_until_caught_up(args.binlog, args.checkpoint)
-        print(
-            json.dumps(
-                {
-                    "table_version": table.current_version(),
-                    "committed_epochs": sorted(table.committed_epochs()),
-                }
-            )
-        )
+        _status()
     return 0
 
 

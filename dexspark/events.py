@@ -84,19 +84,12 @@ def read_binlog(
     return _finalize(df)
 
 
-def read_binlog_parquet(
-    spark: SparkSession, path: str, payload_schema: T.StructType | None = None
+def _finalize_structured(
+    df: DataFrame, payload_schema: T.StructType | None
 ) -> DataFrame:
-    """Batch-read a STRUCTURED (parquet) change-log directory — the
-    schema-ful staging shape written by ``gen.write_binlog_parquet``.
-
-    No JSON parse at all: envelope columns decode columnar, epoch
-    partition pruning reaches the scan, and the same classify /
-    validate / dedup pipeline runs downstream unchanged. Rows the
-    producer could not parse arrive with NULL envelope columns + the
-    raw line and classify as rejects, exactly like the ndjson path."""
+    """Align a structured (parquet) change-log frame to the envelope
+    schema and run the shared finalize (raw + envelope_fail)."""
     schema = change_event_schema(payload_schema)
-    df = spark.read.parquet(path)
     cols = []
     have = set(df.columns)
     for f in schema.fields:
@@ -111,6 +104,39 @@ def read_binlog_parquet(
     )
     flat = df.select(raw.alias(RAW_COL), *cols, F.lit(None).cast("string").alias(_CORRUPT))
     return _finalize(flat)
+
+
+def read_binlog_parquet(
+    spark: SparkSession, path: str, payload_schema: T.StructType | None = None
+) -> DataFrame:
+    """Batch-read a STRUCTURED (parquet) change-log directory — the
+    schema-ful staging shape written by ``gen.write_binlog_parquet``.
+
+    No JSON parse at all: envelope columns decode columnar, epoch
+    partition pruning reaches the scan, and the same classify /
+    validate / dedup pipeline runs downstream unchanged. Rows the
+    producer could not parse arrive with NULL envelope columns + the
+    raw line and classify as rejects, exactly like the ndjson path."""
+    return _finalize_structured(spark.read.parquet(path), payload_schema)
+
+
+def read_binlog_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    payload_schema: T.StructType | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming tail of a structured parquet change log (file
+    source; checkpointed offsets, maxFilesPerTrigger batching — the
+    same contract as the ndjson stream but with columnar decode)."""
+    schema = T.StructType(
+        list(change_event_schema(payload_schema).fields)
+        + [T.StructField(RAW_COL, T.StringType(), True)]
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _finalize_structured(reader.parquet(path), payload_schema)
 
 
 def read_binlog_stream(

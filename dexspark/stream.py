@@ -42,6 +42,7 @@ from .events import (
     parse_envelopes,
     read_binlog,
     read_binlog_parquet,
+    read_binlog_parquet_stream,
     read_binlog_stream,
 )
 from .lake import LakeTable
@@ -431,14 +432,21 @@ class CdcEngine:
         available_now: bool = True,
         max_files_per_trigger: int | None = None,
         processing_time: str = "5 seconds",
+        format: str | None = None,
     ):
         """Tail the change log with Structured Streaming.
 
         Offsets checkpoint to ``checkpoint_path`` (source-side resume);
         epoch markers in the table manifest make the sink idempotent, so
         at-least-once redelivery from the checkpoint converges to
-        exactly-once table state (north_star)."""
-        parsed = read_binlog_stream(
+        exactly-once table state (north_star). ``format`` picks the
+        wire encoding (json / parquet), auto-sniffed when omitted."""
+        if format is None:
+            format = "parquet" if _looks_parquet(binlog_path) else "json"
+        stream_reader = (
+            read_binlog_parquet_stream if format == "parquet" else read_binlog_stream
+        )
+        parsed = stream_reader(
             self.spark,
             binlog_path,
             self.payload_schema,

@@ -53,6 +53,58 @@ def test_dedup_partial_aggregation(spark):
     assert plan.index("Exchange") < plan.index("partial_max_by")
 
 
+def test_parquet_binlog_scan_has_no_json_parse(spark, tmp_path):
+    """The structured binlog path must decode columnar — no
+    JsonToStructs / from_json anywhere in the plan, and column
+    pruning must reach the parquet scan."""
+    from dexspark.events import read_binlog_parquet
+
+    p = str(tmp_path / "pq")
+    gen.write_binlog_parquet(
+        gen.change_events(spark, n_events=100, n_docs=20, n_epochs=2), p
+    )
+    df = read_binlog_parquet(spark, p).select("doc_id", "lsn")
+    plan = _plan(df)
+    assert "JsonToStructs" not in plan and "from_json" not in plan
+
+
+def test_committed_epoch_predicate_is_compact(spark, tmp_path):
+    """With 10k committed epochs the already-committed filter must be
+    a watermark comparison, not a 10k-literal isin — the plan string
+    stays O(1)."""
+    import os
+
+    from dexspark.config import EngineConfig
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+    from dexspark.stream import CdcEngine
+
+    root = str(tmp_path / "t")
+    table = LakeTable.create(spark, root, sequences_schema(), num_buckets=2)
+    table.overwrite(gen.base_sequences(spark, n_docs=5, max_len=4))
+    table.merge(
+        spark.createDataFrame([], sequences_schema()),
+        epochs=list(range(10_000)),
+    )
+    w, tail = table.epoch_state()
+    assert (w, tail) == (9_999, [])
+    binlog = str(tmp_path / "binlog")
+    os.makedirs(binlog)
+    with open(os.path.join(binlog, "epoch-010000-000.ndjson"), "w") as f:
+        f.write(
+            '{"op":"update","doc_id":"doc00000001","payload":{"tokens":[1],'
+            '"n_tok":1,"source":"web"},"commit_ts":"2024-01-01 00:00:01",'
+            '"lsn":1,"batch_epoch":10000}\n'
+        )
+    engine = CdcEngine(spark, table, str(tmp_path), EngineConfig(num_buckets=2))
+    m = engine.apply_binlog(binlog)
+    assert m.epochs == [10_000]  # fresh epoch applied over 10k committed
+    assert table.epoch_state() == (10_000, [])
+    # replaying the same file is a no-op against the compact predicate
+    m2 = engine.apply_binlog(binlog)
+    assert m2.epochs == []
+
+
 def test_jvm_validator_has_no_python_nodes(spark):
     """The default validator is pure JVM expressions — no Python
     boundary of any kind in the plan (higher-order functions like

@@ -48,6 +48,31 @@ def test_stream_matches_oracle(spark, tmp_warehouse, binlog_files):
     oracle.assert_equal_state(want.state, engine.table.read().collect(), "stream")
 
 
+def test_parquet_stream_matches_ndjson_stream(spark, tmp_warehouse, binlog_files):
+    """Tailing a STRUCTURED parquet change log (columnar decode, no
+    JSON parse) through the same streaming pipeline converges to the
+    same table state as the ndjson tail."""
+    events = gen.change_events(
+        spark, n_events=N_EVENTS, n_docs=N_DOCS, n_epochs=N_EPOCHS, max_len=16,
+        anomaly_pct=8,
+    )
+    pq_log = os.path.join(tmp_warehouse, "binlog-pq")
+    gen.write_binlog_parquet(events, pq_log)
+    engine_pq = _mk_engine(spark, tmp_warehouse, "stream-pq")
+    engine_pq.run_until_caught_up(pq_log, os.path.join(tmp_warehouse, "ckpt-pq"))
+
+    live = os.path.join(tmp_warehouse, "live-nd")
+    os.makedirs(live)
+    for f in binlog_files:
+        shutil.copy(f, live)
+    engine_nd = _mk_engine(spark, tmp_warehouse, "stream-nd")
+    engine_nd.run_until_caught_up(live, os.path.join(tmp_warehouse, "ckpt-nd"))
+
+    a = {r["doc_id"]: r.asDict(recursive=True) for r in engine_pq.table.read().collect()}
+    b = {r["doc_id"]: r.asDict(recursive=True) for r in engine_nd.table.read().collect()}
+    assert a == b
+
+
 def test_kill_and_resume_reconverges(spark, tmp_warehouse, binlog_files):
     """Process half the log, 'die', resume from checkpoint with the full
     log present; final state == single-shot oracle replay, and epochs
