@@ -33,10 +33,13 @@ stream    Structured Streaming driver (foreachBatch pipeline)
 gen       deterministic synthetic base-table + binlog generator
 oracle    single-threaded pandas replay oracle for equality testing
 csv_ingest CSV file validation (the reference's home domain):
-          parse-integrity, header checks, row rules, quarantine
+          parse-integrity, header checks, row rules, quarantine;
+          ingest_archives composes decompress -> per-CSV validation
+rulesets  shipped codeless rule-set artifacts (COVID-ELR V2020-07-30)
 listing   recursive listing classification (the HTTP entry point)
 queries   the driver-contract operator query surface + DuckDB oracles
-operators multimodal payload plumbing; recursive archive fan-out
+operators multimodal payload plumbing; recursive archive fan-out +
+          entry materialization; deterministic zip test corpus
 """
 
 __version__ = "0.1.0"

@@ -53,11 +53,23 @@ class CsvIngestResult:
         return not self.file_errors
 
 
-def _read_header_line(spark: SparkSession, path: str) -> str | None:
-    rows = spark.read.text(path).limit(1).collect()
+_PROBE_LINES = 17
+
+
+def _read_header_probe(spark: SparkSession, path: str) -> tuple[str | None, bool | None]:
+    """One tiny job for BOTH file-level reads: the header line plus a
+    has-data probe. Returns (header_line, has_data) where has_data is
+    True (some non-blank line follows the header), False (the whole
+    file was read and nothing follows), or None (inconclusive: more
+    than _PROBE_LINES lines, all-blank tail so far — caller falls
+    back to a count job; pathological case only)."""
+    rows = spark.read.text(path).limit(_PROBE_LINES).collect()
     if not rows:
-        return None
-    return rows[0][0]
+        return None, False
+    rest = [r[0] for r in rows[1:]]
+    if any(line.strip() for line in rest):
+        return rows[0][0], True
+    return rows[0][0], (None if len(rows) == _PROBE_LINES else False)
 
 
 def ingest_csv(
@@ -80,7 +92,7 @@ def ingest_csv(
     rules = rules or RuleSet()
     res = CsvIngestResult(clean=None, quarantine=None)
 
-    header_line = _read_header_line(spark, path)
+    header_line, has_data = _read_header_probe(spark, path)
     if header_line is None or header_line.strip() == "":
         res.file_errors.append("file_empty:no header row")  # V1 / XLSX order-3
         return res
@@ -132,7 +144,12 @@ def ingest_csv(
         )
     )
     tagged = df.withColumn(FAIL_COL, fails)
-    if tagged.limit(1).count() == 0:
+    # V1 (no data rows): normally already answered by the header
+    # probe's tail — the count job runs only in the pathological
+    # all-blank-tail-beyond-probe case.
+    if has_data is None:
+        has_data = tagged.limit(1).count() > 0
+    if not has_data:
         res.file_errors.append("file_empty:no data rows")  # V1 / XLSX order-4
         return res
     res.clean = tagged.filter(F.size(FAIL_COL) == 0).drop(FAIL_COL, _CORRUPT)
