@@ -108,4 +108,10 @@ class EngineConfig:
     # Off by default: it adds one (small) write job per batch.
     applied_lineage: bool = False
     applied_subdir: str = "applied"
+    # MERGE write-amplification trade: "cow" rewrites affected buckets
+    # in full (shuffle-free reads); "mor" appends only the change
+    # batch + delete tombstones (reads reconstruct per key until
+    # LakeTable.compact()). Use "mor" when batches touch a small
+    # fraction of huge buckets.
+    merge_mode: str = "cow"
     rules: RuleSet = field(default_factory=sequences_ruleset)

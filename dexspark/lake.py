@@ -56,6 +56,7 @@ from .schema import evolution_actions, reconcile
 
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
+_TOMBSTONE = "_tombstone"  # MOR delete marker column inside commit files
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -207,7 +208,14 @@ class LakeTable:
         Files are grouped by commit (a commit's files share one schema)
         and each group is aligned to the table schema — this is how old
         int32 files coexist with a widened int64 column.
-        """
+
+        Copy-on-write snapshots read shuffle-free (pure union of
+        aligned scans). If any MERGE ran in merge-on-read mode
+        (``mor`` flag in the manifest), the read reconstructs the
+        current state: per key, the row from the LATEST commit wins,
+        and tombstone rows (MOR deletes) drop the key — one keyed
+        aggregate, pruned to the requested buckets. ``compact()``
+        folds MOR history back into plain files."""
         m = self.manifest()
         schema = T.StructType.fromJson(m["schema"])
         file_lists = m["buckets"]
@@ -221,14 +229,46 @@ class LakeTable:
                 by_commit.setdefault(commit, []).append(os.path.join(self.root, rel))
         if not by_commit:
             return self.spark.createDataFrame([], schema)
-        parts = [
-            self._align(self.spark.read.parquet(*files), schema)
-            for files in by_commit.values()
-        ]
+        if not m.get("mor"):
+            parts = [
+                self._align(self.spark.read.parquet(*files), schema)
+                for files in by_commit.values()
+            ]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+        # merge-on-read reconstruction
+        key = m["key"]
+        schema_t = T.StructType(
+            list(schema.fields) + [T.StructField(_TOMBSTONE, T.BooleanType(), True)]
+        )
+        parts = []
+        for commit, files in by_commit.items():
+            df = self.spark.read.parquet(*files)
+            tomb = (
+                F.coalesce(F.col(_TOMBSTONE), F.lit(False))
+                if _TOMBSTONE in df.columns
+                else F.lit(False)
+            )
+            version = int(commit.split("-")[1])
+            parts.append(
+                self._align(df.withColumn(_TOMBSTONE, tomb), schema_t)
+                .withColumn("_commit", F.lit(version))
+            )
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        data_cols = [f.name for f in schema.fields]
+        winner = F.max_by(
+            F.struct(*data_cols, _TOMBSTONE), F.col("_commit")
+        ).alias("_w")
+        return (
+            out.groupBy(key)
+            .agg(winner)
+            .filter(~F.col(f"_w.{_TOMBSTONE}"))
+            .select(*[F.col(f"_w.{c}").alias(c) for c in data_cols])
+        )
 
     # ------------------------------------------------------------ write
 
@@ -288,8 +328,9 @@ class LakeTable:
         delete_keys: DataFrame | None = None,
         epochs: list[int] | None = None,
         affected_buckets: list[int] | None = None,
+        mode: str = "cow",
     ) -> dict:
-        """MERGE: last-writer-wins upsert + key deletes, copy-on-write.
+        """MERGE: last-writer-wins upsert + key deletes.
 
         ``upserts`` must contain at most one row per key (run
         dedup.latest_per_key first) and be alignable to the table schema
@@ -302,8 +343,24 @@ class LakeTable:
             WHEN MATCHED THEN UPDATE SET *
             WHEN NOT MATCHED AND batch.op != 'delete' THEN INSERT *
 
+        ``mode`` picks the write amplification trade:
+
+        * ``"cow"`` (copy-on-write, default): affected buckets are
+          rewritten in full; reads stay shuffle-free. Right when a
+          batch touches a large fraction of each bucket.
+        * ``"mor"`` (merge-on-read): ONLY the change batch is written
+          — upserts plus tombstone rows for deletes appended as new
+          files in the affected buckets; no existing file is read or
+          rewritten. Reads reconstruct last-writer-wins per key until
+          ``compact()`` folds the history down. Right for small/
+          frequent batches over huge buckets (at 10^10 rows a 0.1%
+          change batch rewrites nothing instead of every touched
+          bucket). Modes interleave freely commit-by-commit.
+
         Returns {"version", "rows_written", "buckets_rewritten"}.
         """
+        if mode == "mor":
+            return self._merge_mor(upserts, delete_keys, epochs)
         m = self.manifest()
         key, n_buckets = m["key"], m["num_buckets"]
         old_schema = T.StructType.fromJson(m["schema"])
@@ -382,3 +439,87 @@ class LakeTable:
             "buckets_rewritten": rewritten,
             "evolution": evo,
         }
+
+    def _merge_mor(
+        self,
+        upserts: DataFrame,
+        delete_keys: DataFrame | None,
+        epochs: list[int] | None,
+    ) -> dict:
+        """Merge-on-read MERGE: append the change batch (upserts +
+        delete tombstones) as new bucket files; no existing file is
+        read or rewritten. See :meth:`merge` for when to pick this."""
+        m = self.manifest()
+        key, n_buckets = m["key"], m["num_buckets"]
+        old_schema = T.StructType.fromJson(m["schema"])
+        schema = reconcile(old_schema, upserts.schema)
+        evo = evolution_actions(old_schema, upserts.schema)
+        version = m["version"] + 1
+
+        ups = self._align(upserts, schema).withColumn(_TOMBSTONE, F.lit(False))
+        batch = ups
+        if delete_keys is not None:
+            tombs = self._align(delete_keys.select(key), schema).withColumn(
+                _TOMBSTONE, F.lit(True)
+            )
+            batch = batch.unionByName(tombs)
+        batch = self._bucket_col(batch, key, n_buckets)
+        written = self._write_commit(batch, version)
+        if not written:  # empty change batch: manifest-only commit
+            w, tail = self._epoch_state_of(m)
+            w, tail = self._compact_epochs(w, set(tail) | set(epochs or []))
+            mm = dict(m)
+            mm.pop("committed_epochs", None)
+            mm.update(
+                version=version, parent=m["version"],
+                epoch_watermark=w, epoch_tail=tail,
+            )
+            self._commit(mm)
+            return {"version": version, "rows_written": 0, "buckets_appended": 0}
+
+        buckets = dict(m["buckets"])
+        for b, files in written.items():
+            buckets[b] = buckets.get(b, []) + files
+        w, tail = self._epoch_state_of(m)
+        w, tail = self._compact_epochs(w, set(tail) | set(epochs or []))
+        mm = dict(m)
+        mm.pop("committed_epochs", None)
+        mm.update(
+            version=version,
+            parent=m["version"],
+            schema=schema.jsonValue(),
+            buckets=buckets,
+            mor=True,
+            epoch_watermark=w,
+            epoch_tail=tail,
+            evolution=m.get("evolution", []) + [{"version": version, "actions": evo}] if evo else m.get("evolution", []),
+        )
+        self._commit(mm)
+        return {
+            "version": version,
+            "buckets_appended": len(written),
+            "evolution": evo,
+        }
+
+    def compact(self) -> dict:
+        """Fold merge-on-read history down: materialize the current
+        reconstructed state as one fresh copy-on-write commit (per-key
+        winners kept, tombstones dropped), after which reads are
+        shuffle-free again. The MOR analogue of Iceberg's rewrite_data_files."""
+        m = self.manifest()
+        if not m.get("mor"):
+            return {"version": m["version"], "compacted": False}
+        schema = T.StructType.fromJson(m["schema"])
+        state = self.read()  # MOR reconstruction over the old files
+        version = m["version"] + 1
+        data = self._bucket_col(self._align(state, schema), m["key"], m["num_buckets"])
+        written = self._write_commit(data, version)
+        mm = dict(m)
+        mm.update(
+            version=version,
+            parent=m["version"],
+            buckets=written,
+            mor=False,
+        )
+        self._commit(mm)
+        return {"version": version, "compacted": True}

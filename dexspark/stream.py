@@ -352,6 +352,7 @@ class CdcEngine:
                         delete_keys,
                         epochs=new_epochs,
                         affected_buckets=affected_buckets,
+                        mode=self.config.merge_mode,
                     )
                     if new_epochs
                     else None
