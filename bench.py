@@ -66,6 +66,8 @@ CDC_EPOCHS = 8
 # bandwidth — on this bandwidth-saturated host they are what keeps
 # core-scaling honest (see BENCH.md scaling notes).
 BINLOG_FORMAT = os.environ.get("DEXSPARK_BINLOG_FORMAT", "ndjson")
+# MERGE write mode: cow (default) | mor — see lake.LakeTable.merge
+MERGE_MODE = os.environ.get("DEXSPARK_MERGE_MODE", "cow")
 
 
 def _write_bench_binlog(spark, binlog: str, fmt: str = BINLOG_FORMAT) -> None:
@@ -140,10 +142,10 @@ def run_cdc(
         )
         wtable.overwrite(base)
         CdcEngine(
-            spark, wtable, os.path.join(workdir, "warm"), EngineConfig(num_buckets=64)
+            spark, wtable, os.path.join(workdir, "warm"), EngineConfig(num_buckets=64, merge_mode=MERGE_MODE)
         ).apply_binlog(binlog)
 
-    engine = CdcEngine(spark, table, workdir, EngineConfig(num_buckets=64))
+    engine = CdcEngine(spark, table, workdir, EngineConfig(num_buckets=64, merge_mode=MERGE_MODE))
     t1 = time.monotonic()
     metrics = engine.apply_binlog(binlog)
     apply_sec = time.monotonic() - t1
