@@ -114,4 +114,8 @@ class EngineConfig:
     # LakeTable.compact()). Use "mor" when batches touch a small
     # fraction of huge buckets.
     merge_mode: str = "cow"
+    # Auto-compaction bound for mor mode: after this many consecutive
+    # MOR commits the engine folds the history down (compact()),
+    # capping the read-side reconstruction depth. 0 = manual only.
+    compact_every: int = 8
     rules: RuleSet = field(default_factory=sequences_ruleset)

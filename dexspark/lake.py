@@ -490,6 +490,7 @@ class LakeTable:
             schema=schema.jsonValue(),
             buckets=buckets,
             mor=True,
+            mor_depth=int(m.get("mor_depth", 0)) + 1,
             epoch_watermark=w,
             epoch_tail=tail,
             evolution=m.get("evolution", []) + [{"version": version, "actions": evo}] if evo else m.get("evolution", []),
@@ -498,6 +499,7 @@ class LakeTable:
         return {
             "version": version,
             "buckets_appended": len(written),
+            "mor_depth": mm["mor_depth"],
             "evolution": evo,
         }
 
@@ -520,6 +522,7 @@ class LakeTable:
             parent=m["version"],
             buckets=written,
             mor=False,
+            mor_depth=0,
         )
         self._commit(mm)
         return {"version": version, "compacted": True}

@@ -369,7 +369,15 @@ class CdcEngine:
                         write_applied, applied_rows, self.applied_path
                     )
                 if f_merge is not None:
-                    f_merge.result()
+                    merge_info = f_merge.result()
+                    # bound the merge-on-read reconstruction depth:
+                    # fold history down every N MOR commits
+                    if (
+                        self.config.merge_mode == "mor"
+                        and self.config.compact_every
+                        and merge_info.get("mor_depth", 0) >= self.config.compact_every
+                    ):
+                        self.table.compact()
                 f_quar.result()
                 if f_applied is not None:
                     f_applied.result()

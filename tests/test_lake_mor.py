@@ -113,6 +113,33 @@ def test_mor_schema_evolution(spark, tmp_warehouse):
     assert rows["a"]["lang"] is None  # old commits null-filled at read
 
 
+def test_auto_compaction_bounds_mor_depth(spark, tmp_warehouse):
+    """Epochwise MOR apply with compact_every=2: the engine folds the
+    history down on schedule and the final state still matches."""
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "seq"), sequences_schema(), num_buckets=4
+    )
+    base = gen.base_sequences(spark, n_docs=100, max_len=8).cache()
+    table.overwrite(base)
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    files = gen.write_binlog(
+        gen.change_events(
+            spark, n_events=600, n_docs=100, n_epochs=6, max_len=8, anomaly_pct=10
+        ),
+        binlog,
+    )
+    engine = CdcEngine(
+        spark, table, tmp_warehouse,
+        EngineConfig(num_buckets=4, merge_mode="mor", compact_every=2),
+    )
+    for f in files:
+        engine.apply_binlog(os.path.join(binlog, os.path.basename(f)))
+        assert table.manifest().get("mor_depth", 0) < 2  # bound holds
+    want = oracle.replay(binlog, base_state=oracle.state_from_rows(base.collect()))
+    base.unpersist()
+    oracle.assert_equal_state(want.state, table.read().collect(), "auto-compact")
+
+
 def test_cdc_engine_in_mor_mode_matches_oracle(spark, tmp_warehouse):
     table = LakeTable.create(
         spark, os.path.join(tmp_warehouse, "seq"), sequences_schema(), num_buckets=8
