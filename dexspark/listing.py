@@ -52,10 +52,13 @@ def classify_listing(listing: DataFrame, pass_suffix: str = ".csv") -> DataFrame
 def validate_listing(spark: SparkSession, root: str) -> dict:
     """The interactive entry point: returns the report the reference's
     HTTP function rendered (counts + per-status file lists capped for
-    driver safety). The example list is capped BEFORE aggregation (top
-    100 per status via a row_number window), so no executor ever
-    buffers the full listing of a millions-of-objects container in one
-    collect_list."""
+    driver safety). The example list is capped BEFORE aggregation with
+    a two-phase top-k: first the smallest 100 paths per (status, salt)
+    bucket — 256-way parallel, each task sorting a bounded slice —
+    then the smallest 100 of the <=25,600 survivors per status. No
+    executor ever sorts or buffers the full listing of a
+    millions-of-objects container (a single status-partitioned window
+    would funnel everything through 3 tasks)."""
     from pyspark.sql import Window
 
     classified = classify_listing(list_files(spark, root))
@@ -63,10 +66,14 @@ def validate_listing(spark: SparkSession, root: str) -> dict:
         r["status"]: r["n"]
         for r in classified.groupBy("status").agg(F.count("*").alias("n")).collect()
     }
-    w = Window.partitionBy("status").orderBy("path")
+    salted = classified.withColumn("_salt", F.pmod(F.xxhash64("path"), F.lit(256)))
+    w1 = Window.partitionBy("status", "_salt").orderBy("path")
+    w2 = Window.partitionBy("status").orderBy("path")
     sample = (
-        classified.withColumn("_rk", F.row_number().over(w))
+        salted.withColumn("_rk", F.row_number().over(w1))
         .filter(F.col("_rk") <= 100)
+        .withColumn("_rk2", F.row_number().over(w2))
+        .filter(F.col("_rk2") <= 100)
         .groupBy("status")
         .agg(F.sort_array(F.collect_list("path")).alias("paths"))
         .collect()
