@@ -61,7 +61,7 @@ HEADLINE = [
 CDC_DOCS = int(os.environ.get("DEXSPARK_CDC_DOCS", "200000"))
 CDC_EVENTS = int(os.environ.get("DEXSPARK_CDC_EVENTS", "4000000"))
 CDC_EPOCHS = 8
-# Binlog wire format: ndjson (default) | gzip | zstd | parquet.
+# Binlog wire format: ndjson (default) | gzip | lz4 | parquet.
 # The compressed/columnar encodings trade scan CPU for memory-bus
 # bandwidth — on this bandwidth-saturated host they are what keeps
 # core-scaling honest (see BENCH.md scaling notes).

@@ -162,7 +162,7 @@ def write_binlog(
     write job (partitionBy), then a driver-side rename of part files
     (cheap: O(files)). ``files_per_epoch`` > 1 keeps the tail scan
     parallel (one reader task per file at minimum). ``codec`` (gzip /
-    zstd / lz4 ...) trades scan CPU for wire/bus bandwidth — on a
+    lz4 ...; availability per Hadoop codec registry) trades scan CPU for wire/bus bandwidth — on a
     bandwidth-bound host the compressed tail scales better with cores.
     Returns paths in epoch order."""
     os.makedirs(out_dir, exist_ok=True)

@@ -155,7 +155,7 @@ def test_binlog_encodings_equivalent(spark, tmp_warehouse):
     ).cache()
     base = gen.base_sequences(spark, n_docs=N_DOCS, max_len=16)
     states, counts = {}, {}
-    for fmt in ("ndjson", "gzip", "parquet"):
+    for fmt in ("ndjson", "gzip", "lz4", "parquet"):
         root = os.path.join(tmp_warehouse, fmt)
         table = LakeTable.create(
             spark, os.path.join(root, "seq"), sequences_schema(), num_buckets=8
@@ -175,8 +175,9 @@ def test_binlog_encodings_equivalent(spark, tmp_warehouse):
             r["doc_id"]: r.asDict(recursive=True) for r in table.read().collect()
         }
     events.unpersist()
-    assert counts["ndjson"] == counts["gzip"] == counts["parquet"]
-    assert states["ndjson"] == states["gzip"] == states["parquet"]
+    for fmt in ("gzip", "lz4", "parquet"):
+        assert counts[fmt] == counts["ndjson"], fmt
+        assert states[fmt] == states["ndjson"], fmt
 
 
 def test_duplicate_malformed_lines_each_quarantined(spark, tmp_warehouse):
