@@ -89,6 +89,72 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def resize_stub(decoded: DataFrame, max_w: int = 224, max_h: int = 224) -> DataFrame:
+    """Arrow-batched 'resize': scales width/height to fit the target
+    box (aspect preserved) and derives a deterministic stand-in for
+    the resized payload (sha256 of original bytes + target box — the
+    real PIL/ffmpeg resample plugs in at ``real_decode``). Plumbing —
+    schema, batch shape, pass-through of untouched columns — is real."""
+    import hashlib
+
+    out_schema = T.StructType(
+        list(DECODED_SCHEMA.fields)
+        + [
+            T.StructField("out_w", T.IntegerType(), True),
+            T.StructField("out_h", T.IntegerType(), True),
+            T.StructField("resized_sha", T.StringType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pdf = pdf.copy()
+            scale = (max_w / pdf["width"]).combine(max_h / pdf["height"], min).clip(upper=1.0)
+            pdf["out_w"] = (pdf["width"] * scale).astype(int).clip(lower=1).astype("int32")
+            pdf["out_h"] = (pdf["height"] * scale).astype(int).clip(lower=1).astype("int32")
+            pdf["resized_sha"] = [
+                hashlib.sha256((p or b"") + f"|{w}x{h}".encode()).hexdigest()[:16]
+                for p, w, h in zip(pdf["payload"], pdf["out_w"], pdf["out_h"])
+            ]
+            yield pdf[out_schema.fieldNames()]
+
+    return decoded.mapInPandas(batches, schema=out_schema)
+
+
+def extract_features_stub(decoded: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-batched 'feature extraction': a deterministic unit-norm
+    float vector per media item derived from the payload digest (the
+    real encoder — CLIP/wav2vec — plugs in at ``real_decode``).
+    Output shape matches the embeddings table (array<float>), so the
+    ANN / cosine-dedup operators run on it unchanged."""
+    import hashlib
+
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("kind", T.StringType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = []
+            for p in pdf["payload"]:
+                dig = hashlib.sha256(p or b"").digest()
+                raw = np.frombuffer((dig * ((dim * 4) // len(dig) + 1))[: dim * 4], dtype="<i4")
+                v = raw.astype("float64")
+                v = v / (np.linalg.norm(v) or 1.0)
+                vecs.append(v.astype("float32").tolist())
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "kind": pdf["kind"], "embedding": vecs}
+            )
+
+    return decoded.mapInPandas(batches, schema=out_schema)
+
+
 def frame_sample(decoded: DataFrame, every_n: int = 30) -> DataFrame:
     """Frame-sampling plan for videos: one row per sampled frame index
     (explode of a JVM-generated sequence — no Python in the path)."""

@@ -1200,23 +1200,47 @@ def text_langid(spark, sf_dir):
     return scored.select("doc_id", pred.alias("lang_pred"))
 
 
+# Two fingerprint families: an order-insensitive content fingerprint
+# (md5 of the sorted distinct vocabulary) and an order-SENSITIVE
+# rolling (polynomial / Karp-Rabin) hash over per-word hashes —
+# acc = (acc*B + h(word)) mod M left-to-right, so re-ordered
+# documents fingerprint differently.
+_RH_B = 1_000_003
+_RH_M = 2_147_483_647
+
+
 @query(
     "text_fingerprint",
-    """
+    f"""
     SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(
-               string_split(lower(text), ' '))), ' ')) AS fingerprint
+               string_split(lower(text), ' '))), ' ')) AS fingerprint,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               [('0x' || substring(md5(w), 1, 15))::BIGINT
+                FOR w IN string_split(lower(text), ' ')]),
+             (acc, x) -> (acc * {_RH_B} + x) % {_RH_M}) AS rolling_fp
     FROM documents
     """,
 )
 def text_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
+    words = F.split(F.lower("text"), " ")
     fp = F.md5(
-        F.array_join(
-            F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " "
-        ).cast("binary")
+        F.array_join(F.array_sort(F.array_distinct(words)), " ").cast("binary")
     )
-    return d.select("doc_id", fp.alias("fingerprint"))
+    wh = F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(w.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        ),
+    )
+    rolling = F.aggregate(
+        wh,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(_RH_B) + x) % F.lit(_RH_M),
+    )
+    return d.select("doc_id", fp.alias("fingerprint"), rolling.alias("rolling_fp"))
 
 
 # =====================================================================

@@ -7,9 +7,11 @@ from pyspark.sql import functions as F
 from dexspark.operators.multimodal import (
     DECODED_SCHEMA,
     decode_media_stub,
+    extract_features_stub,
     frame_sample,
     media_from_documents,
     real_decode,
+    resize_stub,
 )
 
 
@@ -66,3 +68,31 @@ def test_real_codec_is_stubbed():
 
 def test_decoded_schema_stable(media):
     assert decode_media_stub(media).schema == DECODED_SCHEMA
+
+
+def test_resize_preserves_aspect_and_bounds(media):
+    rs = resize_stub(decode_media_stub(media), max_w=224, max_h=224)
+    for r in rs.collect():
+        assert 1 <= r["out_w"] <= 224 and 1 <= r["out_h"] <= 224
+        # aspect preserved within integer rounding; never upscaled
+        assert r["out_w"] <= r["width"] and r["out_h"] <= r["height"]
+        if r["width"] > 224 or r["height"] > 224:
+            assert r["out_w"] == 224 or r["out_h"] == 224
+        assert len(r["resized_sha"]) == 16
+    plan = rs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_feature_extraction_matches_embeddings_shape(media):
+    feats = extract_features_stub(decode_media_stub(media), dim=8)
+    rows = feats.collect()
+    assert dict(feats.dtypes)["embedding"] == "array<float>"
+    for r in rows:
+        assert len(r["embedding"]) == 8
+        norm = sum(x * x for x in r["embedding"]) ** 0.5
+        assert abs(norm - 1.0) < 1e-3  # unit-norm, ANN-ready
+    # deterministic across runs
+    again = extract_features_stub(decode_media_stub(media), dim=8).collect()
+    assert {r["media_id"]: r["embedding"] for r in rows} == {
+        r["media_id"]: r["embedding"] for r in again
+    }
