@@ -137,7 +137,10 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
         if col in dtypes:
             checks.append(
                 (
-                    F.col(col) != F.lit(literal),
+                    # null-safe: a MISSING version fails the literal
+                    # check just like a wrong one (a plain != returns
+                    # NULL for NULL cells, silently passing them)
+                    ~F.col(col).eqNullSafe(F.lit(literal)),
                     _msg("version", col, f"must equal {literal}"),
                 )
             )
