@@ -274,8 +274,16 @@ class LakeTable:
 
     def _write_commit(self, df: DataFrame, version: int) -> dict[str, list[str]]:
         """Write ``df`` (which must carry ``_bucket``) under a fresh
-        commit dir, one directory per bucket; return bucket -> relpaths."""
-        commit_rel = os.path.join(_DATA_DIR, f"commit-{version:08d}")
+        commit dir, one directory per bucket; return bucket -> relpaths.
+
+        The dir name carries a per-attempt nonce: a writer that crashed
+        after writing data but before publishing its manifest leaves
+        only orphaned files — it can never collide with (and block) a
+        later attempt at the same version, and the optimistic manifest
+        commit still decides the single winner."""
+        commit_rel = os.path.join(
+            _DATA_DIR, f"commit-{version:08d}-{uuid.uuid4().hex[:8]}"
+        )
         commit_dir = os.path.join(self.root, commit_rel)
         # partitionBy gives parallel per-bucket files; repartition by
         # bucket first so each task writes few buckets (fewer small

@@ -56,6 +56,30 @@ def test_error_rows_for_bad_archives(spark, archive_dir):
     assert "empty zip" in errs["empty.zip"]
 
 
+def test_depth_cap_emits_error_row(spark, tmp_path):
+    bomb = _zip_bytes({"leaf.txt": b"x"})
+    for _ in range(6):
+        bomb = _zip_bytes({"b.zip": bomb})
+    (tmp_path / "deep.zip").write_bytes(bomb)
+    out = read_and_explode(spark, str(tmp_path), max_depth=3)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert "max depth 3 exceeded" in rows[0]["error"]
+    assert rows[0]["content"] is None
+
+
+def test_decompressed_bytes_cap_emits_error_row(spark, tmp_path):
+    big = _zip_bytes({"a.txt": b"x" * 100, "b.txt": b"y" * 100})
+    (tmp_path / "big.zip").write_bytes(big)
+    out = read_and_explode(spark, str(tmp_path), max_total_bytes=150)
+    rows = {r["entry_path"]: (r["content"], r["error"]) for r in out.collect()}
+    # first entry fits the budget, second trips the cap
+    contents = [v for v in rows.values() if v[1] is None]
+    capped = [v for v in rows.values() if v[1] is not None]
+    assert len(contents) == 1 and len(capped) == 1
+    assert "decompressed-bytes cap exceeded" in capped[0][1]
+
+
 def test_plan_is_arrow_batched(spark, archive_dir):
     plan = read_and_explode(spark, archive_dir)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan

@@ -133,6 +133,37 @@ def test_reconcile_rejects_narrowing():
         reconcile(wide, narrow)
 
 
+def test_concurrent_commit_loses_race_cleanly(spark, table):
+    """Optimistic concurrency: two writers deriving the same next
+    version — the second publish raises instead of clobbering."""
+    from dexspark.lake import ConcurrentCommitError
+
+    m1 = dict(table.manifest())
+    m2 = dict(table.manifest())
+    m1["version"] = m1["version"] + 1
+    m2["version"] = m2["version"] + 1
+    table._commit(m1)
+    with pytest.raises(ConcurrentCommitError):
+        table._commit(m2)
+
+
+def test_crash_between_data_write_and_commit_is_invisible(spark, table):
+    """Data files written but manifest never published (crash window):
+    readers keep seeing the previous snapshot; a later commit is
+    unaffected by the orphaned files."""
+    before = {r["doc_id"] for r in table.read().collect()}
+    orphan = table._bucket_col(
+        spark.createDataFrame([("zz", [9], 1, "web")], schema=sequences_schema()),
+        "doc_id",
+        table.num_buckets,
+    )
+    table._write_commit(orphan, table.current_version() + 1)  # no _commit
+    assert {r["doc_id"] for r in table.read().collect()} == before
+    ups = spark.createDataFrame([("dd", [1], 1, "web")], schema=sequences_schema())
+    table.merge(ups, epochs=[9])
+    assert {r["doc_id"] for r in table.read().collect()} == before | {"dd"}
+
+
 def test_bucket_pruned_read(spark, table):
     m = table.manifest()
     # read() with bucket pruning returns exactly the rows hashed there
