@@ -82,8 +82,8 @@ class LakeTable:
         ]
         return max(versions, default=0)
 
-    def manifest(self) -> dict:
-        v = self.current_version()
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"no snapshot at {self.root}")
         with open(self._snap_path(v)) as f:
@@ -202,8 +202,15 @@ class LakeTable:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current snapshot as a DataFrame (optionally bucket-pruned).
+    def read(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """Snapshot as a DataFrame (optionally bucket-pruned).
+
+        ``version`` time-travels to an earlier snapshot: manifests are
+        immutable and data files are content-addressed per commit, so
+        any retained version reads exactly as it was (Iceberg
+        ``VERSION AS OF``). Default: current.
 
         Files are grouped by commit (a commit's files share one schema)
         and each group is aligned to the table schema — this is how old
@@ -216,7 +223,7 @@ class LakeTable:
         and tombstone rows (MOR deletes) drop the key — one keyed
         aggregate, pruned to the requested buckets. ``compact()``
         folds MOR history back into plain files."""
-        m = self.manifest()
+        m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         file_lists = m["buckets"]
         wanted = {str(b) for b in buckets} if buckets is not None else None
@@ -510,6 +517,49 @@ class LakeTable:
             "mor_depth": mm["mor_depth"],
             "evolution": evo,
         }
+
+    def vacuum(self, keep_last: int = 1, min_age_seconds: float = 0.0) -> dict:
+        """Expire old snapshots and remove unreferenced data dirs.
+
+        Keeps the newest ``keep_last`` snapshot manifests (time-travel
+        window) and deletes every data commit dir referenced by NONE of
+        them — expired history and crash orphans alike. Dirs younger
+        than ``min_age_seconds`` are spared so an in-flight writer's
+        not-yet-committed files survive (the Iceberg
+        expire_snapshots + remove_orphan_files pair in one pass)."""
+        import shutil
+        import time as _time
+
+        snap_dir = os.path.join(self.root, _SNAP_DIR)
+        versions = sorted(
+            int(n[5:13])
+            for n in os.listdir(snap_dir)
+            if n.startswith("snap-") and n.endswith(".json")
+        )
+        retained = set(versions[-max(1, keep_last):])
+        referenced: set[str] = set()
+        for v in retained:
+            for files in self.manifest(v)["buckets"].values():
+                for rel in files:
+                    referenced.add(rel.split("/")[1])
+        removed_dirs = 0
+        data_root = os.path.join(self.root, _DATA_DIR)
+        now = _time.time()
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                p = os.path.join(data_root, d)
+                if d in referenced or not os.path.isdir(p):
+                    continue
+                if now - os.path.getmtime(p) < min_age_seconds:
+                    continue
+                shutil.rmtree(p, ignore_errors=True)
+                removed_dirs += 1
+        expired = 0
+        for v in versions:
+            if v not in retained:
+                os.unlink(self._snap_path(v))
+                expired += 1
+        return {"snapshots_expired": expired, "data_dirs_removed": removed_dirs}
 
     def compact(self) -> dict:
         """Fold merge-on-read history down: materialize the current

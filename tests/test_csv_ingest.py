@@ -171,3 +171,13 @@ def test_listing_classification(spark, tmp_path):
     report = validate_listing(spark, str(tmp_path))
     assert report["counts"] == {"passed": 2, "failed": 2, "skipped": 1}
     assert any(p.endswith("a.csv") for p in report["examples"]["passed"])
+
+
+def test_validate_file_match_is_anchored(spark, tmp_path):
+    from dexspark.listing import validate_file
+
+    _file(tmp_path, "table1.csv", "x\n")
+    root = str(tmp_path)
+    # a bare-name query must not match a longer file name as a suffix
+    assert validate_file(spark, root, "1.csv") == "missing"
+    assert validate_file(spark, root, "table1.csv") == "passed"

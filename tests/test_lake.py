@@ -164,6 +164,52 @@ def test_crash_between_data_write_and_commit_is_invisible(spark, table):
     assert {r["doc_id"] for r in table.read().collect()} == before | {"dd"}
 
 
+def test_time_travel_read(spark, table):
+    v_base = table.current_version()
+    ups = spark.createDataFrame([("a", [9, 9], 2, "wiki")], schema=sequences_schema())
+    dels = spark.createDataFrame([("b",)], "doc_id string")
+    table.merge(ups, dels, epochs=[1])
+    # current: a updated, b gone
+    now = _rows(table)
+    assert now["a"]["tokens"] == [9, 9] and "b" not in now
+    # VERSION AS OF the pre-merge snapshot: original state intact
+    then = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in table.read(version=v_base).collect()
+    }
+    assert then["a"]["tokens"] == [1, 2] and then["b"]["tokens"] == [3]
+
+
+def test_vacuum_removes_expired_and_orphans(spark, table):
+    ups = spark.createDataFrame([("a", [9], 1, "web")], schema=sequences_schema())
+    table.merge(ups, epochs=[1])
+    v_old = table.current_version() - 1
+    # an orphan from a crashed writer (data written, never committed)
+    orphan = table._bucket_col(
+        spark.createDataFrame([("q", [1], 1, "web")], schema=sequences_schema()),
+        "doc_id",
+        table.num_buckets,
+    )
+    table._write_commit(orphan, table.current_version() + 1)
+    want = _rows(table)
+    info = table.vacuum(keep_last=1)
+    assert info["data_dirs_removed"] >= 1  # orphan + expired history gone
+    assert info["snapshots_expired"] >= 1
+    assert _rows(table) == want  # current snapshot fully intact
+    with pytest.raises(FileNotFoundError):
+        table.manifest(v_old)  # expired version no longer readable
+
+
+def test_vacuum_keep_last_preserves_time_travel(spark, table):
+    v0 = table.current_version()
+    ups = spark.createDataFrame([("a", [7], 1, "web")], schema=sequences_schema())
+    table.merge(ups, epochs=[1])
+    table.vacuum(keep_last=2)
+    # both retained versions still read correctly
+    assert table.read(version=v0).count() == 3
+    assert _rows(table)["a"]["tokens"] == [7]
+
+
 def test_bucket_pruned_read(spark, table):
     m = table.manifest()
     # read() with bucket pruning returns exactly the rows hashed there
