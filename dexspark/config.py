@@ -118,4 +118,8 @@ class EngineConfig:
     # MOR commits the engine folds the history down (compact()),
     # capping the read-side reconstruction depth. 0 = manual only.
     compact_every: int = 8
+    # Snapshot retention: when > 0, the engine vacuums after each
+    # merge, keeping this many snapshots (time-travel window) and
+    # removing unreferenced/orphaned data dirs. 0 = manual only.
+    vacuum_keep_last: int = 0
     rules: RuleSet = field(default_factory=sequences_ruleset)

@@ -378,6 +378,9 @@ class CdcEngine:
                         and merge_info.get("mor_depth", 0) >= self.config.compact_every
                     ):
                         self.table.compact()
+                    # snapshot retention policy (expire + orphan GC)
+                    if self.config.vacuum_keep_last > 0:
+                        self.table.vacuum(keep_last=self.config.vacuum_keep_last)
                 f_quar.result()
                 if f_applied is not None:
                     f_applied.result()

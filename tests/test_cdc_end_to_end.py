@@ -144,6 +144,35 @@ def test_applied_lineage_links_rows_to_events(spark, tmp_warehouse):
     assert spark.read.parquet(engine.applied_path).count() == applied.count()
 
 
+def test_vacuum_retention_policy(spark, tmp_warehouse):
+    """Epochwise apply with vacuum_keep_last=1: snapshots expire as
+    the stream advances, the live table state is untouched, and total
+    snapshot count stays bounded."""
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "seq"), sequences_schema(), num_buckets=4
+    )
+    base = gen.base_sequences(spark, n_docs=100, max_len=8).cache()
+    table.overwrite(base)
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    files = gen.write_binlog(
+        gen.change_events(
+            spark, n_events=400, n_docs=100, n_epochs=4, max_len=8, anomaly_pct=10
+        ),
+        binlog,
+    )
+    engine = CdcEngine(
+        spark, table, tmp_warehouse,
+        EngineConfig(num_buckets=4, vacuum_keep_last=1),
+    )
+    for f in files:
+        engine.apply_binlog(os.path.join(binlog, os.path.basename(f)))
+        snaps = os.listdir(os.path.join(table.root, "_snapshots"))
+        assert len(snaps) == 1  # retention bound holds after every batch
+    want = oracle.replay(binlog, base_state=oracle.state_from_rows(base.collect()))
+    base.unpersist()
+    oracle.assert_equal_state(want.state, table.read().collect(), "vacuumed")
+
+
 def test_binlog_encodings_equivalent(spark, tmp_warehouse):
     """Plain ndjson, gzip ndjson, and structured parquet binlogs of
     the SAME change stream (anomalies included) must converge to the
