@@ -69,7 +69,14 @@ def main(argv: list[str] | None = None) -> int:
     rules = None
     if args.rules:
         with open(args.rules) as f:
-            rules = RuleSet.from_dict(json.load(f))
+            doc = json.load(f)
+        # accept both the flat RuleSet dict and the shipped rule-set
+        # artifact shape ({"header": ..., "rules": ...}, see
+        # dexspark/rulesets/) — silently loading zero rules from the
+        # nested form would be a trap
+        rules = RuleSet.from_dict(
+            doc["rules"] if isinstance(doc.get("rules"), dict) else doc
+        )
     cfg_kwargs = dict(
         num_buckets=args.num_buckets, applied_lineage=args.applied_lineage
     )
