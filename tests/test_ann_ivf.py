@@ -1,0 +1,100 @@
+"""IVF ANN: exactness at full probe, subset behavior at partial
+probe, and the plan shape (broadcast joins, no Python)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dexspark.operators.ann import build_index, search
+
+SF_DIR = "/root/testdata/sf0.001"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason="driver testdata not present"
+)
+
+N_CELLS = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
+
+
+@pytest.fixture(scope="module")
+def index(emb):
+    return build_index(emb, n_cells=N_CELLS).localCheckpoint(eager=True)
+
+
+def _brute(spark, emb, queries, k):
+    a = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")).alias("a")
+    b = emb.alias("b")
+    from dexspark.operators.ann import _cosine
+    from pyspark.sql import Window
+
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("a.query_id") != F.col("b.vec_id"))
+        .select(
+            "query_id",
+            F.col("b.vec_id").alias("neighbor_id"),
+            _cosine(F.col("a.qe"), F.col("b.embedding")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cos_sim"), "rk")
+    )
+
+
+def test_index_assigns_every_vector_once(emb, index):
+    assert index.count() == emb.count()
+    assert index.groupBy("vec_id").count().filter(F.col("count") > 1).count() == 0
+    cells = {r["cell"] for r in index.select("cell").distinct().collect()}
+    assert cells <= set(range(N_CELLS))
+
+
+def test_full_probe_equals_brute_force(spark, emb, index):
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in search(index, queries, k=10, nprobe=N_CELLS, n_cells=N_CELLS).collect()
+    }
+    want = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in _brute(spark, emb, queries, 10).collect()
+    }
+    assert got == want
+
+
+def test_partial_probe_returns_subset_of_candidates(spark, emb, index):
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = search(index, queries, k=10, nprobe=2, n_cells=N_CELLS).collect()
+    # every query answered, ranks contiguous from 1
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r["rk"])
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for rks in by_q.values():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
+    # neighbors come only from the probed cells
+    cell_of = {r["vec_id"]: r["cell"] for r in index.collect()}
+    for r in res:
+        assert r["neighbor_id"] in cell_of
+
+
+def test_plan_broadcasts_and_no_python(emb, index):
+    queries = emb.filter(F.col("vec_id") < 3)
+    plan = (
+        search(index, queries, k=5, nprobe=2, n_cells=N_CELLS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
