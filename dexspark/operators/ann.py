@@ -63,10 +63,58 @@ def _nearest_cells(
     )
 
 
-def build_index(embeddings: DataFrame, n_cells: int = 16) -> DataFrame:
+def refine_centroids(
+    embeddings: DataFrame, cts: DataFrame, iterations: int = 2
+) -> DataFrame:
+    """Lloyd's k-means refinement of the coarse centroids.
+
+    Each iteration is one broadcast-join assignment plus one
+    per-cell mean aggregate — the canonical iterative-algorithm shape
+    on Spark (no driver-side vectors beyond the tiny centroid set,
+    which is collected/broadcast each round by construction of the
+    assignment join). Empty cells keep their previous centroid.
+    Deterministic given deterministic inputs."""
+    for _ in range(iterations):
+        assigned = _nearest_cells(
+            embeddings.select("vec_id", "embedding"), cts, "vec_id", top=1
+        )
+        means = (
+            assigned.select(
+                "cell", F.posexplode("embedding").alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("_pm")
+            )
+            .select(
+                "cell",
+                F.transform(F.col("_pm"), lambda s: s["m"].cast("float")).alias(
+                    "new_centroid"
+                ),
+            )
+        )
+        cts = (
+            cts.join(means, "cell", "left")
+            .select(
+                "cell",
+                F.coalesce(F.col("new_centroid"), F.col("centroid")).alias("centroid"),
+            )
+            .localCheckpoint(eager=True)  # truncate the iterative lineage
+        )
+    return cts
+
+
+def build_index(
+    embeddings: DataFrame, n_cells: int = 16, cts: DataFrame | None = None
+) -> DataFrame:
     """Assign every vector to its nearest centroid; posting lists
-    co-located per cell: (vec_id, embedding, cell)."""
-    cts = centroids(embeddings, n_cells)
+    co-located per cell: (vec_id, embedding, cell). Pass refined
+    centroids via ``cts`` (and the SAME frame to ``search``)."""
+    cts = cts if cts is not None else centroids(embeddings, n_cells)
     assigned = _nearest_cells(
         embeddings.select("vec_id", "embedding"), cts, "vec_id", top=1
     )
@@ -79,14 +127,17 @@ def search(
     k: int = 10,
     nprobe: int = 4,
     n_cells: int = 16,
+    cts: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors per query, probing the ``nprobe``
-    nearest cells. ``queries``: (vec_id, embedding). With
-    ``nprobe == n_cells`` the result is exactly brute force (tested).
-    """
-    cts = index.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
-    )
+    nearest cells. ``queries``: (vec_id, embedding). Pass the same
+    ``cts`` the index was built with when using refined centroids.
+    With ``nprobe == n_cells`` the result is exactly brute force
+    (tested)."""
+    if cts is None:
+        cts = index.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+        )
     probes = _nearest_cells(
         queries.select(F.col("vec_id").alias("query_id"), "embedding"),
         cts,

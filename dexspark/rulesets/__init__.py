@@ -18,24 +18,28 @@ Usage::
 from __future__ import annotations
 
 import json
-import os
+from importlib import resources
 
 from ..config import RuleSet
-
-_DIR = os.path.dirname(os.path.abspath(__file__))
 
 
 def available_rulesets() -> list[str]:
     return sorted(
-        f[:-5] for f in os.listdir(_DIR) if f.endswith(".json")
+        r.name[:-5]
+        for r in resources.files(__package__).iterdir()
+        if r.name.endswith(".json")
     )
 
 
 def load_ruleset(name: str) -> tuple[RuleSet, dict]:
     """Load a shipped rule-set: (row-level RuleSet, header kwargs for
-    ``ingest_csv``: required_columns / known_columns / allow_unknown)."""
-    with open(os.path.join(_DIR, f"{name}.json")) as f:
-        doc = json.load(f)
+    ``ingest_csv``: required_columns / known_columns / allow_unknown).
+
+    Read via importlib.resources so the artifacts load identically
+    from a source tree or from the spark-submit --py-files zip."""
+    doc = json.loads(
+        resources.files(__package__).joinpath(f"{name}.json").read_text()
+    )
     rules = RuleSet.from_dict(doc.get("rules", {}))
     h = doc.get("header", {})
     header = {

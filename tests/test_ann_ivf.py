@@ -90,6 +90,39 @@ def test_partial_probe_returns_subset_of_candidates(spark, emb, index):
         assert r["neighbor_id"] in cell_of
 
 
+def test_kmeans_refinement_reduces_inertia(spark, emb):
+    """Lloyd iterations must not worsen the clustering: mean cosine
+    of each vector to its assigned centroid is non-decreasing, and
+    full-probe search with refined centroids is still exact."""
+    from dexspark.operators.ann import _cosine, centroids, refine_centroids
+
+    def inertia(cts):
+        assigned = build_index(emb, n_cells=N_CELLS, cts=cts)
+        joined = assigned.join(
+            F.broadcast(cts), "cell"
+        ).select(_cosine(F.col("embedding"), F.col("centroid")).alias("sim"))
+        return joined.agg(F.avg("sim")).collect()[0][0]
+
+    seed = centroids(emb, N_CELLS).localCheckpoint(eager=True)
+    refined = refine_centroids(emb, seed, iterations=2)
+    assert refined.count() == N_CELLS
+    assert inertia(refined) >= inertia(seed) - 1e-9
+    # exactness at full probe holds with refined centroids too
+    idx = build_index(emb, n_cells=N_CELLS, cts=refined).localCheckpoint(eager=True)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in search(
+            idx, queries, k=5, nprobe=N_CELLS, n_cells=N_CELLS, cts=refined
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["rk"]): r["neighbor_id"]
+        for r in _brute(spark, emb, queries, 5).collect()
+    }
+    assert got == want
+
+
 def test_plan_broadcasts_and_no_python(emb, index):
     queries = emb.filter(F.col("vec_id") < 3)
     plan = (
