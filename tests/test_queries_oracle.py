@@ -77,7 +77,8 @@ def test_entry_smoke(spark, entrymod):
 
 def test_every_query_has_callable(entrymod):
     qs = entrymod.queries()
-    assert len(qs) >= 35
-    missing_oracles = set(qs) - set(entrymod.oracle_sql())
-    # only genuinely non-SQL-expressible ops may omit the oracle
-    assert missing_oracles <= {"cdc_apply_pipeline"}
+    # the correctness gate checks the FIRST 50 registered entries:
+    # stay at exactly <= 50 (merge queries rather than exceeding the
+    # window) and give every single one a DuckDB oracle
+    assert 35 <= len(qs) <= 50
+    assert set(qs) == set(entrymod.oracle_sql())
