@@ -68,6 +68,8 @@ CDC_EPOCHS = 8
 BINLOG_FORMAT = os.environ.get("DEXSPARK_BINLOG_FORMAT", "ndjson")
 # MERGE write mode: cow (default) | mor — see lake.LakeTable.merge
 MERGE_MODE = os.environ.get("DEXSPARK_MERGE_MODE", "cow")
+# Fraction of events aimed at the hottest 1% of keys (skew stress)
+CDC_HOT_PCT = int(os.environ.get("DEXSPARK_CDC_HOT_PCT", "20"))
 
 
 def _write_bench_binlog(spark, binlog: str, fmt: str = BINLOG_FORMAT) -> None:
@@ -80,6 +82,7 @@ def _write_bench_binlog(spark, binlog: str, fmt: str = BINLOG_FORMAT) -> None:
         n_epochs=CDC_EPOCHS,
         max_len=64,
         anomaly_pct=5,
+        hot_pct=CDC_HOT_PCT,
     )
     if fmt == "parquet":
         gen.write_binlog_parquet(events, binlog)
@@ -194,6 +197,61 @@ def main_default(sf_dir: str, cpus: int) -> None:
                 "cdc_events": cdc["events"],
                 "cdc_events_per_sec": cdc["events_per_sec"],
                 "cdc_rows_merged": cdc["rows_merged"],
+            }
+        )
+    )
+    spark.stop()
+
+
+def main_stream_cdc(cpus: int, max_files_per_trigger: int = 4) -> None:
+    """Sustained STREAMING throughput: the same change log consumed as
+    checkpointed Structured Streaming micro-batches (availableNow +
+    maxFilesPerTrigger) instead of one mega-batch — the north-rule
+    deployment shape, paying scheduling/commit overhead per trigger."""
+    from dexspark import gen
+    from dexspark.config import EngineConfig
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+    from dexspark.stream import CdcEngine
+
+    spark = _mk_spark(cpus)
+    workdir = f"{SCRATCH}/dexspark-streambench-{cpus}"
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    table = LakeTable.create(
+        spark, os.path.join(workdir, "seq"), sequences_schema(), num_buckets=64
+    )
+    table.overwrite(gen.base_sequences(spark, n_docs=CDC_DOCS, max_len=64))
+    binlog = os.path.join(workdir, "binlog")
+    _write_bench_binlog(spark, binlog)
+    n_files = len([f for f in os.listdir(binlog) if not f.startswith("_")])
+    engine = CdcEngine(
+        spark, table, workdir, EngineConfig(num_buckets=64, merge_mode=MERGE_MODE)
+    )
+    t0 = time.monotonic()
+    q = engine.run_stream(
+        binlog,
+        os.path.join(workdir, "ckpt"),
+        available_now=True,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+    w, tail = table.epoch_state()
+    n_batches = -(-n_files // max_files_per_trigger)
+    print(
+        json.dumps(
+            {
+                "metric": "streaming micro-batch CDC apply (availableNow, checkpointed)",
+                "unit": "events/sec",
+                "events": CDC_EVENTS,
+                "wall_sec": round(wall, 2),
+                "events_per_sec": round(CDC_EVENTS / wall, 1),
+                "micro_batches": n_batches,
+                "files": n_files,
+                "max_files_per_trigger": max_files_per_trigger,
+                "epoch_watermark": w,
+                "cpus": cpus,
             }
         )
     )
@@ -330,6 +388,8 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--weak-scaling", action="store_true")
+    ap.add_argument("--stream-cdc", action="store_true")
+    ap.add_argument("--max-files-per-trigger", type=int, default=4)
     ap.add_argument("--worker-cdc", action="store_true")
     ap.add_argument("--warmup", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
@@ -341,6 +401,8 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.worker_cdc:
         main_worker_cdc(args.cpus, args.shared_binlog, args.warmup)
+    elif args.stream_cdc:
+        main_stream_cdc(args.cpus, args.max_files_per_trigger)
     elif args.weak_scaling:
         lo, hi = (int(x) for x in args.levels.split(","))
         main_weak_scaling(levels=(lo, hi), cooldown=args.cooldown)
