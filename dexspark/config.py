@@ -122,4 +122,11 @@ class EngineConfig:
     # merge, keeping this many snapshots (time-travel window) and
     # removing unreferenced/orphaned data dirs. 0 = manual only.
     vacuum_keep_last: int = 0
+    # Minimum age before an unreferenced data dir is swept. The
+    # conservative default protects a CONCURRENT writer's just-written
+    # commit dir (data on disk, manifest not yet published) from being
+    # GC'd as an orphan — deleting it would let the writer publish a
+    # manifest referencing missing files. Set to 0 only in
+    # single-writer contexts (tests).
+    vacuum_min_age_seconds: float = 3600.0
     rules: RuleSet = field(default_factory=sequences_ruleset)

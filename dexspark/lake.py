@@ -131,6 +131,30 @@ class LakeTable:
             tail.discard(watermark)
         return watermark, sorted(tail)
 
+    def _next_epoch_state(self, m: dict, epochs) -> dict:
+        """Manifest epoch fields after committing ``epochs``.
+
+        Epoch spaces need not start at 0 (Kafka offsets,
+        timestamp-derived epochs): the FIRST commit with epochs seeds
+        the watermark base at ``min(epochs) - 1``, so the watermark can
+        advance contiguously from wherever the producer's numbering
+        begins — otherwise a stream starting at offset 10^9 would pin
+        the watermark at -1 forever and grow the tail unboundedly,
+        reintroducing the O(#epochs) manifest bloat this compaction
+        exists to remove. Contract (recorded as ``epoch_base``): epochs
+        at or below the base are never delivered later — matching any
+        monotone source read from a known start offset."""
+        w, tail = self._epoch_state_of(m)
+        base = int(m.get("epoch_base", -1))
+        new = sorted(int(e) for e in (epochs or []))
+        # seed iff NOTHING has ever been committed (an epoch-less
+        # initial overwrite must not pin the base at -1)
+        if w == -1 and not tail and base == -1 and new:
+            base = new[0] - 1
+            w = base
+        w, tail = self._compact_epochs(w, set(tail) | set(new))
+        return {"epoch_watermark": w, "epoch_tail": tail, "epoch_base": base}
+
     @staticmethod
     def _epoch_state_of(m: dict) -> tuple[int, list[int]]:
         if "epoch_watermark" in m:
@@ -146,9 +170,12 @@ class LakeTable:
 
     def committed_epochs(self) -> set[int]:
         """Materialized committed-epoch set (test/CLI convenience —
-        O(#epochs); hot paths use ``epoch_state`` instead)."""
-        w, tail = self.epoch_state()
-        return set(range(0, w + 1)) | set(tail)
+        O(#epochs); hot paths use ``epoch_state`` instead). Starts at
+        the seeded base for non-zero-based epoch spaces."""
+        m = self.manifest()
+        w, tail = self._epoch_state_of(m)
+        base = int(m.get("epoch_base", -1))
+        return set(range(base + 1, w + 1)) | set(tail)
 
     def is_epoch_committed(self, epoch: int) -> bool:
         w, tail = self.epoch_state()
@@ -267,8 +294,15 @@ class LakeTable:
         for p in parts[1:]:
             out = out.unionByName(p)
         data_cols = [f.name for f in schema.fields]
+        # Tie-break within one commit: a key appearing in BOTH upserts
+        # and delete_keys of the same _merge_mor batch yields an upsert
+        # row and a tombstone with the same _commit. Order by
+        # (commit, NOT tombstone) so the upsert deterministically wins
+        # — matching the COW merge, where the upsert survives because
+        # deletes only drop rows absent from the upsert set.
         winner = F.max_by(
-            F.struct(*data_cols, _TOMBSTONE), F.col("_commit")
+            F.struct(*data_cols, _TOMBSTONE),
+            F.struct(F.col("_commit"), ~F.col(_TOMBSTONE)),
         ).alias("_w")
         return (
             out.groupBy(key)
@@ -324,16 +358,22 @@ class LakeTable:
         schema = reconcile(T.StructType.fromJson(m["schema"]), df.schema)
         data = self._bucket_col(self._align(df, schema), m["key"], m["num_buckets"])
         buckets = self._write_commit(data, version)
-        w, tail = self._epoch_state_of(m)
-        w, tail = self._compact_epochs(w, set(tail) | set(epochs or []))
+        epoch_fields = self._next_epoch_state(m, epochs)
         m.pop("committed_epochs", None)
         m.update(
             version=version,
             parent=m["version"],
             schema=schema.jsonValue(),
             buckets=buckets,
-            epoch_watermark=w,
-            epoch_tail=tail,
+            # a full overwrite replaces every data file: any pending
+            # merge-on-read history is gone with them, so reads must
+            # NOT pay (or worse, apply) the MOR reconstruction — an
+            # overwritten frame containing duplicate keys would be
+            # silently collapsed to one row per key instead of read
+            # back verbatim.
+            mor=False,
+            mor_depth=0,
+            **epoch_fields,
         )
         return self._commit(m)
 
@@ -402,15 +442,12 @@ class LakeTable:
                 r["_bucket"] for r in all_keys.select("_bucket").distinct().collect()
             ]
         if not affected:
-            w, tail = self._epoch_state_of(m)
-            w, tail = self._compact_epochs(w, set(tail) | set(epochs or []))
             mm = dict(m)
             mm.pop("committed_epochs", None)
             mm.update(
                 version=version,
                 parent=m["version"],
-                epoch_watermark=w,
-                epoch_tail=tail,
+                **self._next_epoch_state(m, epochs),
             )
             self._commit(mm)
             return {"version": version, "rows_written": 0, "buckets_rewritten": 0}
@@ -435,8 +472,6 @@ class LakeTable:
             else:
                 buckets.pop(bs, None)  # bucket emptied by deletes
             rewritten += 1
-        w, tail = self._epoch_state_of(m)
-        w, tail = self._compact_epochs(w, set(tail) | set(epochs or []))
         mm = dict(m)
         mm.pop("committed_epochs", None)
         mm.update(
@@ -444,9 +479,8 @@ class LakeTable:
             parent=m["version"],
             schema=schema.jsonValue(),
             buckets=buckets,
-            epoch_watermark=w,
-            epoch_tail=tail,
             evolution=m.get("evolution", []) + [{"version": version, "actions": evo}] if evo else m.get("evolution", []),
+            **self._next_epoch_state(m, epochs),
         )
         self._commit(mm)
         return {
@@ -481,13 +515,11 @@ class LakeTable:
         batch = self._bucket_col(batch, key, n_buckets)
         written = self._write_commit(batch, version)
         if not written:  # empty change batch: manifest-only commit
-            w, tail = self._epoch_state_of(m)
-            w, tail = self._compact_epochs(w, set(tail) | set(epochs or []))
             mm = dict(m)
             mm.pop("committed_epochs", None)
             mm.update(
                 version=version, parent=m["version"],
-                epoch_watermark=w, epoch_tail=tail,
+                **self._next_epoch_state(m, epochs),
             )
             self._commit(mm)
             return {"version": version, "rows_written": 0, "buckets_appended": 0}
@@ -495,8 +527,6 @@ class LakeTable:
         buckets = dict(m["buckets"])
         for b, files in written.items():
             buckets[b] = buckets.get(b, []) + files
-        w, tail = self._epoch_state_of(m)
-        w, tail = self._compact_epochs(w, set(tail) | set(epochs or []))
         mm = dict(m)
         mm.pop("committed_epochs", None)
         mm.update(
@@ -506,9 +536,8 @@ class LakeTable:
             buckets=buckets,
             mor=True,
             mor_depth=int(m.get("mor_depth", 0)) + 1,
-            epoch_watermark=w,
-            epoch_tail=tail,
             evolution=m.get("evolution", []) + [{"version": version, "actions": evo}] if evo else m.get("evolution", []),
+            **self._next_epoch_state(m, epochs),
         )
         self._commit(mm)
         return {
@@ -518,7 +547,16 @@ class LakeTable:
             "evolution": evo,
         }
 
-    def vacuum(self, keep_last: int = 1, min_age_seconds: float = 0.0) -> dict:
+    # Safe default orphan age: a commit dir younger than this is
+    # assumed to belong to an IN-FLIGHT writer (data written, manifest
+    # not yet published — a state the optimistic _commit explicitly
+    # supports) and must not be swept, or the writer's subsequent
+    # manifest would reference deleted files and corrupt the snapshot.
+    DEFAULT_VACUUM_MIN_AGE = 3600.0
+
+    def vacuum(
+        self, keep_last: int = 1, min_age_seconds: float = DEFAULT_VACUUM_MIN_AGE
+    ) -> dict:
         """Expire old snapshots and remove unreferenced data dirs.
 
         Keeps the newest ``keep_last`` snapshot manifests (time-travel
@@ -526,7 +564,10 @@ class LakeTable:
         them — expired history and crash orphans alike. Dirs younger
         than ``min_age_seconds`` are spared so an in-flight writer's
         not-yet-committed files survive (the Iceberg
-        expire_snapshots + remove_orphan_files pair in one pass)."""
+        expire_snapshots + remove_orphan_files pair in one pass).
+        ``min_age_seconds`` defaults to an hour; pass 0 ONLY when no
+        concurrent writer can exist (tests, single-writer shutdown) —
+        _commit never re-validates that referenced data files exist."""
         import shutil
         import time as _time
 

@@ -128,6 +128,7 @@ def search(
     nprobe: int = 4,
     n_cells: int = 16,
     cts: DataFrame | None = None,
+    round_to: int = 6,
 ) -> DataFrame:
     """Top-k cosine neighbors per query, probing the ``nprobe``
     nearest cells. ``queries``: (vec_id, embedding). Pass the same
@@ -162,5 +163,5 @@ def search(
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
-        .select("query_id", "neighbor_id", F.round("_cos", 6).alias("cos_sim"), "rk")
+        .select("query_id", "neighbor_id", F.round("_cos", round_to).alias("cos_sim"), "rk")
     )

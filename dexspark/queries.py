@@ -382,12 +382,12 @@ def a4_source_rollup(spark, sf_dir):
 
 
 # A5: CDC dedup — latest change per key by (ts, id) total order
-# (north_star window row_number). The Spark side runs BOTH engine
-# implementations — the skew-proof single-shuffle max_by aggregate and
-# the explicit two-phase salted dedup (north_star: "salted on hot
-# doc_id prefixes") — and unions them through a distinct: if the two
-# plans ever diverge on any key, the extra rows fail the oracle's
-# row-count/hash check. One query, both code paths verified.
+# (north_star window row_number). Registered query = the PRODUCTION
+# plan only: the skew-proof single-shuffle max_by aggregate (map-side
+# partial aggregation collapses hot keys before the exchange). The
+# max_by ↔ window ↔ salted-two-phase equivalence is proven in pytest
+# (tests/test_dedup.py parametrizes all three implementations against
+# the same expected output, incl. a 1000-events-on-one-key skew case).
 @query(
     "a5_dedup_latest",
     """
@@ -398,13 +398,11 @@ def a4_source_rollup(spark, sf_dir):
     """,
 )
 def a5_dedup_latest(spark, sf_dir):
-    from .dedup import latest_per_key_salted
-
     e = _t(spark, sf_dir, "events")
     row = F.max_by(
         F.struct("event_type", "value", "event_id"), F.struct("ts", "event_id")
     ).alias("r")
-    via_maxby = (
+    return (
         e.groupBy("user_id")
         .agg(row)
         .select(
@@ -414,19 +412,6 @@ def a5_dedup_latest(spark, sf_dir):
             F.col("r.event_id").alias("last_event_id"),
         )
     )
-    salted_in = e.select(
-        F.col("user_id"), "event_type", "value", "event_id",
-        F.col("ts").alias("commit_ts"), F.col("event_id").alias("lsn"),
-    )
-    via_salted = latest_per_key_salted(
-        salted_in, key="user_id", order_cols=("commit_ts", "lsn"), salt_buckets=8
-    ).select(
-        "user_id",
-        F.col("event_type").alias("last_event_type"),
-        F.round("value", 4).alias("last_value"),
-        F.col("event_id").alias("last_event_id"),
-    )
-    return via_maxby.unionByName(via_salted).distinct()
 
 
 # =====================================================================
@@ -746,12 +731,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sh = (
         sh0.withColumn("_df", F.count("*").over(w))
         .filter(F.col("_df") <= _SHINGLE_DF_CAP)
-        .drop("_df")
         .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # A shingle with df == 1 appears in exactly one doc: it counts
+    # toward |A| (sizes above) but can never contribute a join pair —
+    # prune it from BOTH self-join sides. In real corpora the vast
+    # majority of shingles are unique, so this shrinks the join input
+    # by far more than it costs (the _df is already on the frame).
+    sh_join = sh.filter(F.col("_df") >= 2).drop("_df")
+    a = sh_join.alias("a")
+    b = sh_join.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
@@ -1088,6 +1078,39 @@ def ann_lsh_bucketed(spark, sf_dir):
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("query_id", "neighbor_id", "bucket", F.round("_cos", 4).alias("cos_sim"), "rk")
+    )
+
+
+# ---- ANN: IVF (coarse cells + k-means refinement + nprobe) -----------
+# The REAL operator (operators/ann.py): broadcast-centroid assignment,
+# one Lloyd refinement iteration, per-cell posting lists, probed
+# search. Run at FULL probe (nprobe == n_cells) so the result is
+# provably exact — the oracle is the brute-force top-k SQL. Recall at
+# partial probe is covered in tests/test_ann_ivf.py.
+_IVF_CELLS = 8
+
+
+@query(
+    "ann_ivf",
+    f"""
+    SELECT * FROM (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round({_COS_SQL_EXPR}, 4) AS cos_sim,
+             row_number() OVER (PARTITION BY a.vec_id
+                                ORDER BY {_COS_SQL_EXPR} DESC, b.vec_id) AS rk
+      FROM embeddings a JOIN embeddings b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+    ) WHERE rk <= 10
+    """,
+)
+def ann_ivf(spark, sf_dir):
+    from .operators.ann import build_index, centroids, refine_centroids, search
+
+    e = _t(spark, sf_dir, "embeddings")
+    cts = refine_centroids(e, centroids(e, _IVF_CELLS), iterations=1)
+    index = build_index(e, n_cells=_IVF_CELLS, cts=cts)
+    qs = e.filter(F.col("vec_id") < 5)
+    return search(
+        index, qs, k=10, nprobe=_IVF_CELLS, n_cells=_IVF_CELLS, cts=cts, round_to=4
     )
 
 
@@ -1443,17 +1466,24 @@ def scalar_datetime_rollup(spark, sf_dir):
            CAST(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_blank,
            CAST(count(*) = sum(CASE WHEN text IS NULL OR trim(text) = ''
-                               THEN 1 ELSE 0 END) AS INT) AS all_blank
+                               THEN 1 ELSE 0 END) AS INT) AS all_blank,
+           CAST(sum(CASE WHEN trim(concat_ws('', text, lang, source)) = ''
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_blank_rows
     FROM documents GROUP BY source
     """,
 )
 def v1_not_empty(spark, sf_dir):
+    # also carries V9 (blank-row detection, XLSX order-13):
+    # trim(concat_ws('', cols)) == '' counted per source — folded in
+    # here to keep the driver's 50-query window open for ann_ivf.
     d = _t(spark, sf_dir, "documents")
     blank = (F.col("text").isNull() | (F.trim("text") == "")).cast("long")
+    blank_row = (F.trim(F.concat_ws("", "text", "lang", "source")) == "").cast("long")
     return d.groupBy("source").agg(
         F.count("*").alias("n_rows"),
         F.sum(blank).alias("n_blank"),
         (F.count("*") == F.sum(blank)).cast("int").alias("all_blank"),
+        F.sum(blank_row).alias("n_blank_rows"),
     )
 
 
@@ -1475,20 +1505,10 @@ def v7_header_normalize(spark, sf_dir):
     return clean.groupBy("lang").agg(F.count("*").alias("n"))
 
 
-# V9: blank-row detection — trim(concat_ws('', cols)) == ''
-# (XLSX order-13 blank records between records)
-@query(
-    "v9_blank_rows",
-    """
-    SELECT CAST(trim(concat_ws('', text, lang, source)) = '' AS INT) AS is_blank,
-           count(*) AS n
-    FROM documents GROUP BY 1
-    """,
-)
-def v9_blank_rows(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    is_blank = (F.trim(F.concat_ws("", "text", "lang", "source")) == "").cast("int")
-    return d.groupBy(is_blank.alias("is_blank")).agg(F.count("*").alias("n"))
+# V9 (blank-row detection, XLSX order-13) is folded into
+# v1_not_empty's per-source rollup above (n_blank_rows column) —
+# one query covers both file-level emptiness and blank-row counting,
+# keeping the driver's 50-query window open for ann_ivf.
 
 
 # V15: type-coercion check via try_cast — ANSI-safe integer parse

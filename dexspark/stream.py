@@ -140,8 +140,16 @@ class CdcEngine:
                 fresh = fresh & ~F.col("batch_epoch").isin(tail)
             # rejects may lack an epoch (NULL): always kept — and kept
             # OUTSIDE the isin (NOT IN over NULL is NULL, which filter
-            # would drop)
-            keep_epoch = F.col("batch_epoch").isNull() | fresh
+            # would drop). Negative epochs are likewise kept: they are
+            # never committed as epoch markers (the watermark space is
+            # non-negative; negatives are the quarantine's fallback
+            # partition space), so a watermark comparison must not
+            # swallow them as "already committed".
+            keep_epoch = (
+                F.col("batch_epoch").isNull()
+                | (F.col("batch_epoch") < 0)
+                | fresh
+            )
         else:
             keep_epoch = F.lit(True)
         live = ev.filter(keep_epoch)
@@ -378,9 +386,14 @@ class CdcEngine:
                         and merge_info.get("mor_depth", 0) >= self.config.compact_every
                     ):
                         self.table.compact()
-                    # snapshot retention policy (expire + orphan GC)
+                    # snapshot retention policy (expire + orphan GC);
+                    # min_age spares a concurrent writer's in-flight
+                    # commit dirs (see EngineConfig.vacuum_min_age_seconds)
                     if self.config.vacuum_keep_last > 0:
-                        self.table.vacuum(keep_last=self.config.vacuum_keep_last)
+                        self.table.vacuum(
+                            keep_last=self.config.vacuum_keep_last,
+                            min_age_seconds=self.config.vacuum_min_age_seconds,
+                        )
                 f_quar.result()
                 if f_applied is not None:
                     f_applied.result()

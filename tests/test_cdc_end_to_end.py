@@ -66,6 +66,40 @@ def test_quarantine_and_lineage_written(spark, setup):
     assert agg[2] == want.skipped
 
 
+def test_negative_epoch_not_swallowed_by_watermark(spark, tmp_warehouse):
+    """An event with a NEGATIVE batch_epoch was never committed (the
+    marker space is non-negative; negatives are the quarantine's
+    fallback partitions), so the already-committed filter must keep
+    it even once the watermark is >= 0."""
+    import json
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "seq"), sequences_schema(),
+        key="doc_id", num_buckets=4,
+    )
+    table.overwrite(
+        spark.createDataFrame([("a", [1], 1, "web")], schema=sequences_schema()),
+        epochs=[0, 1],  # watermark now 1
+    )
+    engine = CdcEngine(spark, table, tmp_warehouse, EngineConfig(num_buckets=4))
+    binlog = os.path.join(tmp_warehouse, "neg-binlog")
+    os.makedirs(binlog)
+    ev = {
+        "op": "insert",
+        "doc_id": "neg",
+        "payload": {"tokens": [5], "n_tok": 1, "source": "web"},
+        "commit_ts": "2026-01-01T00:00:00",
+        "lsn": 1,
+        "batch_epoch": -3,
+    }
+    with open(os.path.join(binlog, "epoch-neg.ndjson"), "w") as f:
+        f.write(json.dumps(ev) + "\n")
+    metrics = engine.apply_binlog(binlog)
+    assert metrics.events_applied == 1
+    rows = {r["doc_id"] for r in table.read().collect()}
+    assert "neg" in rows
+
+
 def test_epoch_redelivery_is_noop(spark, setup):
     engine, table, binlog, base_state = setup
     engine.apply_binlog(binlog)

@@ -96,6 +96,25 @@ def test_epoch_out_of_order_tail(spark, table):
     assert (w, tail) == (7, [])
 
 
+def test_epoch_base_seeding_nonzero_start(spark, table):
+    """Kafka-offset-style epoch spaces don't start at 0: the first
+    committed batch seeds the watermark base at min(epochs)-1, so the
+    watermark advances contiguously from there instead of pinning at
+    -1 and growing the tail unboundedly."""
+    ups = spark.createDataFrame([], sequences_schema())
+    table.merge(ups, epochs=[1_000_000, 1_000_001])
+    w, tail = table.epoch_state()
+    assert (w, tail) == (1_000_001, [])
+    m = table.manifest()
+    assert m["epoch_base"] == 999_999
+    table.merge(ups, epochs=[1_000_003])  # reorder gap -> bounded tail
+    table.merge(ups, epochs=[1_000_002])
+    w, tail = table.epoch_state()
+    assert (w, tail) == (1_000_003, [])
+    assert table.committed_epochs() == {1_000_000, 1_000_001, 1_000_002, 1_000_003}
+    assert not table.is_epoch_committed(1_000_004)
+
+
 def test_additive_schema_evolution(spark, table):
     evolved = T.StructType(
         list(sequences_schema().fields) + [T.StructField("lang", T.StringType(), True)]
@@ -192,12 +211,33 @@ def test_vacuum_removes_expired_and_orphans(spark, table):
     )
     table._write_commit(orphan, table.current_version() + 1)
     want = _rows(table)
-    info = table.vacuum(keep_last=1)
+    # min_age=0: explicit single-writer opt-in — the crashed writer is
+    # KNOWN dead here. The default (an hour) would spare these
+    # seconds-old dirs; see test_vacuum_default_spares_young_dirs.
+    info = table.vacuum(keep_last=1, min_age_seconds=0)
     assert info["data_dirs_removed"] >= 1  # orphan + expired history gone
     assert info["snapshots_expired"] >= 1
     assert _rows(table) == want  # current snapshot fully intact
     with pytest.raises(FileNotFoundError):
         table.manifest(v_old)  # expired version no longer readable
+
+
+def test_vacuum_default_spares_young_dirs(spark, table):
+    """The default min_age must NOT sweep a just-written commit dir: a
+    concurrent writer may have its data on disk with the manifest not
+    yet published, and _commit never re-validates file existence — an
+    eager sweep would corrupt that writer's snapshot."""
+    inflight = table._bucket_col(
+        spark.createDataFrame([("q", [1], 1, "web")], schema=sequences_schema()),
+        "doc_id",
+        table.num_buckets,
+    )
+    files = table._write_commit(inflight, table.current_version() + 1)
+    info = table.vacuum(keep_last=1)  # default min_age_seconds (1h)
+    assert info["data_dirs_removed"] == 0
+    # the in-flight writer can still publish and its data is readable
+    rel = next(iter(files.values()))[0]
+    assert os.path.exists(os.path.join(table.root, rel))
 
 
 def test_vacuum_keep_last_preserves_time_travel(spark, table):

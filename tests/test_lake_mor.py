@@ -98,6 +98,43 @@ def test_mor_compact(spark, tmp_warehouse):
     assert t.compact() == {"version": m["version"], "compacted": False}
 
 
+def test_mor_same_commit_upsert_beats_tombstone(spark, tmp_warehouse):
+    """A key in BOTH upserts and delete_keys of one MOR batch must
+    resolve like COW does (the upsert survives — COW deletes only drop
+    rows absent from the upsert set), not nondeterministically."""
+    t = _mk(spark, os.path.join(tmp_warehouse, "mor"), BASE)
+    ups = spark.createDataFrame([("a", [42], 1, "wiki")], schema=sequences_schema())
+    dels = spark.createDataFrame([("a",)], "doc_id string")
+    t.merge(ups, dels, epochs=[0], mode="mor")
+    c = _mk(spark, os.path.join(tmp_warehouse, "cow"), BASE)
+    c.merge(ups, dels, epochs=[0], mode="cow")
+    assert _state(t)["a"]["tokens"] == [42]
+    assert _state(t) == _state(c)
+
+
+def test_overwrite_clears_mor_history(spark, tmp_warehouse):
+    """A full overwrite replaces every data file, so the mor flag must
+    reset: reads go back to the shuffle-free plain union, and an
+    overwritten frame with DUPLICATE keys reads back verbatim instead
+    of being collapsed to one arbitrary row per key."""
+    t = _mk(spark, os.path.join(tmp_warehouse, "t"), BASE)
+    t.merge(
+        spark.createDataFrame([("a", [9], 1, "web")], schema=sequences_schema()),
+        epochs=[0],
+        mode="mor",
+    )
+    assert t.manifest()["mor"] is True
+    dup = spark.createDataFrame(
+        [("k", [1], 1, "web"), ("k", [2], 1, "books")], schema=sequences_schema()
+    )
+    t.overwrite(dup, epochs=[1])
+    m = t.manifest()
+    assert m["mor"] is False and m["mor_depth"] == 0
+    rows = t.read().collect()
+    assert len(rows) == 2  # duplicates NOT collapsed by MOR reconstruction
+    assert sorted(r["tokens"] for r in rows) == [[1], [2]]
+
+
 def test_mor_schema_evolution(spark, tmp_warehouse):
     t = _mk(spark, os.path.join(tmp_warehouse, "t"), BASE)
     evolved = T.StructType(
