@@ -63,10 +63,94 @@ class ConcurrentCommitError(RuntimeError):
     pass
 
 
+class FileIO:
+    """Manifest/metadata I/O seam (the Iceberg ``FileIO`` idea).
+
+    LakeTable routes every non-Spark filesystem operation through this
+    interface, so the local-FS implementation below can be swapped for
+    an object store without touching table logic. The one primitive
+    that carries the correctness load is :meth:`put_if_absent` — the
+    optimistic-concurrency commit. Object-store strategy: S3
+    conditional PUT (``If-None-Match: *``) or a catalog pointer with
+    compare-and-swap (the Iceberg catalog approach); GCS
+    ``x-goog-if-generation-match: 0``. Everything else is plain
+    list/read/delete.
+    """
+
+    def list_dir(self, path: str) -> list[str]:
+        raise NotImplementedError
+
+    def read_text(self, path: str) -> str:
+        raise NotImplementedError
+
+    def put_if_absent(self, path: str, data: str) -> None:
+        """Durably create ``path`` with ``data`` iff it does not exist;
+        raise :class:`ConcurrentCommitError` if it does (atomically —
+        two racing writers must not both succeed)."""
+        raise NotImplementedError
+
+    def delete(self, path: str) -> None:
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        raise NotImplementedError
+
+    def remove_tree(self, path: str) -> None:
+        raise NotImplementedError
+
+    def is_dir(self, path: str) -> bool:
+        raise NotImplementedError
+
+
+class LocalFileIO(FileIO):
+    """POSIX implementation. ``put_if_absent`` uses ``os.link`` of a
+    fsynced temp file — link(2) fails with EEXIST if the target exists,
+    making create-if-absent ATOMIC (no check-then-rename window)."""
+
+    def list_dir(self, path: str) -> list[str]:
+        if not os.path.isdir(path):
+            return []
+        return sorted(os.listdir(path))
+
+    def read_text(self, path: str) -> str:
+        with open(path) as f:
+            return f.read()
+
+    def put_if_absent(self, path: str, data: str) -> None:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise ConcurrentCommitError(f"{path} already exists") from None
+        finally:
+            os.unlink(tmp)
+
+    def delete(self, path: str) -> None:
+        os.unlink(path)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+    def remove_tree(self, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
+    def is_dir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+
 class LakeTable:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, io: FileIO | None = None):
         self.spark = spark
         self.root = root
+        self.io = io or LocalFileIO()
 
     # ------------------------------------------------------------ manifest
 
@@ -75,10 +159,10 @@ class LakeTable:
 
     def current_version(self) -> int:
         d = os.path.join(self.root, _SNAP_DIR)
-        if not os.path.isdir(d):
-            return 0
         versions = [
-            int(n[5:13]) for n in os.listdir(d) if n.startswith("snap-") and n.endswith(".json")
+            int(n[5:13])
+            for n in self.io.list_dir(d)
+            if n.startswith("snap-") and n.endswith(".json")
         ]
         return max(versions, default=0)
 
@@ -86,24 +170,13 @@ class LakeTable:
         v = self.current_version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"no snapshot at {self.root}")
-        with open(self._snap_path(v)) as f:
-            return json.load(f)
+        return json.loads(self.io.read_text(self._snap_path(v)))
 
     def _commit(self, manifest: dict) -> int:
-        """Atomically publish ``manifest`` as the next snapshot."""
+        """Atomically publish ``manifest`` as the next snapshot
+        (conditional put: exactly one writer wins a version)."""
         version = manifest["version"]
-        snap_dir = os.path.join(self.root, _SNAP_DIR)
-        os.makedirs(snap_dir, exist_ok=True)
-        tmp = os.path.join(snap_dir, f".tmp-{uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
-        final = self._snap_path(version)
-        if os.path.exists(final):  # optimistic concurrency: lost the race
-            os.unlink(tmp)
-            raise ConcurrentCommitError(f"snapshot v{version} already exists")
-        os.rename(tmp, final)
+        self.io.put_if_absent(self._snap_path(version), json.dumps(manifest))
         return version
 
     # ------------------------------------------------------------ properties
@@ -192,8 +265,9 @@ class LakeTable:
         key: str = "doc_id",
         num_buckets: int = 16,
         properties: dict | None = None,
+        io: FileIO | None = None,
     ) -> "LakeTable":
-        t = cls(spark, root)
+        t = cls(spark, root, io=io)
         if t.current_version() != 0:
             raise FileExistsError(f"table already exists at {root}")
         t._commit(
@@ -313,7 +387,9 @@ class LakeTable:
 
     # ------------------------------------------------------------ write
 
-    def _write_commit(self, df: DataFrame, version: int) -> dict[str, list[str]]:
+    def _write_commit(
+        self, df: DataFrame, version: int, n_buckets: int | None = None
+    ) -> dict[str, list[str]]:
         """Write ``df`` (which must carry ``_bucket``) under a fresh
         commit dir, one directory per bucket; return bucket -> relpaths.
 
@@ -333,18 +409,18 @@ class LakeTable:
         # shuffle to ~output_bytes/64MB tasks, serializing the write at
         # bench scale (measured flat ~2.5s at any core count).
         (
-            df.repartition(self.num_buckets, "_bucket")
+            df.repartition(n_buckets or self.num_buckets, "_bucket")
             .write.partitionBy("_bucket")
             .parquet(commit_dir)
         )
         out: dict[str, list[str]] = {}
-        for entry in sorted(os.listdir(commit_dir)):
+        for entry in self.io.list_dir(commit_dir):
             if not entry.startswith("_bucket="):
                 continue
             b = entry.split("=", 1)[1]
             files = [
                 os.path.join(commit_rel, entry, f)
-                for f in sorted(os.listdir(os.path.join(commit_dir, entry)))
+                for f in self.io.list_dir(os.path.join(commit_dir, entry))
                 if f.endswith(".parquet")
             ]
             if files:
@@ -568,13 +644,12 @@ class LakeTable:
         ``min_age_seconds`` defaults to an hour; pass 0 ONLY when no
         concurrent writer can exist (tests, single-writer shutdown) —
         _commit never re-validates that referenced data files exist."""
-        import shutil
         import time as _time
 
         snap_dir = os.path.join(self.root, _SNAP_DIR)
         versions = sorted(
             int(n[5:13])
-            for n in os.listdir(snap_dir)
+            for n in self.io.list_dir(snap_dir)
             if n.startswith("snap-") and n.endswith(".json")
         )
         retained = set(versions[-max(1, keep_last):])
@@ -586,19 +661,18 @@ class LakeTable:
         removed_dirs = 0
         data_root = os.path.join(self.root, _DATA_DIR)
         now = _time.time()
-        if os.path.isdir(data_root):
-            for d in sorted(os.listdir(data_root)):
-                p = os.path.join(data_root, d)
-                if d in referenced or not os.path.isdir(p):
-                    continue
-                if now - os.path.getmtime(p) < min_age_seconds:
-                    continue
-                shutil.rmtree(p, ignore_errors=True)
-                removed_dirs += 1
+        for d in self.io.list_dir(data_root):
+            p = os.path.join(data_root, d)
+            if d in referenced or not self.io.is_dir(p):
+                continue
+            if now - self.io.mtime(p) < min_age_seconds:
+                continue
+            self.io.remove_tree(p)
+            removed_dirs += 1
         expired = 0
         for v in versions:
             if v not in retained:
-                os.unlink(self._snap_path(v))
+                self.io.delete(self._snap_path(v))
                 expired += 1
         return {"snapshots_expired": expired, "data_dirs_removed": removed_dirs}
 
@@ -625,3 +699,43 @@ class LakeTable:
         )
         self._commit(mm)
         return {"version": version, "compacted": True}
+
+    def rebucket(self, new_num_buckets: int) -> dict:
+        """Migrate the table to a different bucket count as one special
+        commit: full read -> re-hash on the key -> rewrite -> manifest
+        with the new ``num_buckets``.
+
+        This is the scale-evolution path the bucketed layout needs
+        (module docstring: 10^10 rows want ~4096 buckets, but tables
+        are usually created small): without it, bucket count is frozen
+        at create time and the 1%-of-files MERGE pruning story stops
+        holding as the table grows. One full rewrite — O(table) like
+        Iceberg's ``REPLACE PARTITION FIELD`` + rewrite_data_files —
+        after which every merge prunes against the new bucket space.
+        MOR history folds down in the same pass (the read reconstructs
+        it). Old commits remain for time travel until vacuum()."""
+        m = self.manifest()
+        if new_num_buckets == m["num_buckets"]:
+            return {"version": m["version"], "rebucketed": False}
+        schema = T.StructType.fromJson(m["schema"])
+        state = self.read()
+        version = m["version"] + 1
+        data = self._bucket_col(
+            self._align(state, schema), m["key"], new_num_buckets
+        )
+        written = self._write_commit(data, version, n_buckets=new_num_buckets)
+        mm = dict(m)
+        mm.update(
+            version=version,
+            parent=m["version"],
+            num_buckets=new_num_buckets,
+            buckets=written,
+            mor=False,
+            mor_depth=0,
+        )
+        self._commit(mm)
+        return {
+            "version": version,
+            "rebucketed": True,
+            "num_buckets": new_num_buckets,
+        }

@@ -7,7 +7,7 @@ import os
 import pytest
 from pyspark.sql import functions as F, types as T
 
-from dexspark.lake import LakeTable
+from dexspark.lake import ConcurrentCommitError, LakeTable, LocalFileIO
 from dexspark.schema import SchemaEvolutionError, reconcile, sequences_schema
 
 
@@ -248,6 +248,109 @@ def test_vacuum_keep_last_preserves_time_travel(spark, table):
     # both retained versions still read correctly
     assert table.read(version=v0).count() == 3
     assert _rows(table)["a"]["tokens"] == [7]
+
+
+def test_rebucket_preserves_state_and_prunes_on_new_buckets(spark, table):
+    """rebucket(8->32-style migration): state identical, subsequent
+    merges prune against the NEW bucket space, and vacuum drops the
+    pre-rebucket commits once out of the retention window."""
+    ups = spark.createDataFrame(
+        [("d", [7], 1, "web"), ("e", [8], 1, "books")], schema=sequences_schema()
+    )
+    table.merge(ups, epochs=[0], mode="mor")  # leave MOR history too
+    want = _rows(table)
+    info = table.rebucket(16)
+    assert info["rebucketed"] and info["num_buckets"] == 16
+    m = table.manifest()
+    assert m["num_buckets"] == 16 and m["mor"] is False
+    assert _rows(table) == want  # read-equality across the migration
+    # MERGE after rebucket: affected-bucket pruning in the new space
+    m0 = table.manifest()
+    table.merge(
+        spark.createDataFrame([("a", [5], 1, "wiki")], schema=sequences_schema()),
+        epochs=[1],
+    )
+    m1 = table.manifest()
+    changed = [b for b in m0["buckets"] if m1["buckets"].get(b) != m0["buckets"][b]]
+    assert len(changed) <= 1  # only 'a's new-space bucket rewritten
+    untouched = [b for b in m0["buckets"] if m1["buckets"].get(b) == m0["buckets"][b]]
+    assert untouched
+    rows = _rows(table)
+    assert rows["a"]["tokens"] == [5] and rows["e"]["tokens"] == [8]
+    # pre-rebucket commits vacuum away; the table still reads intact
+    table.vacuum(keep_last=1, min_age_seconds=0)
+    assert _rows(table) == {**want, "a": rows["a"]}
+
+
+class _MemManifestIO(LocalFileIO):
+    """FileIO fake: manifests live in a dict (an in-memory 'catalog'),
+    data files stay on local disk where Spark writes them — the swap
+    an object-store deployment would make."""
+
+    def __init__(self):
+        self.store: dict[str, str] = {}
+
+    def _is_snap(self, path):
+        return "_snapshots" in path
+
+    def list_dir(self, path):
+        if self._is_snap(path):
+            return sorted(
+                os.path.basename(k)
+                for k in self.store
+                if os.path.dirname(k) == path
+            )
+        return super().list_dir(path)
+
+    def read_text(self, path):
+        if self._is_snap(path):
+            if path not in self.store:
+                raise FileNotFoundError(path)
+            return self.store[path]
+        return super().read_text(path)
+
+    def put_if_absent(self, path, data):
+        if self._is_snap(path):
+            if path in self.store:
+                raise ConcurrentCommitError(path)
+            self.store[path] = data
+            return
+        super().put_if_absent(path, data)
+
+    def delete(self, path):
+        if self._is_snap(path):
+            del self.store[path]
+            return
+        super().delete(path)
+
+
+def test_fileio_seam_with_in_memory_manifest_store(spark, tmp_warehouse):
+    """The full create/merge/read/time-travel/vacuum lifecycle runs
+    with manifests routed through a non-filesystem FileIO — proof the
+    seam carries everything the manifest layer needs (VERDICT: 'swap
+    this file for Iceberg' made concrete)."""
+    io_ = _MemManifestIO()
+    root = os.path.join(tmp_warehouse, "mem")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=4, io=io_)
+    t.overwrite(
+        spark.createDataFrame([("a", [1], 1, "web")], schema=sequences_schema())
+    )
+    t.merge(
+        spark.createDataFrame([("b", [2], 1, "books")], schema=sequences_schema()),
+        epochs=[0],
+    )
+    assert set(_rows(t)) == {"a", "b"}
+    assert t.read(version=2).count() == 1  # time travel via the fake
+    # no manifest ever touched the real filesystem
+    assert not os.path.isdir(os.path.join(root, "_snapshots"))
+    assert len(io_.store) == 3
+    # concurrent commit loses cleanly through the seam
+    m = t.manifest()
+    t._commit({**m, "version": m["version"] + 1})
+    with pytest.raises(ConcurrentCommitError):
+        t._commit({**m, "version": m["version"] + 1})
+    t.vacuum(keep_last=1, min_age_seconds=0)
+    assert len(io_.store) == 1  # expired manifests removed from the store
 
 
 def test_bucket_pruned_read(spark, table):
