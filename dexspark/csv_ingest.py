@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .config import RuleSet
 from .schema import HeaderError, check_headers
-from .validate import FAIL_COL, fail_reasons_column
+from .validate import FAIL_COL, fail_reasons_column, quote_col
 
 _CORRUPT = "_corrupt"
 
@@ -131,7 +131,7 @@ def ingest_csv(
 
     data_schema = T.StructType([f for f in schema.fields if f.name != _CORRUPT])
     rule_fails = fail_reasons_column(rules, data_schema)
-    blank = F.trim(F.concat_ws("", *[F.col(c) for c in header])) == ""  # V9
+    blank = F.trim(F.concat_ws("", *[quote_col(c) for c in header])) == ""  # V9
     fails = F.array_compact(
         F.concat(
             rule_fails,
@@ -308,7 +308,7 @@ def ingest_csv_bulk(
         )
         data_schema = T.StructType([f for f in schema.fields if f.name != _CORRUPT])
         rule_fails = fail_reasons_column(rules, data_schema)
-        blank = F.trim(F.concat_ws("", *[F.col(c) for c in header])) == ""  # V9
+        blank = F.trim(F.concat_ws("", *[quote_col(c) for c in header])) == ""  # V9
         fails = F.array_compact(
             F.concat(
                 rule_fails,
@@ -361,6 +361,7 @@ def ingest_archives(
     scratch: str | None = None,
     glob: str = "*.zip",
     bulk: bool | None = None,
+    gc_scratch: bool = False,
     **header_kwargs,
 ) -> ArchiveIngestResult:
     """One entry point for the reference's unzip-then-validate flow.
@@ -394,6 +395,12 @@ def ingest_archives(
     scratch = scratch or tempfile.mkdtemp(prefix="dexspark-entries-")
     entries = read_and_explode(spark, root, glob=glob)
     manifest = materialize_entries(entries, scratch).collect()
+    if gc_scratch:
+        # entries are content-addressed, so replays rewrite the same
+        # names; GC sweeps files orphaned by removed/renamed archives
+        from .operators.decompress import vacuum_scratch
+
+        vacuum_scratch(scratch, [r["file_path"] for r in manifest])
 
     per_entry: dict = {}
     archive_errors: list = []

@@ -180,6 +180,25 @@ def parse_envelopes(raw_df: DataFrame, payload_schema: T.StructType | None = Non
     return _finalize(flat, blank_col=F.trim(F.col(RAW_COL)) == "")
 
 
+def parse_kafka_values(
+    df: DataFrame, payload_schema: T.StructType | None = None
+) -> DataFrame:
+    """Adapter from a Kafka-shaped stream to the envelope frame.
+
+    ``spark.readStream.format("kafka")`` delivers records as binary
+    ``key``/``value`` columns; a change event is one JSON envelope per
+    record value (reference: one Event Hub message per blob event,
+    cardinality ONE — FnDecompressorEntry.kt:41-51). This is the
+    production swap point documented on :func:`read_binlog_stream`:
+    cast ``value`` to string as the raw line and run the same
+    ``from_json`` parse — anomalies (malformed JSON, missing fields,
+    unknown ops) classify identically to the file source (proven in
+    tests/test_stream.py). Works on streaming and batch frames alike.
+    """
+    raw = df.select(F.col("value").cast("string").alias(RAW_COL))
+    return parse_envelopes(raw, payload_schema)
+
+
 def classify(df: DataFrame, op_whitelist: tuple[str, ...] = ("insert", "update", "delete")) -> DataFrame:
     """Tag each event: 'apply' | 'skip' (blank line / unknown op) |
     'reject' (malformed / missing envelope fields)."""

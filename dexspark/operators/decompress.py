@@ -179,6 +179,37 @@ def materialize_entries(entries: DataFrame, out_dir: str) -> DataFrame:
     return entries.mapInPandas(batches, schema=MATERIALIZED_SCHEMA)
 
 
+def vacuum_scratch(
+    out_dir: str,
+    keep_paths,
+    min_age_seconds: float = 0.0,
+) -> dict:
+    """GC the materialize_entries scratch dir.
+
+    Entry files are content-addressed from (source, entry), so replay
+    rewrites the same names — but entries whose source archive was
+    removed/renamed, and temp files from crashed writers, accumulate
+    forever without this. Removes every file not in ``keep_paths``
+    (typically the current manifest's ``file_path`` column) and older
+    than ``min_age_seconds`` (spare an in-flight materialization's
+    fresh writes when GC runs concurrently)."""
+    import os
+    import time
+
+    keep = {os.path.abspath(p) for p in keep_paths if p}
+    removed = 0
+    now = time.time()
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name)
+        if not os.path.isfile(p) or os.path.abspath(p) in keep:
+            continue
+        if now - os.path.getmtime(p) < min_age_seconds:
+            continue
+        os.unlink(p)
+        removed += 1
+    return {"files_removed": removed}
+
+
 def read_and_explode(
     spark: SparkSession,
     root: str,

@@ -52,6 +52,18 @@ def _is_blank(c: Column, dtype: T.DataType) -> Column:
     return c.isNull()
 
 
+def quote_col(name: str) -> Column:
+    """Column reference that treats ``name`` as a LITERAL column name.
+
+    Rule configs name physical columns; a bare F.col would parse dots
+    as struct access and brackets as malformed — real headers hit this
+    (the reference's GenV2 corpus flattens arrays into indexed names
+    like ``race_category[0].race_category``, sample-data/HL7v2 case/
+    GenV2 message as a CSV payload (code-generated template).csv:1).
+    Backtick-quote, escaping embedded backticks by doubling."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
     """Compile the rule-set to ONE array<string> Column of violations.
 
@@ -63,14 +75,14 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
     for col in rules.required:  # V11
         if col in dtypes:
             checks.append(
-                (_is_blank(F.col(col), dtypes[col]), _msg("required", col, "must not be empty"))
+                (_is_blank(quote_col(col), dtypes[col]), _msg("required", col, "must not be empty"))
             )
 
     for group in rules.conditional_groups:  # V12: fail iff numSet == 0
         present = [g for g in group if g in dtypes]
         if present:
             all_blank = reduce(
-                lambda a, b: a & b, [_is_blank(F.col(g), dtypes[g]) for g in present]
+                lambda a, b: a & b, [_is_blank(quote_col(g), dtypes[g]) for g in present]
             )
             checks.append(
                 (all_blank, _msg("conditional", "|".join(group), "at least one must be set"))
@@ -80,7 +92,7 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
         if col in dtypes:
             checks.append(
                 (
-                    F.col(col).isNotNull() & ~F.col(col).isin(*values),
+                    quote_col(col).isNotNull() & ~quote_col(col).isin(*values),
                     _msg("allowed_values", col, f"must be one of {sorted(values)}"),
                 )
             )
@@ -89,7 +101,7 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
         if col in dtypes:
             checks.append(
                 (
-                    F.col(col).isNotNull() & ~F.col(col).rlike(pattern),
+                    quote_col(col).isNotNull() & ~quote_col(col).rlike(pattern),
                     _msg("regex", col, f"must match {pattern}"),
                 )
             )
@@ -98,7 +110,7 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
         if col in dtypes:
             checks.append(
                 (
-                    F.col(col).isNotNull() & (F.length(F.col(col)) > n),
+                    quote_col(col).isNotNull() & (F.length(quote_col(col)) > n),
                     _msg("max_length", col, f"exceeds {n} chars"),
                 )
             )
@@ -106,11 +118,11 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
     for col, lo, hi in rules.token_range:  # V10 (token form)
         if col in dtypes:
             bad = F.exists(
-                F.col(col), lambda t: t.isNull() | (t < F.lit(lo)) | (t >= F.lit(hi))
+                quote_col(col), lambda t: t.isNull() | (t < F.lit(lo)) | (t >= F.lit(hi))
             )
             checks.append(
                 (
-                    F.col(col).isNotNull() & bad,
+                    quote_col(col).isNotNull() & bad,
                     _msg("token_range", col, f"token outside [{lo},{hi})"),
                 )
             )
@@ -118,9 +130,9 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
     for len_col, arr_col in rules.length_equals:  # V8
         if len_col in dtypes and arr_col in dtypes:
             ok = (
-                F.col(arr_col).isNotNull()
-                & F.col(len_col).isNotNull()
-                & (F.size(F.col(arr_col)) == F.col(len_col))
+                quote_col(arr_col).isNotNull()
+                & quote_col(len_col).isNotNull()
+                & (F.size(quote_col(arr_col)) == quote_col(len_col))
             )
             checks.append((~ok, _msg("length_equals", len_col, f"!= size({arr_col})")))
 
@@ -128,7 +140,7 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
         if col in dtypes and isinstance(dtypes[col], T.StringType):
             checks.append(
                 (
-                    F.col(col).isNotNull() & F.col(col).try_cast("long").isNull(),
+                    quote_col(col).isNotNull() & quote_col(col).try_cast("long").isNull(),
                     _msg("int_field", col, "not an integer"),
                 )
             )
@@ -140,7 +152,7 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
                     # null-safe: a MISSING version fails the literal
                     # check just like a wrong one (a plain != returns
                     # NULL for NULL cells, silently passing them)
-                    ~F.col(col).eqNullSafe(F.lit(literal)),
+                    ~quote_col(col).eqNullSafe(F.lit(literal)),
                     _msg("version", col, f"must equal {literal}"),
                 )
             )

@@ -179,3 +179,35 @@ def test_replay_is_idempotent(spark, tmp_path):
     assert {e for _, e in r1.per_entry} == {e for _, e in r2.per_entry}
     for k in r1.per_entry:
         assert r1.per_entry[k].clean.count() == r2.per_entry[k].clean.count()
+
+
+def test_scratch_gc_leaves_no_orphans(spark, tmp_path):
+    """Re-ingest after a source archive disappears: gc_scratch sweeps
+    the orphaned entry files (and crashed-writer temps); files
+    referenced by the current manifest survive byte-identical."""
+    import os
+
+    from dexspark.operators.decompress import vacuum_scratch
+
+    root = _corpus(tmp_path)
+    scratch = str(tmp_path / "scratch")
+    kw = dict(scratch=scratch, required_columns=("patient_id",))
+    r1 = ingest_archives(spark, root, RULES, gc_scratch=True, **kw)
+    files_1 = set(os.listdir(scratch))
+    assert files_1
+    # a crashed writer's temp + a stale orphan (simulated)
+    (tmp_path / "scratch" / "deadbeef_old.csv.tmp-999").write_text("junk")
+    (tmp_path / "scratch" / "deadbeef_stale_entry.csv").write_text("junk")
+    os.remove(os.path.join(root, "batch.zip"))  # source archive gone
+    r2 = ingest_archives(spark, root, RULES, gc_scratch=True, **kw)
+    files_2 = set(os.listdir(scratch))
+    # only broken.zip remains in the corpus -> no CSV entries, so the
+    # manifest references nothing and GC leaves the dir empty
+    assert files_2 == set()
+    assert not r2.per_entry
+    # keep_paths protects referenced files; min_age spares fresh writes
+    (tmp_path / "scratch" / "fresh_entry.csv").write_text("kept")
+    info = vacuum_scratch(scratch, [], min_age_seconds=3600)
+    assert info["files_removed"] == 0
+    info = vacuum_scratch(scratch, [str(tmp_path / "scratch" / "fresh_entry.csv")])
+    assert info["files_removed"] == 0

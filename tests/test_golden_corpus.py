@@ -141,3 +141,81 @@ def test_scenario_4_both_blank_quarantines_every_row(spark, elr):
             "conditional:testing_lab_accession_number|testing_lab_specimen_id" in x
             for x in r["fail_reasons"]
         )
+
+
+# ---------------------------------------------------------------- GenV2
+
+GENV2 = (
+    "/root/reference/sample-data/HL7v2 case/"
+    "GenV2 message as a CSV payload (code-generated template).csv"
+)
+
+
+@pytest.mark.skipif(not os.path.exists(GENV2), reason="GenV2 corpus not present")
+def test_genv2_flattened_array_corpus(spark):
+    """The reference's SECOND real corpus: a 177-column code-generated
+    GenV2 template whose repeating groups are flattened into indexed
+    column names (race_category[0].race_category, ... — sample-data/
+    HL7v2 case/...(code-generated template).csv:1). Bracket/dot names
+    must survive header normalization, rule compilation (backtick
+    quoting), parsing, and row validation."""
+    from dexspark.config import RuleSet
+
+    rules = RuleSet(
+        required=("source_format", "unique_case_id"),
+        version_literal=(("message_profile_identifier", "Generic_MMG_V2.0"),),
+        allowed_values=(
+            ("race_category[0].race_category__code_system", ("CDCREC",)),
+        ),
+        conditional_groups=(
+            ("race_category[0].race_category", "race_category[1].race_category"),
+        ),
+        regex_rules=(("race_category[0].race_category__code", r"^[0-9-]+$"),),
+    )
+    res = ingest_csv(
+        spark,
+        GENV2,
+        rules,
+        required_columns=(
+            "source_format",
+            "unique_case_id",
+            "race_category[0].race_category",
+        ),
+    )
+    assert res.ok, res.file_errors
+    assert len(res.header) == 177
+    assert "race_category[0].race_category" in res.header
+    assert res.clean.count() == 1  # the template's single sample row passes
+    assert res.quarantine.count() == 0
+    row = res.clean.collect()[0]
+    assert row["race_category[0].race_category"] == "White"
+    assert row["unique_case_id"] == "48_GenV2_TC01"
+
+    # and the rules really bite on these columns: break the version +
+    # the indexed allowed-value in a copy and both reasons accumulate
+    import csv as _csv
+    import io as _io
+
+    with open(GENV2) as f:
+        rows = list(_csv.reader(f))
+    hdr = [c.strip().lower() for c in rows[0]]
+    bad = list(rows[1])
+    bad[hdr.index("message_profile_identifier")] = "WRONG_VERSION"
+    bad[hdr.index("race_category[0].race_category__code_system")] = "NOT_CDCREC"
+    buf = _io.StringIO()
+    w = _csv.writer(buf)
+    w.writerow(rows[0])
+    w.writerow(bad)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".csv", delete=False, dir="/tmp"
+    ) as tf:
+        tf.write(buf.getvalue())
+        broken = tf.name
+    res2 = ingest_csv(spark, broken, rules)
+    q = res2.quarantine.collect()
+    assert len(q) == 1
+    kinds = {r.split(":", 1)[0] for r in q[0]["fail_reasons"]}
+    assert {"version", "allowed_values"} <= kinds
+    os.unlink(broken)

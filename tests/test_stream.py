@@ -122,3 +122,54 @@ def test_resume_equals_single_shot(spark, tmp_warehouse, binlog_files):
     a = {r["doc_id"]: r.asDict(recursive=True) for r in single.table.read().collect()}
     b = {r["doc_id"]: r.asDict(recursive=True) for r in resumed.table.read().collect()}
     assert a == b
+
+
+def test_kafka_shaped_value_stream_matches_file_source(spark, tmp_warehouse, binlog_files):
+    """The documented Kafka swap point (events.parse_kafka_values over
+    a binary value-column stream, the shape format('kafka') delivers)
+    must classify anomalies and converge identically to the ndjson
+    file source over the SAME event lines (reference: Event Hub
+    cardinality-ONE value messages, FnDecompressorEntry.kt:41-51)."""
+    from pyspark.sql import functions as F
+
+    from dexspark.events import parse_kafka_values
+
+    # (a) reference: ndjson file source
+    live = os.path.join(tmp_warehouse, "live-kref")
+    os.makedirs(live)
+    for f in binlog_files:
+        shutil.copy(f, live)
+    engine_file = _mk_engine(spark, tmp_warehouse, "kfile")
+    m_file = engine_file.apply_binlog(live)
+
+    # (b) the same lines re-shaped as Kafka records: binary `value`
+    kafka_dir = os.path.join(tmp_warehouse, "kafka-values")
+    (
+        spark.read.text(live)
+        .select(F.col("value").cast("binary").alias("value"))
+        .write.parquet(kafka_dir)
+    )
+    engine_k = _mk_engine(spark, tmp_warehouse, "kval")
+    stream = spark.readStream.schema("value binary").parquet(kafka_dir)
+    parsed = parse_kafka_values(stream)
+    assert parsed.isStreaming  # the adapter composes with readStream
+    batches = []
+
+    def _apply(df, epoch_id):
+        batches.append(engine_k.apply_batch(df))
+
+    q = (
+        parsed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", os.path.join(tmp_warehouse, "ckpt-kval"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    a = {r["doc_id"]: r.asDict(recursive=True) for r in engine_file.table.read().collect()}
+    b = {r["doc_id"]: r.asDict(recursive=True) for r in engine_k.table.read().collect()}
+    assert a == b
+    # anomaly routing identical, not just final state
+    assert sum(m.rejects for m in batches) == m_file.rejects
+    assert sum(m.skipped for m in batches) == m_file.skipped
+    assert sum(m.events_seen for m in batches) == m_file.events_seen
