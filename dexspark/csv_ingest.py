@@ -257,7 +257,41 @@ def ingest_csv_bulk(
     Returns {path: CsvIngestResult} — per-file results identical to
     the per-file loop (proven in tests/test_archive_ingest.py); each
     clean/quarantine frame is a lazy filter over its group's single
-    scan."""
+    scan. NOTE: forcing every per-file frame separately re-scans the
+    group (an input_file_name filter cannot prune the file listing) —
+    when the consumer wants per-file COUNTS rather than per-file row
+    sets, use :func:`bulk_validation_report`, which rolls the whole
+    batch up in one aggregation per group."""
+    results, tagged_groups = _bulk_groups(
+        spark, paths, rules, required_columns, known_columns, allow_unknown
+    )
+    for group_paths, tagged, has_data_by_path in tagged_groups:
+        for p in group_paths:
+            res = results[p]
+            abspath = os.path.abspath(p)
+            mine = tagged.filter(F.col("_file") == abspath).drop("_file")
+            has_data = has_data_by_path[p]
+            if has_data is None:  # pathological all-blank probe tail
+                has_data = mine.limit(1).count() > 0
+            if not has_data:
+                res.file_errors.append("file_empty:no data rows")  # V1
+                continue
+            res.clean = mine.filter(F.size(FAIL_COL) == 0).drop(FAIL_COL, _CORRUPT)
+            res.quarantine = mine.filter(F.size(FAIL_COL) > 0)
+    return results
+
+
+def _bulk_groups(
+    spark: SparkSession,
+    paths: list[str],
+    rules: RuleSet | None,
+    required_columns: tuple[str, ...] = (),
+    known_columns: tuple[str, ...] | None = None,
+    allow_unknown: bool = True,
+):
+    """Shared bulk machinery: distributed header probe, driver-side
+    header checks, one tagged scan per distinct normalized header.
+    Returns (results, [(group_paths, tagged_df, has_data_by_path)])."""
     rules = rules or RuleSet()
     probes = _probe_headers_bulk(spark, paths)
 
@@ -290,6 +324,7 @@ def ingest_csv_bulk(
         groups.setdefault(header, []).append(p)
         has_data_by_path[p] = has_data
 
+    tagged_groups = []
     for header, group_paths in groups.items():
         schema = T.StructType(
             [T.StructField(c, T.StringType(), True) for c in header]
@@ -322,19 +357,74 @@ def ingest_csv_bulk(
             )
         )
         tagged = df.withColumn(FAIL_COL, fails)
-        for p in group_paths:
-            res = results[p]
-            abspath = os.path.abspath(p)
-            mine = tagged.filter(F.col("_file") == abspath).drop("_file")
-            has_data = has_data_by_path[p]
-            if has_data is None:  # pathological all-blank probe tail
-                has_data = mine.limit(1).count() > 0
-            if not has_data:
-                res.file_errors.append("file_empty:no data rows")  # V1
-                continue
-            res.clean = mine.filter(F.size(FAIL_COL) == 0).drop(FAIL_COL, _CORRUPT)
-            res.quarantine = mine.filter(F.size(FAIL_COL) > 0)
-    return results
+        tagged_groups.append((group_paths, tagged, has_data_by_path))
+    return results, tagged_groups
+
+
+def bulk_validation_report(
+    spark: SparkSession,
+    paths: list[str],
+    rules: RuleSet | None = None,
+    required_columns: tuple[str, ...] = (),
+    known_columns: tuple[str, ...] | None = None,
+    allow_unknown: bool = True,
+) -> DataFrame:
+    """Whole-batch validation rollup: ONE aggregation per distinct
+    header — total jobs O(distinct headers), independent of file
+    count. This is the backfill consumption shape (the reference's
+    pass/fail report, csvValidationFunction_Generic.kt:87-109, at
+    fleet scale): each file's verdict and row counts, not its rows.
+
+    Returns a DataFrame ``(file_path, status, file_error, n_rows,
+    n_clean, n_quarantine)`` where status is 'ok' | 'file_error';
+    files that fail file-level checks (empty, bad headers) carry the
+    error and -1 counts; a parsed file with zero data rows is the V1
+    'file_empty:no data rows' failure."""
+    results, tagged_groups = _bulk_groups(
+        spark, paths, rules, required_columns, known_columns, allow_unknown
+    )
+    rollups = []
+    has_data: dict[str, bool | None] = {}
+    for group_paths, tagged, group_has in tagged_groups:
+        has_data.update({p: group_has[p] for p in group_paths})
+        rollups.append(
+            tagged.groupBy("_file").agg(
+                F.count("*").alias("n_rows"),
+                F.sum((F.size(FAIL_COL) == 0).cast("long")).alias("n_clean"),
+                F.sum((F.size(FAIL_COL) > 0).cast("long")).alias("n_quarantine"),
+            )
+        )
+    counts: dict[str, tuple] = {}
+    if rollups:
+        union = rollups[0]
+        for r in rollups[1:]:
+            union = union.unionByName(r)
+        counts = {
+            r["_file"]: (r["n_rows"], r["n_clean"], r["n_quarantine"])
+            for r in union.collect()
+        }
+    rows = []
+    for p in paths:
+        res = results[p]
+        if res.file_errors:
+            rows.append((p, "file_error", res.file_errors[0], -1, -1, -1))
+            continue
+        n_rows, n_clean, n_q = counts.get(os.path.abspath(p), (0, 0, 0))
+        # V1 semantics identical to the per-file path: the probe's
+        # verdict rules; inconclusive (None) falls back to whether the
+        # parse produced any row (== tagged.limit(1).count() > 0)
+        empty = (has_data.get(p) is False) or (
+            has_data.get(p) is None and n_rows == 0
+        )
+        if empty:
+            rows.append((p, "file_error", "file_empty:no data rows", 0, 0, 0))
+        else:
+            rows.append((p, "ok", None, n_rows, n_clean, n_q))
+    return spark.createDataFrame(
+        rows,
+        "file_path string, status string, file_error string, "
+        "n_rows long, n_clean long, n_quarantine long",
+    )
 
 
 @dataclass

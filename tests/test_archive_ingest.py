@@ -211,3 +211,42 @@ def test_scratch_gc_leaves_no_orphans(spark, tmp_path):
     assert info["files_removed"] == 0
     info = vacuum_scratch(scratch, [str(tmp_path / "scratch" / "fresh_entry.csv")])
     assert info["files_removed"] == 0
+
+
+def test_bulk_report_matches_loop_verdicts(spark, tmp_path):
+    """bulk_validation_report (one aggregation per header group) must
+    agree file-for-file with the per-entry loop's verdicts/counts."""
+    import glob as _glob
+    import os
+
+    from dexspark.csv_ingest import bulk_validation_report, ingest_csv
+
+    root = _bulk_corpus(tmp_path, n_variants=5)
+    # materialize entries via the loop path machinery first
+    loop = ingest_archives(
+        spark, root, RULES, bulk=False,
+        scratch=str(tmp_path / "scratch"),
+        required_columns=("patient_id", "csv_file_version_no"),
+    )
+    paths = sorted(_glob.glob(str(tmp_path / "scratch" / "*.csv")))
+    assert len(paths) == 26  # 4*5 variants + 6 edge files
+    report = {
+        r["file_path"]: r.asDict()
+        for r in bulk_validation_report(
+            spark, paths, RULES,
+            required_columns=("patient_id", "csv_file_version_no"),
+        ).collect()
+    }
+    for p in paths:
+        lp = ingest_csv(
+            spark, p, RULES,
+            required_columns=("patient_id", "csv_file_version_no"),
+        )
+        r = report[p]
+        if lp.file_errors:
+            assert r["status"] == "file_error", p
+            assert r["file_error"] == lp.file_errors[0], p
+        else:
+            assert r["status"] == "ok", (p, r)
+            assert r["n_clean"] == lp.clean.count(), p
+            assert r["n_quarantine"] == lp.quarantine.count(), p
