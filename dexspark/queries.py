@@ -776,7 +776,9 @@ def _mh_window_sql(k: int) -> str:
     return f"substring(md5('{k // 4}' || shingle), {1 + 8 * (k % 4)}, 8)"
 
 
-def _minhash_sql() -> str:
+def _minhash_pairs_ctes() -> str:
+    """The shared CTE chain shingles -> signatures -> bands -> pairs,
+    reused by the banding rollup and the components clustering oracle."""
     sig_cols = ",\n      ".join(
         f"min({_mh_window_sql(k)}) AS h{k}" for k in range(_MINHASH_K)
     )
@@ -788,21 +790,26 @@ def _minhash_sql() -> str:
         )
         for b in range(_MINHASH_BANDS)
     )
-    return f"""
-    WITH sh AS ({_SHINGLES_SQL.format(m=3)}),
+    return f"""sh AS ({_SHINGLES_SQL.format(m=3)}),
     sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
     bands AS ({band_selects}),
     pairs AS (
       SELECT DISTINCT a.band, a.doc_id AS da, b.doc_id AS db
       FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
        AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+def _minhash_sql() -> str:
+    return f"""
+    WITH {_minhash_pairs_ctes()}
     SELECT band, count(*) AS n_candidate_pairs FROM pairs GROUP BY band
     """
 
 
-@query("dedup_minhash_lsh", _minhash_sql())
-def dedup_minhash_lsh(spark, sf_dir):
+def _minhash_candidate_pairs(spark, sf_dir) -> DataFrame:
+    """(band, da, db) distinct LSH candidate pairs — shared by the
+    banding query and the connected-components clustering query."""
     sh = _shingles_spark(_t(spark, sf_dir, "documents"), n=4)
     # the two seeded md5s are projected BEFORE the aggregate so each
     # is computed once per shingle row (the 8 min-aggs then slice
@@ -832,7 +839,7 @@ def dedup_minhash_lsh(spark, sf_dir):
         part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("key"))
         bands = part if bands is None else bands.unionByName(part)
     a, bb = bands.alias("a"), bands.alias("b")
-    pairs = (
+    return (
         a.join(
             bb,
             (F.col("a.band") == F.col("b.band"))
@@ -842,7 +849,45 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.band").alias("band"), F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
         .distinct()
     )
+
+
+@query("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(spark, sf_dir):
+    pairs = _minhash_candidate_pairs(spark, sf_dir)
     return pairs.groupBy("band").agg(F.count("*").alias("n_candidate_pairs"))
+
+
+# ---- near-dup CLUSTERING: candidate pairs -> dedup groups ------------
+# The last step of every near-dup pipeline: LSH emits PAIRS, the dedup
+# decision needs GROUPS. Distributed iterative min-label propagation
+# (operators/components.py — one join + one aggregate per round,
+# lineage-truncated); oracle = DuckDB recursive CTE computing the
+# minimum reachable doc per vertex over the SAME candidate pairs.
+def _components_sql() -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_pairs_ctes()},
+    edges AS (
+      SELECT da AS a, db AS b FROM (SELECT DISTINCT da, db FROM pairs)
+      UNION ALL
+      SELECT db AS a, da AS b FROM (SELECT DISTINCT da, db FROM pairs)
+    ),
+    reach(v, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+    ),
+    comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+    SELECT component, count(*) AS n_members, min(v) AS representative
+    FROM comp GROUP BY component
+    """
+
+
+@query("dedup_components", _components_sql())
+def dedup_components(spark, sf_dir):
+    from .operators.components import dedup_groups
+
+    pairs = _minhash_candidate_pairs(spark, sf_dir).select("da", "db").distinct()
+    return dedup_groups(pairs)
 
 
 # ---- SimHash ---------------------------------------------------------
@@ -1118,33 +1163,20 @@ def ann_ivf(spark, sf_dir):
 # 7. text analysis (language-ID, quality, token count, fingerprint)
 # =====================================================================
 
-@query(
-    "text_token_count",
-    r"""
-    SELECT doc_id,
-           len(string_split_regex(text, '\s+')) AS n_ws_tokens,
-           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_ish
-    FROM documents
-    """,
-)
-def text_token_count(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
-        F.size(
-            F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
-        ).alias("n_bpe_ish"),
-    )
-
-
+# Token counting (whitespace + BPE-ish regex) AND quality scoring
+# (stopword/punct ratios, length gate) consolidated into ONE per-doc
+# stats query — a single scan computes both operator families,
+# keeping two slots of the driver's 50-query window open for
+# pack_sequences and dedup_components.
 _STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 
 @query(
-    "text_quality_score",
-    f"""
+    "text_token_count",
+    rf"""
     SELECT doc_id,
+      len(string_split_regex(text, '\s+')) AS n_ws_tokens,
+      len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_ish,
       round(len(list_filter(string_split(text, ' '),
                 w -> w IN {_STOPWORDS!r}))::DOUBLE
             / len(string_split(text, ' ')), 4) AS stopword_ratio,
@@ -1154,7 +1186,7 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in")
     FROM documents
     """,
 )
-def text_quality_score(spark, sf_dir):
+def text_token_count(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     stop_ratio = F.size(
@@ -1165,9 +1197,70 @@ def text_quality_score(spark, sf_dir):
     ).cast("double") / F.length("text")
     return d.select(
         "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+        ).alias("n_bpe_ish"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.col("n_chars").between(100, 400).cast("int").alias("length_ok"),
+    )
+
+
+# ---- sequence packing (concat-and-chunk into context windows) --------
+# THE canonical LLM training-data op over this engine's domain
+# (tokenized sequences): documents are concatenated in a deterministic
+# order per source and chunked into fixed-size context windows; a doc
+# belongs to the window its first token lands in. Pure window-cumsum —
+# one shuffle on the packing partition key, no UDF; at 100 TB the
+# per-source streams pack independently (source is the shuffle key),
+# and a skewed source salts exactly like any hot aggregation key.
+_PACK_CTX = 256
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, source, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS start_off
+      FROM toks
+    )
+    SELECT source, CAST(floor(start_off / {_PACK_CTX}.0) AS BIGINT) AS seq_bin,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "start_off", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return (
+        packed.groupBy(
+            "source",
+            F.floor(F.col("start_off") / _PACK_CTX).cast("long").alias("seq_bin"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
     )
 
 
@@ -1511,23 +1604,9 @@ def v7_header_normalize(spark, sf_dir):
 # keeping the driver's 50-query window open for ann_ivf.
 
 
-# V15: type-coercion check via try_cast — ANSI-safe integer parse
-# (cerberus_data_validation.py:38-39 'type': 'integer')
-@query(
-    "v15_type_coercion",
-    """
-    SELECT CAST(TRY_CAST(split_part(text, ' ', 1) AS BIGINT) IS NOT NULL AS INT)
-             AS first_word_is_int,
-           count(*) AS n
-    FROM documents GROUP BY 1
-    """,
-)
-def v15_type_coercion(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    is_int = (
-        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).try_cast("long").isNotNull()
-    ).cast("int")
-    return d.groupBy(is_int.alias("first_word_is_int")).agg(F.count("*").alias("n"))
+# V15 (type-coercion via try_cast, cerberus_data_validation.py:38-39
+# 'type': 'integer') is folded into scalar_string_family below
+# (first_word_is_int column) — freeing a 50-query-window slot.
 
 
 # F6: config-driven required-metadata-keys check over a map column,
@@ -1555,7 +1634,8 @@ def f6_metadata_required_keys(spark, sf_dir):
 
 # §2.8 string family in one pass: lower/endswith/trim/length/
 # regexp_replace/concat_ws (csvValidationFunction_Generic.kt:65,71;
-# Entry.java:81-102; FnDecompressor.kt:179)
+# Entry.java:81-102; FnDecompressor.kt:179) + V15 type coercion
+# (try_cast integer parse, cerberus_data_validation.py:38-39)
 @query(
     "scalar_string_family",
     """
@@ -1564,7 +1644,9 @@ def f6_metadata_required_keys(spark, sf_dir):
            CAST(ends_with(lower(source), '0') AS INT) AS src_ends_0,
            length(trim(text)) AS len_trim,
            length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_novowel,
-           concat_ws('|', lang, source) AS lang_src
+           concat_ws('|', lang, source) AS lang_src,
+           CAST(TRY_CAST(split_part(text, ' ', 1) AS BIGINT) IS NOT NULL AS INT)
+             AS first_word_is_int
     FROM documents
     """,
 )
@@ -1577,6 +1659,11 @@ def scalar_string_family(spark, sf_dir):
         F.length(F.trim("text")).alias("len_trim"),
         F.length(F.regexp_replace("text", "[aeiou]", "")).alias("len_novowel"),
         F.concat_ws("|", "lang", "source").alias("lang_src"),
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1))
+        .try_cast("long")
+        .isNotNull()
+        .cast("int")
+        .alias("first_word_is_int"),
     )
 
 
