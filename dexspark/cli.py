@@ -45,6 +45,13 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="apply the whole log as one batch (no streaming checkpoint); auto-detects ndjson[.gz] vs structured parquet logs",
     )
+    ap.add_argument(
+        "--reprocess-quarantine",
+        action="store_true",
+        help="instead of tailing: re-validate the error container against the "
+        "(updated) --rules, recover newly-passing events into the table, and "
+        "rewrite the quarantine to the still-failing rows",
+    )
     ap.add_argument("--follow", action="store_true", help="keep tailing (processingTime trigger); default: availableNow catch-up")
     ap.add_argument("--trigger", default="10 seconds")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
@@ -99,7 +106,11 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
 
-    if args.batch:
+    if args.reprocess_quarantine:
+        info = engine.reprocess_quarantine()
+        print(json.dumps(info))
+        _status()
+    elif args.batch:
         engine.apply_binlog(args.binlog)
         _status()
     elif args.follow:

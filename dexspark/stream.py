@@ -434,6 +434,110 @@ class CdcEngine:
         finally:
             agg.unpersist()
 
+    # ------------------------------------------------------ quarantine replay
+
+    def reprocess_quarantine(self, rules=None) -> dict:
+        """Re-validate the error container against (possibly updated)
+        rules and recover newly-passing events into the table.
+
+        The operational other half of codeless hot-swappable rules
+        (proof-of-concept/README.md:9-12): a too-strict rule
+        quarantined good events; after fixing the rule-set, this
+        replays every quarantined raw line through the SAME parse ->
+        classify -> validate -> last-writer-wins pipeline:
+
+        * events that now pass are MERGE-applied (no epoch markers —
+          their epochs are already committed; idempotence comes from
+          the quarantine itself: recovered rows leave it, so a rerun
+          sees only still-failing rows, and re-merging an identical
+          event is a state no-op under last-writer-wins);
+        * still-failing rows are rewritten as the new quarantine
+          (full rewrite — the quarantine is assumed tiny relative to
+          the table), with fresh fail_reasons from the new rules.
+
+        Maintenance operation: run it while the stream is paused (it
+        rewrites the quarantine wholesale). Mirrors the reference's
+        error-container -> re-ingest lifecycle (ConnectionNames.kt:
+        14-18; blobs moved to error are re-submittable).
+        Returns {"recovered", "still_failing", "deletes_applied"}.
+        """
+        rules = rules or self.config.rules
+        try:
+            q = self.spark.read.parquet(self.quarantine_path)
+        except Exception:  # no quarantine written yet
+            return {"recovered": 0, "still_failing": 0, "deletes_applied": 0}
+        parsed = parse_envelopes(
+            q.select("raw"), self.payload_schema
+        )
+        ev = classify(parsed, op_whitelist=rules.op_whitelist)
+        flat = ev.select(
+            "raw", "event_class", "op", "doc_id", F.col("payload.*"),
+            "commit_ts", "lsn", "batch_epoch", "envelope_fail",
+        )
+        meta_cols = (
+            "raw", "event_class", "op", "doc_id",
+            "commit_ts", "lsn", "batch_epoch", "envelope_fail", FAIL_COL,
+        )
+        payload_cols = [c for c in flat.columns if c not in meta_cols]
+        validated = validate_frame(flat, rules, self.config.validator)
+        gated = validated.withColumn(
+            FAIL_COL,
+            F.when(F.col("event_class") == "reject", F.array("envelope_fail"))
+            .when(
+                (F.col("event_class") == "apply") & (F.col("op") != "delete"),
+                F.col(FAIL_COL),
+            ),
+        )
+        still_q = (F.col("event_class") != "apply") | F.coalesce(
+            F.size(FAIL_COL) > 0, F.lit(False)
+        )
+        tagged = gated.withColumn("_still_q", still_q).localCheckpoint(eager=True)
+
+        passing = tagged.filter(~F.col("_still_q"))
+        winners = (
+            passing.groupBy("doc_id")
+            .agg(
+                F.max_by(
+                    F.struct("op", *payload_cols, "commit_ts", "lsn"),
+                    F.struct("commit_ts", "lsn"),
+                ).alias("_r")
+            )
+            .select("doc_id", F.col("_r.*"))
+        )
+        upserts = winners.filter(F.col("op") != "delete").select(
+            "doc_id", *payload_cols
+        )
+        delete_keys = winners.filter(F.col("op") == "delete").select("doc_id")
+        n_up = upserts.count()
+        n_del = delete_keys.count()
+        if n_up or n_del:
+            self.table.merge(upserts, delete_keys if n_del else None)
+        failing = tagged.filter(F.col("_still_q")).select(
+            "raw",
+            "doc_id",
+            F.coalesce(
+                FAIL_COL, F.array(F.lit("envelope:raw:unclassifiable"))
+            ).alias(FAIL_COL),
+            F.coalesce(F.col("batch_epoch"), F.lit(-1)).alias("batch_epoch"),
+        )
+        n_fail = failing.count()
+        # full quarantine rewrite: write fresh, then swap directories
+        tmp = self.quarantine_path + ".reprocess-tmp"
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+        failing.write.partitionBy("batch_epoch").parquet(tmp)
+        old = self.quarantine_path + ".reprocess-old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.quarantine_path, old)
+        os.rename(tmp, self.quarantine_path)
+        shutil.rmtree(old, ignore_errors=True)
+        return {
+            "recovered": n_up + n_del,
+            "still_failing": n_fail,
+            "deletes_applied": n_del,
+        }
+
     # ------------------------------------------------------------ batch API
 
     def apply_binlog(self, binlog_path: str, format: str | None = None) -> BatchMetrics:

@@ -297,3 +297,63 @@ def test_replay_with_nonzero_epochs_is_exactly_once(spark, tmp_warehouse):
     assert m2.epochs == []
     assert table.current_version() == v1  # no version churn on replay
     assert spark.read.parquet(engine.quarantine_path).count() == q1 == 2
+
+
+def test_reprocess_quarantine_with_relaxed_rules(spark, tmp_warehouse):
+    """Codeless-rules lifecycle: a too-strict source whitelist
+    quarantines good events; after relaxing the rule-set,
+    reprocess_quarantine recovers them into the table, rewrites the
+    quarantine down to the genuinely-bad rows, and a second
+    reprocess is a no-op (idempotence via quarantine state)."""
+    import json
+
+    from dexspark.config import RuleSet, sequences_ruleset
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "seq"), sequences_schema(),
+        key="doc_id", num_buckets=4,
+    )
+    table.overwrite(
+        spark.createDataFrame([("a", [1], 1, "web")], schema=sequences_schema())
+    )
+    engine = CdcEngine(spark, table, tmp_warehouse, EngineConfig(num_buckets=4))
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    os.makedirs(binlog)
+
+    def ev(doc, src, lsn, op="insert"):
+        return json.dumps({
+            "op": op, "doc_id": doc,
+            "payload": {"tokens": [lsn], "n_tok": 1, "source": src},
+            "commit_ts": "2026-01-01T00:00:00", "lsn": lsn, "batch_epoch": 0,
+        })
+    lines = [
+        ev("good1", "web", 1),
+        ev("held1", "internal", 2),   # not in default whitelist
+        ev("held2", "internal", 3),
+        ev("held2", "internal", 4),   # later duplicate: LWW on recovery
+        "{ this is not json",         # genuine reject, must stay
+    ]
+    with open(os.path.join(binlog, "epoch-0.ndjson"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    m = engine.apply_binlog(binlog)
+    assert m.rejects == 4  # 3 whitelist failures + 1 malformed
+    assert {r["doc_id"] for r in table.read().collect()} == {"a", "good1"}
+    assert spark.read.parquet(engine.quarantine_path).count() == 4
+
+    relaxed = RuleSet(
+        **{
+            **sequences_ruleset().__dict__,
+            "allowed_values": (("source", ("web", "books", "code", "wiki", "internal")),),
+        }
+    )
+    info = engine.reprocess_quarantine(rules=relaxed)
+    assert info["recovered"] == 2  # held1 + held2 (LWW collapsed)
+    assert info["still_failing"] == 1
+    rows = {r["doc_id"]: r.asDict(recursive=True) for r in table.read().collect()}
+    assert set(rows) == {"a", "good1", "held1", "held2"}
+    assert rows["held2"]["tokens"] == [4]  # the later duplicate won
+    assert spark.read.parquet(engine.quarantine_path).count() == 1
+
+    info2 = engine.reprocess_quarantine(rules=relaxed)  # idempotent rerun
+    assert info2 == {"recovered": 0, "still_failing": 1, "deletes_applied": 0}
+    assert table.read().count() == 4
