@@ -58,3 +58,45 @@ def test_dedup_groups_rollup(spark):
     }
     assert groups[1]["n_members"] == 3 and groups[1]["representative"] == 1
     assert groups[10]["n_members"] == 2 and groups[10]["representative"] == 10
+
+
+def test_components_match_union_find_on_random_graphs(spark):
+    """Property check: the distributed min-label fixpoint equals a
+    pure-Python union-find (with min-element canonical labels) on
+    seeded random graphs of varying shape/density."""
+    import random
+
+    def union_find_components(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical label = min member of the set
+        return {v: find(v) for v in parent}
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(5, 60)
+        m = rng.randint(1, 2 * n)
+        edges = [
+            (rng.randint(0, n), rng.randint(0, n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        # union-by-min-root makes every final root the set minimum,
+        # matching the min-label fixpoint's canonical labels
+        want = union_find_components(edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["v"]: r["component"]
+            for r in connected_components(df, max_iter=80).collect()
+        }
+        assert got == want, (trial, edges)

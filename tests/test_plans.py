@@ -116,3 +116,26 @@ def test_jvm_validator_has_no_python_nodes(spark):
     plan = _plan(with_fail_reasons(df, sequences_ruleset()))
     assert "Python" not in plan
     assert "required:doc_id" in plan  # rules compiled into the projection
+
+
+def test_every_registered_query_is_python_free(spark):
+    """Blanket invariant over the ENTIRE 50-query driver surface: no
+    plan contains row-at-a-time Python (BatchEvalPython). Arrow-
+    vectorized nodes (MapInPandas / ArrowEvalPython / MapInArrow) are
+    the only Python allowed — BASELINE.json input_hint 'no per-row
+    Python' enforced globally, not per-query."""
+    import os
+
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    from dexspark.queries import QUERIES
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        plan = _plan(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
