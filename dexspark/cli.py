@@ -46,6 +46,14 @@ def main(argv: list[str] | None = None) -> int:
         help="apply the whole log as one batch (no streaming checkpoint); auto-detects ndjson[.gz] vs structured parquet logs",
     )
     ap.add_argument(
+        "--compact-binlog",
+        metavar="OUT_DIR",
+        help="instead of tailing: Kafka-style log compaction — write a "
+        "structured parquet binlog to OUT_DIR keeping only each key's "
+        "last-writer-wins winner (rejects/invalid events kept verbatim; "
+        "replay-convergence preserved)",
+    )
+    ap.add_argument(
         "--reprocess-quarantine",
         action="store_true",
         help="instead of tailing: re-validate the error container against the "
@@ -106,7 +114,14 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
 
-    if args.reprocess_quarantine:
+    if args.compact_binlog:
+        from .events import compact_binlog
+
+        info = compact_binlog(
+            spark, args.binlog, args.compact_binlog, rules=cfg.rules
+        )
+        print(json.dumps(info))
+    elif args.reprocess_quarantine:
         info = engine.reprocess_quarantine()
         print(json.dumps(info))
         _status()

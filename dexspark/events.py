@@ -180,6 +180,115 @@ def parse_envelopes(raw_df: DataFrame, payload_schema: T.StructType | None = Non
     return _finalize(flat, blank_col=F.trim(F.col(RAW_COL)) == "")
 
 
+def compact_binlog(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    rules=None,
+    payload_schema: T.StructType | None = None,
+) -> dict:
+    """Kafka-style log compaction for the change log: keep, per key,
+    only the event that would WIN last-writer-wins replay; drop the
+    superseded ones. Output is a structured parquet binlog (partition
+    pruning, no JSON parse on re-read).
+
+    Compaction must preserve replay semantics under the engine's
+    validation gate, so only events that are apply-class AND pass the
+    rule-set compact against each other — an invalid later event must
+    NOT compact away a valid earlier one (the engine would quarantine
+    the invalid winner and keep the earlier value). Rejects, skips and
+    validation failures are kept verbatim: replaying the compacted log
+    converges to the SAME table state and the SAME quarantine rows as
+    the full log (tested), only lineage's events-seen counts shrink.
+
+    Epoch markers: each kept event keeps its batch_epoch; epochs whose
+    events all compacted away vanish from the log, which the
+    watermark's out-of-order tail absorbs (bounded by #epochs of the
+    compacted archive).
+    """
+    from .config import RuleSet
+    from .validate import FAIL_COL, validate_frame
+
+    rules = rules or RuleSet()
+    reader = read_binlog_parquet if _dir_looks_parquet(in_dir) else read_binlog
+    parsed = reader(spark, in_dir, payload_schema)
+    ev = classify(parsed, op_whitelist=rules.op_whitelist)
+    flat = ev.select(
+        "raw", "event_class", "op", "doc_id", F.col("payload.*"),
+        "commit_ts", "lsn", "batch_epoch", "envelope_fail", "is_blank",
+    )
+    payload_cols = [
+        c
+        for c in flat.columns
+        if c
+        not in (
+            "raw", "event_class", "op", "doc_id",
+            "commit_ts", "lsn", "batch_epoch", "envelope_fail", "is_blank",
+            FAIL_COL,
+        )
+    ]
+    validated = validate_frame(flat, rules, "jvm")
+    compactable = (F.col("event_class") == "apply") & (
+        (F.col("op") == "delete") | (F.coalesce(F.size(FAIL_COL), F.lit(0)) == 0)
+    )
+    tagged = validated.withColumn("_compactable", compactable)
+    losers_removed = (
+        tagged.filter("_compactable")
+        .groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    "raw", "op", *payload_cols, "commit_ts", "lsn", "batch_epoch"
+                ),
+                F.struct("commit_ts", "lsn"),
+            ).alias("_r")
+        )
+        .select("doc_id", F.col("_r.*"))
+    )
+    kept_verbatim = tagged.filter(~F.col("_compactable")).select(
+        "doc_id", "raw", "op", *payload_cols, "commit_ts", "lsn", "batch_epoch"
+    )
+    out = losers_removed.select(
+        "op",
+        "doc_id",
+        F.struct(*payload_cols).alias("payload"),
+        "commit_ts",
+        "lsn",
+        "raw",
+        "batch_epoch",
+    ).unionByName(
+        kept_verbatim.select(
+            "op",
+            "doc_id",
+            F.struct(*payload_cols).alias("payload"),
+            "commit_ts",
+            "lsn",
+            "raw",
+            "batch_epoch",
+        )
+    )
+    (
+        out.repartition("batch_epoch")
+        .write.partitionBy("batch_epoch")
+        .parquet(out_dir)
+    )
+    n_in = parsed.count()
+    n_out = spark.read.parquet(out_dir).count()
+    return {"events_in": n_in, "events_out": n_out, "dropped": n_in - n_out}
+
+
+def _dir_looks_parquet(path: str) -> bool:
+    import os
+
+    try:
+        entries = os.listdir(path)
+    except OSError:
+        return False
+    return any(
+        e.endswith(".parquet") or e.startswith("batch_epoch=") for e in entries
+    )
+
+
 def parse_kafka_values(
     df: DataFrame, payload_schema: T.StructType | None = None
 ) -> DataFrame:

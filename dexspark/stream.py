@@ -462,6 +462,12 @@ class CdcEngine:
         Returns {"recovered", "still_failing", "deletes_applied"}.
         """
         rules = rules or self.config.rules
+        # crash recovery: a previous reprocess that died between the
+        # two renames leaves the live dir missing and the old content
+        # parked at .reprocess-old — restore it and start over
+        old = self.quarantine_path + ".reprocess-old"
+        if not os.path.isdir(self.quarantine_path) and os.path.isdir(old):
+            os.rename(old, self.quarantine_path)
         try:
             q = self.spark.read.parquet(self.quarantine_path)
         except Exception:  # no quarantine written yet

@@ -75,3 +75,50 @@ def test_delete_without_payload_applies(spark):
     )
     (r,) = _classify_lines(spark, [line])
     assert r["event_class"] == "apply" and r["payload"] is None
+
+
+def test_compact_binlog_replay_converges(spark, tmp_path):
+    """Kafka-style log compaction: replaying the compacted log must
+    reach the SAME table state and the SAME quarantine rows as the
+    full log — only superseded valid events (LWW losers) are gone."""
+    import os
+
+    from dexspark import gen
+    from dexspark.config import EngineConfig, sequences_ruleset
+    from dexspark.events import compact_binlog
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+    from dexspark.stream import CdcEngine
+
+    full = str(tmp_path / "binlog-full")
+    events = gen.change_events(
+        spark, n_events=3_000, n_docs=150, n_epochs=4, max_len=8, anomaly_pct=10
+    )
+    gen.write_binlog(events, full)
+    compacted = str(tmp_path / "binlog-compacted")
+    info = compact_binlog(
+        spark, full, compacted, rules=sequences_ruleset()
+    )
+    assert info["dropped"] > 0  # duplicates per key really compacted
+    assert info["events_out"] < info["events_in"]
+
+    def run(tag, binlog):
+        table = LakeTable.create(
+            spark, str(tmp_path / f"seq-{tag}"), sequences_schema(), num_buckets=4
+        )
+        table.overwrite(gen.base_sequences(spark, n_docs=150, max_len=8))
+        eng = CdcEngine(
+            spark, table, str(tmp_path / tag), EngineConfig(num_buckets=4)
+        )
+        eng.apply_binlog(binlog)
+        state = {
+            r["doc_id"]: r.asDict(recursive=True) for r in table.read().collect()
+        }
+        q = spark.read.parquet(eng.quarantine_path)
+        return state, {r["raw"] for r in q.select("raw").collect()}, q.count()
+
+    s_full, q_full, n_full = run("full", full)
+    s_comp, q_comp, n_comp = run("comp", compacted)
+    assert s_full == s_comp  # table state identical
+    assert q_full == q_comp  # same quarantined raw lines survive
+    assert n_full == n_comp
