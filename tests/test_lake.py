@@ -363,3 +363,32 @@ def test_bucket_pruned_read(spark, table):
         want = {r["doc_id"] for r in all_rows.filter(F.col("_b") == b).collect()}
         got = {r["doc_id"] for r in table.read(buckets=[b]).collect()}
         assert got == want
+
+
+def test_put_if_absent_single_winner_under_racing_threads(tmp_path):
+    """The FileIO conditional put is the commit protocol's whole
+    correctness load: 16 threads racing the same snapshot path must
+    produce exactly ONE winner and 15 clean ConcurrentCommitError
+    losers, and the surviving content must be the winner's."""
+    import concurrent.futures
+
+    io_ = LocalFileIO()
+    target = str(tmp_path / "_snapshots" / "snap-00000007.json")
+
+    def attempt(i):
+        try:
+            io_.put_if_absent(target, f'{{"writer": {i}}}')
+            return ("won", i)
+        except ConcurrentCommitError:
+            return ("lost", i)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=16) as pool:
+        results = list(pool.map(attempt, range(16)))
+    winners = [i for s, i in results if s == "won"]
+    assert len(winners) == 1, results
+    assert io_.read_text(target) == f'{{"writer": {winners[0]}}}'
+    # no temp litter left behind
+    leftovers = [
+        f for f in os.listdir(tmp_path / "_snapshots") if f.startswith(".tmp-")
+    ]
+    assert leftovers == []
