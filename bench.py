@@ -66,10 +66,56 @@ CDC_EPOCHS = 8
 # bandwidth — on this bandwidth-saturated host they are what keeps
 # core-scaling honest (see BENCH.md scaling notes).
 BINLOG_FORMAT = os.environ.get("DEXSPARK_BINLOG_FORMAT", "ndjson")
-# MERGE write mode: cow (default) | mor — see lake.LakeTable.merge
-MERGE_MODE = os.environ.get("DEXSPARK_MERGE_MODE", "cow")
+# MERGE write mode: mor (default) | cow — see lake.LakeTable.merge.
+# mor is the production configuration the engine ships for the
+# north-rule regime (a small change batch over a huge table appends
+# the batch instead of rewriting every touched bucket; history is
+# folded down by auto-compaction) and it is also the measured-faster
+# mode at bench scale (BENCH.md: merge phase 3.8s -> 1.9s). r1/r2
+# benches ran cow; the flip is documented in BENCH.md.
+MERGE_MODE = os.environ.get("DEXSPARK_MERGE_MODE", "mor")
 # Fraction of events aimed at the hottest 1% of keys (skew stress)
 CDC_HOT_PCT = int(os.environ.get("DEXSPARK_CDC_HOT_PCT", "20"))
+
+
+def _burn(_):
+    x = 0
+    for i in range(5_000_000):
+        x += i * i
+    return x
+
+
+def host_calibration(spark=None) -> dict:
+    """Cheap (~3s) host-state probe embedded in the bench JSON.
+
+    This sandbox host's effective CPU for sustained multi-threaded
+    JVM work varies by up to ~10x between runs of IDENTICAL code
+    (measured across rounds and within single sessions; BENCH.md
+    "host calibration"). Recording the host's state alongside each
+    bench run makes cross-round comparisons interpretable: the same
+    engine binary has measured 11.4s and 218s for the same 4M-event
+    apply on different days. Probes: single-process and 8-process
+    pure-Python burns (scheduler + per-core speed), and, when a live
+    SparkSession is passed, a whole-stage-codegen rate probe (JVM
+    effective throughput — the one that tracks the slowdowns)."""
+    import multiprocessing as mp
+
+    out = {}
+    t0 = time.monotonic()
+    _burn(0)
+    out["py_burn_1p_sec"] = round(time.monotonic() - t0, 3)
+    with mp.Pool(8) as p:
+        t0 = time.monotonic()
+        p.map(_burn, range(8))
+        out["py_burn_8p_sec"] = round(time.monotonic() - t0, 3)
+    if spark is not None:
+        t0 = time.monotonic()
+        spark.range(200_000_000, numPartitions=32).selectExpr(
+            "bit_xor(xxhash64(id)) s"
+        ).collect()
+        dt = time.monotonic() - t0
+        out["jvm_codegen_mrows_per_sec"] = round(200.0 / dt, 1)
+    return out
 
 
 def _write_bench_binlog(spark, binlog: str, fmt: str = BINLOG_FORMAT) -> None:
@@ -184,6 +230,8 @@ def main_default(sf_dir: str, cpus: int) -> None:
     cdc = run_cdc(spark, f"{SCRATCH}/dexspark-bench-{cpus}")
     queries["cdc_apply"] = cdc["apply_sec"]
     total = round(time.monotonic() - t0, 3)
+    # host probe AFTER the timed window so it doesn't inflate `value`
+    host = host_calibration(spark)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -197,6 +245,9 @@ def main_default(sf_dir: str, cpus: int) -> None:
                 "cdc_events": cdc["events"],
                 "cdc_events_per_sec": cdc["events_per_sec"],
                 "cdc_rows_merged": cdc["rows_merged"],
+                "cdc_phase_ms": cdc["phase_ms"],
+                "merge_mode": MERGE_MODE,
+                "host": host,
             }
         )
     )
