@@ -274,6 +274,7 @@ class LakeTable:
             {
                 "version": 1,
                 "parent": 0,
+                "operation": "create",
                 "key": key,
                 "num_buckets": num_buckets,
                 "schema": schema.jsonValue(),
@@ -439,6 +440,7 @@ class LakeTable:
         m.update(
             version=version,
             parent=m["version"],
+            operation="overwrite",
             schema=schema.jsonValue(),
             buckets=buckets,
             # a full overwrite replaces every data file: any pending
@@ -523,6 +525,7 @@ class LakeTable:
             mm.update(
                 version=version,
                 parent=m["version"],
+                operation="merge-noop",
                 **self._next_epoch_state(m, epochs),
             )
             self._commit(mm)
@@ -553,6 +556,7 @@ class LakeTable:
         mm.update(
             version=version,
             parent=m["version"],
+            operation="merge-cow",
             schema=schema.jsonValue(),
             buckets=buckets,
             evolution=m.get("evolution", []) + [{"version": version, "actions": evo}] if evo else m.get("evolution", []),
@@ -595,6 +599,7 @@ class LakeTable:
             mm.pop("committed_epochs", None)
             mm.update(
                 version=version, parent=m["version"],
+                operation="merge-noop",
                 **self._next_epoch_state(m, epochs),
             )
             self._commit(mm)
@@ -608,6 +613,7 @@ class LakeTable:
         mm.update(
             version=version,
             parent=m["version"],
+            operation="merge-mor",
             schema=schema.jsonValue(),
             buckets=buckets,
             mor=True,
@@ -693,6 +699,7 @@ class LakeTable:
         mm.update(
             version=version,
             parent=m["version"],
+            operation="compact",
             buckets=written,
             mor=False,
             mor_depth=0,
@@ -728,6 +735,7 @@ class LakeTable:
         mm.update(
             version=version,
             parent=m["version"],
+            operation="rebucket",
             num_buckets=new_num_buckets,
             buckets=written,
             mor=False,
@@ -739,3 +747,160 @@ class LakeTable:
             "rebucketed": True,
             "num_buckets": new_num_buckets,
         }
+
+    # ------------------------------------------------------------ changelog
+
+    def history(self) -> list[dict]:
+        """Retained snapshot lineage, oldest first: one row per
+        manifest still on disk with its operation, parent, epoch state
+        and MOR depth (the Iceberg ``table.history()`` /
+        ``snapshots`` metadata view)."""
+        snap_dir = os.path.join(self.root, _SNAP_DIR)
+        versions = sorted(
+            int(n[5:13])
+            for n in self.io.list_dir(snap_dir)
+            if n.startswith("snap-") and n.endswith(".json")
+        )
+        out = []
+        for v in versions:
+            m = self.manifest(v)
+            w, tail = self._epoch_state_of(m)
+            out.append(
+                {
+                    "version": v,
+                    "parent": m.get("parent", 0),
+                    "operation": m.get("operation", "unknown"),
+                    "epoch_watermark": w,
+                    "epoch_tail": tail,
+                    "mor_depth": int(m.get("mor_depth", 0)),
+                    "num_buckets": m.get("num_buckets"),
+                }
+            )
+        return out
+
+    def _commit_files(self, m: dict, version: int) -> list[str]:
+        """Absolute paths of the data files ADDED by ``version``'s
+        commit (their dir name embeds the version, so no parent-diff
+        is needed)."""
+        prefix = f"commit-{version:08d}"
+        out = []
+        for files in m["buckets"].values():
+            for rel in files:
+                if rel.split("/")[1].startswith(prefix):
+                    out.append(os.path.join(self.root, rel))
+        return out
+
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Incremental changelog read (CDC *out* of the table): every
+        row-level change committed AFTER ``from_version`` up to and
+        including ``to_version`` (default: current), as a DataFrame of
+        the table schema plus ``_change_type`` (``upsert`` | ``delete``)
+        and ``_commit_version``.
+
+        This is the Iceberg incremental scan / Delta CDF surface that
+        lets downstream consumers (index builders, training-data
+        samplers, replica tables) tail the lake instead of re-reading
+        snapshots — the other half of a CDC engine. Cost model per
+        commit, which is what makes it usable at 10^10 rows:
+
+        * ``merge-mor`` — the appended files ARE the change batch;
+          read exactly those files, O(change). Tombstones become
+          ``delete`` rows (key-only pre-image, like Iceberg equality
+          deletes); everything else is an ``upsert``.
+        * ``merge-cow`` / ``overwrite`` — diff parent vs child
+          restricted to the buckets whose file lists differ: one
+          full-outer join per commit over only the touched buckets
+          (exactly the data COW already rewrote). ``delete`` rows
+          carry the full pre-image; unchanged rows are filtered with a
+          null-safe struct comparison.
+        * ``compact`` / ``rebucket`` / ``merge-noop`` — physical-only
+          commits: no logical change, nothing emitted (and no I/O).
+
+        ``upsert`` is deliberately not split into insert/update: the
+        split requires probing the parent snapshot for key existence,
+        which for MOR commits would turn an O(change) read into an
+        O(bucket) one. Consumers that need it anti-join the parent
+        snapshot themselves.
+
+        Requires every manifest in ``(from_version, to_version]`` (and
+        the parent data of any COW diff) to still be retained — run
+        ``changes`` ahead of ``vacuum``'s retention horizon.
+        """
+        to_v = self.current_version() if to_version is None else to_version
+        if from_version > to_v:
+            raise ValueError(f"from_version {from_version} > to_version {to_v}")
+        key = self.key
+        parts: list[DataFrame] = []
+        for v in range(from_version + 1, to_v + 1):
+            m = self.manifest(v)
+            op = m.get("operation", "diff")
+            schema = T.StructType.fromJson(m["schema"])
+            data_cols = [f.name for f in schema.fields]
+            if op in ("compact", "rebucket", "merge-noop", "create"):
+                continue
+            if op == "merge-mor":
+                files = self._commit_files(m, v)
+                if not files:
+                    continue
+                df = self.spark.read.parquet(*files)
+                tomb = (
+                    F.coalesce(F.col(_TOMBSTONE), F.lit(False))
+                    if _TOMBSTONE in df.columns
+                    else F.lit(False)
+                )
+                df = self._align(df.withColumn("_t", tomb), T.StructType(
+                    list(schema.fields) + [T.StructField("_t", T.BooleanType(), True)]
+                ))
+                part = df.select(
+                    *data_cols,
+                    F.when(F.col("_t"), F.lit("delete"))
+                    .otherwise(F.lit("upsert"))
+                    .alias("_change_type"),
+                    F.lit(v).alias("_commit_version"),
+                )
+            else:
+                # generic parent-vs-child diff over the touched buckets
+                pm = self.manifest(v - 1)
+                touched = sorted(
+                    int(b)
+                    for b in set(m["buckets"]) | set(pm["buckets"])
+                    if m["buckets"].get(b) != pm["buckets"].get(b)
+                )
+                if not touched:
+                    continue
+                # rebucket/compact upstream of v-1 cannot occur between
+                # two adjacent versions, so bucket numbering is shared
+                old = self._align(self.read(buckets=touched, version=v - 1), schema)
+                new = self._align(self.read(buckets=touched, version=v), schema)
+                o = old.select(F.struct(*data_cols).alias("_o"), F.col(key).alias("_k"))
+                n = new.select(F.struct(*data_cols).alias("_n"), F.col(key).alias("_k"))
+                j = o.join(n, "_k", "full_outer")
+                row = F.coalesce(F.col("_n"), F.col("_o"))
+                part = (
+                    j.filter(~F.col("_o").eqNullSafe(F.col("_n")))
+                    .select(
+                        *[row.getField(c).alias(c) for c in data_cols],
+                        F.when(F.col("_n").isNull(), F.lit("delete"))
+                        .otherwise(F.lit("upsert"))
+                        .alias("_change_type"),
+                        F.lit(v).alias("_commit_version"),
+                    )
+                )
+            parts.append(part)
+        final_schema = T.StructType(
+            list(T.StructType.fromJson(self.manifest(to_v)["schema"]).fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_commit_version", T.IntegerType(), False),
+            ]
+        )
+        if not parts:
+            return self.spark.createDataFrame([], final_schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        # commits before a schema evolution lack the new columns;
+        # align once at the end
+        return self._align(
+            out, final_schema
+        )
