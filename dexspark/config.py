@@ -129,4 +129,17 @@ class EngineConfig:
     # manifest referencing missing files. Set to 0 only in
     # single-writer contexts (tests).
     vacuum_min_age_seconds: float = 3600.0
+    # Cross-batch stale-event suppression (operators/stateful.py):
+    # when on, run_stream inserts a keyed state store (max
+    # (commit_ts, lsn) per doc_id) in front of the batch pipeline,
+    # dropping redelivered / out-of-order-stale events even when they
+    # arrive under FRESH epochs (producer retries re-offsetting old
+    # events) — upgrading replay tolerance from epoch-level to
+    # event-level. Off by default: the epoch watermark already covers
+    # same-epoch redelivery, and the state store costs one extra
+    # keyed shuffle per micro-batch. suppress_ttl_ms bounds the state
+    # for unbounded key spaces (idle keys evicted; a late event for an
+    # evicted key falls back to the table's LWW merge).
+    suppress_stale: bool = False
+    suppress_ttl_ms: int | None = None
     rules: RuleSet = field(default_factory=sequences_ruleset)

@@ -58,7 +58,20 @@ def suppress_stale(
     nanoseconds). ``ttl_ms`` evicts state for keys idle longer than
     that processing-time interval (None = keep forever).
     """
+    from pyspark.sql import functions as F
+
     major, minor = order_cols
+    # Rows with a null key or null order columns carry no LWW position
+    # (envelope anomalies headed for quarantine): they BYPASS the state
+    # store untouched — suppressing them would hide them from the error
+    # channel. Streaming self-union of two filters over one source.
+    complete = (
+        F.col(key).isNotNull()
+        & F.col(major).isNotNull()
+        & F.col(minor).isNotNull()
+    )
+    bypass = events.filter(~complete)
+    events = events.filter(complete)
     out_schema = events.schema
     state_schema = T.StructType(
         [
@@ -110,7 +123,7 @@ def suppress_stale(
         if ttl_ms is not None
         else GroupStateTimeout.NoTimeout
     )
-    return (
-        events.groupBy(key)
-        .applyInPandasWithState(fn, out_schema, state_schema, "append", timeout)
+    suppressed = events.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", timeout
     )
+    return suppressed.unionByName(bypass)

@@ -587,6 +587,20 @@ class CdcEngine:
             self.payload_schema,
             max_files_per_trigger=max_files_per_trigger,
         )
+        if self.config.suppress_stale:
+            from .operators.stateful import suppress_stale
+
+            # keyed state store in front of the batch pipeline: drops
+            # events at-or-below each key's already-forwarded
+            # (commit_ts, lsn) — event-level replay tolerance (see
+            # EngineConfig.suppress_stale). Anomalous rows (null key /
+            # order) bypass it and still reach quarantine.
+            parsed = suppress_stale(
+                parsed,
+                key="doc_id",
+                order_cols=("commit_ts", "lsn"),
+                ttl_ms=self.config.suppress_ttl_ms,
+            )
 
         def _process(batch_df: DataFrame, epoch_id: int) -> None:
             self.apply_batch(batch_df)

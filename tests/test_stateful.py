@@ -125,3 +125,91 @@ def test_timestamp_order_column(spark, tmp_path):
         for r in spark.read.parquet(str(out)).collect()
     )
     assert got == [("2024-01-01 10:00:00", 2), ("2024-01-01 11:00:00", 1)]
+
+
+# ---- engine integration: EngineConfig(suppress_stale=True) ----------
+
+
+def _env(op, doc, ts, lsn, epoch, tokens=None):
+    e = {
+        "op": op,
+        "doc_id": doc,
+        "commit_ts": f"2024-01-01T00:00:{ts:02d}.000Z",
+        "lsn": lsn,
+        "batch_epoch": epoch,
+    }
+    if op != "delete":
+        e["payload"] = {"tokens": tokens, "n_tok": len(tokens), "source": "web"}
+    return e
+
+
+def _run_engine(spark, root, tag, suppress):
+    from dexspark.config import EngineConfig
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+    from dexspark.stream import CdcEngine
+
+    table = LakeTable.create(
+        spark, os.path.join(root, f"t-{tag}"), sequences_schema(), num_buckets=4
+    )
+    cfg = EngineConfig(num_buckets=4, suppress_stale=suppress)
+    return CdcEngine(spark, table, os.path.join(root, f"wh-{tag}"), cfg)
+
+
+def test_engine_suppresses_stale_retry_under_fresh_epoch(spark, tmp_path):
+    """A producer retry that re-emits an OLD event under a NEW epoch
+    passes the epoch watermark (the epoch is genuinely fresh) and
+    would regress the row via blind LWW upsert — the binlog ordering
+    contract's edge. With suppress_stale on, the keyed state drops it
+    and the row keeps its newest value. The control run documents the
+    contract boundary the flag removes."""
+    src = tmp_path / "binlog"
+    os.makedirs(src)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write(
+        "epoch-0.ndjson",
+        [
+            _env("insert", "doc-a", ts=10, lsn=1, epoch=0, tokens=[1, 2]),
+            _env("insert", "doc-b", ts=10, lsn=2, epoch=0, tokens=[3]),
+        ],
+    )
+    write(
+        "epoch-1.ndjson",
+        [_env("update", "doc-a", ts=20, lsn=3, epoch=1, tokens=[7, 7, 7])],
+    )
+
+    results = {}
+    for tag, suppress in (("on", True), ("off", False)):
+        eng = _run_engine(spark, str(tmp_path), tag, suppress)
+        q = eng.run_stream(
+            str(src),
+            str(tmp_path / f"ckpt-{tag}"),
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+        # the retry batch: epoch 2 is FRESH, but the doc-a event inside
+        # is a stale re-emission of the epoch-0 version
+        write(
+            f"epoch-2-{tag}.ndjson",
+            [_env("update", "doc-a", ts=10, lsn=1, epoch=2, tokens=[1, 2])],
+        )
+        q = eng.run_stream(
+            str(src),
+            str(tmp_path / f"ckpt-{tag}"),
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+        results[tag] = {
+            r["doc_id"]: list(r["tokens"]) for r in eng.table.read().collect()
+        }
+
+    assert results["on"]["doc-a"] == [7, 7, 7]   # stale retry suppressed
+    assert results["on"]["doc-b"] == [3]
+    assert results["off"]["doc-a"] == [1, 2]     # the regression the flag prevents
