@@ -392,3 +392,84 @@ def test_put_if_absent_single_winner_under_racing_threads(tmp_path):
         f for f in os.listdir(tmp_path / "_snapshots") if f.startswith(".tmp-")
     ]
     assert leftovers == []
+
+
+# ---- point lookup + key bloom filters --------------------------------
+
+
+def test_lookup_prunes_to_one_bucket_and_pushes_filter(spark, tmp_path):
+    from dexspark.schema import sequences_schema
+    import pyspark.sql.functions as F
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), sequences_schema(), num_buckets=8
+    )
+    df = spark.range(500).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit("s").alias("source"),
+    )
+    t.overwrite(df)
+    got = t.lookup("doc-123").collect()
+    assert len(got) == 1 and got[0]["tokens"] == [123]
+    assert t.lookup("doc-9999").count() == 0
+    # the equality reaches the parquet scan (row-group/bloom skipping)
+    plan = t.lookup("doc-123")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc-123" in plan
+    # and after a MOR merge the filter still pushes through the
+    # reconstruction aggregate
+    up = spark.createDataFrame(
+        [("doc-123", [9], 1, "s2")], schema=sequences_schema()
+    )
+    t.merge(up, mode="mor")
+    got = t.lookup("doc-123").collect()
+    assert len(got) == 1 and got[0]["source"] == "s2"
+    plan = t.lookup("doc-123")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc-123" in plan
+
+
+def test_bloom_filter_property_writes_blooms(spark, tmp_path):
+    """Same deterministic data written with and without the
+    bloom_filter_key property: the bloom variant's data files must be
+    strictly larger (the serialized filters), and lookups stay
+    correct."""
+    import os
+
+    from dexspark.schema import sequences_schema
+    import pyspark.sql.functions as F
+
+    df = spark.range(20_000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit("s").alias("source"),
+    )
+
+    def total_bytes(root):
+        out = 0
+        for dirpath, _, files in os.walk(root):
+            out += sum(
+                os.path.getsize(os.path.join(dirpath, f))
+                for f in files
+                if f.endswith(".parquet")
+            )
+        return out
+
+    plain = LakeTable.create(
+        spark, str(tmp_path / "plain"), sequences_schema(), num_buckets=4
+    )
+    plain.overwrite(df)
+    bloomed = LakeTable.create(
+        spark,
+        str(tmp_path / "bloomed"),
+        sequences_schema(),
+        num_buckets=4,
+        properties={"bloom_filter_key": True, "bloom_filter_ndv": 20_000},
+    )
+    bloomed.overwrite(df)
+    assert total_bytes(str(tmp_path / "bloomed")) > total_bytes(
+        str(tmp_path / "plain")
+    )
+    assert bloomed.lookup("doc-777").count() == 1
+    assert bloomed.lookup("nope").count() == 0
