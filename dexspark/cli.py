@@ -29,9 +29,9 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="dexspark", description=__doc__)
     ap.add_argument("--table", required=True, help="LakeTable root path")
-    ap.add_argument("--binlog", required=True, help="change-event log dir (ndjson)")
-    ap.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
-    ap.add_argument("--warehouse", required=True, help="quarantine/lineage root")
+    ap.add_argument("--binlog", help="change-event log dir (ndjson)")
+    ap.add_argument("--checkpoint", help="streaming checkpoint dir")
+    ap.add_argument("--warehouse", help="quarantine/lineage root")
     ap.add_argument("--create", action="store_true", help="create table if absent")
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--rules", help="JSON rule-set file (default: sequences rules)")
@@ -63,7 +63,38 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--follow", action="store_true", help="keep tailing (processingTime trigger); default: availableNow catch-up")
     ap.add_argument("--trigger", default="10 seconds")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument(
+        "--suppress-stale",
+        action="store_true",
+        help="insert the cross-batch keyed state store in front of the "
+        "pipeline (event-level replay tolerance; operators/stateful.py)",
+    )
+    ap.add_argument(
+        "--history",
+        action="store_true",
+        help="instead of tailing: print the retained snapshot lineage",
+    )
+    ap.add_argument(
+        "--lookup",
+        metavar="KEY",
+        help="instead of tailing: point-read one key (bucket prune + "
+        "pushed equality + bloom skip) and print the rows as JSON",
+    )
+    ap.add_argument(
+        "--changes",
+        metavar="FROM[,TO]",
+        help="instead of tailing: incremental changelog read (CDC-out) "
+        "between snapshot versions; writes parquet to --out",
+    )
+    ap.add_argument("--out", help="output dir for --changes")
     args = ap.parse_args(argv)
+    tailing = not (args.history or args.lookup or args.changes or args.compact_binlog)
+    if tailing and not (args.binlog and args.checkpoint and args.warehouse):
+        ap.error("--binlog/--checkpoint/--warehouse are required when tailing")
+    if args.compact_binlog and not args.binlog:
+        ap.error("--binlog is required with --compact-binlog")
+    if args.changes and not args.out:
+        ap.error("--out is required with --changes")
 
     from pyspark.sql import SparkSession
 
@@ -97,7 +128,35 @@ def main(argv: list[str] | None = None) -> int:
     )
     if rules is not None:
         cfg_kwargs["rules"] = rules
+    if args.suppress_stale:
+        cfg_kwargs["suppress_stale"] = True
     cfg = EngineConfig(**cfg_kwargs)
+
+    # metadata / read-only modes: no engine (and no warehouse) needed
+    if args.history:
+        print(json.dumps(table.history()))
+        return 0
+    if args.lookup is not None:
+        rows = [r.asDict(recursive=True) for r in table.lookup(args.lookup).collect()]
+        print(json.dumps({"key": args.lookup, "rows": rows}, default=str))
+        return 0
+    if args.changes:
+        parts = args.changes.split(",")
+        from_v = int(parts[0])
+        to_v = int(parts[1]) if len(parts) > 1 else None
+        ch = table.changes(from_v, to_v)
+        ch.write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps(
+                {
+                    "from_version": from_v,
+                    "to_version": to_v or table.current_version(),
+                    "rows": spark.read.parquet(args.out).count(),
+                    "out": args.out,
+                }
+            )
+        )
+        return 0
 
     engine = CdcEngine(spark, table, args.warehouse, cfg)
 

@@ -30,3 +30,41 @@ def test_cli_catch_up(spark, tmp_warehouse, capsys):
     table = LakeTable(spark, os.path.join(tmp_warehouse, "seq"))
     want = oracle.replay(binlog)
     oracle.assert_equal_state(want.state, table.read().collect(), "cli")
+
+
+def test_cli_metadata_modes(spark, tmp_warehouse, capsys):
+    """--history / --lookup / --changes work without binlog/checkpoint/
+    warehouse args (read-only modes) and report correct state."""
+    from dexspark import cli
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    events = gen.change_events(
+        spark, n_events=300, n_docs=50, n_epochs=2, max_len=8, anomaly_pct=0
+    )
+    gen.write_binlog(events, binlog)
+    root = os.path.join(tmp_warehouse, "seq")
+    cli.main(
+        [
+            "--table", root, "--binlog", binlog,
+            "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+            "--warehouse", os.path.join(tmp_warehouse, "wh"),
+            "--create", "--num-buckets", "4", "--batch",
+        ]
+    )
+    capsys.readouterr()
+
+    assert cli.main(["--table", root, "--history"]) == 0
+    hist = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [h["operation"] for h in hist][:1] == ["create"]
+    assert hist[-1]["epoch_watermark"] == 1
+
+    table = LakeTable(spark, root)
+    some_key = table.read().select("doc_id").first()["doc_id"]
+    assert cli.main(["--table", root, "--lookup", some_key]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["rows"] and got["rows"][0]["doc_id"] == some_key
+
+    out_dir = os.path.join(tmp_warehouse, "chg")
+    assert cli.main(["--table", root, "--changes", "1", "--out", out_dir]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == spark.read.parquet(out_dir).count() > 0
