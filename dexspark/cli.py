@@ -1,8 +1,11 @@
 """spark-submit entrypoint for the CDC engine.
 
-Cluster run (the north-rule deployment shape)::
+Cluster run (the north-rule deployment shape; ``run_dexspark.py`` is a
+two-line stub — ``from dexspark.cli import main; main(sys.argv[1:])``
+— because spark-submit takes a primary script, not ``-m``; the real
+invocation is exercised in tests/test_spark_submit.py)::
 
-    spark-submit --py-files dexspark.zip -m dexspark.cli \\
+    spark-submit --py-files dexspark.zip run_dexspark.py \\
         --table  s3://lake/sequences \\
         --binlog s3://logs/changes \\
         --checkpoint s3://ckpt/sequences \\
@@ -87,8 +90,38 @@ def main(argv: list[str] | None = None) -> int:
         "between snapshot versions; writes parquet to --out",
     )
     ap.add_argument("--out", help="output dir for --changes")
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="instead of tailing: fold merge-on-read history into one "
+        "copy-on-write commit (lake maintenance cron)",
+    )
+    ap.add_argument(
+        "--vacuum",
+        action="store_true",
+        help="instead of tailing: expire old snapshots + GC unreferenced "
+        "data dirs (see --keep-last / --min-age-seconds)",
+    )
+    ap.add_argument("--keep-last", type=int, default=2, help="snapshots to retain for --vacuum")
+    ap.add_argument(
+        "--min-age-seconds",
+        type=float,
+        default=None,
+        help="orphan age gate for --vacuum (default: the safe 1h; pass 0 "
+        "only when no concurrent writer can exist)",
+    )
+    ap.add_argument(
+        "--rebucket",
+        type=int,
+        metavar="N",
+        help="instead of tailing: migrate the table to N hash buckets "
+        "(one full-rewrite commit; see LakeTable.rebucket)",
+    )
     args = ap.parse_args(argv)
-    tailing = not (args.history or args.lookup or args.changes or args.compact_binlog)
+    maintenance = args.compact or args.vacuum or args.rebucket is not None
+    tailing = not (
+        args.history or args.lookup or args.changes or args.compact_binlog or maintenance
+    )
     if tailing and not (args.binlog and args.checkpoint and args.warehouse):
         ap.error("--binlog/--checkpoint/--warehouse are required when tailing")
     if args.compact_binlog and not args.binlog:
@@ -139,6 +172,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.lookup is not None:
         rows = [r.asDict(recursive=True) for r in table.lookup(args.lookup).collect()]
         print(json.dumps({"key": args.lookup, "rows": rows}, default=str))
+        return 0
+    if maintenance:
+        out = {}
+        if args.rebucket is not None:
+            out["rebucket"] = table.rebucket(args.rebucket)
+        if args.compact:
+            out["compact"] = table.compact()
+        if args.vacuum:
+            kwargs = {"keep_last": args.keep_last}
+            if args.min_age_seconds is not None:
+                kwargs["min_age_seconds"] = args.min_age_seconds
+            out["vacuum"] = table.vacuum(**kwargs)
+        print(json.dumps(out))
         return 0
     if args.changes:
         parts = args.changes.split(",")

@@ -437,17 +437,31 @@ class LakeTable:
         # with a bare repartition(col), AQE coalesces the small write
         # shuffle to ~output_bytes/64MB tasks, serializing the write at
         # bench scale (measured flat ~2.5s at any core count).
-        writer = df.repartition(
-            n_buckets or self.num_buckets, "_bucket"
-        ).write.partitionBy("_bucket")
+        data = df.repartition(n_buckets or self.num_buckets, "_bucket")
+        # Optional sort-on-write (table property, the Iceberg
+        # write.sort-order idea): order rows by the merge key INSIDE
+        # each bucket task so every parquet row group covers a narrow
+        # key range. lookup() then skips non-matching row groups on
+        # min/max stats alone — the zero-overhead complement to the
+        # bloom option (blooms cost file size; sorting costs one
+        # in-task sort of an already-bucket-sized partition).
+        # _bucket must LEAD the sort: FileFormatWriter requires rows
+        # ordered by the partitionBy columns and inserts its own
+        # per-task sort on _bucket alone when the child ordering
+        # doesn't satisfy that — which would destroy the key order.
+        # Sorting (_bucket, key) satisfies the writer's requirement,
+        # so it keeps our ordering and adds no extra sort.
+        m = self.manifest() if self.current_version() else {}
+        props = m.get("properties", {}) or {}
+        if props.get("sort_on_write"):
+            data = data.sortWithinPartitions("_bucket", m["key"])
+        writer = data.write.partitionBy("_bucket")
         # Optional per-file bloom filter on the merge key (table
         # property): at 10^10 rows, lookup() prunes to one bucket
         # (1/num_buckets of the files) and the bloom then skips the
         # row groups inside that bucket that cannot contain the key —
         # the point-read path without any external index. ~1.2 bits/
         # key of extra file size at the default ndv.
-        m = self.manifest() if self.current_version() else {}
-        props = m.get("properties", {}) or {}
         if props.get("bloom_filter_key"):
             key = m["key"]
             ndv = int(props.get("bloom_filter_ndv", 1_000_000))

@@ -68,3 +68,42 @@ def test_cli_metadata_modes(spark, tmp_warehouse, capsys):
     assert cli.main(["--table", root, "--changes", "1", "--out", out_dir]) == 0
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["rows"] == spark.read.parquet(out_dir).count() > 0
+
+
+def test_cli_maintenance_modes(spark, tmp_warehouse, capsys):
+    """--rebucket / --compact / --vacuum: the lake maintenance crons,
+    driveable from the same spark-submit entrypoint as the tail."""
+    from pyspark.sql import functions as F
+
+    from dexspark import cli
+    from dexspark.schema import sequences_schema
+
+    root = os.path.join(tmp_warehouse, "seq")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=4)
+    df = spark.range(200).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit("s").alias("source"),
+    )
+    t.overwrite(df)
+    up = spark.createDataFrame([("doc-7", [9], 1, "s2")], schema=sequences_schema())
+    t.merge(up, mode="mor")
+    assert t.manifest().get("mor") is True
+
+    rc = cli.main(["--table", root, "--rebucket", "8", "--compact", "--vacuum",
+                   "--keep-last", "1", "--min-age-seconds", "0"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rebucket"]["num_buckets"] == 8
+    # rebucket's full rewrite already folded MOR history down, so the
+    # subsequent compact is a no-op — the order is rebucket -> compact
+    assert out["compact"]["compacted"] is False
+    assert out["vacuum"]["snapshots_expired"] >= 1
+    assert out["vacuum"]["data_dirs_removed"] >= 1
+
+    t2 = LakeTable(spark, root)
+    assert t2.num_buckets == 8
+    assert t2.manifest().get("mor") in (False, None)
+    got = {r["doc_id"]: r for r in t2.read().collect()}
+    assert len(got) == 200 and got["doc-7"]["source"] == "s2"

@@ -473,3 +473,49 @@ def test_bloom_filter_property_writes_blooms(spark, tmp_path):
     )
     assert bloomed.lookup("doc-777").count() == 1
     assert bloomed.lookup("nope").count() == 0
+
+
+def test_sort_on_write_property_orders_rows_within_files(spark, tmp_path):
+    """sort_on_write table property (the Iceberg write.sort-order
+    idea): every data file a commit produces is ordered by the merge
+    key, so at scale each parquet row group covers a narrow key range
+    and lookup() skips non-matching groups on min/max stats alone."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from dexspark.schema import sequences_schema
+    import pyspark.sql.functions as F
+
+    df = spark.range(5_000).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.lit("s").alias("source"),
+    )
+    t = LakeTable.create(
+        spark,
+        str(tmp_path / "sorted"),
+        sequences_schema(),
+        num_buckets=4,
+        properties={"sort_on_write": True},
+    )
+    t.overwrite(df)
+    up = spark.createDataFrame(
+        [("doc-42", [9], 1, "s2"), ("doc-4999", [8], 1, "s2")],
+        schema=sequences_schema(),
+    )
+    t.merge(up)  # COW rewrite must stay sorted too
+
+    files = [
+        os.path.join(dirpath, f)
+        for dirpath, _, fs in os.walk(str(tmp_path / "sorted"))
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert files
+    for p in files:
+        keys = pq.read_table(p, columns=["doc_id"])["doc_id"].to_pylist()
+        assert keys == sorted(keys), p
+    got = t.lookup("doc-42").collect()
+    assert len(got) == 1 and got[0]["source"] == "s2"
