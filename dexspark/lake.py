@@ -179,6 +179,104 @@ class LakeTable:
         self.io.put_if_absent(self._snap_path(version), json.dumps(manifest))
         return version
 
+    # Optimistic-concurrency retry budget (the Iceberg commit.retry
+    # idea): how many times a merge that lost the conditional-put race
+    # re-reads the latest snapshot and rebases its manifest before
+    # giving up. Each retry costs one JSON read + one conditional put
+    # — data files are never rewritten.
+    COMMIT_RETRIES = 3
+
+    def _publish_with_rebase(self, parent: int, touched, rebuild) -> dict:
+        """Commit ``rebuild(parent_manifest)``; on losing the
+        optimistic race, rebase onto the latest snapshot when every
+        intervening commit is provably non-conflicting, else raise
+        :class:`ConcurrentCommitError`.
+
+        Bucket-level conflict detection (snapshot isolation, the
+        Iceberg ``commit.retry`` + validation idea — at cluster scale
+        the stream tailer races the compact/vacuum maintenance crons,
+        and without this the loser throws away a fully-written batch):
+
+        * ``compact`` and ``merge-noop`` interveners are state-identity
+          for every bucket: always safe to rebase over.
+        * ``merge-cow``/``merge-mor`` interveners are safe iff their
+          ``touched`` bucket set is disjoint from ours — our rewrite/
+          append was computed against a state of our buckets that is
+          still current.
+        * ``rebucket``/``overwrite`` (and legacy commits without a
+          ``touched`` field) invalidate the written files: raise, the
+          caller must re-run the merge.
+
+        ``rebuild(base)`` returns a manifest built on ``base``,
+        re-applying the caller's bucket deltas and epoch state; the
+        first attempt is ``rebuild(manifest(parent))`` so all manifest
+        construction lives in one place."""
+        ours = set(touched)
+        mm = rebuild(self.manifest(parent))
+        for attempt in range(self.COMMIT_RETRIES + 1):
+            try:
+                self._commit(mm)
+                return mm
+            except ConcurrentCommitError:
+                if attempt == self.COMMIT_RETRIES:
+                    raise
+                latest = self.manifest()
+                for v in range(parent + 1, latest["version"] + 1):
+                    try:
+                        mi = self.manifest(v)
+                    except FileNotFoundError:
+                        raise ConcurrentCommitError(
+                            f"cannot rebase: intervening snapshot {v} expired"
+                        ) from None
+                    op = mi.get("operation", "")
+                    if op in ("compact", "merge-noop"):
+                        continue
+                    t = mi.get("touched")
+                    if op.startswith("merge-") and t is not None and ours.isdisjoint(t):
+                        continue
+                    raise ConcurrentCommitError(
+                        f"cannot rebase merge over v{v} "
+                        f"({op or 'unknown'}: bucket conflict or table-wide rewrite)"
+                    ) from None
+                parent = latest["version"]
+                mm = rebuild(latest)
+        raise AssertionError("unreachable")
+
+    @staticmethod
+    def _map_commit_version(
+        cv: dict, written: dict, logical: int, buckets: dict | None = None
+    ) -> dict:
+        """Record ``logical`` as the commit version of ``written``'s
+        data dir when the dir NAME encodes a different (race-lost)
+        version — readers resolve merge order through this map. Entries
+        for dirs no longer referenced by ``buckets`` are dropped so the
+        map stays O(live rebased commits), which is O(races), not
+        O(history)."""
+        out = dict(cv)
+        for files in written.values():
+            d = files[0].split("/")[1]
+            if int(d.split("-")[1]) != logical:
+                out[d] = logical
+            break
+        if buckets is not None and out:
+            live = {rel.split("/")[1] for fs in buckets.values() for rel in fs}
+            out = {d: v for d, v in out.items() if d in live}
+        return out
+
+    def _noop_manifest(self, base: dict, epochs) -> dict:
+        """Manifest-only commit recording ``epochs`` (empty change
+        batch): no data changes, so it rebases over anything."""
+        mm = dict(base)
+        mm.pop("committed_epochs", None)
+        mm.update(
+            version=base["version"] + 1,
+            parent=base["version"],
+            operation="merge-noop",
+            touched=[],
+            **self._next_epoch_state(base, epochs),
+        )
+        return mm
+
     # ------------------------------------------------------------ properties
 
     @property
@@ -353,6 +451,10 @@ class LakeTable:
             list(schema.fields) + [T.StructField(_TOMBSTONE, T.BooleanType(), True)]
         )
         parts = []
+        # A rebased commit's dir NAME carries the version it lost the
+        # optimistic race at; the manifest's commit_versions map holds
+        # its true (logical) commit order.
+        cv = m.get("commit_versions", {})
         for commit, files in by_commit.items():
             df = self.spark.read.parquet(*files)
             tomb = (
@@ -360,7 +462,7 @@ class LakeTable:
                 if _TOMBSTONE in df.columns
                 else F.lit(False)
             )
-            version = int(commit.split("-")[1])
+            version = int(cv.get(commit, commit.split("-")[1]))
             parts.append(
                 self._align(df.withColumn(_TOMBSTONE, tomb), schema_t)
                 .withColumn("_commit", F.lit(version))
@@ -575,16 +677,14 @@ class LakeTable:
                 r["_bucket"] for r in all_keys.select("_bucket").distinct().collect()
             ]
         if not affected:
-            mm = dict(m)
-            mm.pop("committed_epochs", None)
-            mm.update(
-                version=version,
-                parent=m["version"],
-                operation="merge-noop",
-                **self._next_epoch_state(m, epochs),
+            mm = self._publish_with_rebase(
+                m["version"], [], lambda base: self._noop_manifest(base, epochs)
             )
-            self._commit(mm)
-            return {"version": version, "rows_written": 0, "buckets_rewritten": 0}
+            return {
+                "version": mm["version"],
+                "rows_written": 0,
+                "buckets_rewritten": 0,
+            }
 
         current = self._bucket_col(
             self._align(self.read(buckets=affected), schema), key, n_buckets
@@ -596,31 +696,40 @@ class LakeTable:
         survivors = self._bucket_col(self._align(survivors, schema), key, n_buckets)
         new_state = survivors.unionByName(ups)
 
-        buckets = dict(m["buckets"])
         written = self._write_commit(new_state, version)
-        rewritten = 0
-        for b in affected:
-            bs = str(b)
-            if bs in written:
-                buckets[bs] = written[bs]
-            else:
-                buckets.pop(bs, None)  # bucket emptied by deletes
-            rewritten += 1
-        mm = dict(m)
-        mm.pop("committed_epochs", None)
-        mm.update(
-            version=version,
-            parent=m["version"],
-            operation="merge-cow",
-            schema=schema.jsonValue(),
-            buckets=buckets,
-            evolution=m.get("evolution", []) + [{"version": version, "actions": evo}] if evo else m.get("evolution", []),
-            **self._next_epoch_state(m, epochs),
-        )
-        self._commit(mm)
+        touched = [str(b) for b in affected]
+
+        def rebuild(base: dict) -> dict:
+            logical = base["version"] + 1
+            schema2 = reconcile(T.StructType.fromJson(base["schema"]), schema)
+            evo2 = evolution_actions(T.StructType.fromJson(base["schema"]), schema)
+            buckets = dict(base["buckets"])
+            for bs in touched:
+                if bs in written:
+                    buckets[bs] = written[bs]
+                else:
+                    buckets.pop(bs, None)  # bucket emptied by deletes
+            mm = dict(base)
+            mm.pop("committed_epochs", None)
+            mm.update(
+                version=logical,
+                parent=base["version"],
+                operation="merge-cow",
+                schema=schema2.jsonValue(),
+                buckets=buckets,
+                touched=touched,
+                commit_versions=self._map_commit_version(
+                    base.get("commit_versions", {}), written, logical, buckets
+                ),
+                evolution=base.get("evolution", []) + [{"version": logical, "actions": evo2}] if evo2 else base.get("evolution", []),
+                **self._next_epoch_state(base, epochs),
+            )
+            return mm
+
+        mm = self._publish_with_rebase(m["version"], touched, rebuild)
         return {
-            "version": version,
-            "buckets_rewritten": rewritten,
+            "version": mm["version"],
+            "buckets_rewritten": len(touched),
             "evolution": evo,
         }
 
@@ -650,35 +759,46 @@ class LakeTable:
         batch = self._bucket_col(batch, key, n_buckets)
         written = self._write_commit(batch, version)
         if not written:  # empty change batch: manifest-only commit
-            mm = dict(m)
+            mm = self._publish_with_rebase(
+                m["version"], [], lambda base: self._noop_manifest(base, epochs)
+            )
+            return {
+                "version": mm["version"],
+                "rows_written": 0,
+                "buckets_appended": 0,
+            }
+
+        touched = sorted(written)
+
+        def rebuild(base: dict) -> dict:
+            logical = base["version"] + 1
+            schema2 = reconcile(T.StructType.fromJson(base["schema"]), schema)
+            evo2 = evolution_actions(T.StructType.fromJson(base["schema"]), schema)
+            buckets = dict(base["buckets"])
+            for b, files in written.items():
+                buckets[b] = buckets.get(b, []) + files
+            mm = dict(base)
             mm.pop("committed_epochs", None)
             mm.update(
-                version=version, parent=m["version"],
-                operation="merge-noop",
-                **self._next_epoch_state(m, epochs),
+                version=logical,
+                parent=base["version"],
+                operation="merge-mor",
+                schema=schema2.jsonValue(),
+                buckets=buckets,
+                mor=True,
+                mor_depth=int(base.get("mor_depth", 0)) + 1,
+                touched=touched,
+                commit_versions=self._map_commit_version(
+                    base.get("commit_versions", {}), written, logical, buckets
+                ),
+                evolution=base.get("evolution", []) + [{"version": logical, "actions": evo2}] if evo2 else base.get("evolution", []),
+                **self._next_epoch_state(base, epochs),
             )
-            self._commit(mm)
-            return {"version": version, "rows_written": 0, "buckets_appended": 0}
+            return mm
 
-        buckets = dict(m["buckets"])
-        for b, files in written.items():
-            buckets[b] = buckets.get(b, []) + files
-        mm = dict(m)
-        mm.pop("committed_epochs", None)
-        mm.update(
-            version=version,
-            parent=m["version"],
-            operation="merge-mor",
-            schema=schema.jsonValue(),
-            buckets=buckets,
-            mor=True,
-            mor_depth=int(m.get("mor_depth", 0)) + 1,
-            evolution=m.get("evolution", []) + [{"version": version, "actions": evo}] if evo else m.get("evolution", []),
-            **self._next_epoch_state(m, epochs),
-        )
-        self._commit(mm)
+        mm = self._publish_with_rebase(m["version"], touched, rebuild)
         return {
-            "version": version,
+            "version": mm["version"],
             "buckets_appended": len(written),
             "mor_depth": mm["mor_depth"],
             "evolution": evo,
@@ -835,13 +955,16 @@ class LakeTable:
 
     def _commit_files(self, m: dict, version: int) -> list[str]:
         """Absolute paths of the data files ADDED by ``version``'s
-        commit (their dir name embeds the version, so no parent-diff
-        is needed)."""
-        prefix = f"commit-{version:08d}"
+        commit (the dir name embeds the version — overridden by the
+        manifest's commit_versions map for commits that were rebased
+        after losing the optimistic race — so no parent-diff is
+        needed)."""
+        cv = m.get("commit_versions", {})
         out = []
         for files in m["buckets"].values():
             for rel in files:
-                if rel.split("/")[1].startswith(prefix):
+                d = rel.split("/")[1]
+                if int(cv.get(d, d.split("-")[1])) == version:
                     out.append(os.path.join(self.root, rel))
         return out
 
