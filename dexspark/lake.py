@@ -63,6 +63,12 @@ class ConcurrentCommitError(RuntimeError):
     pass
 
 
+def _json_scalar(v) -> bool:
+    """True iff ``v`` round-trips through the JSON manifest with its
+    ordering intact (zone-map bounds must survive serialization)."""
+    return isinstance(v, (str, int)) and not isinstance(v, bool)
+
+
 class FileIO:
     """Manifest/metadata I/O seam (the Iceberg ``FileIO`` idea).
 
@@ -377,6 +383,7 @@ class LakeTable:
                 "num_buckets": num_buckets,
                 "schema": schema.jsonValue(),
                 "buckets": {},
+                "file_bounds": {},
                 "epoch_watermark": -1,
                 "epoch_tail": [],
                 "properties": properties or {},
@@ -402,8 +409,23 @@ class LakeTable:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
 
+    @staticmethod
+    def _may_contain(bounds, lo, hi) -> bool:
+        """Zone-map test: can a file with key ``bounds`` hold a key in
+        [lo, hi]? Missing/invalid bounds conservatively keep the file."""
+        if not bounds:
+            return True
+        try:
+            mn, mx = bounds
+            return not (hi < mn or lo > mx)
+        except TypeError:  # cross-type comparison (e.g. post-widening)
+            return True
+
     def read(
-        self, buckets: list[int] | None = None, version: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        key_range: tuple | None = None,
     ) -> DataFrame:
         """Snapshot as a DataFrame (optionally bucket-pruned).
 
@@ -422,16 +444,32 @@ class LakeTable:
         current state: per key, the row from the LATEST commit wins,
         and tombstone rows (MOR deletes) drop the key — one keyed
         aggregate, pruned to the requested buckets. ``compact()``
-        folds MOR history back into plain files."""
+        folds MOR history back into plain files.
+
+        ``key_range=(lo, hi)`` additionally drops files whose manifest
+        zone map (``file_bounds``, see :meth:`_file_bounds_of`)
+        excludes every key in [lo, hi] — driver-side, before Spark
+        sees a path. Safe under MOR: any file holding a row (upsert OR
+        tombstone) for an in-range key has that key inside its bounds,
+        so every file relevant to an in-range key survives pruning and
+        the per-key reconstruction over pruned files is exact for
+        in-range keys. Callers still row-filter (pruning is per-file);
+        out-of-range keys may surface with stale winners and MUST be
+        filtered, as :meth:`lookup` / :meth:`scan_range` do."""
         m = self.manifest(version)
         schema = T.StructType.fromJson(m["schema"])
         file_lists = m["buckets"]
         wanted = {str(b) for b in buckets} if buckets is not None else None
+        fb = m.get("file_bounds", {}) if key_range is not None else {}
         by_commit: dict[str, list[str]] = {}
         for b, files in file_lists.items():
             if wanted is not None and b not in wanted:
                 continue
             for rel in files:
+                if key_range is not None and not self._may_contain(
+                    fb.get(rel), *key_range
+                ):
+                    continue
                 commit = rel.split("/")[1]  # data/commit-XXXX/...
                 by_commit.setdefault(commit, []).append(os.path.join(self.root, rel))
         if not by_commit:
@@ -514,7 +552,20 @@ class LakeTable:
             )
             .collect()[0]["b"]
         )
-        return self.read(buckets=[b]).filter(F.col(key) == value)
+        rng = (value, value) if _json_scalar(value) else None
+        return self.read(buckets=[b], key_range=rng).filter(F.col(key) == value)
+
+    def scan_range(self, lo, hi) -> DataFrame:
+        """Key-range scan: all current rows with ``lo <= key <= hi``.
+
+        File pruning happens at the driver from the manifest zone maps
+        alone (no bucket pruning applies — hash bucketing scatters a
+        key range across all buckets) — with ``sort_on_write`` each
+        file covers a narrow key slice, so a narrow range touches a
+        small, history-depth-bound set of files out of the whole
+        table. Row-group stats then prune within the survivors."""
+        rng = (lo, hi) if _json_scalar(lo) and _json_scalar(hi) else None
+        return self.read(key_range=rng).filter(F.col(self.key).between(lo, hi))
 
     # ------------------------------------------------------------ write
 
@@ -585,6 +636,70 @@ class LakeTable:
                 out[b] = files
         return out
 
+    # --------------------------------------------------- zone maps
+
+    def _file_bounds_of(self, written: dict[str, list[str]]) -> dict[str, list]:
+        """Per-file ``[min, max]`` of the merge key for just-written
+        files, read from the parquet FOOTERS (driver-side, one small
+        metadata read per file) — Iceberg's per-file column bounds in
+        the manifest. No data is scanned and no Spark job runs.
+
+        Readers use these as zone maps: :meth:`lookup` and
+        :meth:`scan_range` drop whole files at the driver, BEFORE
+        Spark lists or opens them — at 10^10 rows with deep
+        merge-on-read history, a point read prunes to one bucket
+        (hash), then to the handful of commits whose key range covers
+        the value (bounds), then to matching row groups (parquet
+        stats / bloom). With ``sort_on_write`` each file covers a
+        narrow key range, making the bounds maximally selective.
+
+        Files whose footer lacks key statistics are simply omitted
+        (readers treat missing bounds as "may contain anything").
+        An object-store FileIO would fetch footers with ranged GETs;
+        the cost stays O(files-written) per commit either way.
+        Disable with table property ``zone_maps: false``."""
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return {}
+        m = self.manifest() if self.current_version() else {}
+        if (m.get("properties") or {}).get("zone_maps") is False:
+            return {}
+        key = m.get("key")
+        out: dict[str, list] = {}
+        for files in written.values():
+            for rel in files:
+                try:
+                    md = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+                    idx = next(
+                        i
+                        for i in range(md.num_columns)
+                        if md.schema.column(i).name == key
+                    )
+                    mn = mx = None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is None or not st.has_min_max:
+                            raise StopIteration
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+                    if mn is not None and _json_scalar(mn) and _json_scalar(mx):
+                        out[rel] = [mn, mx]
+                except (StopIteration, OSError, KeyError, TypeError):
+                    continue
+        return out
+
+    @staticmethod
+    def _merged_bounds(base: dict, buckets: dict, new_bounds: dict) -> dict:
+        """Manifest ``file_bounds`` after a commit: prior bounds plus
+        the new files', pruned to exactly the files ``buckets`` still
+        references — stays O(live files), same order as the buckets
+        map itself."""
+        known = dict(base.get("file_bounds", {}))
+        known.update(new_bounds)
+        live = {rel for fs in buckets.values() for rel in fs}
+        return {rel: b for rel, b in known.items() if rel in live}
+
     def overwrite(self, df: DataFrame, epochs: list[int] | None = None) -> int:
         """Replace the full table contents atomically (initial load)."""
         m = self.manifest()
@@ -600,6 +715,7 @@ class LakeTable:
             operation="overwrite",
             schema=schema.jsonValue(),
             buckets=buckets,
+            file_bounds=self._file_bounds_of(buckets),
             # a full overwrite replaces every data file: any pending
             # merge-on-read history is gone with them, so reads must
             # NOT pay (or worse, apply) the MOR reconstruction — an
@@ -697,6 +813,7 @@ class LakeTable:
         new_state = survivors.unionByName(ups)
 
         written = self._write_commit(new_state, version)
+        new_bounds = self._file_bounds_of(written)
         touched = [str(b) for b in affected]
 
         def rebuild(base: dict) -> dict:
@@ -717,6 +834,7 @@ class LakeTable:
                 operation="merge-cow",
                 schema=schema2.jsonValue(),
                 buckets=buckets,
+                file_bounds=self._merged_bounds(base, buckets, new_bounds),
                 touched=touched,
                 commit_versions=self._map_commit_version(
                     base.get("commit_versions", {}), written, logical, buckets
@@ -768,6 +886,7 @@ class LakeTable:
                 "buckets_appended": 0,
             }
 
+        new_bounds = self._file_bounds_of(written)
         touched = sorted(written)
 
         def rebuild(base: dict) -> dict:
@@ -785,6 +904,7 @@ class LakeTable:
                 operation="merge-mor",
                 schema=schema2.jsonValue(),
                 buckets=buckets,
+                file_bounds=self._merged_bounds(base, buckets, new_bounds),
                 mor=True,
                 mor_depth=int(base.get("mor_depth", 0)) + 1,
                 touched=touched,
@@ -876,6 +996,7 @@ class LakeTable:
             parent=m["version"],
             operation="compact",
             buckets=written,
+            file_bounds=self._file_bounds_of(written),
             mor=False,
             mor_depth=0,
         )
@@ -913,6 +1034,7 @@ class LakeTable:
             operation="rebucket",
             num_buckets=new_num_buckets,
             buckets=written,
+            file_bounds=self._file_bounds_of(written),
             mor=False,
             mor_depth=0,
         )
