@@ -84,6 +84,19 @@ def main(argv: list[str] | None = None) -> int:
         "pushed equality + bloom skip) and print the rows as JSON",
     )
     ap.add_argument(
+        "--scan-range",
+        nargs=2,
+        metavar=("LO", "HI"),
+        help="instead of tailing: key-range scan (manifest zone-map "
+        "file pruning + pushed range filter) printed as JSON rows",
+    )
+    ap.add_argument(
+        "--delete-where",
+        metavar="SQL_PREDICATE",
+        help="instead of tailing: predicate delete (takedown/retention "
+        "purge) applied as a MERGE of tombstones, e.g. \"source = 'bad'\"",
+    )
+    ap.add_argument(
         "--changes",
         metavar="FROM[,TO]",
         help="instead of tailing: incremental changelog read (CDC-out) "
@@ -118,9 +131,19 @@ def main(argv: list[str] | None = None) -> int:
         "(one full-rewrite commit; see LakeTable.rebucket)",
     )
     args = ap.parse_args(argv)
-    maintenance = args.compact or args.vacuum or args.rebucket is not None
+    maintenance = (
+        args.compact
+        or args.vacuum
+        or args.rebucket is not None
+        or args.delete_where is not None
+    )
     tailing = not (
-        args.history or args.lookup or args.changes or args.compact_binlog or maintenance
+        args.history
+        or args.lookup
+        or args.changes
+        or args.scan_range
+        or args.compact_binlog
+        or maintenance
     )
     if tailing and not (args.binlog and args.checkpoint and args.warehouse):
         ap.error("--binlog/--checkpoint/--warehouse are required when tailing")
@@ -173,8 +196,17 @@ def main(argv: list[str] | None = None) -> int:
         rows = [r.asDict(recursive=True) for r in table.lookup(args.lookup).collect()]
         print(json.dumps({"key": args.lookup, "rows": rows}, default=str))
         return 0
+    if args.scan_range:
+        lo, hi = args.scan_range
+        rows = [
+            r.asDict(recursive=True) for r in table.scan_range(lo, hi).collect()
+        ]
+        print(json.dumps({"lo": lo, "hi": hi, "rows": rows}, default=str))
+        return 0
     if maintenance:
         out = {}
+        if args.delete_where is not None:
+            out["delete_where"] = table.delete_where(args.delete_where)
         if args.rebucket is not None:
             out["rebucket"] = table.rebucket(args.rebucket)
         if args.compact:

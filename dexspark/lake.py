@@ -851,6 +851,32 @@ class LakeTable:
             "evolution": evo,
         }
 
+    def delete_where(self, condition, mode: str = "mor") -> dict:
+        """Predicate delete: remove every current row matching
+        ``condition`` (a Column or SQL string) — the takedown /
+        retention / poisoned-source purge a training-data lake needs
+        (``DELETE FROM t WHERE src = 'bad-crawl'``).
+
+        Composed over MERGE: one scan finds the matching keys, then
+        the standard delete path applies them — ``mor`` (default)
+        appends O(matches) tombstones and rewrites nothing, ``cow``
+        rewrites only the buckets containing matches. The scan is a
+        plain snapshot read, so Catalyst pushes ``condition`` down to
+        the parquet scans (and zone maps/bucket pruning apply when the
+        predicate is on the key). Keys are never collected to the
+        driver. Returns the merge result plus ``keys_deleted``."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        # One scan total: the matching keys (O(matches), small) are
+        # materialized once and reused by the count AND the merge.
+        keys = self.read().filter(cond).select(self.key).localCheckpoint(eager=True)
+        n = keys.count()
+        if n == 0:
+            return {"version": self.manifest()["version"], "keys_deleted": 0}
+        empty = self.spark.createDataFrame([], self.schema)
+        out = self.merge(empty, delete_keys=keys, mode=mode)
+        out["keys_deleted"] = n
+        return out
+
     def _merge_mor(
         self,
         upserts: DataFrame,

@@ -107,3 +107,44 @@ def test_cli_maintenance_modes(spark, tmp_warehouse, capsys):
     assert t2.manifest().get("mor") in (False, None)
     got = {r["doc_id"]: r for r in t2.read().collect()}
     assert len(got) == 200 and got["doc-7"]["source"] == "s2"
+
+
+def test_cli_scan_range_and_delete_where(spark, tmp_warehouse, capsys):
+    """--scan-range (zone-map-pruned key-range read) and --delete-where
+    (predicate delete applied as a tombstone MERGE)."""
+    from pyspark.sql import functions as F
+
+    from dexspark import cli
+    from dexspark.schema import sequences_schema
+
+    root = os.path.join(tmp_warehouse, "seq")
+    t = LakeTable.create(
+        spark, root, sequences_schema(), num_buckets=4,
+        properties={"sort_on_write": True},
+    )
+    df = spark.range(100).select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("doc_id"),
+        F.array(F.col("id").cast("int")).alias("tokens"),
+        F.lit(1).alias("n_tok"),
+        F.when(F.col("id") < 10, "bad-crawl").otherwise("web").alias("source"),
+    )
+    t.overwrite(df)
+
+    assert cli.main(["--table", root, "--scan-range", "doc-0005", "doc-0008"]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(r["doc_id"] for r in got["rows"]) == [
+        "doc-0005", "doc-0006", "doc-0007", "doc-0008"
+    ]
+
+    assert cli.main(["--table", root, "--delete-where", "source = 'bad-crawl'"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["delete_where"]["keys_deleted"] == 10
+    t2 = LakeTable(spark, root)
+    assert t2.read().count() == 90
+    assert t2.read().filter("source = 'bad-crawl'").count() == 0
+    # idempotent: re-running the purge deletes nothing and commits nothing
+    v = t2.current_version()
+    assert cli.main(["--table", root, "--delete-where", "source = 'bad-crawl'"]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["delete_where"]["keys_deleted"] == 0
+    assert t2.current_version() == v
