@@ -153,10 +153,20 @@ class LocalFileIO(FileIO):
 
 
 class LakeTable:
+    # Per-instance manifest text cache size. Snapshot manifests are
+    # immutable once published (a version is written exactly once via
+    # conditional put), so caching their TEXT by version is always
+    # safe; 64 covers the working set of any read/merge/rebase path
+    # while bounding memory on 10^6-trigger streams.
+    MANIFEST_CACHE = 64
+
     def __init__(self, spark: SparkSession, root: str, io: FileIO | None = None):
         self.spark = spark
         self.root = root
         self.io = io or LocalFileIO()
+        from collections import OrderedDict
+
+        self._mcache: "OrderedDict[int, str]" = OrderedDict()
 
     # ------------------------------------------------------------ manifest
 
@@ -173,10 +183,28 @@ class LakeTable:
         return max(versions, default=0)
 
     def manifest(self, version: int | None = None) -> dict:
+        """Parsed snapshot manifest (default: current).
+
+        The manifest TEXT is cached per version — manifests are
+        immutable once their conditional put wins, so a version read
+        once never needs another FileIO round trip (on an object
+        store every property access would otherwise be a GET; a
+        stream batch touches key/num_buckets/schema/epochs several
+        times). Parsing stays per-call: writers mutate the returned
+        dict when building the next manifest, so handing out a shared
+        parsed object would let one caller corrupt another's view."""
         v = self.current_version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"no snapshot at {self.root}")
-        return json.loads(self.io.read_text(self._snap_path(v)))
+        text = self._mcache.get(v)
+        if text is None:
+            text = self.io.read_text(self._snap_path(v))
+            self._mcache[v] = text
+            if len(self._mcache) > self.MANIFEST_CACHE:
+                self._mcache.popitem(last=False)
+        else:
+            self._mcache.move_to_end(v)
+        return json.loads(text)
 
     def _commit(self, manifest: dict) -> int:
         """Atomically publish ``manifest`` as the next snapshot
@@ -1000,6 +1028,10 @@ class LakeTable:
         for v in versions:
             if v not in retained:
                 self.io.delete(self._snap_path(v))
+                # keep expiry observable through THIS instance:
+                # time-travel to an expired version must fail rather
+                # than serve a snapshot whose data dirs are gone
+                self._mcache.pop(v, None)
                 expired += 1
         return {"snapshots_expired": expired, "data_dirs_removed": removed_dirs}
 

@@ -519,3 +519,39 @@ def test_sort_on_write_property_orders_rows_within_files(spark, tmp_path):
         assert keys == sorted(keys), p
     got = t.lookup("doc-42").collect()
     assert len(got) == 1 and got[0]["source"] == "s2"
+
+
+class _CountingIO(LocalFileIO):
+    def __init__(self):
+        self.reads: dict[str, int] = {}
+
+    def read_text(self, path):
+        self.reads[path] = self.reads.get(path, 0) + 1
+        return super().read_text(path)
+
+
+def test_manifest_text_cached_per_version(spark, tmp_warehouse):
+    """Snapshot manifests are immutable once committed, so a version's
+    text is fetched through FileIO exactly once per LakeTable instance
+    (on an object store each re-read is a GET); repeated manifest()
+    calls must also return independent dicts — writers mutate them
+    while building the next manifest."""
+    io_ = _CountingIO()
+    root = os.path.join(tmp_warehouse, "mcache")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=2, io=io_)
+    t.overwrite(
+        spark.createDataFrame([("a", [1], 1, "web")], schema=sequences_schema())
+    )
+    io_.reads.clear()
+    m1 = t.manifest(2)
+    m2 = t.manifest(2)
+    for _ in range(5):  # property hits: key, num_buckets, schema...
+        t.manifest(2)
+    snap2 = [p for p in io_.reads if p.endswith("snap-00000002.json")]
+    assert snap2 and io_.reads[snap2[0]] == 1
+    assert m1 == m2 and m1 is not m2
+    m1["buckets"] = {}  # caller mutation must not leak into the cache
+    assert t.manifest(2)["buckets"] != {}
+    # a fresh instance (no shared cache) still reads through FileIO
+    t2 = LakeTable(spark, root, io=io_)
+    assert t2.manifest(2) == m2
