@@ -657,16 +657,22 @@ def dedup_exact(spark, sf_dir):
 
 # ---- shared shingle helpers ----------------------------------------
 
-def _shingles_spark(d: DataFrame, n: int = 4) -> DataFrame:
-    """doc_id, shingle (distinct word n-grams). JVM-side only."""
+def _shingles_spark(d: DataFrame, n: int = 4, distinct: bool = True) -> DataFrame:
+    """doc_id, shingle (word n-grams). JVM-side only.
+
+    ``distinct=True`` gives SET semantics (one row per (doc, shingle))
+    at the cost of a full shuffle of the exploded frame — required
+    where counts matter (Jaccard intersections/sizes). Consumers that
+    only feed duplicate-insensitive aggregates (minhash = min() over
+    shingles) pass ``distinct=False`` and skip that shuffle entirely;
+    the map-side partial aggregation collapses duplicates for free."""
     words = F.split(F.col("text"), " ")
     idx = F.when(
         F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
-    return (
-        d.select("doc_id", F.explode(sh).alias("shingle")).distinct()
-    )
+    out = d.select("doc_id", F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 _SHINGLES_SQL = """
@@ -718,33 +724,48 @@ _CAPPED_SHINGLES_SQL = f"""
 def dedup_ngram_jaccard(spark, sf_dir):
     from pyspark.sql import Window
 
-    # The df cap is applied with a COUNT OVER (PARTITION BY shingle)
-    # window, not an aggregate + semi-join: ONE shuffle of the big
-    # shingle frame instead of two (measured 3.1 -> 2.4 s warm at
-    # sf0.1, same shuffle volume at scale; a hot shingle costs O(k)
-    # in its window partition, never O(k^2)). The capped frame is
-    # checkpointed: it feeds the self-join (twice) and the size
-    # aggregate — recomputing the explode per consumer measured 2.5x
-    # slower at sf0.1.
+    # Shape: ONE exchange of the big shingle frame, NO self-join.
+    # The df cap is a COUNT OVER (PARTITION BY shingle) window —
+    # spill-safe for arbitrarily hot shingles (WindowExec buffers a
+    # partition group in an external sorter; a collect_list df-count
+    # would build an unspillable O(df) buffer per hot shingle). The
+    # groupBy(shingle) collect_list that follows REUSES the window's
+    # hash partitioning (same key, no new exchange) and its lists are
+    # bounded by the cap (<= 30 elements), so the co-occurring pairs
+    # are generated JVM-side with nested array HOFs — O(cap^2/2) max
+    # per shingle — instead of a self-join that re-shuffled the frame
+    # twice and hash-probed 4M rows. Measured at sf0.1: 6.9-7.6 s
+    # (join shape) -> 3.6-4.1 s, identical output. The list frame is
+    # checkpointed once: it feeds both the pair explosion and the
+    # per-doc size aggregate.
     sh0 = _shingles_spark(_t(spark, sf_dir, "documents"), n=4)
     w = Window.partitionBy("shingle")
-    sh = (
+    lists = (
         sh0.withColumn("_df", F.count("*").over(w))
         .filter(F.col("_df") <= _SHINGLE_DF_CAP)
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .localCheckpoint(eager=False)
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    # A shingle with df == 1 appears in exactly one doc: it counts
-    # toward |A| (sizes above) but can never contribute a join pair —
-    # prune it from BOTH self-join sides. In real corpora the vast
-    # majority of shingles are unique, so this shrinks the join input
-    # by far more than it costs (the _df is already on the frame).
-    sh_join = sh.filter(F.col("_df") >= 2).drop("_df")
-    a = sh_join.alias("a")
-    b = sh_join.alias("b")
+    sizes = (
+        lists.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("sz"))
+    )
+    # da < db ordering comes from array_sort above (same string
+    # ordering as the SQL oracle's a.doc_id < b.doc_id predicate)
+    ds = F.col("ds")
+    pair_arrays = F.transform(
+        ds,
+        lambda x, i: F.transform(
+            F.slice(ds, i + F.lit(2), F.size(ds)),
+            lambda y: F.struct(x.alias("da"), y.alias("db")),
+        ),
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        lists.filter(F.size("ds") >= 2)
+        .select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .groupBy(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
         .agg(F.count("*").alias("i"))
     )
     sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
@@ -810,7 +831,11 @@ def _minhash_sql() -> str:
 def _minhash_candidate_pairs(spark, sf_dir) -> DataFrame:
     """(band, da, db) distinct LSH candidate pairs — shared by the
     banding query and the connected-components clustering query."""
-    sh = _shingles_spark(_t(spark, sf_dir, "documents"), n=4)
+    # distinct=False: min() is duplicate-insensitive, so the set
+    # shuffle the Jaccard path needs is pure waste here — one full
+    # exchange of the exploded shingle frame removed (the oracle's
+    # SELECT DISTINCT is equally irrelevant to its min() aggs)
+    sh = _shingles_spark(_t(spark, sf_dir, "documents"), n=4, distinct=False)
     # the two seeded md5s are projected BEFORE the aggregate so each
     # is computed once per shingle row (the 8 min-aggs then slice
     # cheap substrings, not fresh hashes)
