@@ -1,0 +1,192 @@
+"""Deterministic stratified sampling and token-budget data mixing.
+
+Training-data pipelines down-sample and re-weight sources before a
+run ("data mixing"): keep 10% of crawl, 100% of reference text, and
+cap each source at a token budget. Two requirements drive the design
+at 100 TB:
+
+* **Determinism** — a re-run (or a second cluster) must pick exactly
+  the same rows, so membership is a pure function of the row key, not
+  of ``rand()`` / partition iteration order. We hash the key with a
+  seeded md5 into a uniform fraction in [0, 1) and compare against the
+  stratum's rate. Membership is reproducible in any engine (the
+  DuckDB oracle computes the same md5 fraction), survives
+  repartitioning, and adding rows never flips existing decisions.
+* **No shuffle in the common path** — rate-based sampling is a pure
+  ``filter`` (map-only, pushed to the scan); the token-budget take is
+  two passes: a tiny histogram aggregate, then a map-only filter for
+  every row except the ~1/``n_buckets`` sliver at the budget boundary,
+  which alone pays a window. A naive single window partitioned by
+  source would shuffle the ENTIRE corpus into one partition per
+  source — a skew catastrophe with few sources.
+
+Reference parity: the reference pipeline has no sampler (its corpus
+is per-blob); this operator family is part of the "LLM training-data
+pipeline" surface the engine adds on top (SURVEY.md §2 addendum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# 2^32 — md5's leading 8 hex chars parsed as an integer fall in
+# [0, 2^32), so frac = h / 2^32 is uniform in [0, 1).
+_HASH_SPACE = float(1 << 32)
+
+
+def hash_frac(key: Column, seed: int = 0) -> Column:
+    """Uniform deterministic fraction in [0, 1) from a row key.
+
+    ``conv(substr(md5(seed || key), 1, 8), 16, 10) / 2^32`` — the
+    DuckDB twin is ``('0x' || substr(md5(seed || key), 1, 8))::BIGINT
+    / 4294967296.0`` (same digest, same hex slice, same divisor).
+    """
+    digest = F.md5(F.concat(F.lit(str(seed)), key.cast("string")).cast("binary"))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("double") / F.lit(
+        _HASH_SPACE
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata: str = "source",
+    key: str = "doc_id",
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row of stratum ``s`` iff hash_frac(key) < rates[s].
+
+    Map-only: the rate lookup is an inlined CASE expression (strata
+    sets are small — sources, languages), so the filter reaches the
+    scan and no shuffle ever happens. Sampling different rates later
+    yields a SUPERSET/SUBSET of this sample (threshold comparison on
+    the same hash), which is what reproducible ablations want.
+    """
+    frac = hash_frac(F.col(key), seed)
+    rate = F.lit(float(default_rate))
+    for name, r in sorted(rates.items()):
+        rate = F.when(F.col(strata) == name, float(r)).otherwise(rate)
+    return df.filter(frac < rate)
+
+
+def _with_frac(df: DataFrame, key: str, seed: int) -> DataFrame:
+    return df.withColumn("_frac", hash_frac(F.col(key), seed))
+
+
+def mix_token_budget_exact(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata: str = "source",
+    key: str = "doc_id",
+    tokens: str = "n_chars",
+    seed: int = 0,
+) -> DataFrame:
+    """Reference implementation: ONE window per source (the semantic
+    definition the scalable path must reproduce bit-for-bit).
+
+    Rows of each stratum are ordered by (hash_frac, key) — a
+    deterministic shuffle — and taken while the running token sum
+    (inclusive) stays <= the stratum's budget. Strata without a budget
+    entry are dropped. O(corpus) shuffle into #strata partitions:
+    correct, but a skew hazard at scale — use :func:`mix_token_budget`
+    there.
+    """
+    w = (
+        Window.partitionBy(strata)
+        .orderBy("_frac", key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = F.lit(None).cast("long")
+    for name, b in sorted(budgets.items()):
+        budget = F.when(F.col(strata) == name, int(b)).otherwise(budget)
+    return (
+        _with_frac(df, key, seed)
+        .withColumn("_run", F.sum(F.col(tokens).cast("long")).over(w))
+        .filter(F.col("_run") <= budget)
+        .drop("_frac", "_run")
+    )
+
+
+def mix_token_budget(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata: str = "source",
+    key: str = "doc_id",
+    tokens: str = "n_chars",
+    seed: int = 0,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Scalable exact token-budget mixing: histogram + boundary window.
+
+    Identical output to :func:`mix_token_budget_exact` (the prefix
+    ordered by (hash_frac, key) is the same; only the evaluation
+    strategy differs):
+
+    1. Bucket each row by ``floor(hash_frac * n_buckets)`` (map-only).
+    2. Aggregate per-(stratum, bucket) token sums — map-side partial
+       aggregation, result is <= #strata * n_buckets rows, collected
+       to the driver (bounded, data-independent size).
+    3. Per stratum, walk the cumulative histogram: buckets strictly
+       below the boundary are accepted wholesale (map-only filter —
+       no shuffle, no sort); buckets above are rejected wholesale.
+    4. ONLY the boundary bucket (~1/n_buckets of the stratum) runs the
+       ordered running-sum window, seeded with the accepted prefix's
+       token total.
+
+    At 10^10 rows and n_buckets=4096, the window input is ~2.4M rows
+    per stratum instead of 10^10 — the skewed per-source window from
+    the naive plan disappears.
+    """
+    frac = _with_frac(df, key, seed)
+    bucket = F.floor(F.col("_frac") * n_buckets).cast("int")
+    frac = frac.withColumn("_bkt", bucket)
+
+    hist = (
+        frac.groupBy(strata, "_bkt")
+        .agg(F.sum(F.col(tokens).cast("long")).alias("_toks"))
+        .collect()
+    )
+    per: dict[str, dict[int, int]] = {}
+    for row in hist:
+        per.setdefault(row[strata], {})[row["_bkt"]] = row["_toks"]
+
+    # Per stratum: boundary bucket index + tokens already spent below it.
+    take_below: dict[str, int] = {}  # accept _bkt < this wholesale
+    spent_below: dict[str, int] = {}
+    for name, b in budgets.items():
+        cum = 0
+        boundary = n_buckets  # whole stratum fits in budget
+        for bkt in sorted(per.get(name, {})):
+            t = per[name][bkt]
+            if cum + t > int(b):
+                boundary = bkt
+                break
+            cum += t
+        take_below[name] = boundary
+        spent_below[name] = cum
+
+    def _case(mapping: dict[str, int], default: int) -> Column:
+        c = F.lit(default).cast("long")
+        for name, v in sorted(mapping.items()):
+            c = F.when(F.col(strata) == name, int(v)).otherwise(c)
+        return c
+
+    boundary_col = _case(take_below, -1)  # no budget entry -> drop all
+    wholesale = frac.filter(F.col("_bkt") < boundary_col).drop("_frac", "_bkt")
+
+    # Boundary sliver: running sum seeded with the wholesale prefix.
+    budget_col = _case({k: int(v) for k, v in budgets.items()}, -1)
+    spent_col = _case(spent_below, 0)
+    w = (
+        Window.partitionBy(strata)
+        .orderBy("_frac", key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    edge = (
+        frac.filter(F.col("_bkt") == boundary_col)
+        .withColumn("_run", spent_col + F.sum(F.col(tokens).cast("long")).over(w))
+        .filter(F.col("_run") <= budget_col)
+        .drop("_frac", "_bkt", "_run")
+    )
+    return wholesale.unionByName(edge)

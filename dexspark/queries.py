@@ -182,32 +182,22 @@ def v8_length_invariant(spark, sf_dir):
     ).agg(F.count("*").alias("n"))
 
 
-# V10: max field length (XLSX version sheet: field <= 2000 chars)
+# V10 + V11 in one probe: max field length (XLSX version sheet:
+# field <= 2000 chars) and required/notEmpty (elr-schema.csvs:31,61
+# patient_id notEmpty). Both rules grouped in a single pass — the
+# engine's rule compiler evaluates every rule per row anyway (V17
+# accumulation), so one groupBy over both flags exercises both.
 @query(
-    "v10_max_length",
+    "v10_v11_field_rules",
     """
-    SELECT CAST(n_chars > 400 AS INT) AS too_long, count(*) AS n
-    FROM documents GROUP BY 1
-    """,
-)
-def v10_max_length(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.groupBy((F.col("n_chars") > 400).cast("int").alias("too_long")).agg(
-        F.count("*").alias("n")
-    )
-
-
-# V11: required/notEmpty (elr-schema.csvs:31,61 patient_id notEmpty)
-@query(
-    "v11_required_fields",
-    """
-    SELECT CAST(text IS NOT NULL AND trim(text) <> ''
-            AND lang IS NOT NULL AND trim(lang) <> '' AS INT) AS ok,
+    SELECT CAST(n_chars > 400 AS INT) AS too_long,
+           CAST(text IS NOT NULL AND trim(text) <> ''
+            AND lang IS NOT NULL AND trim(lang) <> '' AS INT) AS required_ok,
            count(*) AS n
-    FROM documents GROUP BY 1
+    FROM documents GROUP BY 1, 2
     """,
 )
-def v11_required_fields(spark, sf_dir):
+def v10_v11_field_rules(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     ok = (
         F.col("text").isNotNull()
@@ -215,7 +205,10 @@ def v11_required_fields(spark, sf_dir):
         & F.col("lang").isNotNull()
         & (F.trim("lang") != "")
     )
-    return d.groupBy(ok.cast("int").alias("ok")).agg(F.count("*").alias("n"))
+    return d.groupBy(
+        (F.col("n_chars") > 400).cast("int").alias("too_long"),
+        ok.cast("int").alias("required_ok"),
+    ).agg(F.count("*").alias("n"))
 
 
 # V12: conditionally-required group: >=1 of N non-empty
@@ -240,35 +233,25 @@ def v12_conditional_group(spark, sf_dir):
     )
 
 
-# V13: allowed-value list (cerberus_data_validation.py:40)
+# V13 + V14 in one probe: allowed-value list
+# (cerberus_data_validation.py:40) and regex rule
+# (proof-of-concept/README.md:116) — grouped together in one pass,
+# same rationale as v10_v11_field_rules.
 @query(
-    "v13_allowed_values",
+    "v13_v14_value_rules",
     """
     SELECT lang, CAST(lang IN ('en','es','de','fr','zh') AS INT) AS allowed,
+           CAST(regexp_matches(text, '^(the|spark|join)\\s') AS INT) AS matched,
            count(*) AS n
-    FROM documents GROUP BY 1, 2
+    FROM documents GROUP BY 1, 2, 3
     """,
 )
-def v13_allowed_values(spark, sf_dir):
+def v13_v14_value_rules(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.groupBy(
-        "lang", F.col("lang").isin("en", "es", "de", "fr", "zh").cast("int").alias("allowed")
-    ).agg(F.count("*").alias("n"))
-
-
-# V14: regex rule (proof-of-concept/README.md:116)
-@query(
-    "v14_regex",
-    """
-    SELECT CAST(regexp_matches(text, '^(the|spark|join)\\s') AS INT) AS matched,
-           count(*) AS n
-    FROM documents GROUP BY 1
-    """,
-)
-def v14_regex(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.groupBy(
-        F.col("text").rlike(r"^(the|spark|join)\s").cast("int").alias("matched")
+        "lang",
+        F.col("lang").isin("en", "es", "de", "fr", "zh").cast("int").alias("allowed"),
+        F.col("text").rlike(r"^(the|spark|join)\s").cast("int").alias("matched"),
     ).agg(F.count("*").alias("n"))
 
 
@@ -1382,6 +1365,90 @@ def text_fingerprint(spark, sf_dir):
         lambda acc, x: (acc * F.lit(_RH_B) + x) % F.lit(_RH_M),
     )
     return d.select("doc_id", fp.alias("fingerprint"), rolling.alias("rolling_fp"))
+
+
+# ---- benchmark decontamination (n-gram overlap vs eval set) ----------
+# Drives operators/decontaminate.py: benchmark docs = doc_id % 19 == 0
+# (a deterministic in-corpus stand-in for an eval suite), corpus = the
+# rest; a corpus doc is contaminated iff it shares >= 2 distinct word
+# 4-grams with any benchmark doc. Plan: tiny benchmark gram set is
+# BROADCAST, corpus grams stream map-side through the join; the one
+# shuffle carries only matching grams (see module docstring for the
+# 100 TB shape).
+@query(
+    "llm_decontaminate",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL.format(m=3)}),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 19 = 0),
+    hits AS (
+      SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits
+      FROM sh s JOIN bench b USING (shingle)
+      WHERE s.doc_id % 19 <> 0 GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(coalesce(h.n_hits, 0) >= 2 AS INT) AS contaminated,
+           count(*) AS n_docs
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % 19 <> 0
+    GROUP BY 1, 2
+    """,
+)
+def llm_decontaminate(spark, sf_dir):
+    from dexspark.operators.decontaminate import contamination_hits
+
+    d = _t(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 19 == 0
+    corpus = d.filter(~is_bench)
+    hits = contamination_hits(corpus, d.filter(is_bench), n=4)
+    return (
+        corpus.join(hits, "doc_id", "left")
+        .groupBy(
+            "source",
+            (F.coalesce("n_hits", F.lit(0)) >= 2).cast("int").alias("contaminated"),
+        )
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---- data mixing: deterministic per-source token budgets -------------
+# Drives operators/sampling.py's SCALABLE path (histogram + boundary
+# window — the naive one-window-per-source plan would shuffle the
+# whole corpus into #sources partitions). Budget rule: source srcK
+# gets 1500 + 500*(K % 4) tokens; src19 has no budget and is dropped.
+# The oracle states the SEMANTIC definition (one global window per
+# source); exact<->scalable equality is additionally pytest-proven on
+# random data (tests/test_llmprep.py).
+@query(
+    "llm_mix_token_budget",
+    """
+    WITH r AS (
+      SELECT source, doc_id, n_chars,
+             ('0x' || substr(md5('0' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS f
+      FROM documents WHERE source <> 'src19'
+    ),
+    run AS (
+      SELECT source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY f, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum
+      FROM r
+    )
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS kept_tokens
+    FROM run
+    WHERE rsum <= 1500 + 500 * (CAST(substr(source, 4, 8) AS INT) % 4)
+    GROUP BY 1
+    """,
+)
+def llm_mix_token_budget(spark, sf_dir):
+    from dexspark.operators.sampling import mix_token_budget
+
+    d = _t(spark, sf_dir, "documents")
+    budgets = {f"src{i}": 1500 + 500 * (i % 4) for i in range(19)}
+    mixed = mix_token_budget(d, budgets, tokens="n_chars", seed=0, n_buckets=64)
+    return mixed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("kept_tokens"),
+    )
 
 
 # =====================================================================

@@ -1,0 +1,176 @@
+"""Stratified sampling / token-budget mixing / decontamination.
+
+Proves: (1) sampling membership is a pure deterministic function of
+the key (recomputed independently in Python), map-only (no exchange in
+the plan); (2) the scalable histogram+boundary mixing plan is
+bit-identical to the one-window semantic definition across budgets,
+bucket counts, and degenerate strata; (3) decontamination flags
+exactly the docs sharing >= min_hits distinct n-grams with the
+benchmark, via a broadcast join.
+"""
+
+import hashlib
+
+from pyspark.sql import Row, functions as F
+
+from dexspark.operators.decontaminate import (
+    contamination_hits,
+    decontaminate,
+    ngrams,
+)
+from dexspark.operators.sampling import (
+    hash_frac,
+    mix_token_budget,
+    mix_token_budget_exact,
+    stratified_sample,
+)
+
+
+def _py_frac(key, seed=0) -> float:
+    h = hashlib.md5(f"{seed}{key}".encode()).hexdigest()
+    return int(h[:8], 16) / 2**32
+
+
+def _docs(spark, n=400, n_src=5):
+    rows = [
+        Row(doc_id=i, source=f"s{i % n_src}", n_chars=(i * 37) % 90 + 10)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows)
+
+
+# ---------------------------------------------------------------- sampling
+
+
+def test_stratified_sample_matches_python_membership(spark):
+    d = _docs(spark)
+    rates = {"s0": 0.0, "s1": 0.25, "s2": 0.5, "s3": 1.0}  # s4 -> default 0
+    got = {
+        r.doc_id for r in stratified_sample(d, rates, seed=7).select("doc_id").collect()
+    }
+    want = {
+        i
+        for i in range(400)
+        if _py_frac(i, 7) < rates.get(f"s{i % 5}", 0.0)
+    }
+    assert got == want
+    assert len(got & {i for i in range(400) if i % 5 == 0}) == 0  # rate 0
+    assert {i for i in range(400) if i % 5 == 3} <= got  # rate 1
+
+
+def test_stratified_sample_is_map_only_and_nested(spark):
+    d = _docs(spark)
+    plan = stratified_sample(d, {"s0": 0.5})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # lowering the rate yields a subset (reproducible ablations)
+    half = {r.doc_id for r in stratified_sample(d, {"s0": 0.5}).collect()}
+    tenth = {r.doc_id for r in stratified_sample(d, {"s0": 0.1}).collect()}
+    assert tenth <= half
+
+
+def test_hash_frac_uniform_range(spark):
+    d = _docs(spark, n=2000, n_src=1)
+    stats = d.select(hash_frac(F.col("doc_id")).alias("f")).agg(
+        F.min("f"), F.max("f"), F.avg("f")
+    ).first()
+    assert 0.0 <= stats[0] and stats[1] < 1.0
+    assert 0.45 < stats[2] < 0.55
+
+
+# ------------------------------------------------------------------ mixing
+
+
+def _mix_key(df):
+    return sorted((r.doc_id for r in df.select("doc_id").collect()))
+
+
+def test_mix_scalable_equals_exact_across_shapes(spark):
+    d = _docs(spark)
+    cases = [
+        ({"s0": 500, "s1": 2000, "s2": 1, "s3": 10**9}, 64),  # truncate/one/all
+        ({"s0": 500, "s1": 2000, "s2": 1, "s3": 10**9}, 4),  # coarse buckets
+        ({"s4": 777}, 1),  # single bucket == pure window path
+        ({"s0": 0}, 64),  # zero budget -> empty
+        ({"zz": 100}, 64),  # stratum absent from data
+    ]
+    for budgets, nb in cases:
+        exact = _mix_key(mix_token_budget_exact(d, budgets))
+        scal = _mix_key(mix_token_budget(d, budgets, n_buckets=nb))
+        assert scal == exact, (budgets, nb)
+
+
+def test_mix_takes_maximal_prefix_within_budget(spark):
+    d = _docs(spark)
+    budgets = {"s1": 1500}
+    kept = mix_token_budget(d, budgets, n_buckets=32).collect()
+    kept_ids = {r.doc_id for r in kept}
+    assert sum(r.n_chars for r in kept) <= 1500
+    # maximality: the first not-kept doc in hash order would overflow
+    s1 = sorted(
+        (r for r in d.filter("source = 's1'").collect()),
+        key=lambda r: (_py_frac(r.doc_id), r.doc_id),
+    )
+    run = 0
+    for r in s1:
+        run += r.n_chars
+        if run <= 1500:
+            assert r.doc_id in kept_ids
+        else:
+            assert r.doc_id not in kept_ids  # filter semantics: nothing after
+    assert len(kept_ids) < len(s1)
+
+
+def test_mix_drops_unbudgeted_strata(spark):
+    d = _docs(spark)
+    out = mix_token_budget(d, {"s2": 10**9}, n_buckets=16)
+    assert {r.source for r in out.select("source").distinct().collect()} == {"s2"}
+
+
+# --------------------------------------------------------------- decontam
+
+
+def _corpus(spark):
+    rows = [
+        Row(doc_id=1, text="a b c d e f g h"),  # shares 2 grams with bench
+        Row(doc_id=2, text="a b c d x y z w"),  # shares 1 gram
+        Row(doc_id=3, text="p q r s t u v w"),  # shares 0
+        Row(doc_id=4, text="short text"),  # below n: no grams at all
+    ]
+    bench = [Row(doc_id=100, text="a b c d e zz"), Row(doc_id=101, text="d e f g h")]
+    return spark.createDataFrame(rows), spark.createDataFrame(bench)
+
+
+def test_ngrams_shape(spark):
+    corpus, _ = _corpus(spark)
+    g = ngrams(corpus, n=4).filter("doc_id = 1").collect()
+    assert [r.gram for r in g] == [
+        "a b c d", "b c d e", "c d e f", "d e f g", "e f g h",
+    ]
+    assert ngrams(corpus, n=4).filter("doc_id = 4").count() == 0
+
+
+def test_contamination_hits_counts_distinct_grams(spark):
+    corpus, bench = _corpus(spark)
+    hits = {r.doc_id: r.n_hits for r in contamination_hits(corpus, bench, n=4).collect()}
+    # bench grams: {a b c d, b c d e, c d e zz, d e f g, e f g h}
+    assert hits == {1: 4, 2: 1}  # doc 3 and 4: no row at all
+
+
+def test_decontaminate_thresholds(spark):
+    corpus, bench = _corpus(spark)
+    strict = {r.doc_id for r in decontaminate(corpus, bench, n=4, min_hits=1).collect()}
+    loose = {r.doc_id for r in decontaminate(corpus, bench, n=4, min_hits=2).collect()}
+    assert strict == {3, 4}
+    assert loose == {2, 3, 4}
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    corpus, bench = _corpus(spark)
+    plan = (
+        contamination_hits(corpus, bench, n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
