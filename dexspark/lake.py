@@ -1133,6 +1133,37 @@ class LakeTable:
             )
         return out
 
+    def files(self, version: int | None = None) -> DataFrame:
+        """Data-file inventory of a snapshot (the Iceberg
+        ``table.files`` metadata view): one row per live file with its
+        bucket, the commit version that ADDED it (carried-forward
+        files keep their original commit), and the manifest zone-map
+        key bounds that drive driver-side pruning. Built from the
+        manifest alone — no file-system listing, no Spark scan — so it
+        stays O(#files) driver work through any FileIO backend."""
+        m = self.manifest(version)
+        cv = m.get("commit_versions", {})
+        fb = m.get("file_bounds", {})
+        rows = []
+        for b, file_list in sorted(m["buckets"].items(), key=lambda kv: int(kv[0])):
+            for rel in file_list:
+                d = rel.split("/")[1]
+                bounds = fb.get(rel)
+                rows.append(
+                    (
+                        int(b),
+                        rel,
+                        int(cv.get(d, d.split("-")[1])),
+                        None if bounds is None else str(bounds[0]),
+                        None if bounds is None else str(bounds[1]),
+                    )
+                )
+        schema = (
+            "bucket int, path string, commit_version int, "
+            "min_key string, max_key string"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
     def _commit_files(self, m: dict, version: int) -> list[str]:
         """Absolute paths of the data files ADDED by ``version``'s
         commit (the dir name embeds the version — overridden by the

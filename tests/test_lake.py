@@ -555,3 +555,23 @@ def test_manifest_text_cached_per_version(spark, tmp_warehouse):
     # a fresh instance (no shared cache) still reads through FileIO
     t2 = LakeTable(spark, root, io=io_)
     assert t2.manifest(2) == m2
+
+
+def test_files_metadata_view(spark, table):
+    ups = spark.createDataFrame([("a", [9], 1, "web")], schema=sequences_schema())
+    table.merge(ups, epochs=[41])
+    m = table.manifest()
+    f = {r.path: r for r in table.files().collect()}
+    # exact mirror of the manifest's live file set
+    assert set(f) == {rel for fl in m["buckets"].values() for rel in fl}
+    # carried-forward files keep their ORIGINAL commit version; the
+    # rewritten bucket's files carry the new one
+    versions = {r.commit_version for r in f.values()}
+    assert m["version"] in versions and min(versions) < m["version"]
+    for r in f.values():
+        assert r.bucket in range(table.num_buckets)
+        if r.min_key is not None:
+            assert r.min_key <= r.max_key
+    # time travel: the old snapshot's inventory is intact
+    old = table.files(version=2).collect()
+    assert all(r.commit_version <= 2 for r in old)
