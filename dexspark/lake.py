@@ -520,7 +520,6 @@ class LakeTable:
         # A rebased commit's dir NAME carries the version it lost the
         # optimistic race at; the manifest's commit_versions map holds
         # its true (logical) commit order.
-        cv = m.get("commit_versions", {})
         for commit, files in by_commit.items():
             df = self.spark.read.parquet(*files)
             tomb = (
@@ -528,7 +527,7 @@ class LakeTable:
                 if _TOMBSTONE in df.columns
                 else F.lit(False)
             )
-            version = int(cv.get(commit, commit.split("-")[1]))
+            version = self._dir_version(m, commit)
             parts.append(
                 self._align(df.withColumn(_TOMBSTONE, tomb), schema_t)
                 .withColumn("_commit", F.lit(version))
@@ -1133,49 +1132,60 @@ class LakeTable:
             )
         return out
 
+    @staticmethod
+    def _dir_version(m: dict, commit_dir: str) -> int:
+        """Logical version of a commit DIR: the dir name embeds the
+        version, overridden by the manifest's commit_versions map for
+        commits rebased after losing the optimistic race. Single
+        resolution rule shared by read()'s MOR merge order, files()
+        and _commit_files()."""
+        return int(
+            m.get("commit_versions", {}).get(commit_dir, commit_dir.split("-")[1])
+        )
+
+    @classmethod
+    def _added_version(cls, m: dict, rel: str) -> int:
+        """Version that ADDED data file ``rel`` (see _dir_version)."""
+        return cls._dir_version(m, rel.split("/")[1])
+
     def files(self, version: int | None = None) -> DataFrame:
         """Data-file inventory of a snapshot (the Iceberg
         ``table.files`` metadata view): one row per live file with its
         bucket, the commit version that ADDED it (carried-forward
         files keep their original commit), and the manifest zone-map
-        key bounds that drive driver-side pruning. Built from the
-        manifest alone — no file-system listing, no Spark scan — so it
-        stays O(#files) driver work through any FileIO backend."""
+        key bounds that drive driver-side pruning — typed as the
+        table's merge key so bounds compare correctly for int keys
+        too. Built from the manifest alone — no file-system listing,
+        no Spark scan — so it stays O(#files) driver work through any
+        FileIO backend."""
         m = self.manifest(version)
-        cv = m.get("commit_versions", {})
         fb = m.get("file_bounds", {})
+        key_type = T.StructType.fromJson(m["schema"])[m["key"]].dataType
         rows = []
         for b, file_list in sorted(m["buckets"].items(), key=lambda kv: int(kv[0])):
             for rel in file_list:
-                d = rel.split("/")[1]
-                bounds = fb.get(rel)
+                bounds = fb.get(rel) or (None, None)
                 rows.append(
-                    (
-                        int(b),
-                        rel,
-                        int(cv.get(d, d.split("-")[1])),
-                        None if bounds is None else str(bounds[0]),
-                        None if bounds is None else str(bounds[1]),
-                    )
+                    (int(b), rel, self._added_version(m, rel), bounds[0], bounds[1])
                 )
-        schema = (
-            "bucket int, path string, commit_version int, "
-            "min_key string, max_key string"
+        schema = T.StructType(
+            [
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("commit_version", T.IntegerType()),
+                T.StructField("min_key", key_type),
+                T.StructField("max_key", key_type),
+            ]
         )
         return self.spark.createDataFrame(rows, schema)
 
     def _commit_files(self, m: dict, version: int) -> list[str]:
         """Absolute paths of the data files ADDED by ``version``'s
-        commit (the dir name embeds the version — overridden by the
-        manifest's commit_versions map for commits that were rebased
-        after losing the optimistic race — so no parent-diff is
-        needed)."""
-        cv = m.get("commit_versions", {})
+        commit (see :meth:`_added_version`)."""
         out = []
         for files in m["buckets"].values():
             for rel in files:
-                d = rel.split("/")[1]
-                if int(cv.get(d, d.split("-")[1])) == version:
+                if self._added_version(m, rel) == version:
                     out.append(os.path.join(self.root, rel))
         return out
 

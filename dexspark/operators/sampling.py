@@ -71,7 +71,17 @@ def stratified_sample(
 
 
 def _with_frac(df: DataFrame, key: str, seed: int) -> DataFrame:
-    return df.withColumn("_frac", hash_frac(F.col(key), seed))
+    """Attach the hash fraction; rows with a NULL key are DROPPED.
+
+    Membership is defined as a pure function of the key, so a NULL
+    key has no deterministic identity to sample on — the same rule
+    stratified_sample applies implicitly (NULL frac fails the rate
+    comparison). Both mixing paths share this, keeping them
+    bit-identical on dirty input.
+    """
+    return df.filter(F.col(key).isNotNull()).withColumn(
+        "_frac", hash_frac(F.col(key), seed)
+    )
 
 
 def mix_token_budget_exact(
@@ -88,9 +98,12 @@ def mix_token_budget_exact(
     Rows of each stratum are ordered by (hash_frac, key) — a
     deterministic shuffle — and taken while the running token sum
     (inclusive) stays <= the stratum's budget. Strata without a budget
-    entry are dropped. O(corpus) shuffle into #strata partitions:
-    correct, but a skew hazard at scale — use :func:`mix_token_budget`
-    there.
+    entry are dropped; NULL keys are dropped (no deterministic
+    identity); NULL token counts count as 0. ``key`` must be unique
+    per stratum (same precondition as merge): duplicate keys tie the
+    sort and make the boundary row arbitrary. O(corpus) shuffle into
+    #strata partitions: correct, but a skew hazard at scale — use
+    :func:`mix_token_budget` there.
     """
     w = (
         Window.partitionBy(strata)
@@ -100,9 +113,10 @@ def mix_token_budget_exact(
     budget = F.lit(None).cast("long")
     for name, b in sorted(budgets.items()):
         budget = F.when(F.col(strata) == name, int(b)).otherwise(budget)
+    toks = F.coalesce(F.col(tokens).cast("long"), F.lit(0))
     return (
         _with_frac(df, key, seed)
-        .withColumn("_run", F.sum(F.col(tokens).cast("long")).over(w))
+        .withColumn("_run", F.sum(toks).over(w))
         .filter(F.col("_run") <= budget)
         .drop("_frac", "_run")
     )
@@ -124,9 +138,10 @@ def mix_token_budget(
     strategy differs):
 
     1. Bucket each row by ``floor(hash_frac * n_buckets)`` (map-only).
-    2. Aggregate per-(stratum, bucket) token sums — map-side partial
-       aggregation, result is <= #strata * n_buckets rows, collected
-       to the driver (bounded, data-independent size).
+    2. Aggregate per-(stratum, bucket) token sums over BUDGETED strata
+       only — map-side partial aggregation, result is <= #budgets *
+       n_buckets rows, collected to the driver (bounded by the budget
+       dict, not by the data's strata cardinality).
     3. Per stratum, walk the cumulative histogram: buckets strictly
        below the boundary are accepted wholesale (map-only filter —
        no shuffle, no sort); buckets above are rejected wholesale.
@@ -137,16 +152,22 @@ def mix_token_budget(
     At 10^10 rows and n_buckets=4096, the window input is ~2.4M rows
     per stratum instead of 10^10 — the skewed per-source window from
     the naive plan disappears.
+
+    Same input contract as the exact path: NULL keys dropped, NULL
+    token counts count as 0, ``key`` unique per stratum.
     """
-    frac = _with_frac(df, key, seed)
+    # Budgeted strata only, from the start: unbudgeted strata are
+    # dropped anyway, and filtering first (a) bounds the histogram
+    # collect by len(budgets) * n_buckets regardless of the data's
+    # strata cardinality and (b) shrinks every downstream scan.
+    frac = _with_frac(
+        df.filter(F.col(strata).isin(list(budgets))), key, seed
+    )
     bucket = F.floor(F.col("_frac") * n_buckets).cast("int")
     frac = frac.withColumn("_bkt", bucket)
+    toks = F.coalesce(F.col(tokens).cast("long"), F.lit(0))
 
-    hist = (
-        frac.groupBy(strata, "_bkt")
-        .agg(F.sum(F.col(tokens).cast("long")).alias("_toks"))
-        .collect()
-    )
+    hist = frac.groupBy(strata, "_bkt").agg(F.sum(toks).alias("_toks")).collect()
     per: dict[str, dict[int, int]] = {}
     for row in hist:
         per.setdefault(row[strata], {})[row["_bkt"]] = row["_toks"]
@@ -185,7 +206,7 @@ def mix_token_budget(
     )
     edge = (
         frac.filter(F.col("_bkt") == boundary_col)
-        .withColumn("_run", spent_col + F.sum(F.col(tokens).cast("long")).over(w))
+        .withColumn("_run", spent_col + F.sum(toks).over(w))
         .filter(F.col("_run") <= budget_col)
         .drop("_frac", "_bkt", "_run")
     )

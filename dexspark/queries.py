@@ -648,13 +648,14 @@ def _shingles_spark(d: DataFrame, n: int = 4, distinct: bool = True) -> DataFram
     where counts matter (Jaccard intersections/sizes). Consumers that
     only feed duplicate-insensitive aggregates (minhash = min() over
     shingles) pass ``distinct=False`` and skip that shuffle entirely;
-    the map-side partial aggregation collapses duplicates for free."""
-    words = F.split(F.col("text"), " ")
-    idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
-    out = d.select("doc_id", F.explode(sh).alias("shingle"))
+    the map-side partial aggregation collapses duplicates for free.
+
+    One gram definition for the whole engine: delegates to
+    operators.decontaminate.ngrams so dedup shingles and benchmark
+    decontamination can never drift apart."""
+    from dexspark.operators.decontaminate import ngrams
+
+    out = ngrams(d, n=n).withColumnRenamed("gram", "shingle")
     return out.distinct() if distinct else out
 
 

@@ -11,8 +11,11 @@ a plain Python dict model, then asserts:
   * time travel: every historical version still reads back as the
     model looked at that point (manifests immutable, commits
     content-addressed),
-  * re-applying an already-committed epoch's merge is a no-op
-    (exactly-once at the table layer).
+  * epoch commit markers survive arbitrary interleavings of
+    compact/rebucket/overwrite — the engine's redelivery guard
+    (stream.py filters batches whose epoch is committed) keys off
+    these markers; the redelivered-batch no-op itself is exercised
+    end-to-end in test_stream / test_cdc_end_to_end.
 
 Sequences are seeded (reproducible), not hypothesis-driven: each op is
 a Spark job, so shrinking would be slow; seeds cover cow/mor mixes,
@@ -45,11 +48,11 @@ def _snapshot(table, version=None):
 
 
 def _apply_random_ops(spark, table, rng, n_ops):
-    """Returns (model_after_final, [(version, model_snapshot)], replay)."""
+    """Returns (model_after_final, [(version, model_snapshot)], epochs)."""
     model: dict = {}
     history = []
     epoch = 0
-    replay = None  # (epoch, upserts_rows, delete_keys) of one merge
+    merged_epochs = []
     for _ in range(n_ops):
         op = rng.choices(
             ["merge", "delete_where", "compact", "rebucket", "overwrite"],
@@ -74,8 +77,7 @@ def _apply_random_ops(spark, table, rng, n_ops):
                 model[k] = (toks, n, src)
             for k in dels:
                 model.pop(k, None)
-            if replay is None and rng.random() < 0.5:
-                replay = (epoch, ups, dels)
+            merged_epochs.append(epoch)
             epoch += 1
         elif op == "delete_where":
             src = rng.choice(SOURCES)
@@ -90,7 +92,7 @@ def _apply_random_ops(spark, table, rng, n_ops):
             table.overwrite(spark.createDataFrame(rows, schema=sequences_schema()))
             model = {k: (t, n, s) for k, t, n, s in rows}
         history.append((table.manifest()["version"], dict(model)))
-    return model, history, replay
+    return model, history, merged_epochs
 
 
 @pytest.mark.parametrize("seed", [11, 23, 47])
@@ -100,19 +102,16 @@ def test_random_op_sequences_match_model(spark, tmp_warehouse, seed):
     table = LakeTable.create(
         spark, root, sequences_schema(), key="doc_id", num_buckets=4
     )
-    model, history, replay = _apply_random_ops(spark, table, rng, n_ops=9)
+    model, history, merged_epochs = _apply_random_ops(spark, table, rng, n_ops=9)
 
     # North-rule invariant: exact per-doc token-array equality.
     assert _snapshot(table) == model
 
-    # Exactly-once at the table layer: every epoch the sequence merged
-    # reports committed (the engine's redelivery guard keys off this —
-    # stream.py filters batches whose epoch is already committed), and
-    # the guard holds across compact/rebucket/overwrite interleavings.
-    if replay is not None:
-        ep, _, _ = replay
+    # Every merged epoch's commit marker survives the whole
+    # interleaving (the engine's redelivery guard keys off these).
+    for ep in merged_epochs:
         assert table.is_epoch_committed(ep)
-        assert not table.is_epoch_committed(10**6)
+    assert not table.is_epoch_committed(10**6)
 
     # Time travel: every recorded version reads back as the model was.
     for version, snap in rng.sample(history, min(3, len(history))):

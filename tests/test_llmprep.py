@@ -174,3 +174,41 @@ def test_decontaminate_plan_broadcasts_benchmark(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mix_handles_null_keys_and_null_tokens(spark):
+    rows = [Row(doc_id=i, source="s0", n_chars=50) for i in range(20)]
+    rows += [Row(doc_id=None, source="s0", n_chars=50)]  # no identity -> dropped
+    rows += [Row(doc_id=100 + i, source="s0", n_chars=None) for i in range(3)]
+    d = spark.createDataFrame(rows, "doc_id int, source string, n_chars int")
+    budgets = {"s0": 300}
+    exact = _mix_key(mix_token_budget_exact(d, budgets))
+    scal = _mix_key(mix_token_budget(d, budgets, n_buckets=8))
+    assert scal == exact
+    assert None not in scal
+    # independent Python recomputation: NULL key dropped, NULL tokens
+    # count 0, running-sum filter over (frac, key) order
+    ordered = sorted(
+        ((r.doc_id, r.n_chars or 0) for r in d.collect() if r.doc_id is not None),
+        key=lambda kv: (_py_frac(kv[0]), kv[0]),
+    )
+    run, want = 0, []
+    for k, t in ordered:
+        run += t
+        if run <= 300:
+            want.append(k)
+    assert sorted(want) == scal
+
+
+def test_mix_histogram_ignores_unbudgeted_strata(spark):
+    d = _docs(spark)
+    plan = (
+        mix_token_budget(d, {"s1": 10**9}, n_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the budgeted-strata filter reaches both scans
+    assert plan.count("s1") >= 1
+    out = mix_token_budget(d, {"s1": 10**9}, n_buckets=8)
+    assert {r.source for r in out.select("source").distinct().collect()} == {"s1"}
