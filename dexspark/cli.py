@@ -143,12 +143,15 @@ def main(argv: list[str] | None = None) -> int:
         or args.changes
         or args.scan_range
         or args.compact_binlog
+        or args.reprocess_quarantine
         or maintenance
     )
     if tailing and not (args.binlog and args.checkpoint and args.warehouse):
         ap.error("--binlog/--checkpoint/--warehouse are required when tailing")
     if args.compact_binlog and not args.binlog:
         ap.error("--binlog is required with --compact-binlog")
+    if args.reprocess_quarantine and not args.warehouse:
+        ap.error("--warehouse is required with --reprocess-quarantine")
     if args.changes and not args.out:
         ap.error("--out is required with --changes")
 
@@ -236,6 +239,17 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    if args.compact_binlog:
+        # no engine (and possibly no --warehouse) needed: pure
+        # binlog-to-binlog maintenance
+        from .events import compact_binlog
+
+        info = compact_binlog(
+            spark, args.binlog, args.compact_binlog, rules=cfg.rules
+        )
+        print(json.dumps(info))
+        return 0
+
     engine = CdcEngine(spark, table, args.warehouse, cfg)
 
     def _status() -> None:
@@ -251,14 +265,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
 
-    if args.compact_binlog:
-        from .events import compact_binlog
-
-        info = compact_binlog(
-            spark, args.binlog, args.compact_binlog, rules=cfg.rules
-        )
-        print(json.dumps(info))
-    elif args.reprocess_quarantine:
+    if args.reprocess_quarantine:
         info = engine.reprocess_quarantine()
         print(json.dumps(info))
         _status()

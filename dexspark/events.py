@@ -277,7 +277,11 @@ def compact_binlog(
     return {"events_in": n_in, "events_out": n_out, "dropped": n_in - n_out}
 
 
-def _dir_looks_parquet(path: str) -> bool:
+def binlog_looks_parquet(path: str) -> bool:
+    """True if the binlog dir holds a structured parquet log (bare
+    part files or batch_epoch= partition dirs). The ONE sniffing rule
+    shared by batch apply, streaming tail and log compaction — a new
+    layout marker must be recognized here and nowhere else."""
     import os
 
     try:
@@ -287,6 +291,9 @@ def _dir_looks_parquet(path: str) -> bool:
     return any(
         e.endswith(".parquet") or e.startswith("batch_epoch=") for e in entries
     )
+
+
+_dir_looks_parquet = binlog_looks_parquet
 
 
 def parse_kafka_values(

@@ -1006,6 +1006,15 @@ class LakeTable:
             for n in self.io.list_dir(snap_dir)
             if n.startswith("snap-") and n.endswith(".json")
         )
+        if not versions:
+            # Fail-safe: a valid table always has >= 1 manifest. An
+            # empty/missing _snapshots dir (mistyped root, lost
+            # metadata) would make EVERY data dir look orphaned and
+            # delete the whole table — refuse instead.
+            raise FileNotFoundError(
+                f"no snapshots at {snap_dir}: not a LakeTable root, "
+                "refusing to vacuum (everything would be treated as orphan)"
+            )
         retained = set(versions[-max(1, keep_last):])
         referenced: set[str] = set()
         for v in retained:
@@ -1250,6 +1259,21 @@ class LakeTable:
                 df = self._align(df.withColumn("_t", tomb), T.StructType(
                     list(schema.fields) + [T.StructField("_t", T.BooleanType(), True)]
                 ))
+                # Same-commit tie-break, matching read(): a key present
+                # as both upsert and tombstone in ONE merge-mor batch
+                # resolves to the upsert. Emitting both rows would let
+                # a changelog consumer delete a key the snapshot keeps.
+                # One keyed aggregate over O(change) rows.
+                df = (
+                    df.groupBy(key)
+                    .agg(
+                        F.max_by(
+                            F.struct(*[c for c in data_cols if c != key], "_t"),
+                            ~F.col("_t"),
+                        ).alias("_r")
+                    )
+                    .select(key, F.col("_r.*"))
+                )
                 part = df.select(
                     *data_cols,
                     F.when(F.col("_t"), F.lit("delete"))

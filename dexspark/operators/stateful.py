@@ -47,6 +47,7 @@ def suppress_stale(
     key: str = "doc_id",
     order_cols: Tuple[str, str] = ("commit_ts", "lsn"),
     ttl_ms: int | None = None,
+    advance_col: str | None = None,
 ) -> DataFrame:
     """Drop events at-or-below each key's high-water ``order_cols``
     mark from previous micro-batches.
@@ -57,6 +58,16 @@ def suppress_stale(
     timestamp columns (timestamps are stored in state as epoch
     nanoseconds). ``ttl_ms`` evicts state for keys idle longer than
     that processing-time interval (None = keep forever).
+
+    ``advance_col`` (boolean) marks rows that will actually be
+    APPLIED downstream (class apply and rule-passing). Rows where it
+    is false bypass the state store entirely — they neither advance
+    the high-water mark nor get suppressed. Without this gate a
+    rule-failing event would advance the mark while itself landing in
+    quarantine, and a later-arriving EARLIER valid event — which the
+    batch pipeline would apply (quarantine rows carry unique dedup
+    keys, so winners are chosen among valid events only) — would be
+    silently dropped.
     """
     from pyspark.sql import functions as F
 
@@ -70,6 +81,8 @@ def suppress_stale(
         & F.col(major).isNotNull()
         & F.col(minor).isNotNull()
     )
+    if advance_col is not None:
+        complete = complete & F.coalesce(F.col(advance_col), F.lit(False))
     bypass = events.filter(~complete)
     events = events.filter(complete)
     out_schema = events.schema

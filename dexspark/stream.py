@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .config import EngineConfig
 from .events import (
+    binlog_looks_parquet,
     classify,
     parse_envelopes,
     read_binlog,
@@ -50,19 +51,8 @@ from .lineage import write_applied, write_lineage_rows, write_quarantine
 from .validate import FAIL_COL, validate_frame
 
 
-def _looks_parquet(path: str) -> bool:
-    """True if the binlog dir holds a structured parquet log (either
-    bare part files or epoch=... partition dirs)."""
-    try:
-        entries = os.listdir(path)
-    except OSError:
-        return False
-    for e in entries:
-        if e.endswith(".parquet"):
-            return True
-        if e.startswith("batch_epoch="):
-            return True
-    return False
+# one sniffing rule engine-wide (see events.binlog_looks_parquet)
+_looks_parquet = binlog_looks_parquet
 
 
 @dataclass
@@ -451,6 +441,14 @@ class CdcEngine:
           the quarantine itself: recovered rows leave it, so a rerun
           sees only still-failing rows, and re-merging an identical
           event is a state no-op under last-writer-wins);
+        * recovered events OLDER than the key's last applied
+          (commit_ts, lsn) are dropped, not merged — the table holds
+          newer state and a blind merge would regress it. This guard
+          needs the applied-lineage side table
+          (EngineConfig(applied_lineage=True)); without it the replay
+          cannot see what was applied since, and a recovered event may
+          overwrite newer state — enable applied lineage on any table
+          where quarantine replay is part of operations;
         * still-failing rows are rewritten as the new quarantine
           (full rewrite — the quarantine is assumed tiny relative to
           the table), with fresh fail_reasons from the new rules.
@@ -471,7 +469,12 @@ class CdcEngine:
         try:
             q = self.spark.read.parquet(self.quarantine_path)
         except Exception:  # no quarantine written yet
-            return {"recovered": 0, "still_failing": 0, "deletes_applied": 0}
+            return {
+                "recovered": 0,
+                "still_failing": 0,
+                "deletes_applied": 0,
+                "stale_skipped": 0,
+            }
         parsed = parse_envelopes(
             q.select("raw"), self.payload_schema
         )
@@ -510,6 +513,33 @@ class CdcEngine:
             )
             .select("doc_id", F.col("_r.*"))
         )
+        # Stale guard: the table stores no LWW position, so a recovered
+        # event could overwrite NEWER state the stream applied after
+        # the event was quarantined. When the applied-lineage side
+        # table exists (EngineConfig(applied_lineage=True)), drop
+        # recovered winners at-or-below the key's last APPLIED
+        # (commit_ts, lsn) — they are superseded, and leaving the
+        # quarantine is the correct outcome. Without applied lineage
+        # this protection is unavailable (see docstring).
+        stale_skipped = 0
+        try:
+            applied = self.spark.read.parquet(self.applied_path)
+        except Exception:
+            applied = None
+        if applied is not None:
+            n_before = winners.count()
+            mark = applied.groupBy("doc_id").agg(
+                F.max(F.struct("commit_ts", "lsn")).alias("_mark")
+            )
+            winners = (
+                winners.join(mark, "doc_id", "left")
+                .filter(
+                    F.col("_mark").isNull()
+                    | (F.struct("commit_ts", "lsn") > F.col("_mark"))
+                )
+                .drop("_mark")
+            )
+            stale_skipped = n_before - winners.count()
         upserts = winners.filter(F.col("op") != "delete").select(
             "doc_id", *payload_cols
         )
@@ -542,6 +572,7 @@ class CdcEngine:
             "recovered": n_up + n_del,
             "still_failing": n_fail,
             "deletes_applied": n_del,
+            "stale_skipped": stale_skipped,
         }
 
     # ------------------------------------------------------------ batch API
@@ -589,18 +620,34 @@ class CdcEngine:
         )
         if self.config.suppress_stale:
             from .operators.stateful import suppress_stale
+            from .validate import fail_reasons_column
 
             # keyed state store in front of the batch pipeline: drops
             # events at-or-below each key's already-forwarded
             # (commit_ts, lsn) — event-level replay tolerance (see
-            # EngineConfig.suppress_stale). Anomalous rows (null key /
-            # order) bypass it and still reach quarantine.
+            # EngineConfig.suppress_stale). The high-water mark only
+            # advances on rows that will actually be APPLIED (class
+            # apply + rule-passing): the batch pipeline chooses
+            # winners among valid events only (quarantine rows carry
+            # unique dedup keys), so an invalid newer event must not
+            # shadow an out-of-order earlier valid one. Anomalous /
+            # quarantine-bound rows bypass the store and stay visible
+            # to the error channel.
+            orig_cols = parsed.columns
+            flat = classify(parsed, self.config.rules.op_whitelist).select(
+                "*", F.col("payload.*")
+            )
+            rule_fail = fail_reasons_column(self.config.rules, flat.schema)
+            advance = (F.col("event_class") == "apply") & (
+                (F.col("op") == "delete") | (F.size(rule_fail) == 0)
+            )
             parsed = suppress_stale(
-                parsed,
+                flat.withColumn("_advance", advance).select(*orig_cols, "_advance"),
                 key="doc_id",
                 order_cols=("commit_ts", "lsn"),
                 ttl_ms=self.config.suppress_ttl_ms,
-            )
+                advance_col="_advance",
+            ).drop("_advance")
 
         def _process(batch_df: DataFrame, epoch_id: int) -> None:
             self.apply_batch(batch_df)

@@ -355,5 +355,72 @@ def test_reprocess_quarantine_with_relaxed_rules(spark, tmp_warehouse):
     assert spark.read.parquet(engine.quarantine_path).count() == 1
 
     info2 = engine.reprocess_quarantine(rules=relaxed)  # idempotent rerun
-    assert info2 == {"recovered": 0, "still_failing": 1, "deletes_applied": 0}
+    assert info2 == {
+        "recovered": 0,
+        "still_failing": 1,
+        "deletes_applied": 0,
+        "stale_skipped": 0,
+    }
     assert table.read().count() == 4
+
+
+def test_reprocess_skips_events_older_than_applied_state(spark, tmp_warehouse):
+    """Stale guard: a quarantined event recovered AFTER the stream
+    applied a newer event for the same key must be dropped (leaving
+    quarantine, not merged) — otherwise the replay would regress the
+    row. Requires the applied-lineage side table."""
+    import json
+
+    from dexspark.config import RuleSet, sequences_ruleset
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "seq2"), sequences_schema(),
+        key="doc_id", num_buckets=4,
+    )
+    engine = CdcEngine(
+        spark, table, tmp_warehouse,
+        EngineConfig(num_buckets=4, applied_lineage=True),
+    )
+    binlog = os.path.join(tmp_warehouse, "binlog2")
+    os.makedirs(binlog)
+
+    def ev(doc, src, ts, lsn, tokens, epoch):
+        return json.dumps({
+            "op": "insert", "doc_id": doc,
+            "payload": {"tokens": tokens, "n_tok": len(tokens), "source": src},
+            "commit_ts": f"2026-01-01T00:00:{ts:02d}", "lsn": lsn,
+            "batch_epoch": epoch,
+        })
+
+    # epoch 0: X's ts=10 event is quarantined (bad source); Y's ts=10 too
+    with open(os.path.join(binlog, "epoch-0.ndjson"), "w") as f:
+        f.write(ev("X", "internal", 10, 1, [1], 0) + "\n")
+        f.write(ev("Y", "internal", 10, 2, [2], 0) + "\n")
+    engine.apply_binlog(binlog)
+    # epoch 1: a NEWER valid event for X is applied (Y gets nothing)
+    with open(os.path.join(binlog, "epoch-1.ndjson"), "w") as f:
+        f.write(ev("X", "web", 20, 3, [9, 9], 1) + "\n")
+    engine.apply_binlog(binlog)
+    assert {r["doc_id"]: list(r["tokens"]) for r in table.read().collect()} == {
+        "X": [9, 9]
+    }
+
+    relaxed = RuleSet(
+        **{
+            **sequences_ruleset().__dict__,
+            "allowed_values": (("source", ("web", "books", "code", "internal")),),
+        }
+    )
+    info = engine.reprocess_quarantine(rules=relaxed)
+    # X's recovered ts=10 is older than the applied ts=20 -> skipped;
+    # Y had nothing newer applied -> recovered
+    assert info["stale_skipped"] == 1
+    assert info["recovered"] == 1
+    rows = {r["doc_id"]: list(r["tokens"]) for r in table.read().collect()}
+    assert rows == {"X": [9, 9], "Y": [2]}  # X NOT regressed to [1]
+    # both events left the quarantine either way
+    try:
+        remaining = spark.read.parquet(engine.quarantine_path).count()
+    except Exception:
+        remaining = 0
+    assert remaining == 0

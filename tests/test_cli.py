@@ -148,3 +148,53 @@ def test_cli_scan_range_and_delete_where(spark, tmp_warehouse, capsys):
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["delete_where"]["keys_deleted"] == 0
     assert t2.current_version() == v
+
+
+def test_cli_compact_binlog_without_warehouse(spark, tmp_warehouse, capsys):
+    """--compact-binlog is binlog-to-binlog maintenance: it must run
+    without --warehouse/--checkpoint (no engine is constructed)."""
+    from dexspark import cli
+
+    binlog = os.path.join(tmp_warehouse, "binlog-cb")
+    events = gen.change_events(
+        spark, n_events=200, n_docs=50, n_epochs=2, max_len=8, anomaly_pct=0
+    )
+    gen.write_binlog(events, binlog)
+    out_dir = os.path.join(tmp_warehouse, "compacted")
+    rc = cli.main(
+        [
+            "--table", os.path.join(tmp_warehouse, "unused"),
+            "--binlog", binlog,
+            "--compact-binlog", out_dir,
+        ]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["events_out"] <= info["events_in"]
+    assert os.path.isdir(out_dir)
+
+
+def test_cli_reprocess_quarantine_mode_args(spark, tmp_warehouse, capsys):
+    """--reprocess-quarantine needs only --table and --warehouse (it
+    replays the error container, never the binlog/checkpoint)."""
+    from dexspark import cli
+    from dexspark.schema import sequences_schema
+
+    LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "rq"), sequences_schema(), num_buckets=2
+    )
+    rc = cli.main(
+        [
+            "--table", os.path.join(tmp_warehouse, "rq"),
+            "--warehouse", os.path.join(tmp_warehouse, "wh-rq"),
+            "--reprocess-quarantine",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[0])
+    assert out == {
+        "recovered": 0,
+        "still_failing": 0,
+        "deletes_applied": 0,
+        "stale_skipped": 0,
+    }

@@ -575,3 +575,22 @@ def test_files_metadata_view(spark, table):
     # time travel: the old snapshot's inventory is intact
     old = table.files(version=2).collect()
     assert all(r.commit_version <= 2 for r in old)
+
+
+def test_vacuum_refuses_root_without_snapshots(spark, tmp_warehouse):
+    """Fail-safe: a root with data dirs but no _snapshots manifests is
+    not a LakeTable — vacuum must refuse rather than treat every data
+    dir as an orphan and delete the table."""
+    import shutil
+
+    root = os.path.join(tmp_warehouse, "broken")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=2)
+    t.overwrite(
+        spark.createDataFrame([("a", [1], 1, "web")], schema=sequences_schema())
+    )
+    shutil.rmtree(os.path.join(root, "_snapshots"))
+    t2 = LakeTable(spark, root)
+    with pytest.raises(FileNotFoundError):
+        t2.vacuum(keep_last=1, min_age_seconds=0)
+    # the data survived the refused vacuum
+    assert os.listdir(os.path.join(root, "data"))

@@ -163,3 +163,28 @@ def test_changes_bad_range(spark, tmp_path):
     t = LakeTable.create(spark, str(tmp_path / "t"), sequences_schema(), num_buckets=4)
     with pytest.raises(ValueError):
         t.changes(5, 1)
+
+
+def test_mor_same_commit_upsert_and_delete_tiebreak(spark, tmp_warehouse):
+    """A key in BOTH upserts and delete_keys of one merge-mor batch:
+    read() resolves the tie to the upsert, so changes() must emit
+    only the upsert row — emitting both would let a changelog
+    consumer delete a key the snapshot keeps."""
+    import os
+
+    t = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "tie"), sequences_schema(),
+        key="doc_id", num_buckets=2,
+    )
+    t.overwrite(_base(spark, 4))
+    v0 = t.current_version()
+    t.merge(_ups(spark, [1]), _dels(spark, [1, 2]), mode="mor")
+    # snapshot keeps doc-1 (upsert wins the same-commit tie)
+    snap = {r["doc_id"] for r in t.read().collect()}
+    assert "doc-1" in snap and "doc-2" not in snap
+    ch = t.changes(v0).collect()
+    by_key = {}
+    for r in ch:
+        by_key.setdefault(r["doc_id"], []).append(r["_change_type"])
+    assert by_key["doc-1"] == ["upsert"]  # no contradictory delete row
+    assert by_key["doc-2"] == ["delete"]

@@ -130,7 +130,7 @@ def test_timestamp_order_column(spark, tmp_path):
 # ---- engine integration: EngineConfig(suppress_stale=True) ----------
 
 
-def _env(op, doc, ts, lsn, epoch, tokens=None):
+def _env(op, doc, ts, lsn, epoch, tokens=None, src="web"):
     e = {
         "op": op,
         "doc_id": doc,
@@ -139,7 +139,7 @@ def _env(op, doc, ts, lsn, epoch, tokens=None):
         "batch_epoch": epoch,
     }
     if op != "delete":
-        e["payload"] = {"tokens": tokens, "n_tok": len(tokens), "source": "web"}
+        e["payload"] = {"tokens": tokens, "n_tok": len(tokens), "source": src}
     return e
 
 
@@ -213,3 +213,35 @@ def test_engine_suppresses_stale_retry_under_fresh_epoch(spark, tmp_path):
     assert results["on"]["doc-a"] == [7, 7, 7]   # stale retry suppressed
     assert results["on"]["doc-b"] == [3]
     assert results["off"]["doc-a"] == [1, 2]     # the regression the flag prevents
+
+
+def test_quarantined_event_does_not_advance_watermark(spark, tmp_path):
+    """The mark only advances on rows that will be APPLIED. A NEWER
+    rule-failing event (headed for quarantine) must not shadow a
+    later-arriving EARLIER valid event — the batch pipeline picks
+    winners among valid events only, and suppression has to agree."""
+    src = tmp_path / "binlog-adv"
+    os.makedirs(src)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write("epoch-0.ndjson", [_env("insert", "doc-a", ts=10, lsn=1, epoch=0, tokens=[1])])
+    # NEWER but invalid (source not in the whitelist -> quarantine)
+    write("epoch-1.ndjson", [_env("update", "doc-a", ts=30, lsn=3, epoch=1, tokens=[6], src="bad")])
+    # EARLIER than the invalid one, valid: must still be applied
+    write("epoch-2.ndjson", [_env("update", "doc-a", ts=20, lsn=2, epoch=2, tokens=[9])])
+
+    eng = _run_engine(spark, str(tmp_path), "adv", suppress=True)
+    q = eng.run_stream(
+        str(src), str(tmp_path / "ckpt-adv"),
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    rows = {r["doc_id"]: list(r["tokens"]) for r in eng.table.read().collect()}
+    assert rows["doc-a"] == [9]  # ts=20 valid beat ts=10; invalid ts=30 did not gate it
+    # the invalid event is still visible in the error channel
+    q_rows = spark.read.parquet(eng.quarantine_path).count()
+    assert q_rows == 1
