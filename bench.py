@@ -78,6 +78,16 @@ MERGE_MODE = os.environ.get("DEXSPARK_MERGE_MODE", "mor")
 CDC_HOT_PCT = int(os.environ.get("DEXSPARK_CDC_HOT_PCT", "20"))
 
 
+def _binlog_key() -> str:
+    """Cache key for pre-generated binlogs: EVERY generation knob is
+    part of the name, so an env-knob sweep (DEXSPARK_CDC_HOT_PCT etc.)
+    can never silently reuse a binlog generated under different
+    parameters."""
+    return (
+        f"{BINLOG_FORMAT}-{CDC_EVENTS}-d{CDC_DOCS}-e{CDC_EPOCHS}-h{CDC_HOT_PCT}"
+    )
+
+
 def _burn(_):
     x = 0
     for i in range(5_000_000):
@@ -256,7 +266,13 @@ def run_queries(spark, sf_dir: str, reps: int = 1) -> dict[str, list[float]]:
         fn = QUERIES[name]
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
-        df.count()  # full execution without driver-side row transfer
+        # noop sink, NOT count(): count() lets Catalyst column-prune a
+        # projection-terminal query body to an empty Project (verified
+        # on 4.1.2 — select(md5(...)) + count compiles to a bare row
+        # count, the md5 never runs), so map-only queries would be
+        # benchmarked as parquet row counting. The noop write executes
+        # every column JVM-side with no driver-side row transfer.
+        df.write.format("noop").mode("overwrite").save()
         out[name].append(round(time.monotonic() - t0, 3))
     return out
 
@@ -276,7 +292,7 @@ def main_default(sf_dir: str, cpus: int) -> None:
     warm_sec = warm_inputs(spark, sf_dir)
     # pre-generate the binlog so run_cdc's timed slice is the apply
     # itself; it lands on RAM-backed scratch and is reused across runs
-    binlog = f"{SCRATCH}/dexspark-bench-input/binlog-{BINLOG_FORMAT}-{CDC_EVENTS}"
+    binlog = f"{SCRATCH}/dexspark-bench-input/binlog-{_binlog_key()}"
     if not os.path.isdir(binlog):
         _write_bench_binlog(spark, binlog)
     setup_sec = time.monotonic() - t_setup0
@@ -436,7 +452,7 @@ def main_scaling(levels=(2, 8), rounds: int = 2, cooldown: int = 240) -> None:
     therefore systematically penalize the high-parallelism side;
     letting the machine idle ~4 min restores it. Best-of over cooled
     runs approximates what a non-throttled cluster node would measure."""
-    shared = f"{SCRATCH}/dexspark-scaling-input/binlog-{BINLOG_FORMAT}"
+    shared = f"{SCRATCH}/dexspark-scaling-input/binlog-{_binlog_key()}"
     if not os.path.isdir(shared):
         spark = _mk_spark(DEFAULT_CPUS)
         _write_bench_binlog(spark, shared)

@@ -116,7 +116,11 @@ def write_lineage_rows(rows: list[tuple], path: str) -> None:
         os.replace(tmp, final)
         for old in os.listdir(part_dir):
             p = os.path.join(part_dir, old)
-            if old.endswith(".parquet") and p != final and not old.startswith(".tmp-"):
+            # stale extras from older layouts AND .tmp-* orphans from a
+            # writer that crashed between write_table and os.replace —
+            # our own tmp is gone (replaced), so any .tmp-* left is
+            # garbage that would otherwise accumulate forever
+            if old.endswith(".parquet") and p != final and p != tmp:
                 os.unlink(p)
 
 

@@ -61,7 +61,12 @@ def validate_listing(spark: SparkSession, root: str) -> dict:
     would funnel everything through 3 tasks)."""
     from pyspark.sql import Window
 
-    classified = classify_listing(list_files(spark, root))
+    # One listing/scan feeds BOTH the counts and the example sample —
+    # the binaryFile listing is the expensive part on a
+    # millions-of-objects container, so it must not run twice.
+    classified = classify_listing(list_files(spark, root)).localCheckpoint(
+        eager=True
+    )
     counts = {
         r["status"]: r["n"]
         for r in classified.groupBy("status").agg(F.count("*").alias("n")).collect()

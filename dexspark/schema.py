@@ -110,7 +110,10 @@ def reconcile(table: T.StructType, incoming: T.StructType) -> T.StructType:
     for f in table.fields:
         g = by_name.pop(f.name, None)
         if g is None:
-            out.append(f)
+            # incoming rows get null for this column, so the evolved
+            # schema must not keep claiming non-nullability — the data
+            # would violate it
+            out.append(T.StructField(f.name, f.dataType, True))
         else:
             out.append(T.StructField(f.name, _widen(f.dataType, g.dataType, f.name), f.nullable or g.nullable))
     for f in incoming.fields:  # preserve incoming order for new columns

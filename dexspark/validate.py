@@ -192,12 +192,16 @@ def _token_masks_arrow(tokens, n_tok, lo: int, hi: int):
 
     n = len(tokens)
     if pa.types.is_null(tokens.type):  # every tokens value is null
-        return np.ones(n, dtype=bool), np.zeros(n, dtype=bool)
+        no_len = np.zeros(n, dtype=bool) if n_tok is None else np.ones(n, dtype=bool)
+        return no_len, np.zeros(n, dtype=bool)
     null_mask = pc.is_null(tokens).to_numpy(zero_copy_only=False)
     lengths = pc.list_value_length(tokens).to_numpy(zero_copy_only=False)
-    with np.errstate(invalid="ignore"):
-        ntk = pc.cast(n_tok, pa.float64()).to_numpy(zero_copy_only=False)
-        len_mismatch = null_mask | np.isnan(ntk) | (lengths != ntk)
+    if n_tok is None:  # range-only spec: no length invariant to check
+        len_mismatch = np.zeros(n, dtype=bool)
+    else:
+        with np.errstate(invalid="ignore"):
+            ntk = pc.cast(n_tok, pa.float64()).to_numpy(zero_copy_only=False)
+            len_mismatch = null_mask | np.isnan(ntk) | (lengths != ntk)
 
     flat = pc.list_flatten(tokens)  # values of non-null lists, concatenated
     bad_vals = pc.or_kleene(
@@ -223,25 +227,29 @@ def arrow_validate(df: DataFrame, rules: RuleSet) -> DataFrame:
 
     Shows up in the plan as MapInPandas (ArrowEvalPython family), never
     BatchEvalPython — enforced by tests/test_plans.py."""
-    scalar_rules = RuleSet(
-        required=rules.required,
-        conditional_groups=rules.conditional_groups,
-        allowed_values=rules.allowed_values,
-        regex_rules=rules.regex_rules,
-        max_length=rules.max_length,
-        int_fields=rules.int_fields,
-        version_literal=rules.version_literal,
-        op_whitelist=rules.op_whitelist,
-    )
+    import dataclasses
+
+    # "everything except the array rules": replace() cannot drift when
+    # a new scalar rule kind is added to RuleSet (a hand-enumerated
+    # copy silently dropped new fields in arrow mode).
+    scalar_rules = dataclasses.replace(rules, token_range=(), length_equals=())
     df = df.withColumn("_scalar_fails", fail_reasons_column(scalar_rules, df.schema))
 
     token_specs = []
     dtypes = {f.name for f in df.schema.fields}
     range_by_col = {c: (lo, hi) for c, lo, hi in rules.token_range}
+    covered = set()
     for len_col, arr_col in rules.length_equals:
         if len_col in dtypes and arr_col in dtypes:
             lo, hi = range_by_col.get(arr_col, (None, None))
             token_specs.append((len_col, arr_col, lo, hi))
+            covered.add(arr_col)
+    # token_range rules with no (usable) length_equals pair still run
+    # as range-only specs — otherwise arrow mode silently skips them
+    # and diverges from the jvm path.
+    for arr_col, lo, hi in rules.token_range:
+        if arr_col in dtypes and arr_col not in covered:
+            token_specs.append((None, arr_col, lo, hi))
     if not token_specs:
         return df.withColumn(FAIL_COL, F.col("_scalar_fails")).drop("_scalar_fails")
 
@@ -265,7 +273,7 @@ def arrow_validate(df: DataFrame, rules: RuleSet) -> DataFrame:
             for idx, (len_col, arr_col, lo, hi) in enumerate(token_specs):
                 len_bad, range_bad = _token_masks_arrow(
                     batch.column(names.index(arr_col)),
-                    batch.column(names.index(len_col)),
+                    None if len_col is None else batch.column(names.index(len_col)),
                     lo if lo is not None else 0,
                     hi if hi is not None else 2**31,
                 )
@@ -279,12 +287,13 @@ def arrow_validate(df: DataFrame, rules: RuleSet) -> DataFrame:
     masked = df.mapInArrow(check_batches, schema=result_schema)
     token_fails = []
     for idx, (len_col, arr_col, lo, hi) in enumerate(token_specs):
-        token_fails.append(
-            F.when(
-                F.col(f"_len_bad_{idx}"),
-                F.lit(_msg("length_equals", len_col, f"!= size({arr_col})")),
+        if len_col is not None:
+            token_fails.append(
+                F.when(
+                    F.col(f"_len_bad_{idx}"),
+                    F.lit(_msg("length_equals", len_col, f"!= size({arr_col})")),
+                )
             )
-        )
         if lo is not None:
             token_fails.append(
                 F.when(

@@ -250,3 +250,19 @@ def test_bulk_report_matches_loop_verdicts(spark, tmp_path):
             assert r["status"] == "ok", (p, r)
             assert r["n_clean"] == lp.clean.count(), p
             assert r["n_quarantine"] == lp.quarantine.count(), p
+
+
+def test_bulk_dedupes_repeated_paths(spark, tmp_path):
+    """A path listed twice (zip entries with identical names content-
+    address to one file) must be scanned once: listing it twice in the
+    group scan used to double every row's counts."""
+    from dexspark.csv_ingest import ingest_csv, ingest_csv_bulk
+
+    p = str(tmp_path / "dup.csv")
+    with open(p, "w") as f:
+        f.write("doc_id,tokens,n_tok,source\n")
+        f.write("a,1,1,web\nb,2,1,web\n")
+    single = ingest_csv(spark, p)
+    bulk = ingest_csv_bulk(spark, [p, p])
+    assert set(bulk) == {p}
+    assert bulk[p].clean.count() == single.clean.count() == 2

@@ -127,3 +127,19 @@ def test_empty_batch(spark):
     frame without error; the engine records it in lineage."""
     df = spark.createDataFrame([], SCHEMA)
     assert arrow_validate(df, sequences_ruleset()).count() == 0
+
+
+def test_arrow_token_range_without_length_pair(spark):
+    """A token_range rule with NO matching length_equals pair must
+    still run in arrow mode (it used to be silently skipped there,
+    diverging from the jvm path)."""
+    df = spark.createDataFrame(
+        [("a", [1, 2]), ("b", [999]), ("c", None), ("d", [5, None])],
+        "doc_id string, tokens array<int>",
+    )
+    rules = RuleSet(token_range=(("tokens", 0, 100),))
+    jvm = {r["doc_id"]: sorted(r[FAIL_COL]) for r in with_fail_reasons(df, rules).collect()}
+    arr = {r["doc_id"]: sorted(r[FAIL_COL]) for r in arrow_validate(df, rules).collect()}
+    assert arr == jvm
+    assert jvm["b"] and jvm["d"]          # out-of-range + null element fail
+    assert jvm["a"] == [] and jvm["c"] == []  # in-range + null array pass
