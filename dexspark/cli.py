@@ -137,12 +137,15 @@ def main(argv: list[str] | None = None) -> int:
         or args.rebucket is not None
         or args.delete_where is not None
     )
+    # `is not None`, matching the dispatch below: an EMPTY-STRING
+    # operand (e.g. --lookup "" from an unquoted shell variable) is
+    # still a lookup request, not a fall-through into tailing mode
     tailing = not (
         args.history
-        or args.lookup
-        or args.changes
-        or args.scan_range
-        or args.compact_binlog
+        or args.lookup is not None
+        or args.changes is not None
+        or args.scan_range is not None
+        or args.compact_binlog is not None
         or args.reprocess_quarantine
         or maintenance
     )
@@ -221,7 +224,7 @@ def main(argv: list[str] | None = None) -> int:
             out["vacuum"] = table.vacuum(**kwargs)
         print(json.dumps(out))
         return 0
-    if args.changes:
+    if args.changes is not None:
         parts = args.changes.split(",")
         from_v = int(parts[0])
         to_v = int(parts[1]) if len(parts) > 1 else None
@@ -239,7 +242,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
-    if args.compact_binlog:
+    if args.compact_binlog is not None:
         # no engine (and possibly no --warehouse) needed: pure
         # binlog-to-binlog maintenance
         from .events import compact_binlog

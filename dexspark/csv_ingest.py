@@ -293,17 +293,19 @@ def _bulk_groups(
     header checks, one tagged scan per distinct normalized header.
     Returns (results, [(group_paths, tagged_df, has_data_by_path)])."""
     rules = rules or RuleSet()
+    # Dedupe (order-preserving) BEFORE any distributed work: results
+    # are keyed by path, so a duplicated input path (e.g. a zip holding
+    # two identically-named entries -> one content-addressed file
+    # listed twice) must be probed and scanned ONCE — listing it twice
+    # in spark.read.csv doubles every row of that file in the group
+    # frame and inflates its counts, and probing it twice is wasted
+    # I/O across a 10^5-file backfill.
+    paths = list(dict.fromkeys(paths))
     probes = _probe_headers_bulk(spark, paths)
 
     results: dict[str, CsvIngestResult] = {}
     groups: dict[tuple, list[str]] = {}  # normalized header -> paths
     has_data_by_path: dict[str, bool | None] = {}
-    # Dedupe (order-preserving): results are keyed by path, so a
-    # duplicated input path (e.g. a zip holding two identically-named
-    # entries -> one content-addressed file listed twice) must be
-    # scanned ONCE — listing it twice in spark.read.csv doubles every
-    # row of that file in the group frame and inflates its counts.
-    paths = list(dict.fromkeys(paths))
     for p in paths:
         header_line, has_data, io_error = probes[p]
         res = CsvIngestResult(clean=None, quarantine=None)

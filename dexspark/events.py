@@ -31,6 +31,7 @@ slower in multi-pass pipelines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.window import Window
 
 from .schema import change_event_schema
 
@@ -197,9 +198,21 @@ def compact_binlog(
     rule-set compact against each other — an invalid later event must
     NOT compact away a valid earlier one (the engine would quarantine
     the invalid winner and keep the earlier value). Rejects, skips and
-    validation failures are kept verbatim: replaying the compacted log
-    converges to the SAME table state and the SAME quarantine rows as
-    the full log (tested), only lineage's events-seen counts shrink.
+    validation failures are kept verbatim.
+
+    Non-monotone logs (a producer retry re-offsets an OLD (commit_ts,
+    lsn) under a FRESH epoch): blind epoch-ordered replay of such a
+    key is batching-dependent — the final value depends on which
+    events share a micro-batch — so collapsing it to any single event
+    could diverge from some replay. A key is therefore compacted ONLY
+    when its (commit_ts, lsn)-max winner also carries the key's max
+    batch_epoch; then EVERY epoch-ordered batching ends with that
+    winner (it is in the last batch touching the key and wins the
+    in-batch LWW dedup). Ambiguous keys keep all their events
+    verbatim. Result: replaying the compacted log converges to the
+    SAME table state and the SAME quarantine rows as the full log for
+    every epoch-ordered batching (tested, including a non-monotone
+    key), only lineage's events-seen counts shrink.
 
     Epoch markers: each kept event keeps its batch_epoch; epochs whose
     events all compacted away vanish from the log, which the
@@ -232,19 +245,24 @@ def compact_binlog(
         (F.col("op") == "delete") | (F.coalesce(F.size(FAIL_COL), F.lit(0)) == 0)
     )
     tagged = validated.withColumn("_compactable", compactable)
-    losers_removed = (
+    # One shuffle: per-key window computes the LWW winner AND the max
+    # epoch; a key compacts only when the winner carries the max epoch
+    # (see docstring). (commit_ts, lsn) is a total order (lsn unique).
+    wkey = Window.partitionBy("doc_id")
+    annot = (
         tagged.filter("_compactable")
-        .groupBy("doc_id")
-        .agg(
-            F.max_by(
-                F.struct(
-                    "raw", "op", *payload_cols, "commit_ts", "lsn", "batch_epoch"
-                ),
-                F.struct("commit_ts", "lsn"),
-            ).alias("_r")
+        .withColumn(
+            "_win", F.max(F.struct("commit_ts", "lsn", "batch_epoch")).over(wkey)
         )
-        .select("doc_id", F.col("_r.*"))
+        .withColumn("_max_ep", F.max("batch_epoch").over(wkey))
     )
+    losers_removed = annot.filter(
+        (F.col("_win.batch_epoch") < F.col("_max_ep"))  # ambiguous: keep all
+        | (
+            (F.col("commit_ts") == F.col("_win.commit_ts"))
+            & (F.col("lsn") == F.col("_win.lsn"))
+        )
+    ).select("doc_id", "raw", "op", *payload_cols, "commit_ts", "lsn", "batch_epoch")
     kept_verbatim = tagged.filter(~F.col("_compactable")).select(
         "doc_id", "raw", "op", *payload_cols, "commit_ts", "lsn", "batch_epoch"
     )

@@ -346,9 +346,16 @@ class LakeTable:
         begins — otherwise a stream starting at offset 10^9 would pin
         the watermark at -1 forever and grow the tail unboundedly,
         reintroducing the O(#epochs) manifest bloat this compaction
-        exists to remove. Contract (recorded as ``epoch_base``): epochs
-        at or below the base are never delivered later — matching any
-        monotone source read from a known start offset."""
+        exists to remove.
+
+        The base is a compaction ANCHOR, not a correctness contract:
+        the committed set is exactly ``(base, watermark] | tail``, and
+        the tail may hold stragglers on EITHER side — above the
+        watermark (a gap not yet filled) or at/below the base (an
+        out-of-order epoch the source delivered AFTER the seeding
+        batch, e.g. maxFilesPerTrigger picking up files out of epoch
+        order). Below-base stragglers shrink the base through
+        contiguous entries, so state stays O(reordering window)."""
         w, tail = self._epoch_state_of(m)
         base = int(m.get("epoch_base", -1))
         new = sorted(int(e) for e in (epochs or []))
@@ -357,7 +364,15 @@ class LakeTable:
         if w == -1 and not tail and base == -1 and new:
             base = new[0] - 1
             w = base
-        w, tail = self._compact_epochs(w, set(tail) | set(new))
+        folded = set(tail) | set(new)
+        # epochs in (base, w] are already committed (idempotent
+        # re-commit); epochs <= base are genuine below-base stragglers
+        low = {int(e) for e in folded if int(e) <= base}
+        w, hi_tail = self._compact_epochs(w, {e for e in folded if e > base})
+        while base in low:
+            low.discard(base)
+            base -= 1
+        tail = sorted(set(hi_tail) | low)
         return {"epoch_watermark": w, "epoch_tail": tail, "epoch_base": base}
 
     @staticmethod
@@ -368,10 +383,17 @@ class LakeTable:
         return LakeTable._compact_epochs(-1, m.get("committed_epochs", []))
 
     def epoch_state(self) -> tuple[int, list[int]]:
-        """(watermark, tail): every epoch <= watermark is committed,
-        plus the out-of-order committed epochs in ``tail``. O(1)-sized
-        regardless of how many epochs the table has ever applied."""
+        """(watermark, tail): every epoch in ``(epoch_base, watermark]``
+        is committed, plus the out-of-order committed epochs in
+        ``tail`` (either side of that range). O(1)-sized regardless of
+        how many epochs the table has ever applied."""
         return self._epoch_state_of(self.manifest())
+
+    def epoch_base(self) -> int:
+        """Seeded watermark base: epochs <= base are NOT committed
+        (they are either from before the stream started, or out-of-
+        order stragglers that will land in the tail when committed)."""
+        return int(self.manifest().get("epoch_base", -1))
 
     def committed_epochs(self) -> set[int]:
         """Materialized committed-epoch set (test/CLI convenience —
@@ -383,8 +405,10 @@ class LakeTable:
         return set(range(base + 1, w + 1)) | set(tail)
 
     def is_epoch_committed(self, epoch: int) -> bool:
-        w, tail = self.epoch_state()
-        return epoch <= w or epoch in tail
+        m = self.manifest()
+        w, tail = self._epoch_state_of(m)
+        base = int(m.get("epoch_base", -1))
+        return base < epoch <= w or epoch in tail
 
     # ------------------------------------------------------------ create
 

@@ -114,14 +114,28 @@ def write_lineage_rows(rows: list[tuple], path: str) -> None:
         pq.write_table(tbl, tmp)
         final = os.path.join(part_dir, "part-00000.parquet")
         os.replace(tmp, final)
+        import time
+
         for old in os.listdir(part_dir):
             p = os.path.join(part_dir, old)
-            # stale extras from older layouts AND .tmp-* orphans from a
-            # writer that crashed between write_table and os.replace —
-            # our own tmp is gone (replaced), so any .tmp-* left is
-            # garbage that would otherwise accumulate forever
-            if old.endswith(".parquet") and p != final and p != tmp:
+            if not old.endswith(".parquet") or p == final:
+                continue
+            # .tmp-* files may belong to a CONCURRENT writer still
+            # between write_table and os.replace (two engines sharing a
+            # warehouse, or a maintenance job beside the stream) —
+            # deleting those makes its os.replace fail. Only reap tmp
+            # orphans old enough that their writer must have crashed;
+            # non-dot extras from older multi-file layouts go at once.
+            if old.startswith(".tmp-"):
+                try:
+                    if time.time() - os.path.getmtime(p) < 3600:
+                        continue
+                except OSError:
+                    continue
+            try:
                 os.unlink(p)
+            except FileNotFoundError:
+                pass  # lost a reap race to another writer: already gone
 
 
 def lineage_rows(classified: DataFrame) -> DataFrame:

@@ -84,6 +84,20 @@ def _with_frac(df: DataFrame, key: str, seed: int) -> DataFrame:
     )
 
 
+def _toks_col(tokens: str) -> Column:
+    """Per-row token cost: NULL and NEGATIVE counts clamp to 0.
+
+    Shared by both mixing paths. The clamp is what keeps the running
+    sum monotone — the scalable path's wholesale accept/reject of
+    whole buckets is only equivalent to the exact path's inclusive
+    running-sum filter when per-row costs can't make a later prefix
+    sum dip back under the budget. A negative token count is dirty
+    input (an upstream counter bug); costing it 0 keeps the row
+    eligible without corrupting the budget arithmetic.
+    """
+    return F.greatest(F.coalesce(F.col(tokens).cast("long"), F.lit(0)), F.lit(0))
+
+
 def mix_token_budget_exact(
     df: DataFrame,
     budgets: dict[str, int],
@@ -99,7 +113,7 @@ def mix_token_budget_exact(
     deterministic shuffle — and taken while the running token sum
     (inclusive) stays <= the stratum's budget. Strata without a budget
     entry are dropped; NULL keys are dropped (no deterministic
-    identity); NULL token counts count as 0. ``key`` must be unique
+    identity); NULL or negative token counts cost 0. ``key`` must be unique
     per stratum (same precondition as merge): duplicate keys tie the
     sort and make the boundary row arbitrary. O(corpus) shuffle into
     #strata partitions: correct, but a skew hazard at scale — use
@@ -113,7 +127,7 @@ def mix_token_budget_exact(
     budget = F.lit(None).cast("long")
     for name, b in sorted(budgets.items()):
         budget = F.when(F.col(strata) == name, int(b)).otherwise(budget)
-    toks = F.coalesce(F.col(tokens).cast("long"), F.lit(0))
+    toks = _toks_col(tokens)
     return (
         _with_frac(df, key, seed)
         .withColumn("_run", F.sum(toks).over(w))
@@ -153,8 +167,8 @@ def mix_token_budget(
     per stratum instead of 10^10 — the skewed per-source window from
     the naive plan disappears.
 
-    Same input contract as the exact path: NULL keys dropped, NULL
-    token counts count as 0, ``key`` unique per stratum.
+    Same input contract as the exact path: NULL keys dropped, NULL or
+    negative token counts cost 0, ``key`` unique per stratum.
     """
     # Budgeted strata only, from the start: unbudgeted strata are
     # dropped anyway, and filtering first (a) bounds the histogram
@@ -165,7 +179,7 @@ def mix_token_budget(
     )
     bucket = F.floor(F.col("_frac") * n_buckets).cast("int")
     frac = frac.withColumn("_bkt", bucket)
-    toks = F.coalesce(F.col(tokens).cast("long"), F.lit(0))
+    toks = _toks_col(tokens)
 
     hist = frac.groupBy(strata, "_bkt").agg(F.sum(toks).alias("_toks")).collect()
     per: dict[str, dict[int, int]] = {}

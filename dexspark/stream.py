@@ -124,10 +124,16 @@ class CdcEngine:
         # the predicate/plan linearly with stream lifetime (10^5-10^6
         # literals after a year of micro-batches).
         watermark, tail = self.table.epoch_state()
+        base = self.table.epoch_base()
         if watermark >= 0 or tail:
-            fresh = F.col("batch_epoch") > watermark
+            # committed set is exactly (base, watermark] | tail: epochs
+            # AT OR BELOW the seeded base were never committed (they
+            # are out-of-order stragglers delivered after the seeding
+            # batch) and must be applied, not swallowed.
+            e = F.col("batch_epoch")
+            committed = (e > base) & (e <= watermark)
             if tail:
-                fresh = fresh & ~F.col("batch_epoch").isin(tail)
+                committed = committed | e.isin(tail)
             # rejects may lack an epoch (NULL): always kept — and kept
             # OUTSIDE the isin (NOT IN over NULL is NULL, which filter
             # would drop). Negative epochs are likewise kept: they are
@@ -135,11 +141,7 @@ class CdcEngine:
             # non-negative; negatives are the quarantine's fallback
             # partition space), so a watermark comparison must not
             # swallow them as "already committed".
-            keep_epoch = (
-                F.col("batch_epoch").isNull()
-                | (F.col("batch_epoch") < 0)
-                | fresh
-            )
+            keep_epoch = e.isNull() | (e < 0) | ~committed
         else:
             keep_epoch = F.lit(True)
         live = ev.filter(keep_epoch)

@@ -424,3 +424,34 @@ def test_reprocess_skips_events_older_than_applied_state(spark, tmp_warehouse):
     except Exception:
         remaining = 0
     assert remaining == 0
+
+
+def test_lineage_write_spares_concurrent_tmp_files(tmp_path):
+    """The epoch-dir cleanup must not delete a CONCURRENT writer's
+    in-flight .tmp-* file (its os.replace would then fail) — only tmp
+    orphans old enough that their writer must have crashed, plus
+    non-dot stale extras from older layouts."""
+    import os
+    import time
+
+    from dexspark.lineage import LINEAGE_SCHEMA, write_lineage_rows
+
+    path = str(tmp_path / "lineage")
+    row = (0,) + (0, "web") + tuple(0 for _ in LINEAGE_SCHEMA.fields[3:])
+    write_lineage_rows([row], path)
+    part = os.path.join(path, "batch_epoch=0")
+
+    fresh = os.path.join(part, ".tmp-deadbeef.parquet")  # in-flight peer
+    stale_tmp = os.path.join(part, ".tmp-cafebabe.parquet")  # crashed peer
+    legacy = os.path.join(part, "part-00001.parquet")  # old multi-file layout
+    for p in (fresh, stale_tmp, legacy):
+        with open(p, "wb") as f:
+            f.write(b"x")
+    old = time.time() - 7200
+    os.utime(stale_tmp, (old, old))
+
+    write_lineage_rows([row], path)
+    assert os.path.exists(fresh), "live peer tmp must survive"
+    assert not os.path.exists(stale_tmp), "crashed-writer orphan reaped"
+    assert not os.path.exists(legacy), "stale non-dot extras removed"
+    assert os.path.exists(os.path.join(part, "part-00000.parquet"))

@@ -69,6 +69,13 @@ def test_cli_metadata_modes(spark, tmp_warehouse, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["rows"] == spark.read.parquet(out_dir).count() > 0
 
+    # empty-string operand (unquoted shell variable) is still a lookup
+    # request — it must not fall through into tailing mode and error
+    # about --binlog/--checkpoint/--warehouse
+    assert cli.main(["--table", root, "--lookup", ""]) == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got == {"key": "", "rows": []}
+
 
 def test_cli_maintenance_modes(spark, tmp_warehouse, capsys):
     """--rebucket / --compact / --vacuum: the lake maintenance crons,

@@ -122,3 +122,74 @@ def test_compact_binlog_replay_converges(spark, tmp_path):
     assert s_full == s_comp  # table state identical
     assert q_full == q_comp  # same quarantined raw lines survive
     assert n_full == n_comp
+
+
+def test_compact_binlog_non_monotone_key_kept_verbatim(spark, tmp_path):
+    """A producer retry that re-offsets an OLD (commit_ts, lsn) under a
+    FRESH epoch makes blind epoch-ordered replay batching-dependent for
+    that key — so compaction must keep ALL its events verbatim, while
+    still compacting monotone keys. Replay of the compacted log (one
+    micro-batch per epoch, the canonical replay) must equal replay of
+    the full log."""
+    import json
+    import os
+
+    from dexspark.config import EngineConfig, sequences_ruleset
+    from dexspark.events import compact_binlog
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+    from dexspark.stream import CdcEngine
+
+    def _ev(doc, toks, ts, lsn, epoch):
+        return json.dumps(
+            {
+                "op": "insert",
+                "doc_id": doc,
+                "payload": {"tokens": toks, "n_tok": len(toks), "source": "web"},
+                "commit_ts": ts,
+                "lsn": lsn,
+                "batch_epoch": epoch,
+            }
+        )
+
+    full = str(tmp_path / "binlog-full")
+    os.makedirs(full)
+    # non-monotone key "nm": fresher commit_ts in the EARLIER epoch
+    with open(os.path.join(full, "epoch-000000-000.ndjson"), "w") as f:
+        f.write(_ev("nm", [10], "2024-01-01T00:00:10.000Z", 100, 0) + "\n")
+        f.write(_ev("mono", [1], "2024-01-01T00:00:01.000Z", 1, 0) + "\n")
+    with open(os.path.join(full, "epoch-000001-000.ndjson"), "w") as f:
+        f.write(_ev("nm", [5], "2024-01-01T00:00:05.000Z", 50, 1) + "\n")
+        f.write(_ev("mono", [2], "2024-01-01T00:00:02.000Z", 2, 1) + "\n")
+
+    compacted = str(tmp_path / "binlog-compacted")
+    info = compact_binlog(spark, full, compacted, rules=sequences_ruleset())
+    # mono compacts to its winner; nm keeps both events
+    assert info["events_in"] == 4 and info["events_out"] == 3
+
+    def run(tag, binlog):
+        from dexspark.events import read_binlog, read_binlog_parquet
+        from dexspark.stream import _looks_parquet
+
+        table = LakeTable.create(
+            spark, str(tmp_path / f"seq-{tag}"), sequences_schema(), num_buckets=2
+        )
+        table.overwrite(spark.createDataFrame([], sequences_schema()))
+        eng = CdcEngine(
+            spark, table, str(tmp_path / tag), EngineConfig(num_buckets=2)
+        )
+        # canonical replay: one micro-batch per epoch, epoch order —
+        # the batching under which the full log's final nm value is [5]
+        reader = read_binlog_parquet if _looks_parquet(binlog) else read_binlog
+        parsed = reader(spark, binlog)
+        for epoch in (0, 1):
+            eng.apply_batch(parsed.filter(F.col("batch_epoch") == epoch))
+        return {
+            r["doc_id"]: r.asDict(recursive=True) for r in table.read().collect()
+        }
+
+    s_full = run("full", full)
+    s_comp = run("comp", compacted)
+    assert s_full == s_comp
+    assert s_full["mono"]["tokens"] == [2]
+    assert s_full["nm"]["tokens"] == [5]  # per-epoch replay: last epoch wins

@@ -115,6 +115,32 @@ def test_epoch_base_seeding_nonzero_start(spark, table):
     assert not table.is_epoch_committed(1_000_004)
 
 
+def test_epoch_below_base_straggler_not_swallowed(spark, table):
+    """An epoch BELOW the seeded base delivered later (e.g.
+    maxFilesPerTrigger picking binlog files out of epoch order) is a
+    genuine uncommitted epoch: it must not read as committed, and
+    committing it must be recorded (tail), shrinking the base through
+    contiguous stragglers."""
+    ups = spark.createDataFrame([], sequences_schema())
+    table.merge(ups, epochs=[5])  # seeds base=4, watermark=5
+    assert table.manifest()["epoch_base"] == 4
+    assert not table.is_epoch_committed(3)
+    assert not table.is_epoch_committed(4)
+    table.merge(ups, epochs=[3])  # below-base straggler
+    assert table.is_epoch_committed(3)
+    assert not table.is_epoch_committed(4)  # 4 still genuinely absent
+    w, tail = table.epoch_state()
+    assert (w, tail) == (5, [3])
+    table.merge(ups, epochs=[4])  # fills the gap: base shrinks through 4,3
+    w, tail = table.epoch_state()
+    assert (w, tail) == (5, [])
+    assert table.manifest()["epoch_base"] == 2
+    assert table.committed_epochs() == {3, 4, 5}
+    # idempotent re-commit of a straggler records nothing new
+    table.merge(ups, epochs=[3])
+    assert table.epoch_state() == (5, [])
+
+
 def test_additive_schema_evolution(spark, table):
     evolved = T.StructType(
         list(sequences_schema().fields) + [T.StructField("lang", T.StringType(), True)]

@@ -200,6 +200,33 @@ def test_mix_handles_null_keys_and_null_tokens(spark):
     assert sorted(want) == scal
 
 
+def test_mix_handles_negative_tokens(spark):
+    """Dirty input: NEGATIVE token counts cost 0 in both paths. Without
+    the clamp, a negative count lets the exact path's running sum dip
+    back under the budget after exceeding it, re-admitting later rows —
+    which the scalable path's wholesale bucket rejection can never
+    reproduce (prefix-sum monotonicity is what makes it equivalent)."""
+    rows = [Row(doc_id=i, source="s0", n_chars=c) for i, c in
+            enumerate([8, 5, -6, 2, 7, -100, 3])]
+    d = spark.createDataFrame(rows, "doc_id int, source string, n_chars int")
+    budgets = {"s0": 10}
+    exact = _mix_key(mix_token_budget_exact(d, budgets))
+    for nb in (1, 2, 8):
+        scal = _mix_key(mix_token_budget(d, budgets, n_buckets=nb))
+        assert scal == exact, nb
+    # independent recomputation with the clamp contract
+    ordered = sorted(
+        ((r.doc_id, max(r.n_chars, 0)) for r in d.collect()),
+        key=lambda kv: (_py_frac(kv[0]), kv[0]),
+    )
+    run, want = 0, []
+    for k, t in ordered:
+        run += t
+        if run <= 10:
+            want.append(k)
+    assert sorted(want) == exact
+
+
 def test_mix_histogram_ignores_unbudgeted_strata(spark):
     d = _docs(spark)
     plan = (

@@ -49,6 +49,34 @@ def test_compact_epochs_idempotent(eps):
     assert LakeTable._compact_epochs(w, tail) == (w, tail)
 
 
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=120), min_size=1, max_size=8),
+        max_size=12,
+    )
+)
+def test_next_epoch_state_exact_under_any_delivery_order(batches):
+    """Full manifest-level epoch algebra: committing arbitrary batches
+    in arbitrary order (including epochs BELOW the seeded base — the
+    out-of-order-delivery hazard) represents EXACTLY the union of all
+    delivered epochs, never more (silent swallow = data loss on
+    redelivery filtering) and never less (manifest bloat aside,
+    double-apply on replay)."""
+    t = object.__new__(LakeTable)  # epoch algebra is state-free
+    m: dict = {}
+    seen: set[int] = set()
+    for batch in batches:
+        m = {**m, **t._next_epoch_state(m, batch)}
+        seen |= set(batch)
+        base = m["epoch_base"]
+        w = m["epoch_watermark"]
+        tail = set(m["epoch_tail"])
+        represented = set(range(base + 1, w + 1)) | tail
+        assert represented == seen
+        # state is compact: tail never holds anything (base, w] covers
+        assert not (tail & set(range(base + 1, w + 1)))
+
+
 # ------------------------------------------------------------ validator
 
 RULES = RuleSet(

@@ -173,3 +173,56 @@ def test_kafka_shaped_value_stream_matches_file_source(spark, tmp_warehouse, bin
     assert sum(m.rejects for m in batches) == m_file.rejects
     assert sum(m.skipped for m in batches) == m_file.skipped
     assert sum(m.events_seen for m in batches) == m_file.events_seen
+
+
+def test_out_of_order_epoch_delivery_applies_below_base(spark, tmp_warehouse):
+    """The source delivers the epoch-5 binlog file BEFORE the epoch-3
+    file (maxFilesPerTrigger / listing-order hazard). Seeding the
+    watermark base from the first committed batch must not swallow the
+    later-arriving lower epoch: both events must land in the table."""
+    import json
+
+    live = os.path.join(tmp_warehouse, "live-ooo")
+    os.makedirs(live)
+
+    def _ev(doc, toks, ts, lsn, epoch):
+        return json.dumps(
+            {
+                "op": "insert",
+                "doc_id": doc,
+                "payload": {"tokens": toks, "n_tok": len(toks), "source": "web"},
+                "commit_ts": ts,
+                "lsn": lsn,
+                "batch_epoch": epoch,
+            }
+        )
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "seq-ooo"), sequences_schema(), num_buckets=4
+    )
+    table.overwrite(spark.createDataFrame([], sequences_schema()))
+    engine = CdcEngine(
+        spark, table, os.path.join(tmp_warehouse, "ooo"), EngineConfig(num_buckets=4)
+    )
+    ckpt = os.path.join(tmp_warehouse, "ckpt-ooo")
+
+    # run 1: only the epoch-5 file exists
+    with open(os.path.join(live, "epoch-000005-000.ndjson"), "w") as f:
+        f.write(_ev("hi", [5, 5], "2024-01-01T00:00:05.000Z", 50, 5) + "\n")
+    engine.run_until_caught_up(live, ckpt)
+    assert table.is_epoch_committed(5)
+
+    # run 2: the epoch-3 file arrives late
+    with open(os.path.join(live, "epoch-000003-000.ndjson"), "w") as f:
+        f.write(_ev("lo", [3], "2024-01-01T00:00:03.000Z", 30, 3) + "\n")
+    engine.run_until_caught_up(live, ckpt)
+
+    rows = {r["doc_id"]: r.asDict(recursive=True) for r in table.read().collect()}
+    assert set(rows) == {"hi", "lo"}, "below-base epoch must be applied, not swallowed"
+    assert rows["lo"]["tokens"] == [3]
+    assert table.is_epoch_committed(3) and not table.is_epoch_committed(4)
+
+    # idempotence still holds: replaying the whole log changes nothing
+    engine.run_until_caught_up(live, os.path.join(tmp_warehouse, "ckpt-ooo2"))
+    rows2 = {r["doc_id"]: r.asDict(recursive=True) for r in table.read().collect()}
+    assert rows2 == rows
