@@ -388,6 +388,7 @@ def main_stream_cdc(cpus: int, max_files_per_trigger: int = 4) -> None:
         max_files_per_trigger=max_files_per_trigger,
     )
     q.awaitTermination()
+    engine.flush_epoch_markers()
     wall = time.monotonic() - t0
     w, tail = table.epoch_state()
     n_batches = -(-n_files // max_files_per_trigger)

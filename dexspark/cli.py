@@ -283,7 +283,13 @@ def main(argv: list[str] | None = None) -> int:
             processing_time=args.trigger,
             max_files_per_trigger=args.max_files_per_trigger,
         )
-        q.awaitTermination()
+        try:
+            q.awaitTermination()
+        finally:
+            # graceful stop: marker-commit the epochs still deferred
+            # at the micro-batch boundary (losing this flush is safe —
+            # markers only, data is already applied)
+            engine.flush_epoch_markers()
     else:
         engine.run_until_caught_up(args.binlog, args.checkpoint)
         _status()

@@ -138,8 +138,22 @@ class EngineConfig:
     # event-level. Off by default: the epoch watermark already covers
     # same-epoch redelivery, and the state store costs one extra
     # keyed shuffle per micro-batch. suppress_ttl_ms bounds the state
-    # for unbounded key spaces (idle keys evicted; a late event for an
-    # evicted key falls back to the table's LWW merge).
+    # for unbounded key spaces (idle keys evicted) — but eviction is a
+    # correctness trade: a stale retry for an evicted key is forwarded
+    # and the blind per-batch MERGE applies it, regressing the key
+    # until a fresher event arrives. Only set a TTL when the
+    # producer's max retry lag is known to be shorter.
     suppress_stale: bool = False
     suppress_ttl_ms: int | None = None
+    # Streaming epoch-marker deferral window (see CdcEngine.apply_batch
+    # defer_boundary): the top `epoch_marker_lag` epochs seen so far
+    # stay marker-deferred each batch, so an epoch whose files straddle
+    # a micro-batch boundary is never marked before its remainder
+    # arrives. 1 (default) is correct under epoch-monotone file
+    # delivery (sequential producer, mtime-ordered source); raise it on
+    # object stores with coarse mtime granularity (S3: seconds) where
+    # adjacent epochs' files can tie and interleave. Deferred markers
+    # are flushed at end-of-run; the cost of deferral is only that a
+    # crash-redelivery re-applies an unmarked epoch idempotently.
+    epoch_marker_lag: int = 1
     rules: RuleSet = field(default_factory=sequences_ruleset)

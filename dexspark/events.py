@@ -54,6 +54,17 @@ def _finalize(df: DataFrame, blank_col: F.Column | None = None) -> DataFrame:
         F.when(F.col(c).isNull(), F.lit(f"envelope:{c}:required envelope field missing"))
         for c in _REQUIRED_ENVELOPE
     ]
+    # negative epochs are rejected, not applied: the epoch-marker space
+    # is non-negative (negatives are the quarantine's fallback partition
+    # namespace), so a producer-bug event with batch_epoch < 0 could
+    # never be made idempotent — the already-committed filter would
+    # re-apply it on every redelivery, regressing newer state
+    missing.append(
+        F.when(
+            F.col("batch_epoch") < 0,
+            F.lit("envelope:batch_epoch:negative epoch (marker space is non-negative)"),
+        )
+    )
     raw = (
         F.col(RAW_COL)
         if RAW_COL in df.columns

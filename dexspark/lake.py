@@ -786,6 +786,7 @@ class LakeTable:
         epochs: list[int] | None = None,
         affected_buckets: list[int] | None = None,
         mode: str = "cow",
+        affected_buckets_nb: int | None = None,
     ) -> dict:
         """MERGE: last-writer-wins upsert + key deletes.
 
@@ -793,6 +794,11 @@ class LakeTable:
         dedup.latest_per_key first) and be alignable to the table schema
         (run schema reconcile first — this method evolves the manifest
         schema additively). ``delete_keys`` is a 1-column (key) frame.
+        ``affected_buckets`` is an optional pre-computed bucket hint;
+        pass ``affected_buckets_nb`` = the bucket count it was computed
+        against, so a concurrent ``rebucket()`` landing between the
+        caller's computation and this merge invalidates the hint
+        (it is then recomputed) instead of silently dropping buckets.
 
         Equivalent SQL (Iceberg):
             MERGE INTO t USING batch ON t.k = batch.k
@@ -828,7 +834,17 @@ class LakeTable:
         ups = self._bucket_col(self._align(upserts, schema), key, n_buckets)
         all_keys = ups.select(key, "_bucket")
         if delete_keys is not None:
-            dels = self._bucket_col(delete_keys.select(key), key, n_buckets)
+            # cast to the table key type BEFORE hashing: xxhash64 of an
+            # int and of the same value as long differ, so an unaligned
+            # delete frame would bucket to the wrong file and the
+            # delete would be silently missed (the MOR path _aligns its
+            # tombstones; COW must match)
+            key_type = schema[key].dataType
+            dels = self._bucket_col(
+                delete_keys.select(F.col(key).cast(key_type).alias(key)),
+                key,
+                n_buckets,
+            )
             all_keys = all_keys.unionByName(dels)
         all_keys = all_keys.select(key, "_bucket").dropDuplicates([key])
 
@@ -836,8 +852,12 @@ class LakeTable:
         # and rewritten. The distinct-bucket list is tiny (<= num_buckets)
         # so collecting it to the driver is scale-safe. Callers that
         # already aggregated the change set (CdcEngine) pass the bucket
-        # list in, saving this job's round trip.
-        if affected_buckets is not None:
+        # list in, saving this job's round trip — but the hint is only
+        # valid in THIS manifest's bucket space: a rebucket that landed
+        # after the caller computed it silently invalidates every id.
+        if affected_buckets is not None and (
+            affected_buckets_nb is None or affected_buckets_nb == n_buckets
+        ):
             affected = list(affected_buckets)
         else:
             affected = [
@@ -869,6 +889,18 @@ class LakeTable:
 
         def rebuild(base: dict) -> dict:
             logical = base["version"] + 1
+            # corruption guard: every written bucket must be one we
+            # declared touched, or the manifest would silently drop the
+            # stray bucket's rows (possible only if the bucket hint was
+            # computed in a different bucket space — see merge() docs)
+            stray = sorted(set(written) - set(touched))
+            if stray:
+                raise ConcurrentCommitError(
+                    f"merge wrote buckets {stray} outside its declared "
+                    f"touched set (stale affected_buckets hint after a "
+                    f"concurrent rebucket?) — aborting instead of "
+                    f"dropping their rows"
+                )
             schema2 = reconcile(T.StructType.fromJson(base["schema"]), schema)
             evo2 = evolution_actions(T.StructType.fromJson(base["schema"]), schema)
             buckets = dict(base["buckets"])

@@ -20,9 +20,13 @@ the per-batch work is one shuffle on ``doc_id`` (the same key the
 downstream dedup shuffles on) and a vectorized pandas max/compare per
 group — no per-row Python. An idle-key TTL bounds the store for
 unbounded key spaces: state for keys quiet longer than ``ttl`` is
-evicted; a late event for an evicted key is forwarded (safe: the
-table's LWW merge re-suppresses it) — the TTL trades suppression
-coverage for bounded state, never correctness.
+evicted. The TTL is a REAL trade, not a free one: a stale retry for
+an evicted key is forwarded, and because the table MERGE is a blind
+per-batch upsert (it stores no per-row LWW position to compare
+against), that forwarded stale row REGRESSES the key until a fresher
+event arrives. Set ``ttl_ms`` only when the producer's maximum retry
+lag is known to be shorter than the TTL; the default (None = keep
+state forever) is the correctness-preserving choice.
 
 Batch semantics note: WITHIN one micro-batch all rows of a group are
 forwarded (minus those at-or-below the stored state) — intra-batch

@@ -89,6 +89,11 @@ def replay(
                 if any(ev.get(k) is None for k in _REQUIRED_ENVELOPE):
                     res.quarantined += 1
                     continue
+                # negative epochs are rejected (can never be made
+                # idempotent — matches events._finalize)
+                if isinstance(ev["batch_epoch"], int) and ev["batch_epoch"] < 0:
+                    res.quarantined += 1
+                    continue
                 if ev["op"] not in rules.op_whitelist:
                     res.skipped += 1
                     continue

@@ -55,6 +55,15 @@ from .validate import FAIL_COL, validate_frame
 _looks_parquet = binlog_looks_parquet
 
 
+def _no_marker_epoch():
+    """Epochs outside the marker space (NULL = malformed line,
+    negative = producer bug rejected at classify): their quarantine
+    rows are unattributable and use the batch-content fallback
+    partition."""
+    e = F.col("batch_epoch")
+    return e.isNull() | (e < 0)
+
+
 @dataclass
 class BatchMetrics:
     events_seen: int = 0
@@ -86,11 +95,35 @@ class CdcEngine:
         self.quarantine_path = os.path.join(warehouse, self.config.quarantine_subdir)
         self.lineage_path = os.path.join(warehouse, self.config.lineage_subdir)
         self.applied_path = os.path.join(warehouse, self.config.applied_subdir)
+        # epochs applied but not yet marker-committed (streaming
+        # defer_boundary mode; see apply_batch)
+        self._deferred_epochs: set[int] = set()
 
     # ------------------------------------------------------------ one batch
 
-    def apply_batch(self, parsed: DataFrame) -> BatchMetrics:
-        """Apply one micro-batch of parsed change events exactly-once."""
+    def apply_batch(
+        self, parsed: DataFrame, defer_boundary: bool = False
+    ) -> BatchMetrics:
+        """Apply one micro-batch of parsed change events exactly-once.
+
+        ``defer_boundary`` (the STREAMING path sets it): an epoch whose
+        files straddle a micro-batch boundary (maxFilesPerTrigger, or
+        availableNow chunking) must NOT be marker-committed by the
+        batch that saw only its first files — the already-committed
+        filter would swallow the remainder in the next trigger:
+        permanent silent data loss. Under epoch-monotone file delivery
+        (a producer appends epoch files in order; the file source
+        delivers in mtime order) only the batch's MAX epoch can be
+        split, so marking is deferred for it: its events are applied,
+        its marker commits when a later batch surfaces a higher epoch
+        (proving the deferred epoch complete) or at end-of-run via
+        :meth:`flush_epoch_markers`. Cost of the deferral: if the
+        marker hadn't committed yet, a crash-redelivery re-applies the
+        boundary epoch's events — content-idempotent (same winners,
+        same MERGE result), at-least-once only for that epoch's
+        lineage counts. Batch mode (``defer_boundary=False``) keeps
+        mark-everything semantics: the whole log is one batch, every
+        epoch in it is complete by construction."""
         t0 = time.monotonic()
         phases: dict[str, int] = {}
 
@@ -180,7 +213,14 @@ class CdcEngine:
             F.size(FAIL_COL) > 0, F.lit(False)
         )
         passthrough = is_q | (F.col("event_class") == "skip")
-        qkey = F.when(~passthrough, F.col("doc_id")).otherwise(
+        # disjoint grouping namespaces: real keys under "d#", synthetic
+        # passthrough keys under "q#" — without the "d#" prefix a
+        # document whose doc_id is literally "q#42" would share a group
+        # with a quarantined event of lsn 42 and one of the two records
+        # would be silently collapsed away by the max_by
+        qkey = F.when(
+            ~passthrough, F.concat(F.lit("d#"), F.col("doc_id"))
+        ).otherwise(
             F.concat(
                 F.lit("q#"),
                 F.coalesce(
@@ -245,8 +285,15 @@ class CdcEngine:
                 .select("_epoch", "_pid", "_src", "_class", "_n_events")
                 .collect()
             ]
+            # markers live in the non-negative epoch space only: NULL
+            # epochs (malformed lines) and negative epochs (producer
+            # bug, rejected at classify) are never committed as markers
             new_epochs = sorted(
-                {int(r["_epoch"]) for r in lin_groups if r["_epoch"] is not None}
+                {
+                    int(r["_epoch"])
+                    for r in lin_groups
+                    if r["_epoch"] is not None and int(r["_epoch"]) >= 0
+                }
             )
             by_class: dict[str, int] = {}
             for r in lin_groups:
@@ -255,6 +302,21 @@ class CdcEngine:
                 return BatchMetrics(
                     epochs=[], wall_ms=int((time.monotonic() - t0) * 1000)
                 )
+            # which epochs this batch may safely marker-commit (see
+            # defer_boundary in the docstring). epoch_marker_lag widens
+            # the deferred window beyond the single max epoch: on
+            # object stores with coarse mtime granularity (S3: seconds)
+            # adjacent epochs' files can tie and deliver interleaved,
+            # so a deployment there defers the top N epochs instead of
+            # just the boundary one.
+            if defer_boundary and new_epochs:
+                lag = max(1, int(self.config.epoch_marker_lag))
+                pending = self._deferred_epochs | set(new_epochs)
+                cutoff = max(pending) - lag
+                to_mark = sorted(e for e in pending if e <= cutoff)
+                self._deferred_epochs = {e for e in pending if e > cutoff}
+            else:
+                to_mark = new_epochs
 
             is_good = ~F.col("_is_q") & (F.col("event_class") == "apply")
             upserts = latest.filter(is_good & (F.col("op") != "delete")).select(
@@ -280,18 +342,22 @@ class CdcEngine:
                     F.when(F.col("_is_q"), F.col("_n_events")).otherwise(F.lit(0))
                 ).alias("q_events"),
                 # order-independent full-width signature of the whole
-                # unattributable-row set: XOR of per-row 64-bit hashes
-                # plus the row count (so multisets that XOR-cancel
-                # still differ)
+                # unattributable-row MULTISET: XOR of per-group 64-bit
+                # hashes folding in each group's duplicate count (a
+                # distinct-only XOR would collide {r1,r1,r2} with
+                # {r1,r2,r2} — same distincts, same total), plus the
+                # total count. Negative-epoch rejects are unattributable
+                # too: their epoch is in the fallback namespace, not the
+                # marker space.
                 F.bit_xor(
                     F.when(
-                        F.col("_is_q") & F.col("batch_epoch").isNull(),
-                        F.xxhash64("raw"),
+                        F.col("_is_q") & _no_marker_epoch(),
+                        F.xxhash64("raw", "_n_events"),
                     )
                 ).alias("q_xor"),
                 F.sum(
                     F.when(
-                        F.col("_is_q") & F.col("batch_epoch").isNull(),
+                        F.col("_is_q") & _no_marker_epoch(),
                         F.col("_n_events"),
                     ).otherwise(F.lit(0))
                 ).alias("q_null_n"),
@@ -327,36 +393,33 @@ class CdcEngine:
                     "raw",
                     "doc_id",
                     FAIL_COL,
-                    F.coalesce(F.col("batch_epoch"), F.lit(fallback_epoch)).alias(
-                        "batch_epoch"
-                    ),
+                    # NULL and negative epochs both route to the
+                    # batch-content fallback partition: a producer's
+                    # negative epoch would otherwise collide with the
+                    # fallback namespace across batches
+                    F.when(F.col("batch_epoch") >= 0, F.col("batch_epoch"))
+                    .otherwise(F.lit(fallback_epoch))
+                    .alias("batch_epoch"),
                 )
             )
 
-            # MERGE, quarantine-write and (optional) applied-lineage
-            # write are independent given `latest` (cached) — submit
-            # them from driver threads so the scheduler overlaps one
-            # job's I/O waits with another's compute (all still
-            # exactly-once: different sinks).
+            # Sink ordering is load-bearing: the quarantine and
+            # applied-lineage writes must COMPLETE before the merge
+            # commits the epoch markers. The markers are the redelivery
+            # gate — once an epoch is committed, a replayed batch is
+            # filtered out up front, so any sink row that hadn't landed
+            # by then (crash, write failure) would be lost FOREVER, not
+            # re-derived. Writing sinks first keeps the crash window
+            # safe in both directions: crash before the merge -> no
+            # markers, full batch redelivery, dynamic-overwrite sinks
+            # rewrite identical content; crash after -> everything
+            # landed. The two sink writes (independent targets) still
+            # overlap each other via driver threads; the merge is
+            # serialized after them (measured sink cost: ~10ms/batch,
+            # negligible against the merge).
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=3) as pool:
-                # merge only when there are epochs to commit — a pure
-                # redelivery (every epoch already in the manifest)
-                # must not bump the table version. Quarantine rewrite
-                # stays: its dynamic overwrite is content-idempotent.
-                f_merge = (
-                    pool.submit(
-                        self.table.merge,
-                        upserts,
-                        delete_keys,
-                        epochs=new_epochs,
-                        affected_buckets=affected_buckets,
-                        mode=self.config.merge_mode,
-                    )
-                    if new_epochs
-                    else None
-                )
+            with ThreadPoolExecutor(max_workers=2) as pool:
                 f_quar = pool.submit(
                     write_quarantine, quarantined, self.quarantine_path
                 )
@@ -368,27 +431,38 @@ class CdcEngine:
                     f_applied = pool.submit(
                         write_applied, applied_rows, self.applied_path
                     )
-                if f_merge is not None:
-                    merge_info = f_merge.result()
-                    # bound the merge-on-read reconstruction depth:
-                    # fold history down every N MOR commits
-                    if (
-                        self.config.merge_mode == "mor"
-                        and self.config.compact_every
-                        and merge_info.get("mor_depth", 0) >= self.config.compact_every
-                    ):
-                        self.table.compact()
-                    # snapshot retention policy (expire + orphan GC);
-                    # min_age spares a concurrent writer's in-flight
-                    # commit dirs (see EngineConfig.vacuum_min_age_seconds)
-                    if self.config.vacuum_keep_last > 0:
-                        self.table.vacuum(
-                            keep_last=self.config.vacuum_keep_last,
-                            min_age_seconds=self.config.vacuum_min_age_seconds,
-                        )
                 f_quar.result()
                 if f_applied is not None:
                     f_applied.result()
+            # merge only when there are fresh epochs — a pure
+            # redelivery (every epoch already in the manifest) must not
+            # bump the table version. The marker list may be a strict
+            # subset of the fresh epochs (deferred boundary).
+            if new_epochs:
+                merge_info = self.table.merge(
+                    upserts,
+                    delete_keys,
+                    epochs=to_mark,
+                    affected_buckets=affected_buckets,
+                    affected_buckets_nb=nb,
+                    mode=self.config.merge_mode,
+                )
+                # bound the merge-on-read reconstruction depth:
+                # fold history down every N MOR commits
+                if (
+                    self.config.merge_mode == "mor"
+                    and self.config.compact_every
+                    and merge_info.get("mor_depth", 0) >= self.config.compact_every
+                ):
+                    self.table.compact()
+                # snapshot retention policy (expire + orphan GC);
+                # min_age spares a concurrent writer's in-flight
+                # commit dirs (see EngineConfig.vacuum_min_age_seconds)
+                if self.config.vacuum_keep_last > 0:
+                    self.table.vacuum(
+                        keep_last=self.config.vacuum_keep_last,
+                        min_age_seconds=self.config.vacuum_min_age_seconds,
+                    )
             tm = _mark("merge_and_quarantine", td)
             n_env_rejects = by_class.get("reject", 0)
             n_val_rejects = n_quarantined - n_env_rejects
@@ -407,7 +481,11 @@ class CdcEngine:
             # lineage from the grouping-set rollup — driver-side write
             lin_rows = [
                 (
-                    int(r["_epoch"]) if r["_epoch"] is not None else fallback_epoch,
+                    # negative producer epochs are unattributable too:
+                    # same fallback namespace as the quarantine rows
+                    int(r["_epoch"])
+                    if r["_epoch"] is not None and int(r["_epoch"]) >= 0
+                    else fallback_epoch,
                     int(r["_pid"]),
                     r["_src"],
                     int(r["_n_events"]),
@@ -652,7 +730,12 @@ class CdcEngine:
             ).drop("_advance")
 
         def _process(batch_df: DataFrame, epoch_id: int) -> None:
-            self.apply_batch(batch_df)
+            # defer_boundary: a micro-batch may hold only the FIRST
+            # files of its max epoch (maxFilesPerTrigger), so that
+            # epoch's marker is deferred until a later batch or the
+            # end-of-run flush — marking it now would swallow the
+            # epoch's remaining events in the next trigger
+            self.apply_batch(batch_df, defer_boundary=True)
 
         writer = parsed.writeStream.foreachBatch(_process).option(
             "checkpointLocation", checkpoint_path
@@ -663,6 +746,24 @@ class CdcEngine:
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
 
+    def flush_epoch_markers(self) -> list[int]:
+        """Marker-commit the epochs still deferred at end of stream.
+
+        Once the stream has drained, every deferred epoch's events are
+        fully applied, so its marker is safe to commit (a manifest-only
+        commit). A crash before this flush loses only the MARKER, never
+        data: the epoch's events are in the table, and a future replay
+        re-applies them idempotently (same winners, same MERGE
+        content)."""
+        if not self._deferred_epochs:
+            return []
+        epochs = sorted(self._deferred_epochs)
+        empty = self.spark.createDataFrame([], self.table.schema)
+        self.table.merge(empty, epochs=epochs, mode=self.config.merge_mode)
+        self._deferred_epochs = set()
+        return epochs
+
     def run_until_caught_up(self, binlog_path: str, checkpoint_path: str) -> None:
         q = self.run_stream(binlog_path, checkpoint_path, available_now=True)
         q.awaitTermination()
+        self.flush_epoch_markers()

@@ -68,9 +68,13 @@ def test_quarantine_and_lineage_written(spark, setup):
 
 def test_negative_epoch_not_swallowed_by_watermark(spark, tmp_warehouse):
     """An event with a NEGATIVE batch_epoch was never committed (the
-    marker space is non-negative; negatives are the quarantine's
-    fallback partitions), so the already-committed filter must keep
-    it even once the watermark is >= 0."""
+    marker space is non-negative), so the already-committed filter
+    must not treat it as committed even once the watermark is >= 0 —
+    but it is NOT applied either: a negative epoch can never be made
+    idempotent (the filter would keep re-applying it on every
+    redelivery, regressing newer state), so classify rejects it to the
+    quarantine where it is visible instead of silently flip-flopping
+    the table."""
     import json
 
     table = LakeTable.create(
@@ -95,9 +99,17 @@ def test_negative_epoch_not_swallowed_by_watermark(spark, tmp_warehouse):
     with open(os.path.join(binlog, "epoch-neg.ndjson"), "w") as f:
         f.write(json.dumps(ev) + "\n")
     metrics = engine.apply_binlog(binlog)
-    assert metrics.events_applied == 1
+    assert metrics.events_applied == 0 and metrics.rejects == 1
     rows = {r["doc_id"] for r in table.read().collect()}
-    assert "neg" in rows
+    assert "neg" not in rows  # quarantined, not applied, not swallowed
+    q = spark.read.parquet(engine.quarantine_path)
+    assert q.filter(q.doc_id == "neg").count() == 1
+    # redelivery is a no-op for the table AND rewrites the same
+    # quarantine partition (content-hash fallback): still exactly-once
+    engine.apply_binlog(binlog)
+    assert spark.read.parquet(engine.quarantine_path).filter(
+        "doc_id = 'neg'"
+    ).count() == 1
 
 
 def test_epoch_redelivery_is_noop(spark, setup):

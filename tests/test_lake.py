@@ -620,3 +620,55 @@ def test_vacuum_refuses_root_without_snapshots(spark, tmp_warehouse):
         t2.vacuum(keep_last=1, min_age_seconds=0)
     # the data survived the refused vacuum
     assert os.listdir(os.path.join(root, "data"))
+
+
+def test_cow_delete_keys_cast_to_table_key_type(spark, tmp_warehouse):
+    """A delete frame whose key column has a compatible-but-different
+    dtype (int vs the table's bigint) must still hash to the right
+    bucket: xxhash64 of int32 and int64 differ, so without the cast
+    the delete silently misses. Both merge modes must agree."""
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+    for mode in ("cow", "mor"):
+        t = LakeTable.create(
+            spark, os.path.join(tmp_warehouse, f"del-{mode}"), schema,
+            key="k", num_buckets=8,
+        )
+        t.overwrite(
+            spark.createDataFrame([(i, f"v{i}") for i in range(20)], schema)
+        )
+        dels = spark.createDataFrame([(7,), (13,)], "k int")  # int, not long
+        t.merge(spark.createDataFrame([], schema), delete_keys=dels, mode=mode)
+        left = {r["k"] for r in t.read().collect()}
+        assert left == set(range(20)) - {7, 13}, mode
+
+
+def test_merge_bucket_hint_invalidated_by_rebucket(spark, tmp_warehouse):
+    """A pre-computed affected_buckets hint from BEFORE a concurrent
+    rebucket must not be trusted: merge detects the bucket-space change
+    via affected_buckets_nb and recomputes, instead of dropping rows."""
+    root = os.path.join(tmp_warehouse, "rb")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=4)
+    base = spark.createDataFrame(
+        [(f"d{i}", [i], 1, "web") for i in range(40)], schema=sequences_schema()
+    )
+    t.overwrite(base)
+    ups = spark.createDataFrame([("d3", [99], 1, "wiki")], schema=sequences_schema())
+    # hint computed in the 4-bucket space...
+    from pyspark.sql import functions as F2
+    hint = [
+        r[0]
+        for r in ups.select(
+            F2.pmod(F2.xxhash64("doc_id"), F2.lit(4)).cast("int")
+        ).collect()
+    ]
+    # ...then a rebucket lands before the merge
+    t.rebucket(16)
+    t.merge(ups, epochs=[1], affected_buckets=hint, affected_buckets_nb=4)
+    rows = {r["doc_id"]: r.asDict(recursive=True) for r in t.read().collect()}
+    assert len(rows) == 40
+    assert rows["d3"]["tokens"] == [99] and rows["d3"]["source"] == "wiki"

@@ -226,3 +226,203 @@ def test_out_of_order_epoch_delivery_applies_below_base(spark, tmp_warehouse):
     engine.run_until_caught_up(live, os.path.join(tmp_warehouse, "ckpt-ooo2"))
     rows2 = {r["doc_id"]: r.asDict(recursive=True) for r in table.read().collect()}
     assert rows2 == rows
+
+
+def test_epoch_split_across_micro_batches_no_loss(spark, tmp_warehouse):
+    """An epoch whose files straddle a micro-batch boundary
+    (maxFilesPerTrigger=1) must not lose its later files: the batch
+    that saw only the epoch's first file defers its marker, so the
+    remainder still passes the already-committed filter. The final
+    epoch's marker lands via the end-of-run flush."""
+    import json
+
+    def _ev(doc, toks, ts, lsn, epoch):
+        return json.dumps(
+            {
+                "op": "insert",
+                "doc_id": doc,
+                "payload": {"tokens": toks, "n_tok": len(toks), "source": "web"},
+                "commit_ts": ts,
+                "lsn": lsn,
+                "batch_epoch": epoch,
+            }
+        )
+
+    live = os.path.join(tmp_warehouse, "live-split")
+    os.makedirs(live)
+    # epoch 0 split across TWO files; epoch 1 in a third. A sequential
+    # producer appends epoch files in order — enforce that with
+    # explicit ascending mtimes (the file source delivers oldest
+    # first; same-second ties would otherwise make delivery order
+    # arbitrary, which is outside the epoch-monotone contract the
+    # deferred marking relies on).
+    import time as _time
+
+    t_base = _time.time() - 100
+    for i, (name, line) in enumerate(
+        [
+            ("epoch-000000-000.ndjson", _ev("a", [1], "2024-01-01T00:00:01.000Z", 1, 0)),
+            ("epoch-000000-001.ndjson", _ev("b", [2], "2024-01-01T00:00:02.000Z", 2, 0)),
+            ("epoch-000001-000.ndjson", _ev("c", [3], "2024-01-01T00:00:03.000Z", 3, 1)),
+        ]
+    ):
+        p = os.path.join(live, name)
+        with open(p, "w") as f:
+            f.write(line + "\n")
+        os.utime(p, (t_base + 10 * i, t_base + 10 * i))
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "seq-split"), sequences_schema(),
+        num_buckets=4,
+    )
+    table.overwrite(spark.createDataFrame([], sequences_schema()))
+    engine = CdcEngine(
+        spark, table, os.path.join(tmp_warehouse, "split"), EngineConfig(num_buckets=4)
+    )
+    q = engine.run_stream(
+        live,
+        os.path.join(tmp_warehouse, "ckpt-split"),
+        available_now=True,
+        max_files_per_trigger=1,  # one file per micro-batch: epoch 0 splits
+    )
+    q.awaitTermination()
+    flushed = engine.flush_epoch_markers()
+
+    rows = {r["doc_id"] for r in table.read().collect()}
+    assert rows == {"a", "b", "c"}, "split epoch's later files must be applied"
+    assert table.is_epoch_committed(0) and table.is_epoch_committed(1)
+    assert flushed == [1]  # the final (boundary) epoch flushed at end-of-run
+
+
+def test_negative_epoch_event_quarantined_not_applied(spark, tmp_warehouse):
+    """A producer-bug event with batch_epoch < 0 can never be made
+    idempotent (the already-committed filter always keeps negatives),
+    so it is rejected at classify: quarantined, never merged, never
+    committed as a marker."""
+    import json
+
+    ev = json.dumps(
+        {
+            "op": "insert",
+            "doc_id": "neg",
+            "payload": {"tokens": [1], "n_tok": 1, "source": "web"},
+            "commit_ts": "2024-01-01T00:00:01.000Z",
+            "lsn": 1,
+            "batch_epoch": -3,
+        }
+    )
+    live = os.path.join(tmp_warehouse, "live-neg")
+    os.makedirs(live)
+    with open(os.path.join(live, "events.ndjson"), "w") as f:
+        f.write(ev + "\n")
+    engine = _mk_engine(spark, tmp_warehouse, "neg")
+    m = engine.apply_binlog(live)
+    assert m.rejects == 1 and m.rows_merged == 0
+    assert "neg" not in {r["doc_id"] for r in engine.table.read().collect()}
+    assert not engine.table.is_epoch_committed(-3)
+    q = spark.read.parquet(engine.quarantine_path)
+    (qr,) = q.collect()
+    assert any("batch_epoch" in r for r in qr["fail_reasons"])
+    # quarantine partition is in the content-hash fallback namespace,
+    # NOT the raw producer epoch (which would collide across batches)
+    assert qr["batch_epoch"] != -3 and qr["batch_epoch"] < 0
+
+
+def test_quarantine_key_namespace_disjoint_from_doc_ids(spark, tmp_warehouse):
+    """A document whose doc_id is literally 'q#<lsn>' must not share a
+    dedup group with a quarantined event of that lsn — both records
+    must survive to their respective sinks."""
+    import json
+
+    good = json.dumps(
+        {
+            "op": "insert",
+            "doc_id": "q#42",
+            "payload": {"tokens": [7], "n_tok": 1, "source": "web"},
+            "commit_ts": "2024-01-01T00:00:02.000Z",
+            "lsn": 99,
+            "batch_epoch": 0,
+        }
+    )
+    bad = json.dumps(
+        {
+            "op": "insert",
+            "doc_id": "bad-doc",
+            # n_tok mismatch -> validation reject, synthetic key q#42
+            "payload": {"tokens": [1, 2], "n_tok": 5, "source": "web"},
+            "commit_ts": "2024-01-01T00:00:01.000Z",
+            "lsn": 42,
+            "batch_epoch": 0,
+        }
+    )
+    live = os.path.join(tmp_warehouse, "live-ns")
+    os.makedirs(live)
+    with open(os.path.join(live, "events.ndjson"), "w") as f:
+        f.write(good + "\n" + bad + "\n")
+    engine = _mk_engine(spark, tmp_warehouse, "ns")
+    m = engine.apply_binlog(live)
+    assert m.rejects == 1 and m.rows_merged == 1
+    rows = {r["doc_id"]: r.asDict(recursive=True) for r in engine.table.read().collect()}
+    assert rows["q#42"]["tokens"] == [7]
+    q = spark.read.parquet(engine.quarantine_path)
+    assert q.filter(q.doc_id == "bad-doc").count() == 1
+
+
+def test_epoch_marker_lag_tolerates_tie_interleaved_delivery(spark, tmp_warehouse):
+    """Object-store mtime ties can interleave ADJACENT epochs' files
+    across micro-batches (delivery no longer epoch-monotone). With
+    epoch_marker_lag=2 the top two epochs stay deferred, so epoch 0's
+    late file still passes the filter even though epoch 1 was seen
+    first; everything is marked by the end-of-run flush."""
+    import json
+    import time as _time
+
+    def _ev(doc, toks, ts, lsn, epoch):
+        return json.dumps(
+            {
+                "op": "insert",
+                "doc_id": doc,
+                "payload": {"tokens": toks, "n_tok": len(toks), "source": "web"},
+                "commit_ts": ts,
+                "lsn": lsn,
+                "batch_epoch": epoch,
+            }
+        )
+
+    live = os.path.join(tmp_warehouse, "live-lag")
+    os.makedirs(live)
+    t_base = _time.time() - 100
+    # adversarial delivery order: epoch 1 first, then epoch 0's two files
+    for i, (name, line) in enumerate(
+        [
+            ("epoch-000001-000.ndjson", _ev("c", [3], "2024-01-01T00:00:03.000Z", 3, 1)),
+            ("epoch-000000-000.ndjson", _ev("a", [1], "2024-01-01T00:00:01.000Z", 1, 0)),
+            ("epoch-000000-001.ndjson", _ev("b", [2], "2024-01-01T00:00:02.000Z", 2, 0)),
+        ]
+    ):
+        p = os.path.join(live, name)
+        with open(p, "w") as f:
+            f.write(line + "\n")
+        os.utime(p, (t_base + 10 * i, t_base + 10 * i))
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "seq-lag"), sequences_schema(),
+        num_buckets=4,
+    )
+    table.overwrite(spark.createDataFrame([], sequences_schema()))
+    engine = CdcEngine(
+        spark, table, os.path.join(tmp_warehouse, "lag"),
+        EngineConfig(num_buckets=4, epoch_marker_lag=2),
+    )
+    q = engine.run_stream(
+        live,
+        os.path.join(tmp_warehouse, "ckpt-lag"),
+        available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+    flushed = engine.flush_epoch_markers()
+    rows = {r["doc_id"] for r in table.read().collect()}
+    assert rows == {"a", "b", "c"}
+    assert flushed == [0, 1]
+    assert table.is_epoch_committed(0) and table.is_epoch_committed(1)
