@@ -55,22 +55,41 @@ class CsvIngestResult:
 
 
 _PROBE_LINES = 17
+# a "header line" longer than this is not a header — it's a binary or
+# newline-free body masquerading as CSV; bounding the probe keeps the
+# promise that the probe never materializes the file body
+_PROBE_MAX_LINE_BYTES = 1 << 20
 
 
-def _read_header_probe(spark: SparkSession, path: str) -> tuple[str | None, bool | None]:
+def _read_header_probe(
+    spark: SparkSession, path: str
+) -> tuple[str | None, bool | None, str | None]:
     """One tiny job for BOTH file-level reads: the header line plus a
-    has-data probe. Returns (header_line, has_data) where has_data is
-    True (some non-blank line follows the header), False (the whole
-    file was read and nothing follows), or None (inconclusive: more
-    than _PROBE_LINES lines, all-blank tail so far — caller falls
-    back to a count job; pathological case only)."""
-    rows = spark.read.text(path).limit(_PROBE_LINES).collect()
+    has-data probe. Returns (header_line, has_data, error) where
+    has_data is True (some non-blank line follows the header), False
+    (the whole file was read and nothing follows), or None
+    (inconclusive: more than _PROBE_LINES lines, all-blank tail so far
+    — caller falls back to a count job; pathological case only).
+    Lines are truncated at _PROBE_MAX_LINE_BYTES driver-side so a
+    newline-free multi-GB file named .csv can't be collect()ed whole;
+    an over-long header is a file error."""
+    rows = (
+        spark.read.text(path)
+        .select(
+            F.substring("value", 1, _PROBE_MAX_LINE_BYTES).alias("value"),
+            (F.length("value") > _PROBE_MAX_LINE_BYTES).alias("truncated"),
+        )
+        .limit(_PROBE_LINES)
+        .collect()
+    )
     if not rows:
-        return None, False
-    rest = [r[0] for r in rows[1:]]
+        return None, False, None
+    if rows[0]["truncated"]:
+        return None, None, f"header line exceeds {_PROBE_MAX_LINE_BYTES} bytes"
+    rest = [r["value"] for r in rows[1:]]
     if any(line.strip() for line in rest):
-        return rows[0][0], True
-    return rows[0][0], (None if len(rows) == _PROBE_LINES else False)
+        return rows[0]["value"], True, None
+    return rows[0]["value"], (None if len(rows) == _PROBE_LINES else False), None
 
 
 def ingest_csv(
@@ -93,12 +112,18 @@ def ingest_csv(
     rules = rules or RuleSet()
     res = CsvIngestResult(clean=None, quarantine=None)
 
-    header_line, has_data = _read_header_probe(spark, path)
+    header_line, has_data, probe_error = _read_header_probe(spark, path)
+    if probe_error is not None:
+        res.file_errors.append(f"header:{probe_error}")
+        return res
     if header_line is None or header_line.strip() == "":
         res.file_errors.append("file_empty:no header row")  # V1 / XLSX order-3
         return res
-    # one line, driver-side: proper RFC 4180 header split
-    raw_header = next(csv.reader(io.StringIO(header_line)))
+    # one line, driver-side: proper RFC 4180 header split. Strip a
+    # UTF-8 BOM first (Excel's "CSV UTF-8" export): U+FEFF survives
+    # str.strip() and would pollute the first column name, silently
+    # detaching every rule bound to it.
+    raw_header = next(csv.reader(io.StringIO(header_line.lstrip("\ufeff"))))
     header = [c.strip().lower() for c in raw_header]  # V7
     res.header = header
     try:
@@ -176,16 +201,31 @@ def _probe_headers_bulk(spark: SparkSession, paths: list[str]) -> dict[str, tupl
             rows = []
             for p in pdf["file_path"]:
                 header, has = None, 0  # 1=True 0=False -1=inconclusive
+                too_long = False
                 try:
                     with open(p, encoding="utf-8", errors="replace") as f:
                         lines = []
-                        for _ in range(_PROBE_LINES):
-                            line = f.readline()
+                        for k in range(_PROBE_LINES):
+                            # bounded readline: a newline-free multi-GB
+                            # body named .csv must not be materialized
+                            # as one Python string per probe task
+                            line = f.readline(_PROBE_MAX_LINE_BYTES)
                             if line == "":
+                                break
+                            if len(line) >= _PROBE_MAX_LINE_BYTES and not line.endswith("\n"):
+                                if k == 0:
+                                    too_long = True
+                                else:
+                                    lines.append(line[:80])  # non-blank tail: has_data
                                 break
                             lines.append(line.rstrip("\r\n"))
                 except OSError as e:
                     rows.append((p, None, 0, str(e)))
+                    continue
+                if too_long:
+                    rows.append(
+                        (p, None, 0, f"header line exceeds {_PROBE_MAX_LINE_BYTES} bytes")
+                    )
                     continue
                 if lines:
                     header = lines[0]
@@ -316,7 +356,8 @@ def _bulk_groups(
         if header_line is None or header_line.strip() == "":
             res.file_errors.append("file_empty:no header row")  # V1
             continue
-        raw_header = next(csv.reader(io.StringIO(header_line)))
+        # BOM-strip before the RFC 4180 split (see ingest_csv)
+        raw_header = next(csv.reader(io.StringIO(header_line.lstrip("\ufeff"))))
         header = tuple(c.strip().lower() for c in raw_header)  # V7
         res.header = list(header)
         try:

@@ -91,7 +91,12 @@ def change_events(
         0, n_events, numPartitions=partitions or spark.sparkContext.defaultParallelism
     )
     i = F.col("id")
-    per_epoch = max(1, n_events // n_epochs)
+    # ceil division: floor would spill the tail events into an extra
+    # unrequested epoch (105 events / 10 epochs -> lsn 100-104 landing
+    # in epoch 10), and n_events < n_epochs would mint one epoch per
+    # event — both violate the n_epochs contract downstream consumers
+    # size by
+    per_epoch = max(1, -(-n_events // n_epochs))
     hot_keys = max(1, n_docs // 100)
 
     is_hot = F.pmod(_h(seed + 11, i), F.lit(100)) < hot_pct
@@ -178,9 +183,14 @@ def write_binlog(
             writer = writer.option("compression", codec)
         writer.text(tmp)
         out_files: list[str] = []
-        for d in sorted(os.listdir(tmp)):
-            if not d.startswith("batch_epoch="):
-                continue
+        # numeric sort: lexicographic would order batch_epoch=10 before
+        # batch_epoch=2, breaking the "paths in epoch order" contract
+        # callers rely on for sequential replay
+        epoch_dirs = sorted(
+            (d for d in os.listdir(tmp) if d.startswith("batch_epoch=")),
+            key=lambda d: int(d.split("=", 1)[1]),
+        )
+        for d in epoch_dirs:
             epoch = int(d.split("=", 1)[1])
             parts = sorted(
                 f

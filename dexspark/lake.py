@@ -451,11 +451,16 @@ class LakeTable:
 
     def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """Project ``df`` to ``schema``: cast matching columns (int
-        widening), null-fill missing ones (additive evolution)."""
+        widening), null-fill missing ones (additive evolution).
+        Matching is case-insensitive like Spark's own column resolution
+        (and schema.reconcile): a case-variant incoming column must
+        align onto the canonical table column, not be null-filled."""
         cols = []
-        have = {f.name for f in df.schema.fields}
+        have = {f.name.lower() for f in df.schema.fields}
         for f in schema.fields:
-            if f.name in have:
+            if f.name.lower() in have:
+                # F.col resolves case-insensitively under the default
+                # spark.sql.caseSensitive=false
                 cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))

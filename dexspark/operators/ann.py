@@ -145,8 +145,15 @@ def search(
         "query_id",
         top=nprobe,
     ).select("query_id", F.col("embedding").alias("q_embedding"), "cell")
+    # NO forced broadcast of the probe side: it carries one row per
+    # (query, probed cell) WITH the full embedding vector — a 5M-query
+    # batch at 768 dims is tens of GB, far past any broadcast budget.
+    # The index is already repartitioned by cell, so the join shuffles
+    # only the probe side on the cell key; AQE still auto-broadcasts
+    # when the query batch is genuinely small (its planner threshold,
+    # not a hint that overrides it).
     scored = (
-        F.broadcast(probes.alias("p"))
+        probes.alias("p")
         .join(index.alias("i"), F.col("p.cell") == F.col("i.cell"))
         .filter(F.col("p.query_id") != F.col("i.vec_id"))
         .select(

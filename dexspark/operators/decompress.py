@@ -53,32 +53,60 @@ def _explode_one(
     budget: list | None = None,
     max_depth: int = MAX_DEPTH,
     max_total_bytes: int = MAX_TOTAL_BYTES,
+    seen: dict | None = None,
 ) -> None:
     """Recurse into one payload; append (entry_path, bytes|None, err)."""
     if depth > max_depth:
         out.append((source, name, None, f"max depth {max_depth} exceeded: {name or source}"))
         return
     budget = budget if budget is not None else [max_total_bytes]
+    # duplicate-name counter per SOURCE blob: a zip built by appending
+    # can hold two entries with the same name; without disambiguation
+    # they'd collapse to one content-addressed scratch file (last
+    # writer silently wins) and one manifest key
+    seen = seen if seen is not None else {}
     if not zipfile.is_zipfile(io.BytesIO(payload)):
         out.append((source, name, None, f"not a zip: {name or source}"))
         return
-    with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except Exception as e:  # corrupt central directory etc.
+        out.append((source, name, None, f"bad zip ({type(e).__name__}: {e}): {name or source}"))
+        return
+    with zf:
         entries = [i for i in zf.infolist() if not i.is_dir()]
         if not entries:
             out.append((source, name, None, f"empty zip: {name or source}"))
             return
         for info in entries:
             inner = posixpath.join(name, info.filename) if name else info.filename
+            n = seen.get(inner, 0)
+            seen[inner] = n + 1
+            if n:
+                inner = f"{inner}#dup{n}"
             budget[0] -= info.file_size
             if budget[0] < 0:
                 out.append(
                     (source, inner, None, f"decompressed-bytes cap exceeded at: {inner}")
                 )
                 return
-            data = zf.read(info)
+            try:
+                # CRC errors, truncated streams, encrypted entries
+                # (RuntimeError), unsupported compression methods
+                # (NotImplementedError) — all must become an error ROW,
+                # not a task failure: one bad archive in a 10^5-blob
+                # backfill must not abort the whole job (the reference
+                # emits FAIL events for these)
+                data = zf.read(info)
+            except Exception as e:
+                out.append(
+                    (source, inner, None, f"unreadable entry ({type(e).__name__}: {e}): {inner}")
+                )
+                continue
             if inner.lower().endswith(".zip"):
                 _explode_one(
-                    source, inner, data, out, depth + 1, budget, max_depth, max_total_bytes
+                    source, inner, data, out, depth + 1, budget, max_depth,
+                    max_total_bytes, seen,
                 )  # nested archive
             else:
                 out.append((source, inner, data, None))
@@ -100,8 +128,13 @@ def explode_archives(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows: list = []
+            # yield per SOURCE BLOB, not per Arrow batch: the bytes cap
+            # is per blob, so accumulating a whole batch's decompressed
+            # payloads (binaryFile packs many small archives into one
+            # partition) would hold batch_size x cap bytes in one
+            # Python worker before anything is handed back to the JVM
             for path, content in zip(pdf["path"], pdf["content"]):
+                rows: list = []
                 _explode_one(
                     path,
                     "",
@@ -110,15 +143,15 @@ def explode_archives(
                     max_depth=max_depth,
                     max_total_bytes=max_total_bytes,
                 )
-            yield pd.DataFrame(
-                {
-                    "source_path": [r[0] for r in rows],
-                    "entry_path": [r[1] or None for r in rows],
-                    "content": [r[2] for r in rows],
-                    "n_bytes": [len(r[2]) if r[2] is not None else None for r in rows],
-                    "error": [r[3] for r in rows],
-                }
-            )
+                yield pd.DataFrame(
+                    {
+                        "source_path": [r[0] for r in rows],
+                        "entry_path": [r[1] or None for r in rows],
+                        "content": [r[2] for r in rows],
+                        "n_bytes": [len(r[2]) if r[2] is not None else None for r in rows],
+                        "error": [r[3] for r in rows],
+                    }
+                )
 
     return blobs.select("path", "content").mapInPandas(batches, schema=ENTRY_SCHEMA)
 

@@ -104,11 +104,28 @@ def reconcile(table: T.StructType, incoming: T.StructType) -> T.StructType:
 
     Returns the evolved table schema. Raises SchemaEvolutionError for
     narrowing or non-integer type changes.
+
+    Matching is CASE-INSENSITIVE (Spark's default resolution,
+    spark.sql.caseSensitive=false): an incoming 'N_Tok' maps onto the
+    table's 'n_tok' (keeping the table's canonical name) and widens it,
+    instead of being appended as a case-variant duplicate — which
+    Spark would then refuse to resolve (AMBIGUOUS_REFERENCE) on the
+    very next select. Two incoming fields that collide after
+    casefolding are rejected for the same reason.
     """
-    by_name = {f.name: f for f in incoming.fields}
+    by_name: dict[str, T.StructField] = {}
+    for f in incoming.fields:
+        k = f.name.lower()
+        if k in by_name:
+            raise SchemaEvolutionError(
+                f"incoming schema has case-colliding columns "
+                f"{by_name[k].name!r} and {f.name!r} (Spark resolves "
+                f"case-insensitively; they would be ambiguous)"
+            )
+        by_name[k] = f
     out: list[T.StructField] = []
     for f in table.fields:
-        g = by_name.pop(f.name, None)
+        g = by_name.pop(f.name.lower(), None)
         if g is None:
             # incoming rows get null for this column, so the evolved
             # schema must not keep claiming non-nullability — the data
@@ -117,7 +134,7 @@ def reconcile(table: T.StructType, incoming: T.StructType) -> T.StructType:
         else:
             out.append(T.StructField(f.name, _widen(f.dataType, g.dataType, f.name), f.nullable or g.nullable))
     for f in incoming.fields:  # preserve incoming order for new columns
-        if f.name in by_name:
+        if f.name.lower() in by_name:
             out.append(T.StructField(f.name, f.dataType, True))
     return T.StructType(out)
 

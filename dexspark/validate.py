@@ -235,20 +235,21 @@ def arrow_validate(df: DataFrame, rules: RuleSet) -> DataFrame:
     scalar_rules = dataclasses.replace(rules, token_range=(), length_equals=())
     df = df.withColumn("_scalar_fails", fail_reasons_column(scalar_rules, df.schema))
 
+    # ONE spec per RULE, never folded: folding a token_range into a
+    # length_equals spec on the same column (a) kept only the LAST
+    # range when several token_range rules target one column (a dict
+    # collapse — rows passing arrow mode that jvm quarantines) and
+    # (b) emitted the range message once per sharing length_equals
+    # pair. One-spec-per-rule matches the jvm path's one-message-per-
+    # rule semantics by construction; the extra vectorized pass over a
+    # shared column is noise.
     token_specs = []
     dtypes = {f.name for f in df.schema.fields}
-    range_by_col = {c: (lo, hi) for c, lo, hi in rules.token_range}
-    covered = set()
     for len_col, arr_col in rules.length_equals:
         if len_col in dtypes and arr_col in dtypes:
-            lo, hi = range_by_col.get(arr_col, (None, None))
-            token_specs.append((len_col, arr_col, lo, hi))
-            covered.add(arr_col)
-    # token_range rules with no (usable) length_equals pair still run
-    # as range-only specs — otherwise arrow mode silently skips them
-    # and diverges from the jvm path.
+            token_specs.append((len_col, arr_col, None, None))
     for arr_col, lo, hi in rules.token_range:
-        if arr_col in dtypes and arr_col not in covered:
+        if arr_col in dtypes:
             token_specs.append((None, arr_col, lo, hi))
     if not token_specs:
         return df.withColumn(FAIL_COL, F.col("_scalar_fails")).drop("_scalar_fails")

@@ -467,3 +467,24 @@ def test_lineage_write_spares_concurrent_tmp_files(tmp_path):
     assert not os.path.exists(stale_tmp), "crashed-writer orphan reaped"
     assert not os.path.exists(legacy), "stale non-dot extras removed"
     assert os.path.exists(os.path.join(part, "part-00000.parquet"))
+
+
+def test_write_binlog_epoch_order_beyond_ten(spark, tmp_warehouse):
+    """write_binlog's returned path list must be in NUMERIC epoch order
+    (lexicographic sorting would put epoch 10 before epoch 2), and
+    change_events must mint exactly n_epochs epochs (ceil division —
+    floor used to spill the tail into an unrequested extra epoch)."""
+    import re
+
+    events = gen.change_events(
+        spark, n_events=130, n_docs=30, n_epochs=12, max_len=4
+    )
+    epochs = sorted(
+        r["batch_epoch"] for r in events.select("batch_epoch").distinct().collect()
+    )
+    assert epochs == list(range(12))
+    files = gen.write_binlog(
+        events, os.path.join(tmp_warehouse, "binlog12"), files_per_epoch=1
+    )
+    file_epochs = [int(re.search(r"epoch-(\d+)-", os.path.basename(f)).group(1)) for f in files]
+    assert file_epochs == sorted(file_epochs) == list(range(12))

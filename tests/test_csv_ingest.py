@@ -181,3 +181,37 @@ def test_validate_file_match_is_anchored(spark, tmp_path):
     # a bare-name query must not match a longer file name as a suffix
     assert validate_file(spark, root, "1.csv") == "missing"
     assert validate_file(spark, root, "table1.csv") == "passed"
+
+
+def test_utf8_bom_header_stripped(spark, tmp_path):
+    """Excel's "CSV UTF-8" export prefixes the file with EF BB BF; the
+    BOM survives strip()/lower() and used to pollute the first column
+    name — silently detaching every rule bound to it (or falsely
+    failing required-header checks)."""
+    p = tmp_path / "bom.csv"
+    p.write_bytes(b"\xef\xbb\xbf" + b"doc_id,n_chars\nd1,5\nd2,\n")
+    res = ingest_csv(
+        spark, str(p),
+        rules=RuleSet(required=("doc_id", "n_chars")),
+        required_columns=("doc_id",),
+    )
+    assert res.ok, res.file_errors
+    assert res.header == ["doc_id", "n_chars"]
+    assert res.clean.count() == 1           # d1 passes
+    assert res.quarantine.count() == 1      # d2 misses required n_chars
+
+
+def test_newline_free_body_rejected_not_materialized(spark, tmp_path):
+    """A newline-free multi-MB file named .csv must become a file
+    error, not a whole-body string on the driver/executors (the probe
+    promises to never read the body)."""
+    p = tmp_path / "huge.csv"
+    p.write_bytes(b"x" * (2 << 20))  # 2 MiB, no newline
+    res = ingest_csv(spark, str(p))
+    assert not res.ok
+    assert any("header line exceeds" in e for e in res.file_errors)
+    # bulk path agrees
+    from dexspark.csv_ingest import ingest_csv_bulk
+
+    bulk = ingest_csv_bulk(spark, [str(p)])
+    assert any("header line exceeds" in e for e in bulk[str(p)].file_errors)

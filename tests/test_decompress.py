@@ -84,3 +84,51 @@ def test_plan_is_arrow_batched(spark, archive_dir):
     plan = read_and_explode(spark, archive_dir)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_corrupt_entry_yields_error_row_not_job_failure(spark, tmp_path):
+    """A zip with a valid end-record but corrupt member data (bad CRC)
+    must produce a per-entry error row — one bad archive in a backfill
+    must never abort the whole job."""
+    good = _zip_bytes({"ok.csv": b"fine\n"})
+    corrupt = bytearray(_zip_bytes({"bad.csv": b"payload-that-will-be-corrupted"}))
+    # flip bytes inside the member data region (after the local header)
+    corrupt[40:44] = b"\x00\x00\x00\x00"
+    (tmp_path / "good.zip").write_bytes(good)
+    (tmp_path / "corrupt.zip").write_bytes(bytes(corrupt))
+    out = read_and_explode(spark, str(tmp_path)).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(os.path.basename(r["source_path"]), []).append(r)
+    assert by_src["good.zip"][0]["error"] is None  # healthy neighbor unharmed
+    errs = [r["error"] for r in by_src["corrupt.zip"] if r["error"]]
+    assert errs and any("bad.csv" in e or "bad zip" in e for e in errs)
+
+
+def test_duplicate_entry_names_disambiguated(spark, tmp_path):
+    """A zip holding two entries with the SAME name (append-built
+    archives) must yield two rows with distinct entry paths — not one
+    content-addressed file where the last writer silently wins."""
+    import warnings
+
+    from dexspark.operators.decompress import materialize_entries, read_and_explode
+
+    buf = io.BytesIO()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # zipfile warns on duplicates
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("data.csv", b"first\n")
+            zf.writestr("data.csv", b"second\n")
+    (tmp_path / "dup.zip").write_bytes(buf.getvalue())
+    entries = read_and_explode(spark, str(tmp_path))
+    rows = {r["entry_path"]: bytes(r["content"]) for r in entries.collect()}
+    assert rows == {"data.csv": b"first\n", "data.csv#dup1": b"second\n"}
+    # materialized scratch files are distinct too
+    scratch = str(tmp_path / "scratch")
+    manifest = materialize_entries(entries, scratch).collect()
+    paths = {r["entry_path"]: r["file_path"] for r in manifest}
+    assert len(set(paths.values())) == 2
+    with open(paths["data.csv"], "rb") as f:
+        assert f.read() == b"first\n"
+    with open(paths["data.csv#dup1"], "rb") as f:
+        assert f.read() == b"second\n"

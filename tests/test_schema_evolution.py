@@ -96,3 +96,58 @@ def test_int_widening_via_binlog(spark, tmp_warehouse):
     assert got["c"]["tokens"] == [big]
     assert got["a"]["tokens"] == [1]  # old int32 file readable post-widening
     assert dict(table.read().dtypes)["tokens"] == "array<bigint>"
+
+
+def test_reconcile_case_insensitive_matches_spark_resolution(spark):
+    """Spark resolves columns case-insensitively by default, so an
+    incoming 'N_Tok' must map onto the table's 'n_tok' (widening it),
+    not be appended as a case-variant duplicate that Spark would then
+    call ambiguous."""
+    import pytest as _pytest
+
+    from dexspark.schema import SchemaEvolutionError, reconcile, sequences_schema
+
+    incoming = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), True),
+            T.StructField("N_Tok", T.LongType(), True),
+        ]
+    )
+    evolved = reconcile(sequences_schema(), incoming)
+    names = [f.name for f in evolved.fields]
+    assert names == ["doc_id", "tokens", "n_tok", "source"]  # canonical kept
+    assert dict((f.name, f.dataType.simpleString()) for f in evolved.fields)[
+        "n_tok"
+    ] == "bigint"  # widened through the case-variant match
+
+    colliding = T.StructType(
+        [
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("N_TOK", T.LongType(), True),
+        ]
+    )
+    with _pytest.raises(SchemaEvolutionError, match="case-colliding"):
+        reconcile(sequences_schema(), colliding)
+
+
+def test_merge_aligns_case_variant_frame(spark, tmp_path):
+    """End-to-end: merging a frame whose columns differ only by case
+    must land the values in the canonical columns (not null-fill them)."""
+    import os
+
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+
+    t = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "seq"), sequences_schema(), num_buckets=2
+    )
+    t.overwrite(spark.createDataFrame([("a", [1], 1, "web")], sequences_schema()))
+    ups = spark.createDataFrame(
+        [("b", [2, 3], 2, "wiki")],
+        "Doc_ID string, Tokens array<int>, N_TOK int, SOURCE string",
+    )
+    t.merge(ups, epochs=[1])
+    rows = {r["doc_id"]: r.asDict(recursive=True) for r in t.read().collect()}
+    assert rows["b"]["tokens"] == [2, 3] and rows["b"]["n_tok"] == 2
+    assert rows["b"]["source"] == "wiki"
+    assert [f.name for f in t.schema.fields] == ["doc_id", "tokens", "n_tok", "source"]

@@ -143,3 +143,24 @@ def test_arrow_token_range_without_length_pair(spark):
     assert arr == jvm
     assert jvm["b"] and jvm["d"]          # out-of-range + null element fail
     assert jvm["a"] == [] and jvm["c"] == []  # in-range + null array pass
+
+
+def test_arrow_multiple_ranges_one_column_agrees_with_jvm(spark):
+    """Several token_range rules on ONE column, alongside a
+    length_equals pair on the same column: arrow mode used to fold the
+    ranges into the pair's spec via a dict (last range wins), passing
+    rows the jvm path quarantines. One-spec-per-rule restores parity."""
+    df = spark.createDataFrame(
+        [("ok", [1, 2], 2), ("hi", [90], 1), ("len", [1], 9)],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    rules = RuleSet(
+        length_equals=(("n_tok", "tokens"),),
+        token_range=(("tokens", 0, 1000), ("tokens", 0, 50)),
+    )
+    jvm = {r["doc_id"]: sorted(r[FAIL_COL]) for r in with_fail_reasons(df, rules).collect()}
+    arr = {r["doc_id"]: sorted(r[FAIL_COL]) for r in arrow_validate(df, rules).collect()}
+    assert arr == jvm
+    assert jvm["ok"] == []
+    assert any("token_range" in m for m in jvm["hi"])  # 90 breaks [0,50)
+    assert any("length_equals" in m for m in jvm["len"])
