@@ -106,8 +106,33 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--compact",
         action="store_true",
-        help="instead of tailing: fold merge-on-read history into one "
-        "copy-on-write commit (lake maintenance cron)",
+        help="instead of tailing: fold merge-on-read history down "
+        "(per-bucket: only delta-carrying buckets are rewritten; "
+        "lake maintenance cron). Bound one pass with --compact-max-buckets",
+    )
+    ap.add_argument(
+        "--compact-max-buckets",
+        type=int,
+        default=None,
+        metavar="N",
+        help="with --compact: rewrite at most N buckets this pass, "
+        "deepest delta history first (incremental maintenance)",
+    )
+    ap.add_argument(
+        "--merge-mode",
+        choices=("cow", "mor"),
+        default=None,
+        help="MERGE write mode: cow rewrites affected buckets in full "
+        "(shuffle-free reads), mor appends only the change batch "
+        "(reads reconstruct until --compact). Default: cow",
+    )
+    ap.add_argument(
+        "--compact-every",
+        type=int,
+        default=None,
+        metavar="N",
+        help="mor mode: auto-compact a bucket once it accumulates N "
+        "un-compacted MOR commits (0 = manual only). Default: 8",
     )
     ap.add_argument(
         "--vacuum",
@@ -192,6 +217,10 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["rules"] = rules
     if args.suppress_stale:
         cfg_kwargs["suppress_stale"] = True
+    if args.merge_mode is not None:
+        cfg_kwargs["merge_mode"] = args.merge_mode
+    if args.compact_every is not None:
+        cfg_kwargs["compact_every"] = args.compact_every
     cfg = EngineConfig(**cfg_kwargs)
 
     # metadata / read-only modes: no engine (and no warehouse) needed
@@ -216,7 +245,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.rebucket is not None:
             out["rebucket"] = table.rebucket(args.rebucket)
         if args.compact:
-            out["compact"] = table.compact()
+            out["compact"] = table.compact(max_buckets=args.compact_max_buckets)
         if args.vacuum:
             kwargs = {"keep_last": args.keep_last}
             if args.min_age_seconds is not None:

@@ -114,9 +114,10 @@ class EngineConfig:
     # LakeTable.compact()). Use "mor" when batches touch a small
     # fraction of huge buckets.
     merge_mode: str = "cow"
-    # Auto-compaction bound for mor mode: after this many consecutive
-    # MOR commits the engine folds the history down (compact()),
-    # capping the read-side reconstruction depth. 0 = manual only.
+    # Auto-compaction bound for mor mode: when any bucket's MOR delta
+    # depth reaches this, the engine compacts THOSE buckets
+    # (compact(min_depth=...)), capping the read-side reconstruction
+    # depth with O(hot-buckets) maintenance work. 0 = manual only.
     compact_every: int = 8
     # Snapshot retention: when > 0, the engine vacuums after each
     # merge, keeping this many snapshots (time-travel window) and

@@ -410,6 +410,28 @@ class LakeTable:
         base = int(m.get("epoch_base", -1))
         return base < epoch <= w or epoch in tail
 
+    # ------------------------------------------------------- MOR state
+
+    @staticmethod
+    def _mor_buckets_of(m: dict) -> dict[str, int]:
+        """Per-bucket merge-on-read delta depth: bucket id (string, the
+        ``buckets`` key space) -> number of un-compacted MOR commits
+        whose files that bucket still carries. Buckets absent from the
+        map are CLEAN (exactly one row per key across their files) and
+        read shuffle-free. Legacy manifests recorded only a table-wide
+        ``mor`` flag + depth; for those, every bucket is conservatively
+        treated as MOR at the recorded depth."""
+        if "mor_buckets" in m:
+            return {str(b): int(d) for b, d in m["mor_buckets"].items()}
+        if m.get("mor"):
+            d = int(m.get("mor_depth", 1)) or 1
+            return {b: d for b in m.get("buckets", {})}
+        return {}
+
+    def mor_buckets(self) -> dict[str, int]:
+        """Current per-bucket MOR depth (empty when fully compacted)."""
+        return self._mor_buckets_of(self.manifest())
+
     # ------------------------------------------------------------ create
 
     @classmethod
@@ -496,12 +518,15 @@ class LakeTable:
         int32 files coexist with a widened int64 column.
 
         Copy-on-write snapshots read shuffle-free (pure union of
-        aligned scans). If any MERGE ran in merge-on-read mode
-        (``mor`` flag in the manifest), the read reconstructs the
-        current state: per key, the row from the LATEST commit wins,
+        aligned scans). Buckets carrying merge-on-read deltas
+        (``mor_buckets`` in the manifest, tracked PER BUCKET) are
+        reconstructed: per key, the row from the LATEST commit wins,
         and tombstone rows (MOR deletes) drop the key — one keyed
-        aggregate, pruned to the requested buckets. ``compact()``
-        folds MOR history back into plain files.
+        aggregate over ONLY those buckets' files. Clean buckets join
+        the result through the shuffle-free union path, so at 10^10
+        rows a day of MOR merges touching 1% of buckets costs a
+        reconstruction shuffle of 1% of the table, not all of it.
+        ``compact()`` folds MOR history back into plain files.
 
         ``key_range=(lo, hi)`` additionally drops files whose manifest
         zone map (``file_bounds``, see :meth:`_file_bounds_of`)
@@ -518,29 +543,34 @@ class LakeTable:
         file_lists = m["buckets"]
         wanted = {str(b) for b in buckets} if buckets is not None else None
         fb = m.get("file_bounds", {}) if key_range is not None else {}
-        by_commit: dict[str, list[str]] = {}
+        mor_b = self._mor_buckets_of(m)
+        by_commit: dict[str, list[str]] = {}  # MOR buckets' files
+        clean_by_commit: dict[str, list[str]] = {}  # clean buckets' files
         for b, files in file_lists.items():
             if wanted is not None and b not in wanted:
                 continue
+            target = by_commit if b in mor_b else clean_by_commit
             for rel in files:
                 if key_range is not None and not self._may_contain(
                     fb.get(rel), *key_range
                 ):
                     continue
                 commit = rel.split("/")[1]  # data/commit-XXXX/...
-                by_commit.setdefault(commit, []).append(os.path.join(self.root, rel))
-        if not by_commit:
+                target.setdefault(commit, []).append(os.path.join(self.root, rel))
+        if not by_commit and not clean_by_commit:
             return self.spark.createDataFrame([], schema)
-        if not m.get("mor"):
+        clean = None
+        if clean_by_commit:
             parts = [
                 self._align(self.spark.read.parquet(*files), schema)
-                for files in by_commit.values()
+                for files in clean_by_commit.values()
             ]
-            out = parts[0]
+            clean = parts[0]
             for p in parts[1:]:
-                out = out.unionByName(p)
-            return out
-        # merge-on-read reconstruction
+                clean = clean.unionByName(p)
+        if not by_commit:
+            return clean
+        # merge-on-read reconstruction, over ONLY the MOR buckets
         key = m["key"]
         schema_t = T.StructType(
             list(schema.fields) + [T.StructField(_TOMBSTONE, T.BooleanType(), True)]
@@ -575,12 +605,15 @@ class LakeTable:
             F.struct(*data_cols, _TOMBSTONE),
             F.struct(F.col("_commit"), ~F.col(_TOMBSTONE)),
         ).alias("_w")
-        return (
+        recon = (
             out.groupBy(key)
             .agg(winner)
             .filter(~F.col(f"_w.{_TOMBSTONE}"))
             .select(*[F.col(f"_w.{c}").alias(c) for c in data_cols])
         )
+        # keys are bucket-disjoint (bucket = hash(key) mod n), so the
+        # clean-bucket union and the MOR reconstruction never overlap
+        return recon if clean is None else clean.unionByName(recon)
 
     def lookup(self, value) -> DataFrame:
         """Point read by merge key: O(1/num_buckets) of the table.
@@ -780,6 +813,7 @@ class LakeTable:
             # back verbatim.
             mor=False,
             mor_depth=0,
+            mor_buckets={},
             **epoch_fields,
         )
         return self._commit(m)
@@ -914,12 +948,20 @@ class LakeTable:
                     buckets[bs] = written[bs]
                 else:
                     buckets.pop(bs, None)  # bucket emptied by deletes
+            # a COW rewrite materializes reconstructed state for its
+            # buckets: they leave the MOR set (reads go shuffle-free)
+            morb = self._mor_buckets_of(base)
+            for bs in touched:
+                morb.pop(bs, None)
             mm = dict(base)
             mm.pop("committed_epochs", None)
             mm.update(
                 version=logical,
                 parent=base["version"],
                 operation="merge-cow",
+                mor=bool(morb),
+                mor_depth=max(morb.values(), default=0),
+                mor_buckets=morb,
                 schema=schema2.jsonValue(),
                 buckets=buckets,
                 file_bounds=self._merged_bounds(base, buckets, new_bounds),
@@ -1008,8 +1050,10 @@ class LakeTable:
             schema2 = reconcile(T.StructType.fromJson(base["schema"]), schema)
             evo2 = evolution_actions(T.StructType.fromJson(base["schema"]), schema)
             buckets = dict(base["buckets"])
+            morb = self._mor_buckets_of(base)
             for b, files in written.items():
                 buckets[b] = buckets.get(b, []) + files
+                morb[b] = morb.get(b, 0) + 1
             mm = dict(base)
             mm.pop("committed_epochs", None)
             mm.update(
@@ -1020,7 +1064,8 @@ class LakeTable:
                 buckets=buckets,
                 file_bounds=self._merged_bounds(base, buckets, new_bounds),
                 mor=True,
-                mor_depth=int(base.get("mor_depth", 0)) + 1,
+                mor_depth=max(morb.values(), default=0),
+                mor_buckets=morb,
                 touched=touched,
                 commit_versions=self._map_commit_version(
                     base.get("commit_versions", {}), written, logical, buckets
@@ -1104,31 +1149,87 @@ class LakeTable:
                 expired += 1
         return {"snapshots_expired": expired, "data_dirs_removed": removed_dirs}
 
-    def compact(self) -> dict:
-        """Fold merge-on-read history down: materialize the current
-        reconstructed state as one fresh copy-on-write commit (per-key
-        winners kept, tombstones dropped), after which reads are
-        shuffle-free again. The MOR analogue of Iceberg's rewrite_data_files."""
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        min_depth: int = 1,
+        max_buckets: int | None = None,
+    ) -> dict:
+        """Fold merge-on-read history down — PER BUCKET: rewrite only
+        the buckets carrying MOR deltas (per-key winners kept,
+        tombstones dropped) as one fresh commit; clean buckets' files
+        are carried forward untouched. The MOR analogue of Iceberg's
+        ``rewrite_data_files`` with a filter: at 10^10 rows, a day of
+        merges touching 1% of buckets compacts 1% of the table, not
+        a full-table rewrite.
+
+        ``buckets`` restricts candidates; ``min_depth`` skips buckets
+        whose delta depth is still shallow (reads there pay only a
+        small reconstruction); ``max_buckets`` bounds one maintenance
+        pass's work, deepest buckets first — together they make
+        compaction an incremental background job with a bounded pause,
+        not a stop-the-world rewrite.
+
+        Publishes through the optimistic rebase path with the
+        compacted buckets as the touched set: concurrent merges to
+        OTHER buckets interleave freely; a merge landing in a bucket
+        being compacted aborts the compaction (ConcurrentCommitError)
+        rather than losing its delta — compaction is retryable
+        maintenance, the merge is data."""
         m = self.manifest()
-        if not m.get("mor"):
+        morb = self._mor_buckets_of(m)
+        cand = {b: d for b, d in morb.items() if d >= min_depth}
+        if buckets is not None:
+            wanted = {str(b) for b in buckets}
+            cand = {b: d for b, d in cand.items() if b in wanted}
+        order = sorted(cand, key=lambda b: (-cand[b], int(b)))
+        if max_buckets is not None:
+            order = order[:max_buckets]
+        if not order:
             return {"version": m["version"], "compacted": False}
         schema = T.StructType.fromJson(m["schema"])
-        state = self.read()  # MOR reconstruction over the old files
+        # MOR reconstruction over ONLY the candidate buckets' files
+        state = self.read(buckets=[int(b) for b in order])
         version = m["version"] + 1
         data = self._bucket_col(self._align(state, schema), m["key"], m["num_buckets"])
         written = self._write_commit(data, version)
-        mm = dict(m)
-        mm.update(
-            version=version,
-            parent=m["version"],
-            operation="compact",
-            buckets=written,
-            file_bounds=self._file_bounds_of(written),
-            mor=False,
-            mor_depth=0,
-        )
-        self._commit(mm)
-        return {"version": version, "compacted": True}
+        new_bounds = self._file_bounds_of(written)
+        touched = list(order)
+
+        def rebuild(base: dict) -> dict:
+            logical = base["version"] + 1
+            bmap = dict(base["buckets"])
+            bmorb = self._mor_buckets_of(base)
+            for b in touched:
+                if b in written:
+                    bmap[b] = written[b]
+                else:
+                    bmap.pop(b, None)  # bucket fully tombstoned away
+                bmorb.pop(b, None)
+            mm = dict(base)
+            mm.update(
+                version=logical,
+                parent=base["version"],
+                operation="compact",
+                buckets=bmap,
+                file_bounds=self._merged_bounds(base, bmap, new_bounds),
+                mor=bool(bmorb),
+                mor_depth=max(bmorb.values(), default=0),
+                mor_buckets=bmorb,
+                touched=touched,
+                commit_versions=self._map_commit_version(
+                    base.get("commit_versions", {}), written, logical, bmap
+                ),
+            )
+            return mm
+
+        mm = self._publish_with_rebase(m["version"], touched, rebuild)
+        return {
+            "version": mm["version"],
+            "compacted": True,
+            "buckets_compacted": len(touched),
+            "mor_buckets_remaining": len(mm.get("mor_buckets", {})),
+        }
 
     def rebucket(self, new_num_buckets: int) -> dict:
         """Migrate the table to a different bucket count as one special
@@ -1164,6 +1265,7 @@ class LakeTable:
             file_bounds=self._file_bounds_of(written),
             mor=False,
             mor_depth=0,
+            mor_buckets={},
         )
         self._commit(mm)
         return {

@@ -448,13 +448,15 @@ class CdcEngine:
                     mode=self.config.merge_mode,
                 )
                 # bound the merge-on-read reconstruction depth:
-                # fold history down every N MOR commits
+                # compact ONLY the buckets whose per-bucket delta depth
+                # reached the threshold — the maintenance pause is
+                # O(hot buckets), never a full-table rewrite
                 if (
                     self.config.merge_mode == "mor"
                     and self.config.compact_every
                     and merge_info.get("mor_depth", 0) >= self.config.compact_every
                 ):
-                    self.table.compact()
+                    self.table.compact(min_depth=self.config.compact_every)
                 # snapshot retention policy (expire + orphan GC);
                 # min_age spares a concurrent writer's in-flight
                 # commit dirs (see EngineConfig.vacuum_min_age_seconds)

@@ -205,3 +205,54 @@ def test_cli_reprocess_quarantine_mode_args(spark, tmp_warehouse, capsys):
         "deletes_applied": 0,
         "stale_skipped": 0,
     }
+
+
+def test_cli_merge_mode_mor_and_partial_compact(spark, tmp_warehouse, capsys):
+    """--merge-mode mor applies through MOR appends; replay stays
+    idempotent (version unchanged); --compact --compact-max-buckets
+    folds the history down incrementally, deepest buckets first."""
+    from dexspark import cli
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=800, n_docs=100, n_epochs=2, max_len=8, anomaly_pct=10
+        ),
+        binlog,
+    )
+    root = os.path.join(tmp_warehouse, "seq")
+    args = [
+        "--table", root,
+        "--binlog", binlog,
+        "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+        "--warehouse", os.path.join(tmp_warehouse, "wh"),
+        "--num-buckets", "4",
+        "--merge-mode", "mor", "--compact-every", "0",
+    ]
+    assert cli.main(["--create"] + args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["committed_epochs"] == [0, 1]
+    table = LakeTable(spark, root)
+    v = table.current_version()
+    dirty = table.mor_buckets()
+    assert dirty  # the apply landed as MOR appends
+    want = {r["doc_id"]: r["tokens"] for r in table.read().collect()}
+
+    # replay: no version bump, no state change
+    assert cli.main(args) == 0
+    capsys.readouterr()
+    assert LakeTable(spark, root).current_version() == v
+
+    # incremental maintenance: one bucket per pass until clean
+    remaining = len(dirty)
+    while remaining:
+        assert cli.main(["--table", root, "--compact",
+                         "--compact-max-buckets", "1"]) == 0
+        info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert info["compact"]["compacted"] is True
+        assert info["compact"]["buckets_compacted"] == 1
+        remaining -= 1
+        assert info["compact"]["mor_buckets_remaining"] == remaining
+    t2 = LakeTable(spark, root)
+    assert t2.mor_buckets() == {}
+    assert {r["doc_id"]: r["tokens"] for r in t2.read().collect()} == want
