@@ -78,6 +78,24 @@ def main(argv: list[str] | None = None) -> int:
         help="instead of tailing: print the retained snapshot lineage",
     )
     ap.add_argument(
+        "--tag",
+        metavar="NAME[=VERSION]",
+        help="instead of tailing: pin a snapshot under an immutable "
+        "named ref (default: current version) — the dataset-provenance "
+        "pin a training run records; vacuum retains tagged snapshots",
+    )
+    ap.add_argument(
+        "--drop-tag",
+        metavar="NAME",
+        help="instead of tailing: remove a tag (its snapshot re-enters "
+        "the normal vacuum retention policy)",
+    )
+    ap.add_argument(
+        "--tags",
+        action="store_true",
+        help="instead of tailing: print all tags as {name: version}",
+    )
+    ap.add_argument(
         "--lookup",
         metavar="KEY",
         help="instead of tailing: point-read one key (bucket prune + "
@@ -172,6 +190,9 @@ def main(argv: list[str] | None = None) -> int:
         or args.scan_range is not None
         or args.compact_binlog is not None
         or args.reprocess_quarantine
+        or args.tag is not None
+        or args.drop_tag is not None
+        or args.tags
         or maintenance
     )
     if tailing and not (args.binlog and args.checkpoint and args.warehouse):
@@ -226,6 +247,17 @@ def main(argv: list[str] | None = None) -> int:
     # metadata / read-only modes: no engine (and no warehouse) needed
     if args.history:
         print(json.dumps(table.history()))
+        return 0
+    if args.tag is not None:
+        name, _, v = args.tag.partition("=")
+        print(json.dumps(table.tag(name, int(v) if v else None)))
+        return 0
+    if args.drop_tag is not None:
+        table.drop_tag(args.drop_tag)
+        print(json.dumps({"dropped": args.drop_tag}))
+        return 0
+    if args.tags:
+        print(json.dumps(table.tags()))
         return 0
     if args.lookup is not None:
         rows = [r.asDict(recursive=True) for r in table.lookup(args.lookup).collect()]

@@ -56,6 +56,7 @@ from .schema import evolution_actions, reconcile
 
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
+_REFS_DIR = "_refs"
 _TOMBSTONE = "_tombstone"  # MOR delete marker column inside commit files
 
 
@@ -193,6 +194,8 @@ class LakeTable:
         times). Parsing stays per-call: writers mutate the returned
         dict when building the next manifest, so handing out a shared
         parsed object would let one caller corrupt another's view."""
+        if isinstance(version, str):
+            version = self.ref_version(version)
         v = self.current_version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"no snapshot at {self.root}")
@@ -503,7 +506,7 @@ class LakeTable:
     def read(
         self,
         buckets: list[int] | None = None,
-        version: int | None = None,
+        version: int | str | None = None,
         key_range: tuple | None = None,
     ) -> DataFrame:
         """Snapshot as a DataFrame (optionally bucket-pruned).
@@ -511,7 +514,9 @@ class LakeTable:
         ``version`` time-travels to an earlier snapshot: manifests are
         immutable and data files are content-addressed per commit, so
         any retained version reads exactly as it was (Iceberg
-        ``VERSION AS OF``). Default: current.
+        ``VERSION AS OF``). A string is resolved as a tag name
+        (:meth:`tag` — the pinned-dataset provenance read). Default:
+        current.
 
         Files are grouped by commit (a commit's files share one schema)
         and each group is aligned to the table schema — this is how old
@@ -1096,7 +1101,9 @@ class LakeTable:
         """Expire old snapshots and remove unreferenced data dirs.
 
         Keeps the newest ``keep_last`` snapshot manifests (time-travel
-        window) and deletes every data commit dir referenced by NONE of
+        window) PLUS every snapshot pinned by a tag (``tag()`` — a
+        training run's dataset pin must survive any retention policy),
+        and deletes every data commit dir referenced by NONE of
         them — expired history and crash orphans alike. Dirs younger
         than ``min_age_seconds`` are spared so an in-flight writer's
         not-yet-committed files survive (the Iceberg
@@ -1122,6 +1129,7 @@ class LakeTable:
                 "refusing to vacuum (everything would be treated as orphan)"
             )
         retained = set(versions[-max(1, keep_last):])
+        retained |= {v for v in self.tags().values() if v in set(versions)}
         referenced: set[str] = set()
         for v in retained:
             for files in self.manifest(v)["buckets"].values():
@@ -1273,6 +1281,63 @@ class LakeTable:
             "rebucketed": True,
             "num_buckets": new_num_buckets,
         }
+
+    # ------------------------------------------------------------ refs
+
+    @staticmethod
+    def _ref_name_ok(name: str) -> bool:
+        return bool(name) and all(c.isalnum() or c in "-_." for c in name)
+
+    def _ref_path(self, name: str) -> str:
+        return os.path.join(self.root, _REFS_DIR, f"tag-{name}.json")
+
+    def tag(self, name: str, version: int | None = None) -> dict:
+        """Pin a snapshot under an immutable named ref (the Iceberg
+        tag idea): ``read(version="train-run-17")`` then reproduces
+        the exact dataset state forever — the provenance surface a
+        training-data lake needs ("which table state did run X see?").
+
+        Tags are IMMUTABLE and concurrent-safe: the ref file is
+        published with the same conditional put as manifests, so two
+        writers racing the same name get exactly one winner. Re-pointing
+        requires an explicit ``drop_tag`` first (mirroring Iceberg's
+        replace-tag being a distinct, deliberate operation).
+        ``vacuum()`` retains every tagged snapshot and its data files
+        regardless of ``keep_last``."""
+        if not self._ref_name_ok(name):
+            raise ValueError(
+                f"invalid tag name {name!r}: use alphanumerics, '-', '_', '.'"
+            )
+        v = self.current_version() if version is None else int(version)
+        # fail fast on a dangling pin: the manifest must exist NOW
+        # (expired or never-committed versions can't be tagged)
+        self.manifest(v)
+        self.io.put_if_absent(
+            self._ref_path(name), json.dumps({"name": name, "version": v})
+        )
+        return {"name": name, "version": v}
+
+    def drop_tag(self, name: str) -> None:
+        self.io.delete(self._ref_path(name))
+
+    def tags(self) -> dict[str, int]:
+        """name -> pinned snapshot version, for every live tag."""
+        refs_dir = os.path.join(self.root, _REFS_DIR)
+        out: dict[str, int] = {}
+        for n in self.io.list_dir(refs_dir):
+            if n.startswith("tag-") and n.endswith(".json"):
+                doc = json.loads(self.io.read_text(os.path.join(refs_dir, n)))
+                out[doc["name"]] = int(doc["version"])
+        return out
+
+    def ref_version(self, name: str) -> int:
+        try:
+            doc = json.loads(self.io.read_text(self._ref_path(name)))
+        except (FileNotFoundError, OSError):
+            raise FileNotFoundError(
+                f"no tag {name!r} at {self.root}"
+            ) from None
+        return int(doc["version"])
 
     # ------------------------------------------------------------ changelog
 

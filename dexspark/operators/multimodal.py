@@ -56,11 +56,14 @@ def decode_media_stub(df: DataFrame) -> DataFrame:
         for pdf in it:
             pdf = pdf.copy()
             payloads = pdf["payload"]
-            n_bytes = payloads.map(lambda b: 0 if b is None else len(b)).astype("int32")
+            # vectorized length over the Arrow-backed bytes column; the
+            # per-item digest below is the codec stand-in itself (a real
+            # decoder is inherently per-payload work at this plug point)
+            n_bytes = payloads.str.len().fillna(0).astype("int32")
             digests = payloads.map(
                 lambda b: hashlib.sha256(b or b"").hexdigest()
             )
-            seed = digests.map(lambda h: int(h[:8], 16))
+            seed = digests.str[:8].apply(int, base=16)
             pdf["n_bytes"] = n_bytes
             pdf["width"] = (seed % 1920 + 1).astype("int32")
             pdf["height"] = (seed // 1920 % 1080 + 1).astype("int32")

@@ -256,3 +256,43 @@ def test_cli_merge_mode_mor_and_partial_compact(spark, tmp_warehouse, capsys):
     t2 = LakeTable(spark, root)
     assert t2.mor_buckets() == {}
     assert {r["doc_id"]: r["tokens"] for r in t2.read().collect()} == want
+
+
+def test_cli_tag_modes(spark, tmp_warehouse, capsys):
+    """--tag / --tags / --drop-tag run as read-only modes (no binlog/
+    checkpoint/warehouse needed) and pin through the same refs the
+    library API reads."""
+    from dexspark import cli
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=200, n_docs=40, n_epochs=1, max_len=8, anomaly_pct=0
+        ),
+        binlog,
+    )
+    root = os.path.join(tmp_warehouse, "seq")
+    assert cli.main([
+        "--table", root, "--binlog", binlog,
+        "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+        "--warehouse", os.path.join(tmp_warehouse, "wh"),
+        "--create", "--num-buckets", "4",
+    ]) == 0
+    capsys.readouterr()
+    v = LakeTable(spark, root).current_version()
+
+    assert cli.main(["--table", root, "--tag", "prod"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {
+        "name": "prod", "version": v,
+    }
+    assert cli.main(["--table", root, "--tag", f"pinned={v}"]) == 0
+    capsys.readouterr()
+    assert cli.main(["--table", root, "--tags"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {
+        "prod": v, "pinned": v,
+    }
+    assert LakeTable(spark, root).read(version="prod").count() > 0
+    assert cli.main(["--table", root, "--drop-tag", "pinned"]) == 0
+    capsys.readouterr()
+    assert cli.main(["--table", root, "--tags"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {"prod": v}

@@ -672,3 +672,53 @@ def test_merge_bucket_hint_invalidated_by_rebucket(spark, tmp_warehouse):
     rows = {r["doc_id"]: r.asDict(recursive=True) for r in t.read().collect()}
     assert len(rows) == 40
     assert rows["d3"]["tokens"] == [99] and rows["d3"]["source"] == "wiki"
+
+
+# ------------------------------------------------------------- tags
+
+
+def test_tag_pins_snapshot_through_vacuum(spark, table):
+    """A tagged snapshot (a training run's dataset pin) must read back
+    exactly — by name — after further merges AND after a vacuum whose
+    keep_last would otherwise expire it."""
+    pinned = _rows(table)
+    info = table.tag("train-run-17")
+    assert info["version"] == table.current_version()
+    for i in range(3):
+        table.merge(
+            spark.createDataFrame(
+                [("a", [100 + i], 1, "web")], schema=sequences_schema()
+            ),
+            epochs=[i],
+        )
+    table.vacuum(keep_last=1, min_age_seconds=0)
+    got = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in table.read(version="train-run-17").collect()
+    }
+    assert got == pinned  # the pin survived retention
+    assert _rows(table)["a"]["tokens"] == [102]  # current state unaffected
+    assert table.tags() == {"train-run-17": info["version"]}
+
+    # dropping the tag releases it back to the retention policy
+    table.drop_tag("train-run-17")
+    assert table.tags() == {}
+    table.vacuum(keep_last=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        table.read(version="train-run-17")
+
+
+def test_tag_is_immutable_and_validated(table):
+    table.tag("v1.0")
+    with pytest.raises(ConcurrentCommitError):
+        table.tag("v1.0")  # re-pointing requires an explicit drop first
+    with pytest.raises(ValueError):
+        table.tag("bad/name")
+    with pytest.raises(FileNotFoundError):
+        table.tag("dangling", version=999)  # can't pin a missing snapshot
+    with pytest.raises(FileNotFoundError):
+        table.ref_version("never-made")
+    # explicit-version pin + re-point via drop
+    table.drop_tag("v1.0")
+    table.tag("v1.0", version=table.current_version())
+    assert table.ref_version("v1.0") == table.current_version()

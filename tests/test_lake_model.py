@@ -84,7 +84,13 @@ def _apply_random_ops(spark, table, rng, n_ops):
             table.delete_where(f"source = '{src}'", mode=rng.choice(["cow", "mor"]))
             model = {k: v for k, v in model.items() if v[2] != src}
         elif op == "compact":
-            table.compact()
+            # randomly a full fold-down, a depth-gated pass, or a
+            # bounded partial pass (deepest buckets first) — partial
+            # compaction must be state-identity like the full one
+            table.compact(
+                min_depth=rng.choice([1, 1, 2]),
+                max_buckets=rng.choice([None, 1, 2]),
+            )
         elif op == "rebucket":
             table.rebucket(rng.choice([2, 4, 8]))
         else:  # overwrite
