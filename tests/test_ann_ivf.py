@@ -131,3 +131,119 @@ def test_plan_broadcasts_and_no_python(emb, index):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+# --------------------------------------- CDC-maintained index table
+
+
+def test_sync_index_tracks_source_changes_exactly(spark, tmp_path, emb):
+    """The persisted IVF index, maintained ONLY through the source
+    table's changelog (changes() -> sync_index), must equal a fresh
+    full rebuild of the current source state after every refresh —
+    upserts re-assigned, updated vectors re-celled, deletes dropped."""
+    from pyspark.sql import types as T
+
+    from dexspark.lake import LakeTable
+    from dexspark.operators.ann import (
+        centroids,
+        index_schema,
+        read_index,
+        search,
+        sync_index,
+    )
+
+    src_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("embedding", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+    base = emb.limit(40).localCheckpoint(eager=True)
+    cts = centroids(base, N_CELLS).localCheckpoint(eager=True)
+
+    source = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "src"), src_schema,
+        key="vec_id", num_buckets=4,
+    )
+    source.overwrite(base)
+    # seed the index from the initial changelog (create -> v_overwrite)
+    index = LakeTable.create(
+        spark, os.path.join(str(tmp_path), "idx"), index_schema(),
+        key="vec_id", num_buckets=4,
+    )
+    synced_v = 0
+
+    def refresh():
+        nonlocal synced_v
+        cur = source.current_version()
+        if cur > synced_v:
+            sync_index(index, source.changes(synced_v, cur), cts)
+            synced_v = cur
+
+    def assert_matches_rebuild():
+        want = {
+            (r["vec_id"], tuple(r["embedding"]), r["cell"])
+            for r in build_index(source.read(), n_cells=N_CELLS, cts=cts).collect()
+        }
+        got = {
+            (r["vec_id"], tuple(r["embedding"]), r["cell"])
+            for r in index.read().collect()
+        }
+        assert got == want
+
+    refresh()
+    assert_matches_rebuild()
+
+    # update 3 vectors to NEW values (forcing re-cell), insert 2, delete 2
+    upd = base.filter(F.col("vec_id").isin(10, 11, 12)).select(
+        "vec_id",
+        F.reverse("embedding").alias("embedding"),
+    )
+    ins = base.filter(F.col("vec_id").isin(0, 1)).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        "embedding",
+    )
+    source.merge(upd.unionByName(ins), epochs=[1])
+    source.merge(
+        spark.createDataFrame([], src_schema),
+        delete_keys=spark.createDataFrame([(20,), (21,)], "vec_id long"),
+        epochs=[2],
+        mode="mor",
+    )
+    refresh()
+    assert_matches_rebuild()
+
+    # a key updated then deleted across the SAME changelog window must
+    # land deleted (latest-commit-wins inside sync_index)
+    source.merge(
+        base.filter(F.col("vec_id") == 30).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        ),
+        epochs=[3],
+    )
+    source.merge(
+        spark.createDataFrame([], src_schema),
+        delete_keys=spark.createDataFrame([(30,)], "vec_id long"),
+        epochs=[4],
+    )
+    refresh()
+    assert_matches_rebuild()
+    assert index.read().filter(F.col("vec_id") == 30).count() == 0
+
+    # the maintained index searches identically to a fresh build
+    queries = source.read().filter(F.col("vec_id") < 5)
+    want = {
+        (r["query_id"], r["rk"], r["neighbor_id"])
+        for r in search(
+            build_index(source.read(), n_cells=N_CELLS, cts=cts),
+            queries, k=3, nprobe=N_CELLS, n_cells=N_CELLS, cts=cts,
+        ).collect()
+    }
+    got = {
+        (r["query_id"], r["rk"], r["neighbor_id"])
+        for r in search(
+            read_index(index), queries, k=3,
+            nprobe=N_CELLS, n_cells=N_CELLS, cts=cts,
+        ).collect()
+    }
+    assert got == want
