@@ -191,7 +191,9 @@ def index_schema(id_type=None):
     )
 
 
-def sync_index(index_table, changes: DataFrame, cts: DataFrame) -> dict:
+def sync_index(
+    index_table, changes: DataFrame, cts: DataFrame, epochs=None
+) -> dict:
     """Apply a table changelog to a PERSISTED IVF index — the
     north-star's downstream consumer ("index builders ... tail the
     lake instead of re-reading snapshots") made concrete: the source
@@ -241,7 +243,33 @@ def sync_index(index_table, changes: DataFrame, cts: DataFrame) -> dict:
         F.col("cell").cast("int").alias("cell"),
     )
     dels = latest.filter(F.col("_change_type") == "delete").select("vec_id")
-    return index_table.merge(ups, delete_keys=dels, mode="mor")
+    return index_table.merge(ups, delete_keys=dels, mode="mor", epochs=epochs)
+
+
+def sync_index_from_table(source, index_table, cts: DataFrame) -> dict:
+    """Exactly-once incremental index maintenance, cursor included.
+
+    The consumer offset ("which source version have I indexed
+    through?") is NOT a separate checkpoint file: source versions are
+    recorded as the index table's own EPOCH MARKERS, so the data merge
+    and the cursor advance are one atomic manifest publish — the same
+    exactly-once construction the ingest engine uses for binlog
+    epochs, reused wholesale. A crash at any point either committed
+    the merge WITH its markers or committed nothing; re-running is a
+    no-op (``cur <= synced``) or a clean resume. The marker set stays
+    O(1) in the manifest via the standard watermark compaction."""
+    watermark, _tail = index_table.epoch_state()
+    synced = max(watermark, 0)
+    cur = source.current_version()
+    if cur <= synced:
+        return {"synced_through": synced, "applied": False}
+    info = sync_index(
+        index_table,
+        source.changes(synced, cur),
+        cts,
+        epochs=list(range(synced + 1, cur + 1)),
+    )
+    return {"synced_through": cur, "applied": True, **info}
 
 
 def read_index(index_table) -> DataFrame:

@@ -149,7 +149,7 @@ def test_sync_index_tracks_source_changes_exactly(spark, tmp_path, emb):
         index_schema,
         read_index,
         search,
-        sync_index,
+        sync_index_from_table,
     )
 
     src_schema = T.StructType(
@@ -171,14 +171,8 @@ def test_sync_index_tracks_source_changes_exactly(spark, tmp_path, emb):
         spark, os.path.join(str(tmp_path), "idx"), index_schema(),
         key="vec_id", num_buckets=4,
     )
-    synced_v = 0
-
     def refresh():
-        nonlocal synced_v
-        cur = source.current_version()
-        if cur > synced_v:
-            sync_index(index, source.changes(synced_v, cur), cts)
-            synced_v = cur
+        return sync_index_from_table(source, index, cts)
 
     def assert_matches_rebuild():
         want = {
@@ -191,8 +185,15 @@ def test_sync_index_tracks_source_changes_exactly(spark, tmp_path, emb):
         }
         assert got == want
 
-    refresh()
+    assert refresh()["applied"] is True
     assert_matches_rebuild()
+    # the cursor rides the index table's own epoch markers: replay of
+    # an already-synced window is a structured no-op (exactly-once)
+    v_idx = index.current_version()
+    assert refresh() == {
+        "synced_through": source.current_version(), "applied": False,
+    }
+    assert index.current_version() == v_idx
 
     # update 3 vectors to NEW values (forcing re-cell), insert 2, delete 2
     upd = base.filter(F.col("vec_id").isin(10, 11, 12)).select(
