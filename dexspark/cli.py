@@ -160,6 +160,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--keep-last", type=int, default=2, help="snapshots to retain for --vacuum")
     ap.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="with --vacuum: report what would be expired/removed "
+        "without deleting anything",
+    )
+    ap.add_argument(
+        "--set-property",
+        action="append",
+        metavar="KEY=VALUE",
+        default=None,
+        help="instead of tailing: ALTER TABLE SET TBLPROPERTIES — "
+        "manifest-only commit steering future writes (sort_on_write, "
+        "bloom_filter_key, zone_maps); KEY= (empty value) unsets; "
+        "repeatable",
+    )
+    ap.add_argument(
         "--min-age-seconds",
         type=float,
         default=None,
@@ -179,6 +195,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.vacuum
         or args.rebucket is not None
         or args.delete_where is not None
+        or args.set_property is not None
     )
     # `is not None`, matching the dispatch below: an EMPTY-STRING
     # operand (e.g. --lookup "" from an unquoted shell variable) is
@@ -278,8 +295,14 @@ def main(argv: list[str] | None = None) -> int:
             out["rebucket"] = table.rebucket(args.rebucket)
         if args.compact:
             out["compact"] = table.compact(max_buckets=args.compact_max_buckets)
+        if args.set_property is not None:
+            props = {}
+            for kv in args.set_property:
+                k, _, v = kv.partition("=")
+                props[k] = v if v != "" else None
+            out["properties"] = table.alter_properties(props)
         if args.vacuum:
-            kwargs = {"keep_last": args.keep_last}
+            kwargs = {"keep_last": args.keep_last, "dry_run": args.dry_run}
             if args.min_age_seconds is not None:
                 kwargs["min_age_seconds"] = args.min_age_seconds
             out["vacuum"] = table.vacuum(**kwargs)

@@ -266,7 +266,10 @@ class LakeTable:
                             f"cannot rebase: intervening snapshot {v} expired"
                         ) from None
                     op = mi.get("operation", "")
-                    if op in ("compact", "merge-noop"):
+                    # state-identity commits for every bucket's DATA:
+                    # compact rewrites content-equal files, noop and
+                    # alter-properties touch only manifest metadata
+                    if op in ("compact", "merge-noop", "alter-properties"):
                         continue
                     t = mi.get("touched")
                     if op.startswith("merge-") and t is not None and ours.isdisjoint(t):
@@ -1096,7 +1099,10 @@ class LakeTable:
     DEFAULT_VACUUM_MIN_AGE = 3600.0
 
     def vacuum(
-        self, keep_last: int = 1, min_age_seconds: float = DEFAULT_VACUUM_MIN_AGE
+        self,
+        keep_last: int = 1,
+        min_age_seconds: float = DEFAULT_VACUUM_MIN_AGE,
+        dry_run: bool = False,
     ) -> dict:
         """Expire old snapshots and remove unreferenced data dirs.
 
@@ -1110,7 +1116,11 @@ class LakeTable:
         expire_snapshots + remove_orphan_files pair in one pass).
         ``min_age_seconds`` defaults to an hour; pass 0 ONLY when no
         concurrent writer can exist (tests, single-writer shutdown) —
-        _commit never re-validates that referenced data files exist."""
+        _commit never re-validates that referenced data files exist.
+
+        ``dry_run=True`` deletes nothing and additionally returns the
+        doomed snapshot versions and data dirs — the operator preview
+        before pointing a retention cron at a production table."""
         import time as _time
 
         snap_dir = os.path.join(self.root, _SNAP_DIR)
@@ -1135,7 +1145,7 @@ class LakeTable:
             for files in self.manifest(v)["buckets"].values():
                 for rel in files:
                     referenced.add(rel.split("/")[1])
-        removed_dirs = 0
+        doomed_dirs: list[str] = []
         data_root = os.path.join(self.root, _DATA_DIR)
         now = _time.time()
         for d in self.io.list_dir(data_root):
@@ -1144,18 +1154,28 @@ class LakeTable:
                 continue
             if now - self.io.mtime(p) < min_age_seconds:
                 continue
-            self.io.remove_tree(p)
-            removed_dirs += 1
-        expired = 0
-        for v in versions:
-            if v not in retained:
+            if not dry_run:
+                self.io.remove_tree(p)
+            doomed_dirs.append(d)
+        doomed_versions = [v for v in versions if v not in retained]
+        if not dry_run:
+            for v in doomed_versions:
                 self.io.delete(self._snap_path(v))
                 # keep expiry observable through THIS instance:
                 # time-travel to an expired version must fail rather
                 # than serve a snapshot whose data dirs are gone
                 self._mcache.pop(v, None)
-                expired += 1
-        return {"snapshots_expired": expired, "data_dirs_removed": removed_dirs}
+        out = {
+            "snapshots_expired": len(doomed_versions),
+            "data_dirs_removed": len(doomed_dirs),
+        }
+        if dry_run:
+            out.update(
+                dry_run=True,
+                doomed_versions=doomed_versions,
+                doomed_dirs=doomed_dirs,
+            )
+        return out
 
     def compact(
         self,
@@ -1281,6 +1301,42 @@ class LakeTable:
             "rebucketed": True,
             "num_buckets": new_num_buckets,
         }
+
+    # ------------------------------------------------------- properties
+
+    def alter_properties(self, props: dict) -> dict:
+        """Change table properties as a manifest-only commit (the
+        Iceberg ``ALTER TABLE SET TBLPROPERTIES`` idea): merge
+        ``props`` into the current set; a ``None`` value unsets a key.
+
+        Properties steer FUTURE writes only (``sort_on_write``,
+        ``bloom_filter_key``, ``zone_maps``), so flipping one on a
+        live 10^10-row table costs one conditional put — existing
+        files pick the feature up as merges/compaction naturally
+        rewrite them, no stop-the-world rewrite. Publishes through the
+        rebase path with an empty touched set: concurrent merges and
+        this commit never conflict in either direction."""
+        m = self.manifest()
+
+        def rebuild(base: dict) -> dict:
+            merged = dict(base.get("properties", {}) or {})
+            for k, v in props.items():
+                if v is None:
+                    merged.pop(k, None)
+                else:
+                    merged[k] = v
+            mm = dict(base)
+            mm.update(
+                version=base["version"] + 1,
+                parent=base["version"],
+                operation="alter-properties",
+                properties=merged,
+                touched=[],
+            )
+            return mm
+
+        mm = self._publish_with_rebase(m["version"], [], rebuild)
+        return {"version": mm["version"], "properties": mm["properties"]}
 
     # ------------------------------------------------------------ refs
 
@@ -1472,7 +1528,8 @@ class LakeTable:
             op = m.get("operation", "diff")
             schema = T.StructType.fromJson(m["schema"])
             data_cols = [f.name for f in schema.fields]
-            if op in ("compact", "rebucket", "merge-noop", "create"):
+            if op in ("compact", "rebucket", "merge-noop", "create",
+                      "alter-properties"):
                 continue
             if op == "merge-mor":
                 files = self._commit_files(m, v)

@@ -296,3 +296,39 @@ def test_cli_tag_modes(spark, tmp_warehouse, capsys):
     capsys.readouterr()
     assert cli.main(["--table", root, "--tags"]) == 0
     assert json.loads(capsys.readouterr().out.strip()) == {"prod": v}
+
+
+def test_cli_set_property_and_vacuum_dry_run(spark, tmp_warehouse, capsys):
+    from dexspark import cli
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=200, n_docs=40, n_epochs=2, max_len=8, anomaly_pct=0
+        ),
+        binlog,
+    )
+    root = os.path.join(tmp_warehouse, "seq")
+    assert cli.main([
+        "--table", root, "--binlog", binlog,
+        "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+        "--warehouse", os.path.join(tmp_warehouse, "wh"),
+        "--create", "--num-buckets", "4",
+    ]) == 0
+    capsys.readouterr()
+    assert cli.main([
+        "--table", root,
+        "--set-property", "bloom_filter_key=doc_id",
+        "--set-property", "sort_on_write=1",
+        "--vacuum", "--keep-last", "1", "--min-age-seconds", "0", "--dry-run",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["properties"]["properties"]["bloom_filter_key"] == "doc_id"
+    assert out["vacuum"]["dry_run"] is True
+    t = LakeTable(spark, root)
+    # dry run deleted nothing
+    assert t.manifest(1)["operation"] == "create"
+    # unset via empty value
+    assert cli.main(["--table", root, "--set-property", "sort_on_write="]) == 0
+    capsys.readouterr()
+    assert "sort_on_write" not in t.manifest()["properties"]

@@ -722,3 +722,88 @@ def test_tag_is_immutable_and_validated(table):
     table.drop_tag("v1.0")
     table.tag("v1.0", version=table.current_version())
     assert table.ref_version("v1.0") == table.current_version()
+
+
+# ----------------------------------------------- property evolution
+
+
+def test_alter_properties_steers_future_writes(spark, table):
+    """Flipping sort_on_write on a live table is one manifest-only
+    commit; the next merge's files come out key-ordered while existing
+    files are untouched (no stop-the-world rewrite)."""
+    import pyarrow.parquet as pq
+
+    v0 = table.current_version()
+    info = table.alter_properties({"sort_on_write": True, "note": "ops"})
+    assert info["version"] == v0 + 1
+    assert table.manifest()["properties"]["sort_on_write"] is True
+    # manifest-only: no data dir was written for this version
+    assert table.manifest()["buckets"] == table.manifest(v0)["buckets"]
+
+    rows = [(f"z{i:03d}", [i], 1, "web") for i in range(50)]
+    table.merge(
+        spark.createDataFrame(rows, schema=sequences_schema()), epochs=[0]
+    )
+    m = table.manifest()
+    new_files = [
+        f
+        for b, fs in m["buckets"].items()
+        for f in fs
+        if f not in set(sum(table.manifest(v0)["buckets"].values(), []))
+    ]
+    assert new_files
+    for rel in new_files:
+        keys = pq.read_table(
+            os.path.join(table.root, rel), columns=["doc_id"]
+        ).column("doc_id").to_pylist()
+        assert keys == sorted(keys)  # sort-on-write took effect
+    # unset returns the table to default behavior
+    table.alter_properties({"sort_on_write": None})
+    assert "sort_on_write" not in table.manifest()["properties"]
+    # state unchanged throughout
+    assert len(_rows(table)) == 53
+
+
+def test_merge_rebases_over_alter_properties(spark, table):
+    """An alter-properties commit landing mid-merge is state-identity
+    for every bucket: the merge must rebase over it, not abort."""
+    from dexspark.lake import LocalFileIO
+
+    class RaceOnce(LocalFileIO):
+        def __init__(self, race):
+            self._race, self._armed = race, True
+
+        def put_if_absent(self, path, data):
+            if self._armed and os.sep + "snap-" in path:
+                self._armed = False
+                self._race()
+            return super().put_if_absent(path, data)
+
+    other = LakeTable(spark, table.root)
+    racer = LakeTable(
+        spark, table.root,
+        io=RaceOnce(lambda: other.alter_properties({"note": "raced"})),
+    )
+    racer.merge(
+        spark.createDataFrame([("r", [1], 1, "web")], schema=sequences_schema()),
+        epochs=[5],
+    )
+    t2 = LakeTable(spark, table.root)
+    assert t2.manifest()["properties"]["note"] == "raced"
+    assert _rows(t2)["r"]["tokens"] == [1]
+
+
+def test_vacuum_dry_run_previews_without_deleting(spark, table):
+    table.merge(
+        spark.createDataFrame([("x", [9], 1, "web")], schema=sequences_schema()),
+        epochs=[0],
+    )
+    preview = table.vacuum(keep_last=1, min_age_seconds=0, dry_run=True)
+    assert preview["dry_run"] is True
+    assert preview["snapshots_expired"] == len(preview["doomed_versions"]) > 0
+    # nothing actually deleted: every version still readable
+    for v in preview["doomed_versions"]:
+        table.manifest(v)
+    real = table.vacuum(keep_last=1, min_age_seconds=0)
+    assert real["snapshots_expired"] == preview["snapshots_expired"]
+    assert real["data_dirs_removed"] == preview["data_dirs_removed"]
