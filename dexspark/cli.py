@@ -78,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
         help="instead of tailing: print the retained snapshot lineage",
     )
     ap.add_argument(
+        "--stats",
+        action="store_true",
+        help="instead of tailing: print manifest-only table statistics "
+        "(exact row count when no MOR deltas are pending; no Spark job)",
+    )
+    ap.add_argument(
         "--tag",
         metavar="NAME[=VERSION]",
         help="instead of tailing: pin a snapshot under an immutable "
@@ -189,6 +195,15 @@ def main(argv: list[str] | None = None) -> int:
         help="instead of tailing: migrate the table to N hash buckets "
         "(one full-rewrite commit; see LakeTable.rebucket)",
     )
+    ap.add_argument(
+        "--rollback",
+        metavar="VERSION_OR_TAG",
+        default=None,
+        help="instead of tailing: restore the table to a prior "
+        "snapshot's state (and epoch watermark) as a NEW commit; "
+        "re-tail with a fresh --checkpoint to replay the rolled-back "
+        "epochs",
+    )
     args = ap.parse_args(argv)
     maintenance = (
         args.compact
@@ -196,12 +211,14 @@ def main(argv: list[str] | None = None) -> int:
         or args.rebucket is not None
         or args.delete_where is not None
         or args.set_property is not None
+        or args.rollback is not None
     )
     # `is not None`, matching the dispatch below: an EMPTY-STRING
     # operand (e.g. --lookup "" from an unquoted shell variable) is
     # still a lookup request, not a fall-through into tailing mode
     tailing = not (
         args.history
+        or args.stats
         or args.lookup is not None
         or args.changes is not None
         or args.scan_range is not None
@@ -265,6 +282,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.history:
         print(json.dumps(table.history()))
         return 0
+    if args.stats:
+        print(json.dumps(table.stats()))
+        return 0
     if args.tag is not None:
         name, _, v = args.tag.partition("=")
         print(json.dumps(table.tag(name, int(v) if v else None)))
@@ -289,6 +309,11 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if maintenance:
         out = {}
+        if args.rollback is not None:
+            tgt = args.rollback
+            out["rollback"] = table.rollback(
+                int(tgt) if tgt.lstrip("-").isdigit() else tgt
+            )
         if args.delete_where is not None:
             out["delete_where"] = table.delete_where(args.delete_where)
         if args.rebucket is not None:

@@ -464,6 +464,7 @@ class LakeTable:
                 "schema": schema.jsonValue(),
                 "buckets": {},
                 "file_bounds": {},
+                "file_rows": {},
                 "epoch_watermark": -1,
                 "epoch_tail": [],
                 "properties": properties or {},
@@ -754,20 +755,29 @@ class LakeTable:
         (readers treat missing bounds as "may contain anything").
         An object-store FileIO would fetch footers with ranged GETs;
         the cost stays O(files-written) per commit either way.
-        Disable with table property ``zone_maps: false``."""
+        Disable with table property ``zone_maps: false``.
+
+        The SAME footer pass also harvests per-file ROW COUNTS
+        (``file_rows``, the Iceberg ``record_count`` manifest stat) —
+        zero extra I/O — feeding :meth:`stats`: an exact ``count(*)``
+        for clean tables costs one manifest read, no Spark job.
+        Returns ``(bounds, rows)``."""
+        rows: dict[str, int] = {}
         try:
             import pyarrow.parquet as pq
         except ImportError:  # pragma: no cover
-            return {}
+            return {}, rows
         m = self.manifest() if self.current_version() else {}
-        if (m.get("properties") or {}).get("zone_maps") is False:
-            return {}
+        zone_maps = (m.get("properties") or {}).get("zone_maps") is not False
         key = m.get("key")
         out: dict[str, list] = {}
         for files in written.values():
             for rel in files:
                 try:
                     md = pq.ParquetFile(os.path.join(self.root, rel)).metadata
+                    rows[rel] = md.num_rows
+                    if not zone_maps:
+                        continue
                     idx = next(
                         i
                         for i in range(md.num_columns)
@@ -784,15 +794,17 @@ class LakeTable:
                         out[rel] = [mn, mx]
                 except (StopIteration, OSError, KeyError, TypeError):
                     continue
-        return out
+        return out, rows
 
     @staticmethod
-    def _merged_bounds(base: dict, buckets: dict, new_bounds: dict) -> dict:
-        """Manifest ``file_bounds`` after a commit: prior bounds plus
-        the new files', pruned to exactly the files ``buckets`` still
-        references — stays O(live files), same order as the buckets
-        map itself."""
-        known = dict(base.get("file_bounds", {}))
+    def _merged_bounds(
+        base: dict, buckets: dict, new_bounds: dict, field: str = "file_bounds"
+    ) -> dict:
+        """Manifest per-file stat map (``file_bounds`` / ``file_rows``)
+        after a commit: prior entries plus the new files', pruned to
+        exactly the files ``buckets`` still references — stays O(live
+        files), same order as the buckets map itself."""
+        known = dict(base.get(field, {}))
         known.update(new_bounds)
         live = {rel for fs in buckets.values() for rel in fs}
         return {rel: b for rel, b in known.items() if rel in live}
@@ -804,6 +816,7 @@ class LakeTable:
         schema = reconcile(T.StructType.fromJson(m["schema"]), df.schema)
         data = self._bucket_col(self._align(df, schema), m["key"], m["num_buckets"])
         buckets = self._write_commit(data, version)
+        fb, fr = self._file_bounds_of(buckets)
         epoch_fields = self._next_epoch_state(m, epochs)
         m.pop("committed_epochs", None)
         m.update(
@@ -812,7 +825,8 @@ class LakeTable:
             operation="overwrite",
             schema=schema.jsonValue(),
             buckets=buckets,
-            file_bounds=self._file_bounds_of(buckets),
+            file_bounds=fb,
+            file_rows=fr,
             # a full overwrite replaces every data file: any pending
             # merge-on-read history is gone with them, so reads must
             # NOT pay (or worse, apply) the MOR reconstruction — an
@@ -931,7 +945,7 @@ class LakeTable:
         new_state = survivors.unionByName(ups)
 
         written = self._write_commit(new_state, version)
-        new_bounds = self._file_bounds_of(written)
+        new_bounds, new_rows = self._file_bounds_of(written)
         touched = [str(b) for b in affected]
 
         def rebuild(base: dict) -> dict:
@@ -973,6 +987,7 @@ class LakeTable:
                 schema=schema2.jsonValue(),
                 buckets=buckets,
                 file_bounds=self._merged_bounds(base, buckets, new_bounds),
+                file_rows=self._merged_bounds(base, buckets, new_rows, "file_rows"),
                 touched=touched,
                 commit_versions=self._map_commit_version(
                     base.get("commit_versions", {}), written, logical, buckets
@@ -1050,7 +1065,7 @@ class LakeTable:
                 "buckets_appended": 0,
             }
 
-        new_bounds = self._file_bounds_of(written)
+        new_bounds, new_rows = self._file_bounds_of(written)
         touched = sorted(written)
 
         def rebuild(base: dict) -> dict:
@@ -1071,6 +1086,7 @@ class LakeTable:
                 schema=schema2.jsonValue(),
                 buckets=buckets,
                 file_bounds=self._merged_bounds(base, buckets, new_bounds),
+                file_rows=self._merged_bounds(base, buckets, new_rows, "file_rows"),
                 mor=True,
                 mor_depth=max(morb.values(), default=0),
                 mor_buckets=morb,
@@ -1221,7 +1237,7 @@ class LakeTable:
         version = m["version"] + 1
         data = self._bucket_col(self._align(state, schema), m["key"], m["num_buckets"])
         written = self._write_commit(data, version)
-        new_bounds = self._file_bounds_of(written)
+        new_bounds, new_rows = self._file_bounds_of(written)
         touched = list(order)
 
         def rebuild(base: dict) -> dict:
@@ -1241,6 +1257,7 @@ class LakeTable:
                 operation="compact",
                 buckets=bmap,
                 file_bounds=self._merged_bounds(base, bmap, new_bounds),
+                file_rows=self._merged_bounds(base, bmap, new_rows, "file_rows"),
                 mor=bool(bmorb),
                 mor_depth=max(bmorb.values(), default=0),
                 mor_buckets=bmorb,
@@ -1283,6 +1300,7 @@ class LakeTable:
             self._align(state, schema), m["key"], new_num_buckets
         )
         written = self._write_commit(data, version, n_buckets=new_num_buckets)
+        fb, fr = self._file_bounds_of(written)
         mm = dict(m)
         mm.update(
             version=version,
@@ -1290,7 +1308,8 @@ class LakeTable:
             operation="rebucket",
             num_buckets=new_num_buckets,
             buckets=written,
-            file_bounds=self._file_bounds_of(written),
+            file_bounds=fb,
+            file_rows=fr,
             mor=False,
             mor_depth=0,
             mor_buckets={},
@@ -1337,6 +1356,65 @@ class LakeTable:
 
         mm = self._publish_with_rebase(m["version"], [], rebuild)
         return {"version": mm["version"], "properties": mm["properties"]}
+
+    # -------------------------------------------------------- rollback
+
+    def rollback(self, version: int | str) -> dict:
+        """Restore the table to snapshot ``version``'s state as a NEW
+        commit (the Iceberg ``rollback_to_snapshot`` idea): history
+        only ever grows, so the bad commits stay inspectable and
+        time-travelable until vacuum expires them, and downstream
+        ``changes()`` consumers see the restore as ordinary row-level
+        deltas (the generic parent-vs-child diff) instead of a
+        history rewrite they cannot replay.
+
+        The whole target manifest is copied — buckets, schema, zone
+        maps, MOR state, properties AND the epoch watermark/tail — so
+        exactly-once accounting rewinds with the data: epochs applied
+        after the target are no longer marked committed, and
+        re-tailing the binlog (with a fresh checkpoint) re-applies
+        exactly those epochs. That is the CDC recovery story: bad
+        batch landed → ``rollback`` → replay from the log reconverges.
+
+        No rebase on a lost race, deliberately: restoring state while
+        another writer lands would silently discard that writer's
+        commit without the operator ever seeing it — the loser must
+        look at the new head and re-issue. Conversely a concurrent
+        merge can never rebase OVER a rollback (table-wide rewrite,
+        same class as ``overwrite``), so no batch is half-kept.
+
+        Reference parity: the DEX service has no snapshot restore —
+        recovery there is re-uploading the source file; this is the
+        lake-native equivalent for the CDC sink."""
+        if isinstance(version, str):
+            version = self.ref_version(version)
+        head = self.manifest()
+        if version == head["version"]:
+            return {
+                "version": head["version"],
+                "restored_from": version,
+                "noop": True,
+            }
+        target = self.manifest(version)  # raises if expired
+        mm = dict(target)
+        mm.pop("committed_epochs", None)
+        mm.update(
+            version=head["version"] + 1,
+            parent=head["version"],
+            operation="rollback",
+            restored_from=version,
+            touched=sorted(
+                int(b)
+                for b in set(head["buckets"]) | set(target["buckets"])
+                if head["buckets"].get(b) != target["buckets"].get(b)
+            ),
+        )
+        self._commit(mm)
+        return {
+            "version": mm["version"],
+            "restored_from": version,
+            "noop": False,
+        }
 
     # ------------------------------------------------------------ refs
 
@@ -1453,13 +1531,21 @@ class LakeTable:
         FileIO backend."""
         m = self.manifest(version)
         fb = m.get("file_bounds", {})
+        fr = m.get("file_rows", {})
         key_type = T.StructType.fromJson(m["schema"])[m["key"]].dataType
         rows = []
         for b, file_list in sorted(m["buckets"].items(), key=lambda kv: int(kv[0])):
             for rel in file_list:
                 bounds = fb.get(rel) or (None, None)
                 rows.append(
-                    (int(b), rel, self._added_version(m, rel), bounds[0], bounds[1])
+                    (
+                        int(b),
+                        rel,
+                        self._added_version(m, rel),
+                        bounds[0],
+                        bounds[1],
+                        fr.get(rel),
+                    )
                 )
         schema = T.StructType(
             [
@@ -1468,9 +1554,51 @@ class LakeTable:
                 T.StructField("commit_version", T.IntegerType()),
                 T.StructField("min_key", key_type),
                 T.StructField("max_key", key_type),
+                T.StructField("row_count", T.LongType()),
             ]
         )
         return self.spark.createDataFrame(rows, schema)
+
+    def stats(self, version: int | str | None = None) -> dict:
+        """Table statistics from the manifest alone — NO Spark job and
+        no data I/O (the Iceberg snapshot-summary / ``record_count``
+        idea). Per-file row counts are harvested from parquet footers
+        at commit time (same pass as the zone maps), so at 10^10 rows
+        a ``count(*)``-class question costs one manifest read.
+
+        ``row_count`` is EXACT iff (a) every live file has a recorded
+        count (``rows_complete``) and (b) no bucket carries pending
+        merge-on-read deltas (``mor_buckets == 0`` — MOR files hold
+        superseded duplicates and tombstones, so their physical rows
+        over-count logical rows). Otherwise ``row_count`` is None and
+        ``file_rows`` is the physical upper bound; ``compact()`` any
+        dirty buckets to restore exactness."""
+        m = self.manifest(version)
+        fr = m.get("file_rows", {})
+        total = 0
+        complete = True
+        n_files = 0
+        for files in m["buckets"].values():
+            for rel in files:
+                n_files += 1
+                n = fr.get(rel)
+                if n is None:
+                    complete = False
+                else:
+                    total += int(n)
+        morb = self._mor_buckets_of(m)
+        exact = complete and not morb
+        return {
+            "version": m["version"],
+            "row_count": total if exact else None,
+            "file_rows": total,
+            "rows_complete": complete,
+            "files": n_files,
+            "buckets": len(m["buckets"]),
+            "num_buckets": m["num_buckets"],
+            "mor_buckets": len(morb),
+            "exact": exact,
+        }
 
     def _commit_files(self, m: dict, version: int) -> list[str]:
         """Absolute paths of the data files ADDED by ``version``'s

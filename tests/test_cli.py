@@ -332,3 +332,42 @@ def test_cli_set_property_and_vacuum_dry_run(spark, tmp_warehouse, capsys):
     assert cli.main(["--table", root, "--set-property", "sort_on_write="]) == 0
     capsys.readouterr()
     assert "sort_on_write" not in t.manifest()["properties"]
+
+
+def test_cli_rollback(spark, tmp_warehouse, capsys):
+    from dexspark import cli
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=200, n_docs=40, n_epochs=2, max_len=8, anomaly_pct=0
+        ),
+        binlog,
+    )
+    root = os.path.join(tmp_warehouse, "seq")
+    assert cli.main([
+        "--table", root, "--binlog", binlog,
+        "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+        "--warehouse", os.path.join(tmp_warehouse, "wh"),
+        "--create", "--num-buckets", "4",
+    ]) == 0
+    capsys.readouterr()
+    t = LakeTable(spark, root)
+    v = t.current_version()
+    before = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+    t.tag("pre-bad")
+    t.merge(
+        spark.createDataFrame([("bad", [0], 1, "web")], schema=t.schema),
+        epochs=[99],
+    )
+    # rollback by tag name through the CLI
+    assert cli.main(["--table", root, "--rollback", "pre-bad"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rollback"]["restored_from"] == v
+    t2 = LakeTable(spark, root)
+    assert {r["doc_id"]: r["tokens"] for r in t2.read().collect()} == before
+    assert not t2.is_epoch_committed(99)
+    # manifest-only stats through the CLI agree with the actual read
+    assert cli.main(["--table", root, "--stats"]) == 0
+    stats = json.loads(capsys.readouterr().out.strip())
+    assert stats["exact"] and stats["row_count"] == len(before)

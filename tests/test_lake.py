@@ -807,3 +807,195 @@ def test_vacuum_dry_run_previews_without_deleting(spark, table):
     real = table.vacuum(keep_last=1, min_age_seconds=0)
     assert real["snapshots_expired"] == preview["snapshots_expired"]
     assert real["data_dirs_removed"] == preview["data_dirs_removed"]
+
+
+# -------------------------------------------------------- rollback
+
+
+def test_rollback_restores_state_and_epochs(spark, table):
+    """rollback = new commit with the target's data AND exactly-once
+    state: the rolled-back epoch is uncommitted again, so replaying
+    the same change batch re-applies instead of being swallowed."""
+    v_good = table.current_version()
+    bad = spark.createDataFrame(
+        [("a", [666], 1, "spam"), ("z", [7], 1, "spam")],
+        schema=sequences_schema(),
+    )
+    table.merge(bad, epochs=[0])
+    assert table.is_epoch_committed(0)
+
+    info = table.rollback(v_good)
+    assert info == {
+        "version": v_good + 2,
+        "restored_from": v_good,
+        "noop": False,
+    }
+    rows = _rows(table)
+    assert set(rows) == {"a", "b", "c"} and rows["a"]["tokens"] == [1, 2]
+    assert not table.is_epoch_committed(0)  # exactly-once rewound
+    # history preserved: the bad commit is still time-travelable
+    assert {r["doc_id"] for r in table.read(version=v_good + 1).collect()} == {
+        "a", "b", "c", "z",
+    }
+    assert table.manifest()["operation"] == "rollback"
+    # replaying the (corrected) epoch-0 batch now applies
+    good = spark.createDataFrame([("z", [8], 1, "web")], schema=sequences_schema())
+    table.merge(good, epochs=[0])
+    assert _rows(table)["z"]["tokens"] == [8]
+
+
+def test_rollback_to_tag_and_noop(spark, table):
+    table.tag("golden")
+    v = table.current_version()
+    table.merge(
+        spark.createDataFrame([("d", [1], 1, "web")], schema=sequences_schema()),
+        epochs=[0],
+    )
+    assert table.rollback("golden") == {
+        "version": v + 2, "restored_from": v, "noop": False,
+    }
+    assert table.rollback(v + 2)["noop"] is True
+    assert table.current_version() == v + 2  # noop publishes nothing
+
+
+def test_rollback_changes_feed_replica_reconvergence(spark, table):
+    """A downstream replica tailing changes() across a rollback
+    reconverges to the restored state: the restore shows up as
+    ordinary delete/upsert deltas, not a history rewrite."""
+    v0 = table.current_version()
+    table.merge(
+        spark.createDataFrame(
+            [("a", [666], 1, "spam"), ("z", [7], 1, "spam")],
+            schema=sequences_schema(),
+        ),
+        spark.createDataFrame([("b",)], "doc_id string"),
+        epochs=[0],
+    )
+    table.rollback(v0)
+    ch = {
+        (r["doc_id"], r["_change_type"])
+        for r in table.changes(v0 + 1).collect()  # the rollback commit only
+    }
+    assert ("a", "upsert") in ch  # a restored to [1,2]
+    assert ("z", "delete") in ch  # z removed
+    assert ("b", "upsert") in ch  # b resurrected
+    # replica: apply all deltas since v0 in commit order -> same state
+    full = table.changes(v0).collect()
+    replica: dict = {}
+    for r in sorted(full, key=lambda r: r["_commit_version"]):
+        if r["_change_type"] == "delete":
+            replica.pop(r["doc_id"], None)
+        else:
+            replica[r["doc_id"]] = r["tokens"]
+    base = {r["doc_id"]: r["tokens"] for r in table.read(version=v0).collect()}
+    base.update(replica)
+    for d in [d for d, t in list(base.items()) if t is None]:
+        base.pop(d)
+    assert base == {d: r["tokens"] for d, r in _rows(table).items()}
+
+
+def test_rollback_loses_race_and_merge_cannot_rebase_over_it(spark, table):
+    v0 = table.current_version()
+    table.merge(
+        spark.createDataFrame([("d", [1], 1, "web")], schema=sequences_schema()),
+        epochs=[0],
+    )
+
+    class RaceOnce(LocalFileIO):
+        def __init__(self, race):
+            self._race, self._armed = race, True
+
+        def put_if_absent(self, path, data):
+            if self._armed and os.sep + "snap-" in path:
+                self._armed = False
+                self._race()
+            return super().put_if_absent(path, data)
+
+    # 1) rollback losing the conditional put must raise, never rebase
+    other = LakeTable(spark, table.root)
+    racer = LakeTable(
+        spark, table.root,
+        io=RaceOnce(lambda: other.merge(
+            spark.createDataFrame([("e", [2], 1, "web")], schema=sequences_schema()),
+            epochs=[1],
+        )),
+    )
+    with pytest.raises(ConcurrentCommitError):
+        racer.rollback(v0)
+    # the concurrent merge survived
+    assert "e" in _rows(LakeTable(spark, table.root))
+
+    # 2) a merge racing a rollback must NOT rebase over it
+    other2 = LakeTable(spark, table.root)
+    racer2 = LakeTable(
+        spark, table.root, io=RaceOnce(lambda: other2.rollback(v0))
+    )
+    with pytest.raises(ConcurrentCommitError):
+        racer2.merge(
+            spark.createDataFrame([("f", [3], 1, "web")], schema=sequences_schema()),
+            epochs=[2],
+        )
+    t2 = LakeTable(spark, table.root)
+    assert set(_rows(t2)) == {"a", "b", "c"}  # restored state won
+
+
+def test_rollback_survives_vacuum_of_discarded_commits(spark, table):
+    v0 = table.current_version()
+    for i in range(3):
+        table.merge(
+            spark.createDataFrame(
+                [(f"x{i}", [i], 1, "web")], schema=sequences_schema()
+            ),
+            epochs=[i],
+        )
+    table.rollback(v0)
+    table.vacuum(keep_last=1, min_age_seconds=0)
+    assert set(_rows(table)) == {"a", "b", "c"}  # data dirs retained via head
+    with pytest.raises(FileNotFoundError):
+        table.read(version=v0 + 1)  # discarded commit expired
+
+
+# ----------------------------------------------- manifest statistics
+
+
+def test_stats_exact_without_scan(spark, table):
+    """stats() answers count(*) from the manifest alone — and tracks
+    merges, deletes, MOR dirtiness and compaction correctly."""
+    s = table.stats()
+    assert s["row_count"] == 3 and s["exact"] and s["rows_complete"]
+    # COW merge: +1 insert, 1 update (net +1)
+    table.merge(
+        spark.createDataFrame(
+            [("a", [9], 1, "web"), ("d", [7], 1, "web")],
+            schema=sequences_schema(),
+        ),
+        epochs=[0],
+    )
+    assert table.stats()["row_count"] == 4 == table.read().count()
+    # delete: net -1
+    table.merge(
+        spark.createDataFrame([], sequences_schema()),
+        spark.createDataFrame([("b",)], "doc_id string"),
+        epochs=[1],
+    )
+    assert table.stats()["row_count"] == 3 == table.read().count()
+    # MOR merge: physical rows over-count -> exactness lost, honestly
+    table.merge(
+        spark.createDataFrame([("a", [1], 1, "web")], schema=sequences_schema()),
+        epochs=[2],
+        mode="mor",
+    )
+    s = table.stats()
+    assert s["row_count"] is None and not s["exact"] and s["mor_buckets"] > 0
+    assert s["file_rows"] >= 4  # upper bound includes the superseded row
+    # compact restores exactness
+    table.compact()
+    assert table.stats()["row_count"] == 3 == table.read().count()
+    # time-travel stats
+    assert table.stats(version=2)["row_count"] == 3
+
+
+def test_files_view_carries_row_counts(spark, table):
+    rows = {r["path"]: r["row_count"] for r in table.files().collect()}
+    assert rows and all(n is not None and n > 0 for n in rows.values())
+    assert sum(rows.values()) == 3
