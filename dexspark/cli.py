@@ -102,6 +102,41 @@ def main(argv: list[str] | None = None) -> int:
         help="instead of tailing: print all tags as {name: version}",
     )
     ap.add_argument(
+        "--branch",
+        metavar="NAME",
+        default=None,
+        help="operate on branch NAME instead of main (every mode: tail "
+        "INTO the branch, --stats/--lookup to audit it, ...) — the "
+        "write half of write-audit-publish",
+    )
+    ap.add_argument(
+        "--create-branch",
+        metavar="NAME[=VERSION]",
+        default=None,
+        help="instead of tailing: fork a writable branch at VERSION "
+        "(default: current head)",
+    )
+    ap.add_argument(
+        "--publish-branch",
+        metavar="NAME",
+        default=None,
+        help="instead of tailing: promote the branch head to main as "
+        "one atomic commit (data + staged epochs together); fails if "
+        "main advanced since the fork",
+    )
+    ap.add_argument(
+        "--drop-branch",
+        metavar="NAME",
+        default=None,
+        help="instead of tailing: abandon a branch (its orphaned data "
+        "is reclaimed by the next --vacuum)",
+    )
+    ap.add_argument(
+        "--branches",
+        action="store_true",
+        help="instead of tailing: print {name: {fork_version, head}}",
+    )
+    ap.add_argument(
         "--lookup",
         metavar="KEY",
         help="instead of tailing: point-read one key (bucket prune + "
@@ -227,6 +262,10 @@ def main(argv: list[str] | None = None) -> int:
         or args.tag is not None
         or args.drop_tag is not None
         or args.tags
+        or args.create_branch is not None
+        or args.publish_branch is not None
+        or args.drop_branch is not None
+        or args.branches
         or maintenance
     )
     if tailing and not (args.binlog and args.checkpoint and args.warehouse):
@@ -248,11 +287,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.appName("dexspark-cdc").getOrCreate()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    table = LakeTable(spark, args.table)
-    if args.create and table.current_version() == 0:
-        LakeTable.create(
-            spark, args.table, sequences_schema(), num_buckets=args.num_buckets
-        )
+    if args.create and args.branch is None:
+        t0 = LakeTable(spark, args.table)
+        if t0.current_version() == 0:
+            LakeTable.create(
+                spark, args.table, sequences_schema(), num_buckets=args.num_buckets
+            )
+    table = LakeTable(spark, args.table, branch=args.branch)
 
     rules = None
     if args.rules:
@@ -295,6 +336,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.tags:
         print(json.dumps(table.tags()))
+        return 0
+    if args.create_branch is not None:
+        name, _, v = args.create_branch.partition("=")
+        print(json.dumps(table.create_branch(name, int(v) if v else None)))
+        return 0
+    if args.publish_branch is not None:
+        print(json.dumps(table.publish_branch(args.publish_branch)))
+        return 0
+    if args.drop_branch is not None:
+        table.drop_branch(args.drop_branch)
+        print(json.dumps({"dropped": args.drop_branch}))
+        return 0
+    if args.branches:
+        print(json.dumps(table.branches()))
         return 0
     if args.lookup is not None:
         rows = [r.asDict(recursive=True) for r in table.lookup(args.lookup).collect()]

@@ -161,20 +161,58 @@ class LakeTable:
     # while bounding memory on 10^6-trigger streams.
     MANIFEST_CACHE = 64
 
-    def __init__(self, spark: SparkSession, root: str, io: FileIO | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        io: FileIO | None = None,
+        branch: str | None = None,
+    ):
+        """``branch``: operate on a named branch (see
+        :meth:`create_branch`) instead of main. Branch snapshots live
+        in their own namespace (``_snapshots/branch-<name>/``) but
+        share the table's data directory, so staging a batch on a
+        branch writes each byte once and publishing is manifest-only."""
         self.spark = spark
         self.root = root
         self.io = io or LocalFileIO()
+        self.branch = branch
+        if branch is None:
+            self._fork_version = 0
+        else:
+            ref = json.loads(self.io.read_text(self._branch_ref_path(branch)))
+            self._fork_version = int(ref["fork_version"])
         from collections import OrderedDict
 
         self._mcache: "OrderedDict[int, str]" = OrderedDict()
 
     # ------------------------------------------------------------ manifest
 
+    def _branch_ref_path(self, name: str) -> str:
+        return os.path.join(self.root, _REFS_DIR, f"branch-{name}.json")
+
+    def _branch_snap_dir(self, name: str) -> str:
+        return os.path.join(self.root, _SNAP_DIR, f"branch-{name}")
+
     def _snap_path(self, version: int) -> str:
+        # versions <= the fork point resolve to MAIN's chain: a branch
+        # shares its ancestry with main rather than copying it
+        if self.branch is not None and version > self._fork_version:
+            return os.path.join(
+                self._branch_snap_dir(self.branch), f"snap-{version:08d}.json"
+            )
         return os.path.join(self.root, _SNAP_DIR, f"snap-{version:08d}.json")
 
     def current_version(self) -> int:
+        if self.branch is not None:
+            d = self._branch_snap_dir(self.branch)
+            versions = [
+                int(n[5:13])
+                for n in self.io.list_dir(d)
+                if n.startswith("snap-") and n.endswith(".json")
+            ]
+            # an empty branch's head IS the fork point (read-through)
+            return max(versions, default=self._fork_version)
         d = os.path.join(self.root, _SNAP_DIR)
         versions = [
             int(n[5:13])
@@ -1136,8 +1174,16 @@ class LakeTable:
 
         ``dry_run=True`` deletes nothing and additionally returns the
         doomed snapshot versions and data dirs — the operator preview
-        before pointing a retention cron at a production table."""
+        before pointing a retention cron at a production table.
+
+        Live branches are protected: their fork-point manifest is
+        retained and every data dir their head references is kept
+        (see :meth:`create_branch`). Retention is a whole-table
+        operation, so it must run from the MAIN table handle."""
         import time as _time
+
+        if self.branch is not None:
+            raise ValueError("vacuum must run on the main table")
 
         snap_dir = os.path.join(self.root, _SNAP_DIR)
         versions = sorted(
@@ -1157,6 +1203,20 @@ class LakeTable:
         retained = set(versions[-max(1, keep_last):])
         retained |= {v for v in self.tags().values() if v in set(versions)}
         referenced: set[str] = set()
+        # live branches pin their ancestry and their staged data: the
+        # fork-point manifest stays readable (branch reads below the
+        # fork fall through to main) and every data dir the branch
+        # HEAD references survives orphan GC until the branch is
+        # published or dropped
+        for name, info in self.branches().items():
+            if info["fork_version"] in set(versions):
+                retained.add(info["fork_version"])
+            bhead = LakeTable(
+                self.spark, self.root, io=self.io, branch=name
+            ).manifest()
+            for files in bhead["buckets"].values():
+                for rel in files:
+                    referenced.add(rel.split("/")[1])
         for v in retained:
             for files in self.manifest(v)["buckets"].values():
                 for rel in files:
@@ -1438,6 +1498,11 @@ class LakeTable:
         replace-tag being a distinct, deliberate operation).
         ``vacuum()`` retains every tagged snapshot and its data files
         regardless of ``keep_last``."""
+        if self.branch is not None:
+            # a tag is a pin into MAIN's version chain; a branch-local
+            # version number would silently re-resolve to a different
+            # snapshot once the branch is dropped
+            raise ValueError("tag must run on the main table")
         if not self._ref_name_ok(name):
             raise ValueError(
                 f"invalid tag name {name!r}: use alphanumerics, '-', '_', '.'"
@@ -1472,6 +1537,129 @@ class LakeTable:
                 f"no tag {name!r} at {self.root}"
             ) from None
         return int(doc["version"])
+
+    # ------------------------------------------------------- branches
+
+    def create_branch(self, name: str, version: int | None = None) -> dict:
+        """Fork a writable branch at ``version`` (default: current
+        head) — the Iceberg branch ref, enabling WRITE-AUDIT-PUBLISH:
+        stage a risky batch (a backfill, a new rule-set, a schema
+        change) on the branch with the full engine — merges, MOR,
+        compaction, exactly-once epochs — audit it with ``read()`` /
+        ``stats()`` / ``changes()``, then :meth:`publish_branch` to
+        promote atomically, or :meth:`drop_branch` to abandon. Main
+        readers never see staged state.
+
+        A branch shares main's ancestry (reads below the fork point
+        fall through to main's manifests) and main's DATA directory
+        (bytes are written once; publish is manifest-only). The ref is
+        published with the same conditional put as manifests: two
+        racers creating one name get exactly one winner."""
+        if self.branch is not None:
+            raise ValueError("create_branch must run on the main table")
+        if not self._ref_name_ok(name):
+            raise ValueError(
+                f"invalid branch name {name!r}: use alphanumerics, '-', '_', '.'"
+            )
+        v = self.current_version() if version is None else int(version)
+        self.manifest(v)  # fail fast on a dangling fork point
+        self.io.put_if_absent(
+            self._branch_ref_path(name),
+            json.dumps({"name": name, "fork_version": v}),
+        )
+        return {"name": name, "fork_version": v}
+
+    def branches(self) -> dict[str, dict]:
+        """name -> {fork_version, head} for every live branch
+        (``head == fork_version`` means nothing staged yet)."""
+        refs_dir = os.path.join(self.root, _REFS_DIR)
+        out: dict[str, dict] = {}
+        for n in self.io.list_dir(refs_dir):
+            if n.startswith("branch-") and n.endswith(".json"):
+                doc = json.loads(self.io.read_text(os.path.join(refs_dir, n)))
+                name = doc["name"]
+                fork = int(doc["fork_version"])
+                heads = [
+                    int(f[5:13])
+                    for f in self.io.list_dir(self._branch_snap_dir(name))
+                    if f.startswith("snap-") and f.endswith(".json")
+                ]
+                out[name] = {
+                    "fork_version": fork,
+                    "head": max(heads, default=fork),
+                }
+        return out
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch: delete its ref and snapshot namespace.
+        Data files staged only by the branch become orphans and are
+        reclaimed by the next age-gated :meth:`vacuum`."""
+        self.io.delete(self._branch_ref_path(name))
+        d = self._branch_snap_dir(name)
+        if self.io.is_dir(d):
+            self.io.remove_tree(d)
+
+    def publish_branch(self, name: str) -> dict:
+        """Promote branch ``name``'s head to main as ONE commit (the
+        audit-passed half of write-audit-publish): main atomically
+        becomes the branch's exact state — data, schema, zone maps,
+        MOR state AND the branch's epoch watermark, so every epoch
+        staged on the branch becomes committed on main in the same
+        conditional put that exposes its data. Nothing is rewritten:
+        the branch's files are already in the shared data directory.
+
+        Publish requires main to be UNCHANGED since the fork apart
+        from data-identity commits (``compact`` — its rewritten files
+        are simply superseded — and ``merge-noop``): any intervening
+        data or metadata change means the audited state was computed
+        against a stale main, and silently clobbering it would lose
+        that commit — re-stage the branch instead. The branch is left
+        in place (re-publishable, inspectable); ``drop_branch`` when
+        done."""
+        if self.branch is not None:
+            raise ValueError("publish_branch must run on the main table")
+        ref = json.loads(self.io.read_text(self._branch_ref_path(name)))
+        fork = int(ref["fork_version"])
+        bt = LakeTable(self.spark, self.root, io=self.io, branch=name)
+        bhead_v = bt.current_version()
+        head = self.manifest()
+        if bhead_v == fork:
+            return {
+                "version": head["version"],
+                "branch": name,
+                "published_from": fork,
+                "noop": True,
+            }
+        for v in range(fork + 1, head["version"] + 1):
+            op = self.manifest(v).get("operation", "")
+            if op not in ("compact", "merge-noop"):
+                raise ConcurrentCommitError(
+                    f"cannot publish branch {name!r}: main advanced past "
+                    f"the fork point with v{v} ({op or 'unknown'}) — the "
+                    f"audited state is stale; re-stage the branch"
+                )
+        bhead = bt.manifest()
+        mm = dict(bhead)
+        mm.pop("committed_epochs", None)
+        mm.update(
+            version=head["version"] + 1,
+            parent=head["version"],
+            operation="publish",
+            branch=name,
+            fork_version=fork,
+            touched=sorted(
+                int(b)
+                for b in set(head["buckets"]) | set(bhead["buckets"])
+                if head["buckets"].get(b) != bhead["buckets"].get(b)
+            ),
+        )
+        self._commit(mm)
+        return {
+            "version": mm["version"],
+            "branch": name,
+            "published_from": bhead_v,
+            "noop": False,
+        }
 
     # ------------------------------------------------------------ changelog
 

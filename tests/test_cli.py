@@ -371,3 +371,50 @@ def test_cli_rollback(spark, tmp_warehouse, capsys):
     assert cli.main(["--table", root, "--stats"]) == 0
     stats = json.loads(capsys.readouterr().out.strip())
     assert stats["exact"] and stats["row_count"] == len(before)
+
+
+def test_cli_write_audit_publish_flow(spark, tmp_warehouse, capsys):
+    """The full WAP loop through the CLI: fork -> tail INTO the branch
+    -> audit with --branch --stats -> publish -> main has the data and
+    the epochs, atomically."""
+    from dexspark import cli
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=300, n_docs=60, n_epochs=3, max_len=8, anomaly_pct=0
+        ),
+        binlog,
+    )
+    root = os.path.join(tmp_warehouse, "seq")
+    from dexspark.schema import sequences_schema
+    LakeTable.create(spark, root, sequences_schema(), num_buckets=4)
+
+    assert cli.main(["--table", root, "--create-branch", "staging"]) == 0
+    capsys.readouterr()
+    # tail into the branch
+    assert cli.main([
+        "--table", root, "--branch", "staging", "--binlog", binlog,
+        "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+        "--warehouse", os.path.join(tmp_warehouse, "wh"),
+        "--num-buckets", "4",
+    ]) == 0
+    capsys.readouterr()
+    # audit: branch has rows, main is empty
+    assert cli.main(["--table", root, "--branch", "staging", "--stats"]) == 0
+    staged = json.loads(capsys.readouterr().out.strip())
+    assert staged["row_count"] > 0
+    main = LakeTable(spark, root)
+    assert main.read().count() == 0
+    assert not main.is_epoch_committed(0)
+    # publish
+    assert cli.main(["--table", root, "--publish-branch", "staging"]) == 0
+    pub = json.loads(capsys.readouterr().out.strip())
+    assert pub["noop"] is False
+    main = LakeTable(spark, root)
+    assert main.read().count() == staged["row_count"]
+    assert main.is_epoch_committed(0) and main.is_epoch_committed(2)
+    assert cli.main(["--table", root, "--drop-branch", "staging"]) == 0
+    capsys.readouterr()
+    assert cli.main(["--table", root, "--branches"]) == 0
+    assert json.loads(capsys.readouterr().out.strip()) == {}

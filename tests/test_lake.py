@@ -999,3 +999,153 @@ def test_files_view_carries_row_counts(spark, table):
     rows = {r["path"]: r["row_count"] for r in table.files().collect()}
     assert rows and all(n is not None and n > 0 for n in rows.values())
     assert sum(rows.values()) == 3
+
+
+# ----------------------------------- branches / write-audit-publish
+
+
+def test_branch_isolates_writes_and_publish_promotes_atomically(spark, table):
+    """The WAP flow: stage on a branch (main readers blind to it),
+    audit, publish — data AND staged epochs land on main in one
+    commit."""
+    main_v = table.current_version()
+    table.create_branch("audit")
+    bt = LakeTable(spark, table.root, branch="audit")
+    # read-through before any branch commit: branch == fork state
+    assert set(_rows(bt)) == {"a", "b", "c"}
+
+    bt.merge(
+        spark.createDataFrame(
+            [("a", [9], 1, "wiki"), ("d", [7], 1, "web")],
+            schema=sequences_schema(),
+        ),
+        spark.createDataFrame([("b",)], "doc_id string"),
+        epochs=[0],
+    )
+    # branch sees staged state; main does not
+    assert set(_rows(bt)) == {"a", "c", "d"}
+    assert bt.is_epoch_committed(0)
+    assert set(_rows(table)) == {"a", "b", "c"}
+    assert not table.is_epoch_committed(0)
+    assert table.current_version() == main_v
+    # audit surface on the branch
+    assert bt.stats()["row_count"] == 3
+    assert table.branches()["audit"]["head"] > main_v
+
+    info = table.publish_branch("audit")
+    assert info["noop"] is False and info["version"] == main_v + 1
+    rows = _rows(table)
+    assert set(rows) == {"a", "c", "d"} and rows["a"]["tokens"] == [9]
+    assert table.is_epoch_committed(0)  # staged epoch committed atomically
+    assert table.manifest()["operation"] == "publish"
+    # publish is manifest-only: no new data dir for the publish commit
+    assert table.manifest()["buckets"] == bt.manifest()["buckets"]
+    table.drop_branch("audit")
+    assert table.branches() == {}
+
+
+def test_branch_publish_refuses_stale_fork(spark, table):
+    table.create_branch("stage")
+    bt = LakeTable(spark, table.root, branch="stage")
+    bt.merge(
+        spark.createDataFrame([("x", [1], 1, "web")], schema=sequences_schema()),
+        epochs=[0],
+    )
+    # main advances with a DATA commit after the fork
+    table.merge(
+        spark.createDataFrame([("y", [2], 1, "web")], schema=sequences_schema()),
+        epochs=[1],
+    )
+    with pytest.raises(ConcurrentCommitError):
+        table.publish_branch("stage")
+    # main's commit survived, branch still inspectable
+    assert "y" in _rows(table)
+    assert "x" in _rows(bt) and "y" not in _rows(bt)
+    # ...but a compact intervener is data-identity: publish allowed
+    table.drop_branch("stage")
+    table.create_branch("stage2")
+    bt2 = LakeTable(spark, table.root, branch="stage2")
+    bt2.merge(
+        spark.createDataFrame([("z", [3], 1, "web")], schema=sequences_schema()),
+        epochs=[2],
+    )
+    table.compact()
+    assert table.publish_branch("stage2")["noop"] is False
+    assert "z" in _rows(table)
+
+
+def test_branch_vacuum_protects_staged_data(spark, table):
+    """Aggressive vacuum on main must not eat a live branch's staged
+    files or its fork-point manifest; after drop_branch the same
+    vacuum reclaims them."""
+    fork = table.current_version()
+    table.create_branch("wip")
+    bt = LakeTable(spark, table.root, branch="wip")
+    bt.merge(
+        spark.createDataFrame([("s", [5], 1, "web")], schema=sequences_schema()),
+        epochs=[0],
+    )
+    # churn main history past keep_last
+    for i in range(3):
+        table.merge(
+            spark.createDataFrame(
+                [(f"m{i}", [i], 1, "web")], schema=sequences_schema()
+            ),
+            epochs=[10 + i],
+        )
+    table.vacuum(keep_last=1, min_age_seconds=0)
+    # branch still fully readable (staged row + read-through ancestry)
+    bt2 = LakeTable(spark, table.root, branch="wip")
+    assert "s" in _rows(bt2)
+    assert bt2.manifest(fork)["version"] == fork  # fork manifest retained
+    # abandon, then vacuum reclaims the branch-only data dirs
+    table.drop_branch("wip")
+    out = table.vacuum(keep_last=1, min_age_seconds=0)
+    assert out["data_dirs_removed"] >= 1
+    with pytest.raises(FileNotFoundError):
+        LakeTable(spark, table.root, branch="wip")
+
+
+def test_branch_guards_and_races(spark, table):
+    table.create_branch("b1")
+    with pytest.raises(ConcurrentCommitError):  # duplicate name loses the put
+        table.create_branch("b1")
+    bt = LakeTable(spark, table.root, branch="b1")
+    with pytest.raises(ValueError):
+        bt.create_branch("nested")
+    with pytest.raises(ValueError):
+        bt.vacuum(min_age_seconds=0)
+    with pytest.raises(ValueError):
+        bt.tag("pin")
+    with pytest.raises(ValueError):
+        bt.publish_branch("b1")
+    # publishing an empty branch is a no-op, not a commit
+    v = table.current_version()
+    assert table.publish_branch("b1")["noop"] is True
+    assert table.current_version() == v
+    # a merge on main cannot rebase over a concurrent publish
+    bt.merge(
+        spark.createDataFrame([("p", [1], 1, "web")], schema=sequences_schema()),
+        epochs=[0],
+    )
+
+    class RaceOnce(LocalFileIO):
+        def __init__(self, race):
+            self._race, self._armed = race, True
+
+        def put_if_absent(self, path, data):
+            if self._armed and os.sep + "snap-" in path and "branch-" not in path:
+                self._armed = False
+                self._race()
+            return super().put_if_absent(path, data)
+
+    racer = LakeTable(
+        spark, table.root,
+        io=RaceOnce(lambda: LakeTable(spark, table.root).publish_branch("b1")),
+    )
+    with pytest.raises(ConcurrentCommitError):
+        racer.merge(
+            spark.createDataFrame([("q", [2], 1, "web")], schema=sequences_schema()),
+            epochs=[1],
+        )
+    assert "p" in _rows(LakeTable(spark, table.root))  # published state won
