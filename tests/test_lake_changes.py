@@ -188,3 +188,35 @@ def test_mor_same_commit_upsert_and_delete_tiebreak(spark, tmp_warehouse):
         by_key.setdefault(r["doc_id"], []).append(r["_change_type"])
     assert by_key["doc-1"] == ["upsert"]  # no contradictory delete row
     assert by_key["doc-2"] == ["delete"]
+
+
+def test_changes_across_publish_and_rollback_reconverge(spark, tmp_path):
+    """A replica tailing changes() across a branch publish (and a
+    later rollback) reconverges: both table-wide ops surface as
+    ordinary parent-vs-child deltas."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), sequences_schema(), num_buckets=4)
+    t.overwrite(_base(spark))
+    v0 = t.current_version()
+
+    t.create_branch("stage")
+    bt = LakeTable(spark, t.root, branch="stage")
+    bt.merge(_ups(spark, [1, 30]), delete_keys=_dels(spark, [2]))
+    bt.merge(_ups(spark, [30], source="src-c"), mode="mor")
+    t.publish_branch("stage")
+    v_pub = t.current_version()
+    assert t.manifest()["operation"] == "publish"
+
+    ch = t.changes(v0, v_pub)
+    replayed = _replay(spark, t.read(version=v0), ch)
+    assert _rows(replayed) == _rows(t.read(version=v_pub))
+    deleted = {
+        r["doc_id"] for r in ch.filter(F.col("_change_type") == "delete").collect()
+    }
+    assert "doc-2" in deleted
+
+    # rollback the publish; the changelog reconverges over that too
+    t.rollback(v0)
+    ch2 = t.changes(v0)
+    replayed2 = _replay(spark, t.read(version=v0), ch2)
+    assert _rows(replayed2) == _rows(t.read())
+    assert _rows(t.read()) == _rows(t.read(version=v0))

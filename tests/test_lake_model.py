@@ -4,8 +4,9 @@ The north rule's acceptance bar is final-state equality ("matching the
 reference's final table state after replay ... 100% token-array
 equality"). This test drives RANDOM interleavings of every mutating
 operation the table supports — merge (copy-on-write AND merge-on-read),
-key deletes, predicate deletes, compact, rebucket, overwrite — against
-a plain Python dict model, then asserts:
+key deletes, predicate deletes, compact, rebucket, overwrite, snapshot
+rollback, and branch-stage-then-publish — against a plain Python dict
+model, then asserts:
 
   * final per-doc_id TOKEN-ARRAY equality (the north-rule invariant),
   * time travel: every historical version still reads back as the
@@ -48,15 +49,17 @@ def _snapshot(table, version=None):
 
 
 def _apply_random_ops(spark, table, rng, n_ops):
-    """Returns (model_after_final, [(version, model_snapshot)], epochs)."""
+    """Returns (model_after_final,
+    [(version, model_snapshot, committed_epochs)], epochs)."""
     model: dict = {}
     history = []
     epoch = 0
     merged_epochs = []
     for _ in range(n_ops):
         op = rng.choices(
-            ["merge", "delete_where", "compact", "rebucket", "overwrite"],
-            weights=[60, 10, 10, 10, 10],
+            ["merge", "delete_where", "compact", "rebucket", "overwrite",
+             "rollback", "branch_publish"],
+            weights=[50, 10, 8, 8, 8, 8, 12],
         )[0]
         if op == "merge":
             ups = [_payload(rng, k) for k in rng.sample(KEYS, rng.randint(1, 8))]
@@ -93,11 +96,50 @@ def _apply_random_ops(spark, table, rng, n_ops):
             )
         elif op == "rebucket":
             table.rebucket(rng.choice([2, 4, 8]))
-        else:  # overwrite
+        elif op == "rollback" and history:
+            # restore a random recorded snapshot: data AND the
+            # exactly-once epoch markers must rewind together
+            version, snap, eps = rng.choice(history)
+            table.rollback(version)
+            model = dict(snap)
+            merged_epochs = list(eps)
+        elif op == "branch_publish":
+            # write-audit-publish inside the interleaving: stage 1-2
+            # merges on a branch, then promote — net model effect is
+            # the staged ops, applied atomically
+            name = f"br{epoch}"
+            table.create_branch(name)
+            bt = LakeTable(spark, table.root, branch=name)
+            for _ in range(rng.randint(1, 2)):
+                ups = [_payload(rng, k) for k in rng.sample(KEYS, rng.randint(1, 6))]
+                up_keys = {u[0] for u in ups}
+                dels = [
+                    k for k in rng.sample(KEYS, rng.randint(0, 3))
+                    if k not in up_keys
+                ]
+                bt.merge(
+                    spark.createDataFrame(ups, schema=sequences_schema()),
+                    spark.createDataFrame([(k,) for k in dels], "doc_id string")
+                    if dels
+                    else None,
+                    epochs=[epoch],
+                    mode=rng.choice(["cow", "mor"]),
+                )
+                for k, toks, n, src in ups:
+                    model[k] = (toks, n, src)
+                for k in dels:
+                    model.pop(k, None)
+                merged_epochs.append(epoch)
+                epoch += 1
+            table.publish_branch(name)
+            table.drop_branch(name)
+        elif op == "overwrite":
             rows = [_payload(rng, k) for k in rng.sample(KEYS, rng.randint(1, 6))]
             table.overwrite(spark.createDataFrame(rows, schema=sequences_schema()))
             model = {k: (t, n, s) for k, t, n, s in rows}
-        history.append((table.manifest()["version"], dict(model)))
+        history.append(
+            (table.manifest()["version"], dict(model), list(merged_epochs))
+        )
     return model, history, merged_epochs
 
 
@@ -120,7 +162,7 @@ def test_random_op_sequences_match_model(spark, tmp_warehouse, seed):
     assert not table.is_epoch_committed(10**6)
 
     # Time travel: every recorded version reads back as the model was.
-    for version, snap in rng.sample(history, min(3, len(history))):
+    for version, snap, _eps in rng.sample(history, min(3, len(history))):
         assert _snapshot(table, version=version) == snap, f"version {version}"
 
 
