@@ -1669,11 +1669,21 @@ class LakeTable:
         and MOR depth (the Iceberg ``table.history()`` /
         ``snapshots`` metadata view)."""
         snap_dir = os.path.join(self.root, _SNAP_DIR)
-        versions = sorted(
+        versions = [
             int(n[5:13])
             for n in self.io.list_dir(snap_dir)
             if n.startswith("snap-") and n.endswith(".json")
-        )
+        ]
+        if self.branch is not None:
+            # a branch's history is main's chain up to the fork point
+            # plus its own staged commits
+            versions = [v for v in versions if v <= self._fork_version]
+            versions += [
+                int(n[5:13])
+                for n in self.io.list_dir(self._branch_snap_dir(self.branch))
+                if n.startswith("snap-") and n.endswith(".json")
+            ]
+        versions = sorted(versions)
         out = []
         for v in versions:
             m = self.manifest(v)

@@ -1149,3 +1149,28 @@ def test_branch_guards_and_races(spark, table):
             epochs=[1],
         )
     assert "p" in _rows(LakeTable(spark, table.root))  # published state won
+
+
+def test_branch_schema_evolution_publishes_to_main(spark, table):
+    """Additive schema evolution staged on a branch reaches main only
+    at publish — the WAP pattern for schema changes."""
+    table.create_branch("schema-stage")
+    bt = LakeTable(spark, table.root, branch="schema-stage")
+    evolved = T.StructType(
+        list(sequences_schema().fields)
+        + [T.StructField("lang", T.StringType(), True)]
+    )
+    bt.merge(
+        spark.createDataFrame([("n", [1], 1, "web", "en")], schema=evolved),
+        epochs=[0],
+    )
+    assert "lang" in [f.name for f in bt.schema.fields]
+    assert "lang" not in [f.name for f in table.schema.fields]  # main unchanged
+    # branch history shows shared ancestry + the staged commit
+    hist = bt.history()
+    assert [h["operation"] for h in hist][:2] == ["create", "overwrite"]
+    assert hist[-1]["operation"].startswith("merge-")
+    table.publish_branch("schema-stage")
+    assert "lang" in [f.name for f in table.schema.fields]
+    rows = _rows(table)
+    assert rows["n"]["lang"] == "en" and rows["a"]["lang"] is None
