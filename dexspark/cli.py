@@ -339,7 +339,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.create_branch is not None:
         name, _, v = args.create_branch.partition("=")
-        print(json.dumps(table.create_branch(name, int(v) if v else None)))
+        fork = None if not v else (int(v) if v.isdigit() else v)
+        print(json.dumps(table.create_branch(name, fork)))
         return 0
     if args.publish_branch is not None:
         print(json.dumps(table.publish_branch(args.publish_branch)))

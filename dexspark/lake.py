@@ -1540,7 +1540,7 @@ class LakeTable:
 
     # ------------------------------------------------------- branches
 
-    def create_branch(self, name: str, version: int | None = None) -> dict:
+    def create_branch(self, name: str, version: int | str | None = None) -> dict:
         """Fork a writable branch at ``version`` (default: current
         head) — the Iceberg branch ref, enabling WRITE-AUDIT-PUBLISH:
         stage a risky batch (a backfill, a new rule-set, a schema
@@ -1561,7 +1561,15 @@ class LakeTable:
             raise ValueError(
                 f"invalid branch name {name!r}: use alphanumerics, '-', '_', '.'"
             )
-        v = self.current_version() if version is None else int(version)
+        if version is None:
+            v = self.current_version()
+        elif isinstance(version, str):
+            # fork at a tag: reproduce a pinned dataset state, repair
+            # it on a branch, publish (publish will refuse if main has
+            # since moved — the fix then lands via merge, not publish)
+            v = self.ref_version(version)
+        else:
+            v = int(version)
         self.manifest(v)  # fail fast on a dangling fork point
         self.io.put_if_absent(
             self._branch_ref_path(name),

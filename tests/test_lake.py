@@ -1174,3 +1174,24 @@ def test_branch_schema_evolution_publishes_to_main(spark, table):
     assert "lang" in [f.name for f in table.schema.fields]
     rows = _rows(table)
     assert rows["n"]["lang"] == "en" and rows["a"]["lang"] is None
+
+
+def test_branch_fork_at_tag(spark, table):
+    """Fork a branch at a tagged snapshot: the repair-a-pinned-dataset
+    flow. Publish then refuses because main has moved — the fix comes
+    back via a normal merge instead."""
+    table.tag("train-run-1")
+    table.merge(
+        spark.createDataFrame([("later", [1], 1, "web")], schema=sequences_schema()),
+        epochs=[0],
+    )
+    table.create_branch("repair", version="train-run-1")
+    bt = LakeTable(spark, table.root, branch="repair")
+    assert "later" not in _rows(bt)  # branch sees the pinned state
+    bt.merge(
+        spark.createDataFrame([("fix", [2], 1, "web")], schema=sequences_schema()),
+        epochs=[1],
+    )
+    with pytest.raises(ConcurrentCommitError):
+        table.publish_branch("repair")  # main moved since the tag
+    assert "fix" in _rows(bt) and "fix" not in _rows(table)
