@@ -224,6 +224,15 @@ def main(argv: list[str] | None = None) -> int:
         "only when no concurrent writer can exist)",
     )
     ap.add_argument(
+        "--vacuum-keep-last",
+        type=int,
+        default=None,
+        metavar="N",
+        help="while tailing: auto-vacuum after each batch, retaining "
+        "the last N snapshots (engine retention; skipped when tailing "
+        "into a --branch). Default: off",
+    )
+    ap.add_argument(
         "--rebucket",
         type=int,
         metavar="N",
@@ -317,6 +326,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["merge_mode"] = args.merge_mode
     if args.compact_every is not None:
         cfg_kwargs["compact_every"] = args.compact_every
+    if args.vacuum_keep_last is not None:
+        cfg_kwargs["vacuum_keep_last"] = args.vacuum_keep_last
     cfg = EngineConfig(**cfg_kwargs)
 
     # metadata / read-only modes: no engine (and no warehouse) needed

@@ -459,8 +459,13 @@ class CdcEngine:
                     self.table.compact(min_depth=self.config.compact_every)
                 # snapshot retention policy (expire + orphan GC);
                 # min_age spares a concurrent writer's in-flight
-                # commit dirs (see EngineConfig.vacuum_min_age_seconds)
-                if self.config.vacuum_keep_last > 0:
+                # commit dirs (see EngineConfig.vacuum_min_age_seconds).
+                # Skipped when tailing INTO A BRANCH (write-audit-
+                # publish staging): retention is a whole-table op that
+                # must run from the main handle — and expiring main
+                # history out from under an unpublished fork is the
+                # operator's call, not the stager's.
+                if self.config.vacuum_keep_last > 0 and self.table.branch is None:
                     self.table.vacuum(
                         keep_last=self.config.vacuum_keep_last,
                         min_age_seconds=self.config.vacuum_min_age_seconds,

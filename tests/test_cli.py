@@ -418,3 +418,33 @@ def test_cli_write_audit_publish_flow(spark, tmp_warehouse, capsys):
     capsys.readouterr()
     assert cli.main(["--table", root, "--branches"]) == 0
     assert json.loads(capsys.readouterr().out.strip()) == {}
+
+
+def test_cli_branch_tail_with_auto_vacuum_skips_retention(spark, tmp_warehouse, capsys):
+    """Tailing into a branch with the engine's auto-vacuum configured
+    must stage cleanly (retention is skipped on branch handles, not a
+    crash)."""
+    from dexspark import cli
+    from dexspark.schema import sequences_schema
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=200, n_docs=40, n_epochs=2, max_len=8, anomaly_pct=0
+        ),
+        binlog,
+    )
+    root = os.path.join(tmp_warehouse, "seq")
+    LakeTable.create(spark, root, sequences_schema(), num_buckets=4)
+    assert cli.main(["--table", root, "--create-branch", "s"]) == 0
+    capsys.readouterr()
+    assert cli.main([
+        "--table", root, "--branch", "s", "--binlog", binlog,
+        "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+        "--warehouse", os.path.join(tmp_warehouse, "wh"),
+        "--num-buckets", "4", "--vacuum-keep-last", "2",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["committed_epochs"] == [0, 1]
+    bt = LakeTable(spark, root, branch="s")
+    assert bt.read().count() > 0
