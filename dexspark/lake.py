@@ -254,6 +254,19 @@ class LakeTable:
         self.io.put_if_absent(self._snap_path(version), json.dumps(manifest))
         return version
 
+    @staticmethod
+    def _next_version(base: dict) -> int:
+        """Allocate the next snapshot version: one past the manifest's
+        VERSION HIGH-WATER MARK, not necessarily version+1. A branch
+        publish references data dirs whose names carry branch-local
+        version numbers that can run AHEAD of main's head; allocating
+        below the hwm would let a later commit reuse one of those
+        numbers inside the same bucket and scramble the MOR merge
+        order. Version numbers are therefore unique but not dense;
+        every writer derives the same next number from the same head,
+        so the conditional put still serializes racers."""
+        return max(int(base["version"]), int(base.get("version_hwm", 0))) + 1
+
     # Optimistic-concurrency retry budget (the Iceberg commit.retry
     # idea): how many times a merge that lost the conditional-put race
     # re-reads the latest snapshot and rebases its manifest before
@@ -296,13 +309,20 @@ class LakeTable:
                 if attempt == self.COMMIT_RETRIES:
                     raise
                 latest = self.manifest()
-                for v in range(parent + 1, latest["version"] + 1):
+                # walk PARENT pointers, not a dense range: versions are
+                # unique but not contiguous (publish raises the hwm)
+                interveners = []
+                v = latest["version"]
+                while v > parent:
                     try:
                         mi = self.manifest(v)
                     except FileNotFoundError:
                         raise ConcurrentCommitError(
                             f"cannot rebase: intervening snapshot {v} expired"
                         ) from None
+                    interveners.append(mi)
+                    v = int(mi.get("parent", v - 1))
+                for mi in interveners:
                     op = mi.get("operation", "")
                     # state-identity commits for every bucket's DATA:
                     # compact rewrites content-equal files, noop and
@@ -313,7 +333,7 @@ class LakeTable:
                     if op.startswith("merge-") and t is not None and ours.isdisjoint(t):
                         continue
                     raise ConcurrentCommitError(
-                        f"cannot rebase merge over v{v} "
+                        f"cannot rebase merge over v{mi['version']} "
                         f"({op or 'unknown'}: bucket conflict or table-wide rewrite)"
                     ) from None
                 parent = latest["version"]
@@ -346,8 +366,10 @@ class LakeTable:
         batch): no data changes, so it rebases over anything."""
         mm = dict(base)
         mm.pop("committed_epochs", None)
+        nv = self._next_version(base)
         mm.update(
-            version=base["version"] + 1,
+            version=nv,
+            version_hwm=nv,
             parent=base["version"],
             operation="merge-noop",
             touched=[],
@@ -850,7 +872,7 @@ class LakeTable:
     def overwrite(self, df: DataFrame, epochs: list[int] | None = None) -> int:
         """Replace the full table contents atomically (initial load)."""
         m = self.manifest()
-        version = m["version"] + 1
+        version = self._next_version(m)
         schema = reconcile(T.StructType.fromJson(m["schema"]), df.schema)
         data = self._bucket_col(self._align(df, schema), m["key"], m["num_buckets"])
         buckets = self._write_commit(data, version)
@@ -859,6 +881,7 @@ class LakeTable:
         m.pop("committed_epochs", None)
         m.update(
             version=version,
+            version_hwm=version,
             parent=m["version"],
             operation="overwrite",
             schema=schema.jsonValue(),
@@ -928,7 +951,7 @@ class LakeTable:
         old_schema = T.StructType.fromJson(m["schema"])
         schema = reconcile(old_schema, upserts.schema)
         evo = evolution_actions(old_schema, upserts.schema)
-        version = m["version"] + 1
+        version = self._next_version(m)
 
         ups = self._bucket_col(self._align(upserts, schema), key, n_buckets)
         all_keys = ups.select(key, "_bucket")
@@ -987,7 +1010,7 @@ class LakeTable:
         touched = [str(b) for b in affected]
 
         def rebuild(base: dict) -> dict:
-            logical = base["version"] + 1
+            logical = self._next_version(base)
             # corruption guard: every written bucket must be one we
             # declared touched, or the manifest would silently drop the
             # stray bucket's rows (possible only if the bucket hint was
@@ -1017,6 +1040,7 @@ class LakeTable:
             mm.pop("committed_epochs", None)
             mm.update(
                 version=logical,
+                version_hwm=logical,
                 parent=base["version"],
                 operation="merge-cow",
                 mor=bool(morb),
@@ -1082,7 +1106,7 @@ class LakeTable:
         old_schema = T.StructType.fromJson(m["schema"])
         schema = reconcile(old_schema, upserts.schema)
         evo = evolution_actions(old_schema, upserts.schema)
-        version = m["version"] + 1
+        version = self._next_version(m)
 
         ups = self._align(upserts, schema).withColumn(_TOMBSTONE, F.lit(False))
         batch = ups
@@ -1107,7 +1131,7 @@ class LakeTable:
         touched = sorted(written)
 
         def rebuild(base: dict) -> dict:
-            logical = base["version"] + 1
+            logical = self._next_version(base)
             schema2 = reconcile(T.StructType.fromJson(base["schema"]), schema)
             evo2 = evolution_actions(T.StructType.fromJson(base["schema"]), schema)
             buckets = dict(base["buckets"])
@@ -1119,6 +1143,7 @@ class LakeTable:
             mm.pop("committed_epochs", None)
             mm.update(
                 version=logical,
+                version_hwm=logical,
                 parent=base["version"],
                 operation="merge-mor",
                 schema=schema2.jsonValue(),
@@ -1294,14 +1319,14 @@ class LakeTable:
         schema = T.StructType.fromJson(m["schema"])
         # MOR reconstruction over ONLY the candidate buckets' files
         state = self.read(buckets=[int(b) for b in order])
-        version = m["version"] + 1
+        version = self._next_version(m)
         data = self._bucket_col(self._align(state, schema), m["key"], m["num_buckets"])
         written = self._write_commit(data, version)
         new_bounds, new_rows = self._file_bounds_of(written)
         touched = list(order)
 
         def rebuild(base: dict) -> dict:
-            logical = base["version"] + 1
+            logical = self._next_version(base)
             bmap = dict(base["buckets"])
             bmorb = self._mor_buckets_of(base)
             for b in touched:
@@ -1313,6 +1338,7 @@ class LakeTable:
             mm = dict(base)
             mm.update(
                 version=logical,
+                version_hwm=logical,
                 parent=base["version"],
                 operation="compact",
                 buckets=bmap,
@@ -1355,7 +1381,7 @@ class LakeTable:
             return {"version": m["version"], "rebucketed": False}
         schema = T.StructType.fromJson(m["schema"])
         state = self.read()
-        version = m["version"] + 1
+        version = self._next_version(m)
         data = self._bucket_col(
             self._align(state, schema), m["key"], new_num_buckets
         )
@@ -1364,6 +1390,7 @@ class LakeTable:
         mm = dict(m)
         mm.update(
             version=version,
+            version_hwm=version,
             parent=m["version"],
             operation="rebucket",
             num_buckets=new_num_buckets,
@@ -1405,8 +1432,10 @@ class LakeTable:
                 else:
                     merged[k] = v
             mm = dict(base)
+            nv = self._next_version(base)
             mm.update(
-                version=base["version"] + 1,
+                version=nv,
+                version_hwm=nv,
                 parent=base["version"],
                 operation="alter-properties",
                 properties=merged,
@@ -1458,8 +1487,10 @@ class LakeTable:
         target = self.manifest(version)  # raises if expired
         mm = dict(target)
         mm.pop("committed_epochs", None)
+        nv = self._next_version(head)
         mm.update(
-            version=head["version"] + 1,
+            version=nv,
+            version_hwm=nv,
             parent=head["version"],
             operation="rollback",
             restored_from=version,
@@ -1616,14 +1647,22 @@ class LakeTable:
         conditional put that exposes its data. Nothing is rewritten:
         the branch's files are already in the shared data directory.
 
-        Publish requires main to be UNCHANGED since the fork apart
-        from data-identity commits (``compact`` — its rewritten files
-        are simply superseded — and ``merge-noop``): any intervening
-        data or metadata change means the audited state was computed
-        against a stale main, and silently clobbering it would lose
-        that commit — re-stage the branch instead. The branch is left
-        in place (re-publishable, inspectable); ``drop_branch`` when
-        done."""
+        Main may have MOVED since the fork: publish rebases over any
+        intervening commit that is data-identity (``compact``,
+        ``merge-noop``, ``alter-properties`` — main's latest
+        properties win) or a merge whose touched buckets are DISJOINT
+        from the buckets the branch changed — the published manifest
+        then overlays exactly the branch-owned buckets (with their MOR
+        state, zone maps and row counts) onto main's head, reconciles
+        the schemas additively, and folds the branch's staged epochs
+        into main's watermark. Live traffic in other buckets is never
+        lost, which is what makes WAP usable on a busy table. A
+        conflicting intervener (same-bucket merge, rebucket,
+        overwrite, rollback, another publish — or the branch itself
+        changed the bucket count) still refuses: the audited state was
+        computed against data that changed under it — re-stage. The
+        branch is left in place (re-publishable, inspectable);
+        ``drop_branch`` when done."""
         if self.branch is not None:
             raise ValueError("publish_branch must run on the main table")
         ref = json.loads(self.io.read_text(self._branch_ref_path(name)))
@@ -1638,28 +1677,115 @@ class LakeTable:
                 "published_from": fork,
                 "noop": True,
             }
-        for v in range(fork + 1, head["version"] + 1):
-            op = self.manifest(v).get("operation", "")
-            if op not in ("compact", "merge-noop"):
-                raise ConcurrentCommitError(
-                    f"cannot publish branch {name!r}: main advanced past "
-                    f"the fork point with v{v} ({op or 'unknown'}) — the "
-                    f"audited state is stale; re-stage the branch"
-                )
         bhead = bt.manifest()
-        mm = dict(bhead)
+        fork_m = self.manifest(fork)
+        # buckets the branch OWNS: file list differs from the fork
+        owned = {
+            b
+            for b in set(bhead["buckets"]) | set(fork_m["buckets"])
+            if bhead["buckets"].get(b) != fork_m["buckets"].get(b)
+        }
+        # a branch-side bucket-count change makes the bucket spaces
+        # incomparable: only a fast-forward (untouched main) is safe
+        space_changed = bhead.get("num_buckets") != fork_m.get("num_buckets")
+        interveners = []
+        v = head["version"]
+        while v > fork:  # parent-pointer walk: versions are not dense
+            mi = self.manifest(v)
+            interveners.append(mi)
+            v = int(mi.get("parent", v - 1))
+        for mi in interveners:
+            op = mi.get("operation", "")
+            if op in ("compact", "merge-noop", "alter-properties"):
+                continue
+            t = mi.get("touched")
+            if (
+                op.startswith("merge-")
+                and t is not None
+                and not space_changed
+                and owned.isdisjoint(str(b) for b in t)
+            ):
+                continue
+            raise ConcurrentCommitError(
+                f"cannot publish branch {name!r}: main's v{mi['version']} "
+                f"({op or 'unknown'}) conflicts with the staged buckets — "
+                f"the audited state is stale; re-stage the branch"
+            )
+        # staged epochs relative to the fork (over-approximation is
+        # fine: _next_epoch_state is idempotent for already-committed
+        # epochs; the spans are O(staged batches + reorder window))
+        fw, ftail = self._epoch_state_of(fork_m)
+        fbase = int(fork_m.get("epoch_base", -1))
+        bw, btail = self._epoch_state_of(bhead)
+        bbase = int(bhead.get("epoch_base", -1))
+        staged = set(range(fw + 1, bw + 1)) | set(btail)
+        staged |= set(range(bbase + 1, fbase + 1))
+        # merged state: main head + the branch's owned buckets
+        schema = reconcile(
+            T.StructType.fromJson(head["schema"]),
+            T.StructType.fromJson(bhead["schema"]),
+        )
+        evo = evolution_actions(
+            T.StructType.fromJson(head["schema"]),
+            T.StructType.fromJson(bhead["schema"]),
+        )
+        buckets = dict(head["buckets"])
+        morb = self._mor_buckets_of(head)
+        bmorb = self._mor_buckets_of(bhead)
+        for b in owned:
+            if b in bhead["buckets"]:
+                buckets[b] = bhead["buckets"][b]
+            else:
+                buckets.pop(b, None)
+            if b in bmorb:
+                morb[b] = bmorb[b]
+            else:
+                morb.pop(b, None)
+        live = {rel.split("/")[1] for fs in buckets.values() for rel in fs}
+        cv = {
+            d: v
+            for d, v in {
+                **head.get("commit_versions", {}),
+                **bhead.get("commit_versions", {}),
+            }.items()
+            if d in live
+        }
+        # the publish allocates DENSELY from head (same next number
+        # every concurrent writer derives, so the conditional put
+        # serializes them) and raises the version high-water mark past
+        # the branch-local version space: branch data dirs carry their
+        # branch-local version numbers in their names (MOR merge order
+        # within a bucket resolves through those), so no later commit
+        # may reuse one of them — future allocations skip the range,
+        # making version numbers unique but not dense; readers walk
+        # parent pointers, never assume v-1 exists
+        nv = self._next_version(head)
+        mm = dict(head)
         mm.pop("committed_epochs", None)
         mm.update(
-            version=head["version"] + 1,
+            version=nv,
+            version_hwm=max(nv, bhead_v),
             parent=head["version"],
             operation="publish",
             branch=name,
             fork_version=fork,
-            touched=sorted(
-                int(b)
-                for b in set(head["buckets"]) | set(bhead["buckets"])
-                if head["buckets"].get(b) != bhead["buckets"].get(b)
+            schema=schema.jsonValue(),
+            buckets=buckets,
+            num_buckets=bhead["num_buckets"],
+            mor=bool(morb),
+            mor_depth=max(morb.values(), default=0),
+            mor_buckets=morb,
+            file_bounds=self._merged_bounds(
+                head, buckets, bhead.get("file_bounds", {})
             ),
+            file_rows=self._merged_bounds(
+                head, buckets, bhead.get("file_rows", {}), "file_rows"
+            ),
+            commit_versions=cv,
+            evolution=head.get("evolution", [])
+            + ([{"version": nv, "actions": evo}] if evo else []),
+            touched=sorted(int(b) for b in owned),
+            **self._next_epoch_state(head, sorted(staged)),
         )
         self._commit(mm)
         return {
@@ -1856,9 +1982,28 @@ class LakeTable:
         if from_version > to_v:
             raise ValueError(f"from_version {from_version} > to_version {to_v}")
         key = self.key
-        parts: list[DataFrame] = []
-        for v in range(from_version + 1, to_v + 1):
+        # Walk PARENT pointers, not a dense range: version numbers are
+        # unique but not contiguous (a branch publish skips past the
+        # branch-local version space), and the parent chain is the
+        # commit order. An expired manifest inside the window raises
+        # honestly instead of silently dropping its changes.
+        chain: list[dict] = []
+        v = to_v
+        while v > from_version:
             m = self.manifest(v)
+            chain.append(m)
+            p = int(m.get("parent", v - 1))
+            if p >= v:
+                raise ValueError(f"corrupt parent pointer at v{v}: {p}")
+            v = p
+        if v != from_version:
+            raise ValueError(
+                f"from_version {from_version} is not an ancestor of {to_v} "
+                f"(the chain passes from v{chain[-1]['version']} to v{v})"
+            )
+        parts: list[DataFrame] = []
+        for m in reversed(chain):
+            v = m["version"]
             op = m.get("operation", "diff")
             schema = T.StructType.fromJson(m["schema"])
             data_cols = [f.name for f in schema.fields]
@@ -1902,7 +2047,7 @@ class LakeTable:
                 )
             else:
                 # generic parent-vs-child diff over the touched buckets
-                pm = self.manifest(v - 1)
+                pm = self.manifest(int(m.get("parent", v - 1)))
                 touched = sorted(
                     int(b)
                     for b in set(m["buckets"]) | set(pm["buckets"])
@@ -1910,9 +2055,12 @@ class LakeTable:
                 )
                 if not touched:
                     continue
-                # rebucket/compact upstream of v-1 cannot occur between
-                # two adjacent versions, so bucket numbering is shared
-                old = self._align(self.read(buckets=touched, version=v - 1), schema)
+                # rebucket/compact upstream of the parent cannot occur
+                # between a commit and its parent, so bucket numbering
+                # is shared across the diff
+                old = self._align(
+                    self.read(buckets=touched, version=pm["version"]), schema
+                )
                 new = self._align(self.read(buckets=touched, version=v), schema)
                 o = old.select(F.struct(*data_cols).alias("_o"), F.col(key).alias("_k"))
                 n = new.select(F.struct(*data_cols).alias("_n"), F.col(key).alias("_k"))

@@ -1033,7 +1033,10 @@ def test_branch_isolates_writes_and_publish_promotes_atomically(spark, table):
     assert table.branches()["audit"]["head"] > main_v
 
     info = table.publish_branch("audit")
-    assert info["noop"] is False and info["version"] == main_v + 1
+    # publish skips past the branch-local version space (version
+    # numbers are unique, not dense)
+    assert info["noop"] is False and info["version"] == table.current_version()
+    assert info["version"] > main_v
     rows = _rows(table)
     assert set(rows) == {"a", "c", "d"} and rows["a"]["tokens"] == [9]
     assert table.is_epoch_committed(0)  # staged epoch committed atomically
@@ -1045,22 +1048,24 @@ def test_branch_isolates_writes_and_publish_promotes_atomically(spark, table):
 
 
 def test_branch_publish_refuses_stale_fork(spark, table):
+    """Table-wide interveners on main (rebucket here) always refuse
+    publish — the bucket spaces are incomparable; compact remains a
+    data-identity intervener publish rebases over. Same-bucket merge
+    conflicts are covered in
+    test_branch_publish_refuses_same_bucket_traffic."""
     table.create_branch("stage")
     bt = LakeTable(spark, table.root, branch="stage")
     bt.merge(
         spark.createDataFrame([("x", [1], 1, "web")], schema=sequences_schema()),
         epochs=[0],
     )
-    # main advances with a DATA commit after the fork
-    table.merge(
-        spark.createDataFrame([("y", [2], 1, "web")], schema=sequences_schema()),
-        epochs=[1],
-    )
+    # main advances with a TABLE-WIDE commit after the fork
+    table.rebucket(8)
     with pytest.raises(ConcurrentCommitError):
         table.publish_branch("stage")
-    # main's commit survived, branch still inspectable
-    assert "y" in _rows(table)
-    assert "x" in _rows(bt) and "y" not in _rows(bt)
+    # main's rebucket survived, branch still inspectable
+    assert table.num_buckets == 8
+    assert "x" in _rows(bt)
     # ...but a compact intervener is data-identity: publish allowed
     table.drop_branch("stage")
     table.create_branch("stage2")
@@ -1178,20 +1183,108 @@ def test_branch_schema_evolution_publishes_to_main(spark, table):
 
 def test_branch_fork_at_tag(spark, table):
     """Fork a branch at a tagged snapshot: the repair-a-pinned-dataset
-    flow. Publish then refuses because main has moved — the fix comes
-    back via a normal merge instead."""
+    flow. A same-key (same-bucket) change on main since the tag
+    refuses publish; a disjoint-bucket repair rebases and publishes
+    with main's later traffic preserved."""
     table.tag("train-run-1")
     table.merge(
-        spark.createDataFrame([("later", [1], 1, "web")], schema=sequences_schema()),
+        spark.createDataFrame([("a", [77], 1, "web")], schema=sequences_schema()),
         epochs=[0],
     )
     table.create_branch("repair", version="train-run-1")
     bt = LakeTable(spark, table.root, branch="repair")
-    assert "later" not in _rows(bt)  # branch sees the pinned state
+    assert _rows(bt)["a"]["tokens"] == [1, 2]  # branch sees the pinned state
     bt.merge(
-        spark.createDataFrame([("fix", [2], 1, "web")], schema=sequences_schema()),
+        spark.createDataFrame([("a", [2], 1, "web")], schema=sequences_schema()),
         epochs=[1],
     )
     with pytest.raises(ConcurrentCommitError):
-        table.publish_branch("repair")  # main moved since the tag
-    assert "fix" in _rows(bt) and "fix" not in _rows(table)
+        table.publish_branch("repair")  # same bucket changed on main
+    assert _rows(table)["a"]["tokens"] == [77]  # main's write intact
+    table.drop_branch("repair")
+    # a repair in a DIFFERENT bucket rebases over the same history
+    table.create_branch("repair2", version="train-run-1")
+    bt2 = LakeTable(spark, table.root, branch="repair2")
+    bt2.merge(
+        spark.createDataFrame([("b", [42], 1, "books")], schema=sequences_schema()),
+        epochs=[1],
+    )
+    assert table.publish_branch("repair2")["noop"] is False
+    rows = _rows(table)
+    assert rows["b"]["tokens"] == [42] and rows["a"]["tokens"] == [77]
+
+
+def test_branch_publish_rebases_over_disjoint_main_traffic(spark, table):
+    """WAP on a busy table: main merges land in OTHER buckets while
+    the branch stages; publish overlays only the branch-owned buckets
+    and keeps main's traffic AND both sides' epochs."""
+    nb = table.num_buckets
+    from pyspark.sql import functions as F
+
+    # find two keys in different buckets
+    probe = spark.createDataFrame(
+        [(f"k{i}",) for i in range(40)], "doc_id string"
+    ).select("doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).alias("b"))
+    by_bucket = {}
+    for r in probe.collect():
+        by_bucket.setdefault(r["b"], r["doc_id"])
+        if len(by_bucket) >= 2:
+            break
+    (b1, key1), (b2, key2) = list(by_bucket.items())[:2]
+
+    table.create_branch("busy")
+    bt = LakeTable(spark, table.root, branch="busy")
+    # stage 3 branch commits (branch-local version space runs ahead)
+    for i in range(3):
+        bt.merge(
+            spark.createDataFrame(
+                [(key1, [100 + i], 1, "stage")], schema=sequences_schema()
+            ),
+            epochs=[50 + i],
+            mode="mor" if i == 1 else "cow",
+        )
+    # live main traffic in a DIFFERENT bucket
+    table.merge(
+        spark.createDataFrame([(key2, [7], 1, "live")], schema=sequences_schema()),
+        epochs=[99],
+    )
+    info = table.publish_branch("busy")
+    assert info["noop"] is False
+    rows = _rows(table)
+    assert rows[key1]["tokens"] == [102]  # staged wins in its bucket
+    assert rows[key2]["tokens"] == [7]  # live traffic preserved
+    # both sides' epochs committed
+    for ep in (50, 51, 52, 99):
+        assert table.is_epoch_committed(ep)
+    # version-collision regression: a LATER main merge in the staged
+    # bucket must deterministically beat every branch-era commit
+    table.merge(
+        spark.createDataFrame(
+            [(key1, [999], 1, "after")], schema=sequences_schema()
+        ),
+        epochs=[100],
+        mode="mor",
+    )
+    assert _rows(table)[key1]["tokens"] == [999]
+    table.compact()
+    assert _rows(table)[key1]["tokens"] == [999]
+    # changelog across the gapped publish reconverges
+    ch = table.changes(2)  # from the fixture's overwrite
+    assert ch.count() > 0
+
+
+def test_branch_publish_refuses_same_bucket_traffic(spark, table):
+    table.create_branch("clash")
+    bt = LakeTable(spark, table.root, branch="clash")
+    bt.merge(
+        spark.createDataFrame([("k", [1], 1, "web")], schema=sequences_schema()),
+        epochs=[0],
+    )
+    # main merges the SAME key (same bucket) after the fork
+    table.merge(
+        spark.createDataFrame([("k", [2], 1, "web")], schema=sequences_schema()),
+        epochs=[1],
+    )
+    with pytest.raises(ConcurrentCommitError):
+        table.publish_branch("clash")
+    assert _rows(table)["k"]["tokens"] == [2]  # main's write intact
