@@ -330,7 +330,14 @@ class LakeTable:
                     if op in ("compact", "merge-noop", "alter-properties"):
                         continue
                     t = mi.get("touched")
-                    if op.startswith("merge-") and t is not None and ours.isdisjoint(t):
+                    # a branch publish records exactly the buckets it
+                    # overlaid, so like a merge it is safe to rebase
+                    # over iff those buckets are disjoint from ours
+                    if (
+                        (op.startswith("merge-") or op == "publish")
+                        and t is not None
+                        and ours.isdisjoint(str(b) for b in t)
+                    ):
                         continue
                     raise ConcurrentCommitError(
                         f"cannot rebase merge over v{mi['version']} "
@@ -1656,10 +1663,13 @@ class LakeTable:
         state, zone maps and row counts) onto main's head, reconciles
         the schemas additively, and folds the branch's staged epochs
         into main's watermark. Live traffic in other buckets is never
-        lost, which is what makes WAP usable on a busy table. A
-        conflicting intervener (same-bucket merge, rebucket,
-        overwrite, rollback, another publish — or the branch itself
-        changed the bucket count) still refuses: the audited state was
+        lost, which is what makes WAP usable on a busy table — and a
+        publish that loses the conditional put to a non-conflicting
+        commit retries with the same optimistic budget as merges
+        (another branch's disjoint publish rebases the same way). A
+        conflicting intervener (same-bucket merge or publish,
+        rebucket, overwrite, rollback — or the branch itself changed
+        the bucket count) still refuses: the audited state was
         computed against data that changed under it — re-stage. The
         branch is left in place (re-publishable, inspectable);
         ``drop_branch`` when done."""
@@ -1669,10 +1679,9 @@ class LakeTable:
         fork = int(ref["fork_version"])
         bt = LakeTable(self.spark, self.root, io=self.io, branch=name)
         bhead_v = bt.current_version()
-        head = self.manifest()
         if bhead_v == fork:
             return {
-                "version": head["version"],
+                "version": self.current_version(),
                 "branch": name,
                 "published_from": fork,
                 "noop": True,
@@ -1688,29 +1697,6 @@ class LakeTable:
         # a branch-side bucket-count change makes the bucket spaces
         # incomparable: only a fast-forward (untouched main) is safe
         space_changed = bhead.get("num_buckets") != fork_m.get("num_buckets")
-        interveners = []
-        v = head["version"]
-        while v > fork:  # parent-pointer walk: versions are not dense
-            mi = self.manifest(v)
-            interveners.append(mi)
-            v = int(mi.get("parent", v - 1))
-        for mi in interveners:
-            op = mi.get("operation", "")
-            if op in ("compact", "merge-noop", "alter-properties"):
-                continue
-            t = mi.get("touched")
-            if (
-                op.startswith("merge-")
-                and t is not None
-                and not space_changed
-                and owned.isdisjoint(str(b) for b in t)
-            ):
-                continue
-            raise ConcurrentCommitError(
-                f"cannot publish branch {name!r}: main's v{mi['version']} "
-                f"({op or 'unknown'}) conflicts with the staged buckets — "
-                f"the audited state is stale; re-stage the branch"
-            )
         # staged epochs relative to the fork (over-approximation is
         # fine: _next_epoch_state is idempotent for already-committed
         # epochs; the spans are O(staged batches + reorder window))
@@ -1720,80 +1706,121 @@ class LakeTable:
         bbase = int(bhead.get("epoch_base", -1))
         staged = set(range(fw + 1, bw + 1)) | set(btail)
         staged |= set(range(bbase + 1, fbase + 1))
-        # merged state: main head + the branch's owned buckets
-        schema = reconcile(
-            T.StructType.fromJson(head["schema"]),
-            T.StructType.fromJson(bhead["schema"]),
-        )
-        evo = evolution_actions(
-            T.StructType.fromJson(head["schema"]),
-            T.StructType.fromJson(bhead["schema"]),
-        )
-        buckets = dict(head["buckets"])
-        morb = self._mor_buckets_of(head)
-        bmorb = self._mor_buckets_of(bhead)
-        for b in owned:
-            if b in bhead["buckets"]:
-                buckets[b] = bhead["buckets"][b]
-            else:
-                buckets.pop(b, None)
-            if b in bmorb:
-                morb[b] = bmorb[b]
-            else:
-                morb.pop(b, None)
-        live = {rel.split("/")[1] for fs in buckets.values() for rel in fs}
-        cv = {
-            d: v
-            for d, v in {
-                **head.get("commit_versions", {}),
-                **bhead.get("commit_versions", {}),
-            }.items()
-            if d in live
-        }
-        # the publish allocates DENSELY from head (same next number
-        # every concurrent writer derives, so the conditional put
-        # serializes them) and raises the version high-water mark past
-        # the branch-local version space: branch data dirs carry their
-        # branch-local version numbers in their names (MOR merge order
-        # within a bucket resolves through those), so no later commit
-        # may reuse one of them — future allocations skip the range,
-        # making version numbers unique but not dense; readers walk
-        # parent pointers, never assume v-1 exists
-        nv = self._next_version(head)
-        mm = dict(head)
-        mm.pop("committed_epochs", None)
-        mm.update(
-            version=nv,
-            version_hwm=max(nv, bhead_v),
-            parent=head["version"],
-            operation="publish",
-            branch=name,
-            fork_version=fork,
-            schema=schema.jsonValue(),
-            buckets=buckets,
-            num_buckets=bhead["num_buckets"],
-            mor=bool(morb),
-            mor_depth=max(morb.values(), default=0),
-            mor_buckets=morb,
-            file_bounds=self._merged_bounds(
-                head, buckets, bhead.get("file_bounds", {})
-            ),
-            file_rows=self._merged_bounds(
-                head, buckets, bhead.get("file_rows", {}), "file_rows"
-            ),
-            commit_versions=cv,
-            evolution=head.get("evolution", [])
-            + ([{"version": nv, "actions": evo}] if evo else []),
-            touched=sorted(int(b) for b in owned),
-            **self._next_epoch_state(head, sorted(staged)),
-        )
-        self._commit(mm)
-        return {
-            "version": mm["version"],
-            "branch": name,
-            "published_from": bhead_v,
-            "noop": False,
-        }
+        # optimistic retry, same budget as merges: losing the put to a
+        # non-conflicting commit (the tailer merging another bucket)
+        # re-reads main and rebuilds — the rebase is manifest-only
+        for attempt in range(self.COMMIT_RETRIES + 1):
+            head = self.manifest()
+            interveners = []
+            v = head["version"]
+            while v > fork:  # parent-pointer walk: versions are not dense
+                mi = self.manifest(v)
+                interveners.append(mi)
+                v = int(mi.get("parent", v - 1))
+            for mi in interveners:
+                op = mi.get("operation", "")
+                if op in ("compact", "merge-noop", "alter-properties"):
+                    continue
+                t = mi.get("touched")
+                if (
+                    # another branch's publish records exactly its
+                    # overlaid buckets, so like a merge it conflicts
+                    # iff it touched one of ours (and kept the bucket
+                    # space unchanged)
+                    (op.startswith("merge-") or op == "publish")
+                    and t is not None
+                    and not space_changed
+                    and mi.get("num_buckets") == fork_m.get("num_buckets")
+                    and owned.isdisjoint(str(b) for b in t)
+                ):
+                    continue
+                raise ConcurrentCommitError(
+                    f"cannot publish branch {name!r}: main's "
+                    f"v{mi['version']} ({op or 'unknown'}) conflicts with "
+                    f"the staged buckets — the audited state is stale; "
+                    f"re-stage the branch"
+                )
+            # merged state: main head + the branch's owned buckets
+            schema = reconcile(
+                T.StructType.fromJson(head["schema"]),
+                T.StructType.fromJson(bhead["schema"]),
+            )
+            evo = evolution_actions(
+                T.StructType.fromJson(head["schema"]),
+                T.StructType.fromJson(bhead["schema"]),
+            )
+            buckets = dict(head["buckets"])
+            morb = self._mor_buckets_of(head)
+            bmorb = self._mor_buckets_of(bhead)
+            for b in owned:
+                if b in bhead["buckets"]:
+                    buckets[b] = bhead["buckets"][b]
+                else:
+                    buckets.pop(b, None)
+                if b in bmorb:
+                    morb[b] = bmorb[b]
+                else:
+                    morb.pop(b, None)
+            live = {rel.split("/")[1] for fs in buckets.values() for rel in fs}
+            cv = {
+                d: v
+                for d, v in {
+                    **head.get("commit_versions", {}),
+                    **bhead.get("commit_versions", {}),
+                }.items()
+                if d in live
+            }
+            # the publish allocates DENSELY from head (same next number
+            # every concurrent writer derives, so the conditional put
+            # serializes them) and raises the version high-water mark
+            # past the branch-local version space: branch data dirs
+            # carry their branch-local version numbers in their names
+            # (MOR merge order within a bucket resolves through those),
+            # so no later commit may reuse one of them — future
+            # allocations skip the range, making version numbers unique
+            # but not dense; readers walk parent pointers, never assume
+            # v-1 exists
+            nv = self._next_version(head)
+            mm = dict(head)
+            mm.pop("committed_epochs", None)
+            mm.update(
+                version=nv,
+                version_hwm=max(nv, bhead_v),
+                parent=head["version"],
+                operation="publish",
+                branch=name,
+                fork_version=fork,
+                schema=schema.jsonValue(),
+                buckets=buckets,
+                num_buckets=bhead["num_buckets"],
+                mor=bool(morb),
+                mor_depth=max(morb.values(), default=0),
+                mor_buckets=morb,
+                file_bounds=self._merged_bounds(
+                    head, buckets, bhead.get("file_bounds", {})
+                ),
+                file_rows=self._merged_bounds(
+                    head, buckets, bhead.get("file_rows", {}), "file_rows"
+                ),
+                commit_versions=cv,
+                evolution=head.get("evolution", [])
+                + ([{"version": nv, "actions": evo}] if evo else []),
+                touched=sorted(int(b) for b in owned),
+                **self._next_epoch_state(head, sorted(staged)),
+            )
+            try:
+                self._commit(mm)
+            except ConcurrentCommitError:
+                if attempt == self.COMMIT_RETRIES:
+                    raise
+                continue
+            return {
+                "version": mm["version"],
+                "branch": name,
+                "published_from": bhead_v,
+                "noop": False,
+            }
+        raise AssertionError("unreachable")
 
     # ------------------------------------------------------------ changelog
 

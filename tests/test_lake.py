@@ -1128,7 +1128,9 @@ def test_branch_guards_and_races(spark, table):
     v = table.current_version()
     assert table.publish_branch("b1")["noop"] is True
     assert table.current_version() == v
-    # a merge on main cannot rebase over a concurrent publish
+    # a merge of the SAME key cannot rebase over a concurrent publish
+    # (disjoint-bucket merges now legitimately rebase — covered in
+    # test_publish_retries_over_racing_disjoint_merge)
     bt.merge(
         spark.createDataFrame([("p", [1], 1, "web")], schema=sequences_schema()),
         epochs=[0],
@@ -1150,10 +1152,10 @@ def test_branch_guards_and_races(spark, table):
     )
     with pytest.raises(ConcurrentCommitError):
         racer.merge(
-            spark.createDataFrame([("q", [2], 1, "web")], schema=sequences_schema()),
+            spark.createDataFrame([("p", [2], 1, "web")], schema=sequences_schema()),
             epochs=[1],
         )
-    assert "p" in _rows(LakeTable(spark, table.root))  # published state won
+    assert _rows(LakeTable(spark, table.root))["p"]["tokens"] == [1]  # published state won
 
 
 def test_branch_schema_evolution_publishes_to_main(spark, table):
@@ -1288,3 +1290,75 @@ def test_branch_publish_refuses_same_bucket_traffic(spark, table):
     with pytest.raises(ConcurrentCommitError):
         table.publish_branch("clash")
     assert _rows(table)["k"]["tokens"] == [2]  # main's write intact
+
+
+def test_publish_retries_over_racing_disjoint_merge(spark, table):
+    """A publish losing the conditional put to the tailer merging a
+    DIFFERENT bucket retries and lands; and a merge losing to a
+    disjoint publish rebases instead of raising. Two branches staging
+    disjoint buckets both publish."""
+    from pyspark.sql import functions as F
+
+    nb = table.num_buckets
+    probe = spark.createDataFrame(
+        [(f"k{i}",) for i in range(40)], "doc_id string"
+    ).select("doc_id", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).alias("b"))
+    by_bucket = {}
+    for r in probe.collect():
+        by_bucket.setdefault(r["b"], r["doc_id"])
+        if len(by_bucket) >= 3:
+            break
+    (b1, key1), (b2, key2), (b3, key3) = list(by_bucket.items())[:3]
+
+    table.create_branch("p1")
+    bt1 = LakeTable(spark, table.root, branch="p1")
+    bt1.merge(
+        spark.createDataFrame([(key1, [1], 1, "s1")], schema=sequences_schema()),
+        epochs=[0],
+    )
+
+    class RaceOnce(LocalFileIO):
+        def __init__(self, race):
+            self._race, self._armed = race, True
+
+        def put_if_absent(self, path, data):
+            if self._armed and os.sep + "snap-" in path and "branch-" not in path:
+                self._armed = False
+                self._race()
+            return super().put_if_absent(path, data)
+
+    # 1) publish loses the put to a DISJOINT merge -> retries, lands
+    other = LakeTable(spark, table.root)
+    racer = LakeTable(
+        spark, table.root,
+        io=RaceOnce(lambda: other.merge(
+            spark.createDataFrame([(key2, [2], 1, "live")], schema=sequences_schema()),
+            epochs=[1],
+        )),
+    )
+    info = racer.publish_branch("p1")
+    assert info["noop"] is False
+    rows = _rows(LakeTable(spark, table.root))
+    assert rows[key1]["tokens"] == [1] and rows[key2]["tokens"] == [2]
+
+    # 2) merge loses the put to a DISJOINT publish -> rebases, lands
+    table.create_branch("p2")
+    bt2 = LakeTable(spark, table.root, branch="p2")
+    bt2.merge(
+        spark.createDataFrame([(key1, [11], 1, "s2")], schema=sequences_schema()),
+        epochs=[2],
+    )
+    other2 = LakeTable(spark, table.root)
+    racer2 = LakeTable(
+        spark, table.root,
+        io=RaceOnce(lambda: other2.publish_branch("p2")),
+    )
+    racer2.merge(
+        spark.createDataFrame([(key3, [3], 1, "live")], schema=sequences_schema()),
+        epochs=[3],
+    )
+    rows = _rows(LakeTable(spark, table.root))
+    assert rows[key1]["tokens"] == [11]  # publish landed
+    assert rows[key3]["tokens"] == [3]  # merge rebased over it
+    for ep in (0, 1, 2, 3):
+        assert LakeTable(spark, table.root).is_epoch_committed(ep)
