@@ -1613,6 +1613,13 @@ class LakeTable:
             self._branch_ref_path(name),
             json.dumps({"name": name, "fork_version": v}),
         )
+        # we now own the name (conditional put won): any files in the
+        # snapshot namespace are garbage from an interrupted drop of a
+        # previous same-name branch — a fresh branch must start empty,
+        # not inherit a dead branch's history
+        d = self._branch_snap_dir(name)
+        if self.io.is_dir(d):
+            self.io.remove_tree(d)
         return {"name": name, "fork_version": v}
 
     def branches(self) -> dict[str, dict]:
@@ -1637,13 +1644,18 @@ class LakeTable:
         return out
 
     def drop_branch(self, name: str) -> None:
-        """Abandon a branch: delete its ref and snapshot namespace.
-        Data files staged only by the branch become orphans and are
-        reclaimed by the next age-gated :meth:`vacuum`."""
-        self.io.delete(self._branch_ref_path(name))
+        """Abandon a branch: delete its snapshot namespace, then its
+        ref — in THAT order, so a crash between the two leaves a ref
+        to an empty branch (harmless: reads fall through to the fork,
+        re-drop finishes the job) rather than an unreferenced snapshot
+        dir that a future same-name ``create_branch`` would silently
+        inherit as its own history. Data files staged only by the
+        branch become orphans and are reclaimed by the next age-gated
+        :meth:`vacuum`."""
         d = self._branch_snap_dir(name)
         if self.io.is_dir(d):
             self.io.remove_tree(d)
+        self.io.delete(self._branch_ref_path(name))
 
     def publish_branch(self, name: str) -> dict:
         """Promote branch ``name``'s head to main as ONE commit (the

@@ -1362,3 +1362,40 @@ def test_publish_retries_over_racing_disjoint_merge(spark, table):
     assert rows[key3]["tokens"] == [3]  # merge rebased over it
     for ep in (0, 1, 2, 3):
         assert LakeTable(spark, table.root).is_epoch_committed(ep)
+
+
+def test_drop_branch_crash_window_never_leaks_history(spark, table):
+    """A drop interrupted between dir-removal and ref-delete leaves an
+    EMPTY branch (reads fall through to the fork); and a re-created
+    same-name branch never inherits a dead branch's snapshots."""
+    table.create_branch("x")
+    bt = LakeTable(spark, table.root, branch="x")
+    bt.merge(
+        spark.createDataFrame([("dead", [1], 1, "web")], schema=sequences_schema()),
+        epochs=[0],
+    )
+
+    class CrashAfterTree(LocalFileIO):
+        def delete(self, path):
+            if "branch-x.json" in path:
+                raise RuntimeError("crash before ref delete")
+            super().delete(path)
+
+    with pytest.raises(RuntimeError):
+        LakeTable(spark, table.root, io=CrashAfterTree()).drop_branch("x")
+    # ref survives, dir gone: branch is empty, reads = fork state
+    bt2 = LakeTable(spark, table.root, branch="x")
+    assert set(_rows(bt2)) == {"a", "b", "c"}
+    assert table.branches()["x"]["head"] == table.branches()["x"]["fork_version"]
+    table.drop_branch("x")  # re-drop finishes the job
+    assert "x" not in table.branches()
+
+    # simulate the OLD hazard directly: stale snap dir without a ref
+    stale = os.path.join(table.root, "_snapshots", "branch-x")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "snap-99999999.json"), "w") as f:
+        f.write("{}")
+    table.create_branch("x")  # must clean, not inherit
+    bt3 = LakeTable(spark, table.root, branch="x")
+    assert bt3.current_version() == table.current_version()
+    assert set(_rows(bt3)) == {"a", "b", "c"}
