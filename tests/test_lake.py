@@ -349,6 +349,20 @@ class _MemManifestIO(LocalFileIO):
             return
         super().delete(path)
 
+    # object-store semantics: a "directory" is a key prefix — these two
+    # are what branch namespaces (_snapshots/branch-<name>/) need
+    def is_dir(self, path):
+        if self._is_snap(path):
+            return any(k.startswith(path + os.sep) for k in self.store)
+        return super().is_dir(path)
+
+    def remove_tree(self, path):
+        if self._is_snap(path):
+            for k in [k for k in self.store if k.startswith(path + os.sep)]:
+                del self.store[k]
+            return
+        super().remove_tree(path)
+
 
 def test_fileio_seam_with_in_memory_manifest_store(spark, tmp_warehouse):
     """The full create/merge/read/time-travel/vacuum lifecycle runs
@@ -1399,3 +1413,37 @@ def test_drop_branch_crash_window_never_leaks_history(spark, table):
     bt3 = LakeTable(spark, table.root, branch="x")
     assert bt3.current_version() == table.current_version()
     assert set(_rows(bt3)) == {"a", "b", "c"}
+
+
+def test_fileio_seam_carries_branches_and_rollback(spark, tmp_warehouse):
+    """The branch/WAP and rollback layers run entirely through a
+    non-filesystem manifest store: branch namespaces are key prefixes
+    (object-store semantics), publish/drop/rollback never assume a
+    real directory exists."""
+    io_ = _MemManifestIO()
+    root = os.path.join(tmp_warehouse, "membr")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=4, io=io_)
+    t.overwrite(
+        spark.createDataFrame([("a", [1], 1, "web")], schema=sequences_schema())
+    )
+    v_base = t.current_version()
+    t.create_branch("stage")
+    bt = LakeTable(spark, root, io=io_, branch="stage")
+    bt.merge(
+        spark.createDataFrame([("b", [2], 1, "books")], schema=sequences_schema()),
+        epochs=[0],
+    )
+    # branch snaps live ONLY in the store, under the branch prefix
+    assert any("branch-stage" in k for k in io_.store)
+    assert not os.path.isdir(os.path.join(root, "_snapshots"))
+    assert t.publish_branch("stage")["noop"] is False
+    assert set(_rows(t)) == {"a", "b"} and t.is_epoch_committed(0)
+    t.drop_branch("stage")
+    assert not any("branch-stage" in k for k in io_.store)  # prefix purged
+    # same-name re-create through the seam starts empty
+    t.create_branch("stage")
+    assert LakeTable(spark, root, io=io_, branch="stage").read().count() == 2
+    t.drop_branch("stage")
+    # rollback through the seam
+    t.rollback(v_base)
+    assert set(_rows(t)) == {"a"} and not t.is_epoch_committed(0)
