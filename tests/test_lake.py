@@ -1447,3 +1447,19 @@ def test_fileio_seam_carries_branches_and_rollback(spark, tmp_warehouse):
     # rollback through the seam
     t.rollback(v_base)
     assert set(_rows(t)) == {"a"} and not t.is_epoch_committed(0)
+
+
+def test_branch_changes_audit_staged_deltas(spark, table):
+    """bt.changes(fork) is the audit surface: exactly the staged
+    row-level deltas, readable before publish."""
+    fork = table.current_version()
+    table.create_branch("aud")
+    bt = LakeTable(spark, table.root, branch="aud")
+    bt.merge(
+        spark.createDataFrame([("a", [9], 1, "wiki")], schema=sequences_schema()),
+        spark.createDataFrame([("c",)], "doc_id string"),
+        epochs=[0],
+    )
+    ch = {(r["doc_id"], r["_change_type"]) for r in bt.changes(fork).collect()}
+    assert ch == {("a", "upsert"), ("c", "delete")}
+    table.drop_branch("aud")
