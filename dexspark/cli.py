@@ -240,6 +240,22 @@ def main(argv: list[str] | None = None) -> int:
         "(one full-rewrite commit; see LakeTable.rebucket)",
     )
     ap.add_argument(
+        "--rename-column",
+        metavar="OLD:NEW",
+        default=None,
+        help="instead of tailing: rename a column as a manifest-only "
+        "commit (old data files and stale producers resolve via alias; "
+        "see LakeTable.rename_column)",
+    )
+    ap.add_argument(
+        "--drop-column",
+        metavar="NAME",
+        default=None,
+        help="instead of tailing: drop a column as a manifest-only "
+        "commit; a later re-add of the same name reads null from "
+        "pre-re-add files (field-identity semantics)",
+    )
+    ap.add_argument(
         "--rollback",
         metavar="VERSION_OR_TAG",
         default=None,
@@ -256,6 +272,8 @@ def main(argv: list[str] | None = None) -> int:
         or args.delete_where is not None
         or args.set_property is not None
         or args.rollback is not None
+        or args.rename_column is not None
+        or args.drop_column is not None
     )
     # `is not None`, matching the dispatch below: an EMPTY-STRING
     # operand (e.g. --lookup "" from an unquoted shell variable) is
@@ -387,6 +405,11 @@ def main(argv: list[str] | None = None) -> int:
             out["rebucket"] = table.rebucket(args.rebucket)
         if args.compact:
             out["compact"] = table.compact(max_buckets=args.compact_max_buckets)
+        if args.rename_column is not None:
+            o, _, n = args.rename_column.partition(":")
+            out["rename_column"] = table.rename_column(o, n)
+        if args.drop_column is not None:
+            out["drop_column"] = table.drop_column(args.drop_column)
         if args.set_property is not None:
             props = {}
             for kv in args.set_property:

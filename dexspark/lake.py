@@ -52,7 +52,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .schema import evolution_actions, reconcile
+from .schema import SchemaEvolutionError, evolution_actions, reconcile
 
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
@@ -545,19 +545,76 @@ class LakeTable:
     def _bucket_col(self, df: DataFrame, key: str, n: int) -> DataFrame:
         return df.withColumn("_bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n)).cast("int"))
 
-    def _align(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+    # ------------------------------------------- column identity (renames)
+    # Iceberg tracks columns by FIELD ID so renames are metadata-only
+    # and a re-added name never resurrects dropped data. The manifest
+    # equivalent here is ``columns_meta``:
+    #   {canonical_name: {"added_at": version, "aliases": [old names]}}
+    # Absent entries mean added_at=0 / no aliases (legacy manifests
+    # read unchanged). ``aliases`` resolve a column's FORMER names in
+    # old data files (and in stale producers' frames); ``added_at``
+    # suppresses same-named bytes in files written before the column's
+    # identity existed (the drop-then-re-add case).
+
+    @staticmethod
+    def _aliases_of(m: dict) -> dict[str, str]:
+        """lowercased former name -> canonical current name."""
+        out: dict[str, str] = {}
+        for name, e in (m.get("columns_meta") or {}).items():
+            for a in e.get("aliases", []):
+                out[a.lower()] = name
+        return out
+
+    @staticmethod
+    def _columns_meta_after(
+        base: dict, schema2: T.StructType, logical: int
+    ) -> dict:
+        """columns_meta after an additive evolution at ``logical``:
+        brand-new columns get added_at=logical (files from earlier
+        commits must null-fill them even if same-named bytes exist)."""
+        cm = {k: dict(v) for k, v in (base.get("columns_meta") or {}).items()}
+        old_names = {f.name for f in T.StructType.fromJson(base["schema"]).fields}
+        for f in schema2.fields:
+            if f.name not in old_names and f.name not in cm:
+                cm[f.name] = {"added_at": logical, "aliases": []}
+        return cm
+
+    def _align(
+        self,
+        df: DataFrame,
+        schema: T.StructType,
+        aliases: dict[str, str] | None = None,
+        cmeta: dict | None = None,
+        file_version: int | None = None,
+    ) -> DataFrame:
         """Project ``df`` to ``schema``: cast matching columns (int
         widening), null-fill missing ones (additive evolution).
         Matching is case-insensitive like Spark's own column resolution
         (and schema.reconcile): a case-variant incoming column must
-        align onto the canonical table column, not be null-filled."""
+        align onto the canonical table column, not be null-filled.
+
+        ``aliases`` additionally resolve a renamed column's former
+        names. ``file_version`` (the logical commit version the rows
+        were written at) with ``cmeta`` suppresses columns whose
+        identity postdates the file — a column dropped and re-added
+        must read null from pre-re-add files even though the bytes are
+        still there (Iceberg field-id semantics)."""
         cols = []
-        have = {f.name.lower() for f in df.schema.fields}
+        have = {f.name.lower(): f.name for f in df.schema.fields}
         for f in schema.fields:
-            if f.name.lower() in have:
+            src = have.get(f.name.lower())
+            if src is None and aliases:
+                for a_l, canon in aliases.items():
+                    if canon == f.name and a_l in have:
+                        src = have[a_l]
+                        break
+            added = ((cmeta or {}).get(f.name) or {}).get("added_at", 0)
+            if src is not None and not (
+                file_version is not None and added > file_version
+            ):
                 # F.col resolves case-insensitively under the default
                 # spark.sql.caseSensitive=false
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+                cols.append(F.col(src).cast(f.dataType).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
         return df.select(*cols)
@@ -635,11 +692,18 @@ class LakeTable:
                 target.setdefault(commit, []).append(os.path.join(self.root, rel))
         if not by_commit and not clean_by_commit:
             return self.spark.createDataFrame([], schema)
+        al, cm = self._aliases_of(m), m.get("columns_meta") or {}
         clean = None
         if clean_by_commit:
             parts = [
-                self._align(self.spark.read.parquet(*files), schema)
-                for files in clean_by_commit.values()
+                self._align(
+                    self.spark.read.parquet(*files),
+                    schema,
+                    aliases=al,
+                    cmeta=cm,
+                    file_version=self._dir_version(m, commit),
+                )
+                for commit, files in clean_by_commit.items()
             ]
             clean = parts[0]
             for p in parts[1:]:
@@ -664,7 +728,13 @@ class LakeTable:
             )
             version = self._dir_version(m, commit)
             parts.append(
-                self._align(df.withColumn(_TOMBSTONE, tomb), schema_t)
+                self._align(
+                    df.withColumn(_TOMBSTONE, tomb),
+                    schema_t,
+                    aliases=al,
+                    cmeta=cm,
+                    file_version=version,
+                )
                 .withColumn("_commit", F.lit(version))
             )
         out = parts[0]
@@ -880,8 +950,11 @@ class LakeTable:
         """Replace the full table contents atomically (initial load)."""
         m = self.manifest()
         version = self._next_version(m)
-        schema = reconcile(T.StructType.fromJson(m["schema"]), df.schema)
-        data = self._bucket_col(self._align(df, schema), m["key"], m["num_buckets"])
+        al = self._aliases_of(m)
+        schema = reconcile(T.StructType.fromJson(m["schema"]), df.schema, al)
+        data = self._bucket_col(
+            self._align(df, schema, aliases=al), m["key"], m["num_buckets"]
+        )
         buckets = self._write_commit(data, version)
         fb, fr = self._file_bounds_of(buckets)
         epoch_fields = self._next_epoch_state(m, epochs)
@@ -892,6 +965,7 @@ class LakeTable:
             parent=m["version"],
             operation="overwrite",
             schema=schema.jsonValue(),
+            columns_meta=self._columns_meta_after(m, schema, version),
             buckets=buckets,
             file_bounds=fb,
             file_rows=fr,
@@ -956,11 +1030,14 @@ class LakeTable:
         m = self.manifest()
         key, n_buckets = m["key"], m["num_buckets"]
         old_schema = T.StructType.fromJson(m["schema"])
-        schema = reconcile(old_schema, upserts.schema)
-        evo = evolution_actions(old_schema, upserts.schema)
+        al = self._aliases_of(m)
+        schema = reconcile(old_schema, upserts.schema, al)
+        evo = evolution_actions(old_schema, upserts.schema, al)
         version = self._next_version(m)
 
-        ups = self._bucket_col(self._align(upserts, schema), key, n_buckets)
+        ups = self._bucket_col(
+            self._align(upserts, schema, aliases=al), key, n_buckets
+        )
         all_keys = ups.select(key, "_bucket")
         if delete_keys is not None:
             # cast to the table key type BEFORE hashing: xxhash64 of an
@@ -1030,8 +1107,9 @@ class LakeTable:
                     f"concurrent rebucket?) — aborting instead of "
                     f"dropping their rows"
                 )
-            schema2 = reconcile(T.StructType.fromJson(base["schema"]), schema)
-            evo2 = evolution_actions(T.StructType.fromJson(base["schema"]), schema)
+            al2 = self._aliases_of(base)
+            schema2 = reconcile(T.StructType.fromJson(base["schema"]), schema, al2)
+            evo2 = evolution_actions(T.StructType.fromJson(base["schema"]), schema, al2)
             buckets = dict(base["buckets"])
             for bs in touched:
                 if bs in written:
@@ -1054,6 +1132,7 @@ class LakeTable:
                 mor_depth=max(morb.values(), default=0),
                 mor_buckets=morb,
                 schema=schema2.jsonValue(),
+                columns_meta=self._columns_meta_after(base, schema2, logical),
                 buckets=buckets,
                 file_bounds=self._merged_bounds(base, buckets, new_bounds),
                 file_rows=self._merged_bounds(base, buckets, new_rows, "file_rows"),
@@ -1111,11 +1190,14 @@ class LakeTable:
         m = self.manifest()
         key, n_buckets = m["key"], m["num_buckets"]
         old_schema = T.StructType.fromJson(m["schema"])
-        schema = reconcile(old_schema, upserts.schema)
-        evo = evolution_actions(old_schema, upserts.schema)
+        al = self._aliases_of(m)
+        schema = reconcile(old_schema, upserts.schema, al)
+        evo = evolution_actions(old_schema, upserts.schema, al)
         version = self._next_version(m)
 
-        ups = self._align(upserts, schema).withColumn(_TOMBSTONE, F.lit(False))
+        ups = self._align(upserts, schema, aliases=al).withColumn(
+            _TOMBSTONE, F.lit(False)
+        )
         batch = ups
         if delete_keys is not None:
             tombs = self._align(delete_keys.select(key), schema).withColumn(
@@ -1139,8 +1221,9 @@ class LakeTable:
 
         def rebuild(base: dict) -> dict:
             logical = self._next_version(base)
-            schema2 = reconcile(T.StructType.fromJson(base["schema"]), schema)
-            evo2 = evolution_actions(T.StructType.fromJson(base["schema"]), schema)
+            al2 = self._aliases_of(base)
+            schema2 = reconcile(T.StructType.fromJson(base["schema"]), schema, al2)
+            evo2 = evolution_actions(T.StructType.fromJson(base["schema"]), schema, al2)
             buckets = dict(base["buckets"])
             morb = self._mor_buckets_of(base)
             for b, files in written.items():
@@ -1154,6 +1237,7 @@ class LakeTable:
                 parent=base["version"],
                 operation="merge-mor",
                 schema=schema2.jsonValue(),
+                columns_meta=self._columns_meta_after(base, schema2, logical),
                 buckets=buckets,
                 file_bounds=self._merged_bounds(base, buckets, new_bounds),
                 file_rows=self._merged_bounds(base, buckets, new_rows, "file_rows"),
@@ -1452,6 +1536,108 @@ class LakeTable:
 
         mm = self._publish_with_rebase(m["version"], [], rebuild)
         return {"version": mm["version"], "properties": mm["properties"]}
+
+    def rename_column(self, old: str, new: str) -> dict:
+        """Rename a column as a manifest-only commit — no data file is
+        touched (Iceberg ``ALTER TABLE ... RENAME COLUMN``; renames
+        are metadata because columns are tracked by identity, not
+        name). The former name is recorded as an ALIAS in
+        ``columns_meta``: old data files (and stale producers still
+        emitting the old name) resolve onto the renamed column at
+        read/merge time, time travel to pre-rename versions shows the
+        old name, and ``changes()`` across the rename emits under the
+        final name. Renaming the merge key is allowed (bucket hashes
+        are over values, not names). Publishes through the rebase path
+        with an empty touched set — concurrent merges interleave."""
+        m = self.manifest()
+
+        def rebuild(base: dict) -> dict:
+            bschema = T.StructType.fromJson(base["schema"])
+            names = {f.name.lower(): f.name for f in bschema.fields}
+            if old.lower() not in names:
+                raise SchemaEvolutionError(f"no column {old!r} to rename")
+            old_c = names[old.lower()]
+            if new.lower() in names and names[new.lower()] != old_c:
+                raise SchemaEvolutionError(
+                    f"cannot rename {old_c!r} to {new!r}: column exists"
+                )
+            al = self._aliases_of(base)
+            if new.lower() in al:
+                raise SchemaEvolutionError(
+                    f"cannot rename {old_c!r} to {new!r}: it is a former "
+                    f"name of {al[new.lower()]!r} (old data files would "
+                    f"become ambiguous)"
+                )
+            fields = [
+                T.StructField(new, f.dataType, f.nullable)
+                if f.name == old_c
+                else f
+                for f in bschema.fields
+            ]
+            cm = {k: dict(v) for k, v in (base.get("columns_meta") or {}).items()}
+            entry = cm.pop(old_c, {"added_at": 0, "aliases": []})
+            entry["aliases"] = sorted(set(entry.get("aliases", [])) | {old_c})
+            cm[new] = entry
+            nv = self._next_version(base)
+            mm = dict(base)
+            mm.update(
+                version=nv,
+                version_hwm=nv,
+                parent=base["version"],
+                operation="rename-column",
+                schema=T.StructType(fields).jsonValue(),
+                columns_meta=cm,
+                key=(new if base["key"] == old_c else base["key"]),
+                evolution=base.get("evolution", [])
+                + [{"version": nv, "actions": [f"rename {old_c} -> {new}"]}],
+                touched=[],
+            )
+            return mm
+
+        mm = self._publish_with_rebase(m["version"], [], rebuild)
+        return {"version": mm["version"], "key": mm["key"]}
+
+    def drop_column(self, name: str) -> dict:
+        """Drop a column as a manifest-only commit. Data files keep
+        the bytes (Iceberg semantics — space comes back as compaction
+        / COW merges naturally rewrite files); reads project the
+        column away. A LATER re-add of the same name is a NEW column
+        identity: ``columns_meta.added_at`` makes pre-re-add files
+        read null for it instead of resurrecting dropped data."""
+        m = self.manifest()
+
+        def rebuild(base: dict) -> dict:
+            bschema = T.StructType.fromJson(base["schema"])
+            names = {f.name.lower(): f.name for f in bschema.fields}
+            if name.lower() not in names:
+                raise SchemaEvolutionError(f"no column {name!r} to drop")
+            c = names[name.lower()]
+            if c == base["key"]:
+                raise SchemaEvolutionError("cannot drop the merge key")
+            cm = {
+                k: dict(v)
+                for k, v in (base.get("columns_meta") or {}).items()
+                if k != c
+            }
+            nv = self._next_version(base)
+            mm = dict(base)
+            mm.update(
+                version=nv,
+                version_hwm=nv,
+                parent=base["version"],
+                operation="drop-column",
+                schema=T.StructType(
+                    [f for f in bschema.fields if f.name != c]
+                ).jsonValue(),
+                columns_meta=cm,
+                evolution=base.get("evolution", [])
+                + [{"version": nv, "actions": [f"drop column {c}"]}],
+                touched=[],
+            )
+            return mm
+
+        mm = self._publish_with_rebase(m["version"], [], rebuild)
+        return {"version": mm["version"]}
 
     # -------------------------------------------------------- rollback
 
@@ -1753,14 +1939,28 @@ class LakeTable:
                     f"re-stage the branch"
                 )
             # merged state: main head + the branch's owned buckets
+            pal = {**self._aliases_of(head), **self._aliases_of(bhead)}
             schema = reconcile(
                 T.StructType.fromJson(head["schema"]),
                 T.StructType.fromJson(bhead["schema"]),
+                pal,
             )
             evo = evolution_actions(
                 T.StructType.fromJson(head["schema"]),
                 T.StructType.fromJson(bhead["schema"]),
+                pal,
             )
+            # column identity: main's entries win; branch-added
+            # columns keep the added_at of their branch commit (their
+            # data dirs carry branch-local version numbers)
+            pcm = {
+                k: dict(v)
+                for k, v in {
+                    **(bhead.get("columns_meta") or {}),
+                    **(head.get("columns_meta") or {}),
+                }.items()
+                if k in {f.name for f in schema.fields}
+            }
             buckets = dict(head["buckets"])
             morb = self._mor_buckets_of(head)
             bmorb = self._mor_buckets_of(bhead)
@@ -1803,6 +2003,7 @@ class LakeTable:
                 branch=name,
                 fork_version=fork,
                 schema=schema.jsonValue(),
+                columns_meta=pcm,
                 buckets=buckets,
                 num_buckets=bhead["num_buckets"],
                 mor=bool(morb),
@@ -2047,7 +2248,10 @@ class LakeTable:
             schema = T.StructType.fromJson(m["schema"])
             data_cols = [f.name for f in schema.fields]
             if op in ("compact", "rebucket", "merge-noop", "create",
-                      "alter-properties"):
+                      "alter-properties", "rename-column", "drop-column"):
+                # physical- or metadata-only: no logical row change.
+                # (A drop narrows the visible schema; consumers read
+                # the final schema from the alignment below.)
                 continue
             if op == "merge-mor":
                 files = self._commit_files(m, v)
@@ -2115,7 +2319,7 @@ class LakeTable:
                         F.lit(v).alias("_commit_version"),
                     )
                 )
-            parts.append(part)
+            parts.append((v, part))
         final_schema = T.StructType(
             list(T.StructType.fromJson(self.manifest(to_v)["schema"]).fields)
             + [
@@ -2125,11 +2329,19 @@ class LakeTable:
         )
         if not parts:
             return self.spark.createDataFrame([], final_schema)
+        # commits before a schema evolution lack the new columns, and
+        # commits before a rename carry the OLD name: align each part
+        # (alias-aware) before the union, or a renamed column would
+        # survive as two half-null columns
+        fm = self.manifest(to_v)
+        fal, fcm = self._aliases_of(fm), fm.get("columns_meta") or {}
+        parts = [
+            self._align(
+                p, final_schema, aliases=fal, cmeta=fcm, file_version=pv
+            )
+            for pv, p in parts
+        ]
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p, allowMissingColumns=True)
-        # commits before a schema evolution lack the new columns;
-        # align once at the end
-        return self._align(
-            out, final_schema
-        )
+            out = out.unionByName(p)
+        return out

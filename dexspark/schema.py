@@ -94,7 +94,11 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
-def reconcile(table: T.StructType, incoming: T.StructType) -> T.StructType:
+def reconcile(
+    table: T.StructType,
+    incoming: T.StructType,
+    aliases: dict[str, str] | None = None,
+) -> T.StructType:
     """Merge an incoming batch schema into the table schema.
 
     - columns present in both: types must match or int-widen;
@@ -112,7 +116,21 @@ def reconcile(table: T.StructType, incoming: T.StructType) -> T.StructType:
     Spark would then refuse to resolve (AMBIGUOUS_REFERENCE) on the
     very next select. Two incoming fields that collide after
     casefolding are rejected for the same reason.
+
+    ``aliases`` (lowercased old name -> canonical current name) maps a
+    RENAMED column's former names onto its current one, so a stale
+    producer still emitting the pre-rename name evolves nothing — its
+    values land in the renamed column instead of spawning a duplicate.
     """
+    if aliases:
+        incoming = T.StructType(
+            [
+                T.StructField(
+                    aliases.get(f.name.lower(), f.name), f.dataType, f.nullable
+                )
+                for f in incoming.fields
+            ]
+        )
     by_name: dict[str, T.StructField] = {}
     for f in incoming.fields:
         k = f.name.lower()
@@ -139,9 +157,13 @@ def reconcile(table: T.StructType, incoming: T.StructType) -> T.StructType:
     return T.StructType(out)
 
 
-def evolution_actions(table: T.StructType, incoming: T.StructType) -> list[str]:
+def evolution_actions(
+    table: T.StructType,
+    incoming: T.StructType,
+    aliases: dict[str, str] | None = None,
+) -> list[str]:
     """Human/lineage-readable description of what reconcile() changed."""
-    evolved = reconcile(table, incoming)
+    evolved = reconcile(table, incoming, aliases)
     actions = []
     old = {f.name: f.dataType for f in table.fields}
     for f in evolved.fields:

@@ -448,3 +448,35 @@ def test_cli_branch_tail_with_auto_vacuum_skips_retention(spark, tmp_warehouse, 
     assert out["committed_epochs"] == [0, 1]
     bt = LakeTable(spark, root, branch="s")
     assert bt.read().count() > 0
+
+
+def test_cli_rename_and_drop_column(spark, tmp_warehouse, capsys):
+    from dexspark import cli
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=200, n_docs=40, n_epochs=2, max_len=8, anomaly_pct=0
+        ),
+        binlog,
+    )
+    root = os.path.join(tmp_warehouse, "seq")
+    assert cli.main([
+        "--table", root, "--binlog", binlog,
+        "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+        "--warehouse", os.path.join(tmp_warehouse, "wh"),
+        "--create", "--num-buckets", "4",
+    ]) == 0
+    capsys.readouterr()
+    assert cli.main([
+        "--table", root, "--rename-column", "n_tok:tok_count",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["rename_column"]["version"] > 0
+    t = LakeTable(spark, root)
+    cols = t.read().columns
+    assert "tok_count" in cols and "n_tok" not in cols
+    assert t.read().filter("tok_count is not null").count() > 0
+    assert cli.main(["--table", root, "--drop-column", "tok_count"]) == 0
+    capsys.readouterr()
+    assert "tok_count" not in LakeTable(spark, root).read().columns
