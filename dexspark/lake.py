@@ -1904,6 +1904,21 @@ class LakeTable:
         bbase = int(bhead.get("epoch_base", -1))
         staged = set(range(fw + 1, bw + 1)) | set(btail)
         staged |= set(range(bbase + 1, fbase + 1))
+        # Branch-side column-identity changes (rename/drop) cannot be
+        # merged into a moved main by name-based reconcile — head still
+        # has the old column, so the renamed one would duplicate. They
+        # publish only as a FAST-FORWARD (main unmoved since fork:
+        # adopt the branch schema wholesale); otherwise refuse with a
+        # re-stage error. Main-side renames under an unrenamed branch
+        # need no policy: head's aliases map the branch's old names.
+        fork_fields = {
+            f.name for f in T.StructType.fromJson(fork_m["schema"]).fields
+        }
+        b_fields = {f.name for f in T.StructType.fromJson(bhead["schema"]).fields}
+        identity_changed = bool(
+            self._aliases_of(bhead) != self._aliases_of(fork_m)
+            or (fork_fields - b_fields)
+        )
         # optimistic retry, same budget as merges: losing the put to a
         # non-conflicting commit (the tailer merging another bucket)
         # re-reads main and rebuilds — the rebase is manifest-only
@@ -1917,7 +1932,17 @@ class LakeTable:
                 v = int(mi.get("parent", v - 1))
             for mi in interveners:
                 op = mi.get("operation", "")
-                if op in ("compact", "merge-noop", "alter-properties"):
+                if op in (
+                    "compact",
+                    "merge-noop",
+                    "alter-properties",
+                    # a main-side RENAME is metadata-only and the
+                    # publish reconcile maps the branch's old names
+                    # through head's aliases; a main-side DROP stays a
+                    # conflict — re-adding the column from the branch
+                    # side would resurrect main's dropped bytes
+                    "rename-column",
+                ):
                     continue
                 t = mi.get("touched")
                 if (
@@ -1939,28 +1964,52 @@ class LakeTable:
                     f"re-stage the branch"
                 )
             # merged state: main head + the branch's owned buckets
-            pal = {**self._aliases_of(head), **self._aliases_of(bhead)}
-            schema = reconcile(
-                T.StructType.fromJson(head["schema"]),
-                T.StructType.fromJson(bhead["schema"]),
-                pal,
-            )
-            evo = evolution_actions(
-                T.StructType.fromJson(head["schema"]),
-                T.StructType.fromJson(bhead["schema"]),
-                pal,
-            )
-            # column identity: main's entries win; branch-added
-            # columns keep the added_at of their branch commit (their
-            # data dirs carry branch-local version numbers)
-            pcm = {
-                k: dict(v)
-                for k, v in {
-                    **(bhead.get("columns_meta") or {}),
-                    **(head.get("columns_meta") or {}),
-                }.items()
-                if k in {f.name for f in schema.fields}
-            }
+            if head["version"] == fork:
+                # fast-forward: adopt the branch schema + column
+                # identity wholesale (covers branch-side rename/drop)
+                schema = T.StructType.fromJson(bhead["schema"])
+                evo = [
+                    a
+                    for e in bhead.get("evolution", [])
+                    if int(e["version"]) > fork
+                    for a in e.get("actions", [])
+                ]
+                pcm = {
+                    k: dict(v)
+                    for k, v in (bhead.get("columns_meta") or {}).items()
+                }
+                pkey = bhead["key"]
+            elif identity_changed:
+                raise ConcurrentCommitError(
+                    f"cannot publish branch {name!r}: it renamed or "
+                    f"dropped columns and main moved since the fork — "
+                    f"apply the schema change on main (or re-stage the "
+                    f"branch from main's head)"
+                )
+            else:
+                pal = {**self._aliases_of(head), **self._aliases_of(bhead)}
+                schema = reconcile(
+                    T.StructType.fromJson(head["schema"]),
+                    T.StructType.fromJson(bhead["schema"]),
+                    pal,
+                )
+                evo = evolution_actions(
+                    T.StructType.fromJson(head["schema"]),
+                    T.StructType.fromJson(bhead["schema"]),
+                    pal,
+                )
+                # column identity: main's entries win; branch-added
+                # columns keep the added_at of their branch commit
+                # (their data dirs carry branch-local version numbers)
+                pcm = {
+                    k: dict(v)
+                    for k, v in {
+                        **(bhead.get("columns_meta") or {}),
+                        **(head.get("columns_meta") or {}),
+                    }.items()
+                    if k in {f.name for f in schema.fields}
+                }
+                pkey = head["key"]
             buckets = dict(head["buckets"])
             morb = self._mor_buckets_of(head)
             bmorb = self._mor_buckets_of(bhead)
@@ -2002,6 +2051,7 @@ class LakeTable:
                 operation="publish",
                 branch=name,
                 fork_version=fork,
+                key=pkey,
                 schema=schema.jsonValue(),
                 columns_meta=pcm,
                 buckets=buckets,

@@ -163,3 +163,55 @@ def test_rename_survives_compact_and_readd_after_compact(t, spark):
     got = {r["doc_id"]: r["origin"] for r in t.read().collect()}
     assert got["d1"] == "new"
     assert all(v is None for k, v in got.items() if k != "d1")
+
+
+def test_branch_rename_publishes_fast_forward(t, spark):
+    """Rename staged on a branch: publish adopts it when main is
+    unmoved (fast-forward), refuses when main advanced — a name-based
+    merge would duplicate the column."""
+    t.create_branch("wap")
+    bt = LakeTable(spark, t.root, branch="wap")
+    bt.rename_column("n_tok", "tok_count")
+    bt.merge(
+        spark.createDataFrame(
+            [("d0", [5, 5], 2, "a")],
+            "doc_id string, tokens array<int>, tok_count int, source string",
+        ),
+        mode="mor",
+    )
+    info = t.publish_branch("wap")
+    assert not info["noop"]
+    df = t.read()
+    assert "tok_count" in df.columns and "n_tok" not in df.columns
+    got = {r["doc_id"]: r["tok_count"] for r in df.collect()}
+    assert got["d0"] == 2 and got["d1"] == 1  # old files alias-read
+
+
+def test_branch_rename_refused_when_main_moved(t, spark):
+    from dexspark.lake import ConcurrentCommitError
+
+    t.create_branch("wap")
+    bt = LakeTable(spark, t.root, branch="wap")
+    bt.rename_column("n_tok", "tok_count")
+    # main moves (any bucket — identity conflicts are table-wide)
+    t.merge(_rows(spark, [("d99", [1], 1, "m")]))
+    with pytest.raises(ConcurrentCommitError, match="renamed or dropped"):
+        t.publish_branch("wap")
+    # branch is intact and re-publishable after... nothing here; just
+    # confirm main is unchanged
+    assert "n_tok" in t.read().columns
+
+
+def test_main_rename_with_unrenamed_branch_publishes(t, spark):
+    """The reverse direction needs no policy: the branch's old-name
+    files and schema resolve through main's aliases."""
+    t.create_branch("wap")
+    bt = LakeTable(spark, t.root, branch="wap")
+    bt.merge(_rows(spark, [("d0", [7], 7, "b")]), mode="mor")  # old names
+    t.rename_column("n_tok", "tok_count")
+    info = t.publish_branch("wap")
+    assert not info["noop"]
+    df = t.read()
+    assert "tok_count" in df.columns and "n_tok" not in df.columns
+    got = {r["doc_id"]: r["tok_count"] for r in df.collect()}
+    assert got["d0"] == 7 and got["d2"] == 1
