@@ -240,6 +240,32 @@ def main(argv: list[str] | None = None) -> int:
         "(one full-rewrite commit; see LakeTable.rebucket)",
     )
     ap.add_argument(
+        "--create-view",
+        metavar="PATH",
+        default=None,
+        help="instead of tailing: create an incremental aggregate view "
+        "table over --table at PATH (see operators.mview); configure "
+        "with --view-group/--view-sums",
+    )
+    ap.add_argument(
+        "--refresh-view",
+        metavar="PATH",
+        default=None,
+        help="instead of tailing: fold the source changelog into the "
+        "view at PATH (O(change); group/sums read from the view's own "
+        "table properties; exactly-once via the view's epoch markers)",
+    )
+    ap.add_argument(
+        "--view-group",
+        default="source",
+        help="comma-separated group columns for --create-view",
+    )
+    ap.add_argument(
+        "--view-sums",
+        default="n_tok:sum_n_tok",
+        help="comma-separated SRC:OUT sum columns for --create-view",
+    )
+    ap.add_argument(
         "--rename-column",
         metavar="OLD:NEW",
         default=None,
@@ -274,6 +300,8 @@ def main(argv: list[str] | None = None) -> int:
         or args.rollback is not None
         or args.rename_column is not None
         or args.drop_column is not None
+        or args.create_view is not None
+        or args.refresh_view is not None
     )
     # `is not None`, matching the dispatch below: an EMPTY-STRING
     # operand (e.g. --lookup "" from an unquoted shell variable) is
@@ -405,6 +433,28 @@ def main(argv: list[str] | None = None) -> int:
             out["rebucket"] = table.rebucket(args.rebucket)
         if args.compact:
             out["compact"] = table.compact(max_buckets=args.compact_max_buckets)
+        if args.create_view is not None:
+            from .operators.mview import create_agg_view
+
+            sums = dict(kv.split(":") for kv in args.view_sums.split(","))
+            v = create_agg_view(
+                spark,
+                args.create_view,
+                table,
+                args.view_group.split(","),
+                sums,
+            )
+            out["create_view"] = {"path": args.create_view, "version": v.current_version()}
+        if args.refresh_view is not None:
+            from .operators.mview import refresh_agg_view
+
+            view = LakeTable(spark, args.refresh_view)
+            props = view.manifest().get("properties", {})
+            group = props["view.group_cols"].split(",")
+            sums = dict(
+                kv.split(":") for kv in props["view.sums"].split(",")
+            )
+            out["refresh_view"] = refresh_agg_view(table, view, group, sums)
         if args.rename_column is not None:
             o, _, n = args.rename_column.partition(":")
             out["rename_column"] = table.rename_column(o, n)

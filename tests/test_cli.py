@@ -480,3 +480,45 @@ def test_cli_rename_and_drop_column(spark, tmp_warehouse, capsys):
     assert cli.main(["--table", root, "--drop-column", "tok_count"]) == 0
     capsys.readouterr()
     assert "tok_count" not in LakeTable(spark, root).read().columns
+
+
+def test_cli_create_and_refresh_view(spark, tmp_warehouse, capsys):
+    from dexspark import cli
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=400, n_docs=60, n_epochs=2, max_len=8, anomaly_pct=0
+        ),
+        binlog,
+    )
+    root = os.path.join(tmp_warehouse, "seq")
+    vroot = os.path.join(tmp_warehouse, "view")
+    assert cli.main([
+        "--table", root, "--binlog", binlog,
+        "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+        "--warehouse", os.path.join(tmp_warehouse, "wh"),
+        "--create", "--num-buckets", "4",
+    ]) == 0
+    capsys.readouterr()
+    assert cli.main(["--table", root, "--create-view", vroot]) == 0
+    capsys.readouterr()
+    assert cli.main(["--table", root, "--refresh-view", vroot]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["refresh_view"]["applied"] is True
+    from dexspark.operators.mview import full_agg, read_view
+
+    t = LakeTable(spark, root)
+    view = LakeTable(spark, vroot)
+    got = {r["source"]: r.asDict() for r in read_view(view).collect()}
+    want = {
+        r["source"]: r.asDict()
+        for r in full_agg(
+            t.read(), ["source"], {"n_tok": "sum_n_tok"}
+        ).collect()
+    }
+    assert got == want
+    # re-run: exactly-once cursor makes it a no-op
+    assert cli.main(["--table", root, "--refresh-view", vroot]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["refresh_view"]["applied"] is False
