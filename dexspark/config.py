@@ -157,4 +157,17 @@ class EngineConfig:
     # are flushed at end-of-run; the cost of deferral is only that a
     # crash-redelivery re-applies an unmarked epoch idempotently.
     epoch_marker_lag: int = 1
+    # Partial-update (patch) event semantics (operators/patch.py):
+    # when on, apply-class events may carry a top-level
+    # `fields: [col, ...]` array naming the payload columns they SET
+    # (null fields = full image, the plain-CDC degenerate case).
+    # Events per key COMPOSE in (commit_ts, lsn) order instead of
+    # last-writer-wins; unset columns keep the current row's value;
+    # resolution reads the affected buckets BEFORE validation so rules
+    # judge post-images. Cost: one extra bucket-pruned read per batch.
+    # Deltas vs the default path: validation rejects are per RESOLVED
+    # KEY (the whole key's window is withheld, quarantined as the
+    # resolved row rendered to JSON), and applied_lineage is not
+    # emitted (a resolved row has no single parent event).
+    patch_events: bool = False
     rules: RuleSet = field(default_factory=sequences_ruleset)

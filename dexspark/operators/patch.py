@@ -11,7 +11,7 @@ explicit ``SET col = NULL`` — so patch events must carry a ``fields``
 array naming what they set, and the engine must resolve them against
 the current row before the standard LWW merge.
 
-Semantics implemented by :func:`apply_patches` (all pure JVM
+Semantics implemented by :func:`resolve_patch_batch` (all pure JVM
 higher-order functions — no Python in the path):
 
 * Events for one key compose IN ``(commit_ts, lsn)`` ORDER — two
@@ -28,10 +28,11 @@ higher-order functions — no Python in the path):
 * Patches to keys not in the table create rows (unset columns null).
 
 Per-batch cost: one sorted collect_list per key (one shuffle — the
-same shuffle the dedup stage already pays), one bucket-pruned read of
-the affected buckets joined on key (the same read COW merge pays),
-then the standard merge. Resolution happens BEFORE validation in a
-pipeline: rules judge the post-image, not the fragment.
+same shuffle the LWW dedup stage pays), one bucket-pruned read of the
+affected buckets joined on key (the same read COW merge pays), then
+the standard merge. Resolution happens BEFORE validation in a
+pipeline: rules judge the post-image, not the fragment
+(``CdcEngine`` with ``EngineConfig(patch_events=True)`` wires this).
 """
 
 from __future__ import annotations
@@ -39,31 +40,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 FIELDS_COL = "fields"
+EPOCH_COL = "batch_epoch"
 
 
-def apply_patches(
-    table,
-    events: DataFrame,
-    mode: str = "cow",
-    epochs: list[int] | None = None,
-    validate=None,
-) -> dict:
-    """Fold a patch-event batch into ``table``.
+def resolve_patch_batch(table, events: DataFrame) -> dict:
+    """Compose one batch of patch events per key and resolve them
+    against the table's current rows.
 
     ``events`` columns: the table key, ``op`` (``upsert`` | ``delete``),
     ``commit_ts``, ``lsn``, every table data column (null-padded), and
     ``fields: array<string>`` naming the columns each upsert actually
     sets (ignored for deletes; a null ``fields`` on an upsert means a
-    FULL image — all columns set, the plain-CDC degenerate case).
+    FULL image — all columns set, the plain-CDC degenerate case). An
+    optional ``batch_epoch`` column rides through as the per-key max
+    (for quarantine attribution of a resolved row).
 
-    ``validate``: optional callable ``DataFrame -> DataFrame`` applied
-    to the RESOLVED post-image rows before the merge (rules must judge
-    whole rows; a fragment can't satisfy ``n_tok == size(tokens)``).
-    Returns the merge info dict plus ``rows_patched``/``rows_deleted``.
+    Returns ``{"ups", "dels", "touched", "num_buckets"}``: full
+    post-image upsert rows (one per surviving key), delete keys, and
+    the affected-bucket hint for :meth:`LakeTable.merge`.
     """
     key = table.key
     data_cols = [f.name for f in table.schema.fields if f.name != key]
     all_set = F.array(*[F.lit(c) for c in data_cols])
+    has_epoch = EPOCH_COL in events.columns
 
     ev = events.withColumn(
         FIELDS_COL,
@@ -76,9 +75,12 @@ def apply_patches(
         F.col("commit_ts"), F.col("lsn"), F.col("op"), F.col(FIELDS_COL),
         *[F.col(c) for c in data_cols],
     )
+    aggs = [F.sort_array(F.collect_list(p)).alias("_pl")]
+    if has_epoch:
+        aggs.append(F.max(EPOCH_COL).alias(EPOCH_COL))
     composed = (
         ev.groupBy(key)
-        .agg(F.sort_array(F.collect_list(p)).alias("_pl"))
+        .agg(*aggs)
         .withColumn(
             "_ix",
             F.expr("transform(_pl, (p, i) -> struct(i as i, p as p))"),
@@ -126,18 +128,39 @@ def apply_patches(
         return F.when(F.size(setters) > 0, last_val).otherwise(base).alias(c)
 
     j = j.localCheckpoint(eager=True)  # consumed twice (ups + dels)
+    extra = [F.col(EPOCH_COL)] if has_epoch else []
     ups = j.filter(~F.col("_final_delete")).select(
-        key, *[resolved(c) for c in data_cols]
+        key, *[resolved(c) for c in data_cols], *extra
     )
+    dels = j.filter(F.col("_final_delete")).select(key)
+    return {"ups": ups, "dels": dels, "touched": touched, "num_buckets": nb}
+
+
+def apply_patches(
+    table,
+    events: DataFrame,
+    mode: str = "cow",
+    epochs: list[int] | None = None,
+    validate=None,
+) -> dict:
+    """Fold a patch-event batch into ``table`` (resolve + merge).
+
+    ``validate``: optional callable ``DataFrame -> DataFrame`` applied
+    to the RESOLVED post-image rows before the merge (rules must judge
+    whole rows; a fragment can't satisfy ``n_tok == size(tokens)``).
+    Returns the merge info dict.
+    """
+    r = resolve_patch_batch(table, events)
+    ups = r["ups"]
+    if EPOCH_COL in ups.columns:
+        ups = ups.drop(EPOCH_COL)
     if validate is not None:
         ups = validate(ups)
-    dels = j.filter(F.col("_final_delete")).select(key)
-    info = table.merge(
+    return table.merge(
         ups,
-        delete_keys=dels,
+        delete_keys=r["dels"],
         mode=mode,
         epochs=epochs,
-        affected_buckets=touched,
-        affected_buckets_nb=nb,
+        affected_buckets=r["touched"],
+        affected_buckets_nb=r["num_buckets"],
     )
-    return info

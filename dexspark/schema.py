@@ -63,6 +63,10 @@ def change_event_schema(payload: T.StructType | None = None) -> T.StructType:
             T.StructField("commit_ts", T.TimestampType(), True),
             T.StructField("lsn", T.LongType(), True),
             T.StructField("batch_epoch", T.LongType(), True),
+            # optional partial-image mask (EngineConfig.patch_events):
+            # the payload columns this event SETS; absent/null = full
+            # image. Lenient parse: pre-existing binlogs read null.
+            T.StructField("fields", T.ArrayType(T.StringType()), True),
         ]
     )
 

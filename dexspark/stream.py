@@ -101,6 +101,43 @@ class CdcEngine:
 
     # ------------------------------------------------------------ one batch
 
+    def _fresh_epoch_filter(self) -> F.Column:
+        """Already-committed filter, O(1)-sized for any stream
+        lifetime: the committed set is exactly (base, watermark] | tail
+        (see apply_batch's commentary). Epochs AT OR BELOW the seeded
+        base were never committed (out-of-order stragglers) and must be
+        applied, not swallowed. NULL epochs (malformed lines) are kept
+        — and kept OUTSIDE the isin (NOT IN over NULL is NULL, which
+        filter would drop). Negative epochs are kept too: they are
+        never committed as markers (the watermark space is
+        non-negative; negatives are the quarantine's fallback partition
+        namespace), so a watermark comparison must not swallow them."""
+        watermark, tail = self.table.epoch_state()
+        base = self.table.epoch_base()
+        if watermark < 0 and not tail:
+            return F.lit(True)
+        e = F.col("batch_epoch")
+        committed = (e > base) & (e <= watermark)
+        if tail:
+            committed = committed | e.isin(tail)
+        return e.isNull() | (e < 0) | ~committed
+
+    def _marks_for(self, new_epochs: list[int], defer_boundary: bool) -> list[int]:
+        """Which epochs this batch may safely marker-commit (see
+        defer_boundary in apply_batch's docstring). epoch_marker_lag
+        widens the deferred window beyond the single max epoch: on
+        object stores with coarse mtime granularity (S3: seconds)
+        adjacent epochs' files can tie and deliver interleaved, so a
+        deployment there defers the top N epochs instead of just the
+        boundary one."""
+        if not (defer_boundary and new_epochs):
+            return list(new_epochs)
+        lag = max(1, int(self.config.epoch_marker_lag))
+        pending = self._deferred_epochs | set(new_epochs)
+        cutoff = max(pending) - lag
+        self._deferred_epochs = {e for e in pending if e > cutoff}
+        return sorted(e for e in pending if e <= cutoff)
+
     def apply_batch(
         self, parsed: DataFrame, defer_boundary: bool = False
     ) -> BatchMetrics:
@@ -124,6 +161,8 @@ class CdcEngine:
         lineage counts. Batch mode (``defer_boundary=False``) keeps
         mark-everything semantics: the whole log is one batch, every
         epoch in it is complete by construction."""
+        if self.config.patch_events:
+            return self._apply_batch_patch(parsed, defer_boundary)
         t0 = time.monotonic()
         phases: dict[str, int] = {}
 
@@ -156,28 +195,7 @@ class CdcEngine:
         # tail. A flat isin over every epoch ever committed would grow
         # the predicate/plan linearly with stream lifetime (10^5-10^6
         # literals after a year of micro-batches).
-        watermark, tail = self.table.epoch_state()
-        base = self.table.epoch_base()
-        if watermark >= 0 or tail:
-            # committed set is exactly (base, watermark] | tail: epochs
-            # AT OR BELOW the seeded base were never committed (they
-            # are out-of-order stragglers delivered after the seeding
-            # batch) and must be applied, not swallowed.
-            e = F.col("batch_epoch")
-            committed = (e > base) & (e <= watermark)
-            if tail:
-                committed = committed | e.isin(tail)
-            # rejects may lack an epoch (NULL): always kept — and kept
-            # OUTSIDE the isin (NOT IN over NULL is NULL, which filter
-            # would drop). Negative epochs are likewise kept: they are
-            # never committed as epoch markers (the watermark space is
-            # non-negative; negatives are the quarantine's fallback
-            # partition space), so a watermark comparison must not
-            # swallow them as "already committed".
-            keep_epoch = e.isNull() | (e < 0) | ~committed
-        else:
-            keep_epoch = F.lit(True)
-        live = ev.filter(keep_epoch)
+        live = ev.filter(self._fresh_epoch_filter())
 
         flat = live.select(
             "raw",
@@ -302,21 +320,7 @@ class CdcEngine:
                 return BatchMetrics(
                     epochs=[], wall_ms=int((time.monotonic() - t0) * 1000)
                 )
-            # which epochs this batch may safely marker-commit (see
-            # defer_boundary in the docstring). epoch_marker_lag widens
-            # the deferred window beyond the single max epoch: on
-            # object stores with coarse mtime granularity (S3: seconds)
-            # adjacent epochs' files can tie and deliver interleaved,
-            # so a deployment there defers the top N epochs instead of
-            # just the boundary one.
-            if defer_boundary and new_epochs:
-                lag = max(1, int(self.config.epoch_marker_lag))
-                pending = self._deferred_epochs | set(new_epochs)
-                cutoff = max(pending) - lag
-                to_mark = sorted(e for e in pending if e <= cutoff)
-                self._deferred_epochs = {e for e in pending if e > cutoff}
-            else:
-                to_mark = new_epochs
+            to_mark = self._marks_for(new_epochs, defer_boundary)
 
             is_good = ~F.col("_is_q") & (F.col("event_class") == "apply")
             upserts = latest.filter(is_good & (F.col("op") != "delete")).select(
@@ -510,6 +514,221 @@ class CdcEngine:
             return metrics
         finally:
             agg.unpersist()
+
+    def _apply_batch_patch(
+        self, parsed: DataFrame, defer_boundary: bool = False
+    ) -> BatchMetrics:
+        """Patch-mode apply (``EngineConfig.patch_events``): events may
+        carry partial row images (a ``fields`` mask), so per-key events
+        COMPOSE in (commit_ts, lsn) order (operators/patch.py) instead
+        of last-writer-wins, and validation runs on the RESOLVED
+        post-images — a fragment can't satisfy n_tok == size(tokens).
+
+        Same exactly-once machinery as :meth:`apply_batch` (fresh-epoch
+        filter, deferred boundary markers, sinks-before-markers crash
+        ordering, mor auto-compaction, retention). Cost vs the default
+        path: the single GROUPING-SETS shuffle becomes a composition
+        shuffle plus one bucket-pruned read of the affected buckets
+        (the price of patch resolution — the same read a COW merge
+        pays anyway). Semantics deltas (documented on the config):
+        validation rejects are per resolved KEY, quarantined as the
+        post-image rendered to JSON; no applied_lineage."""
+        from .operators.patch import resolve_patch_batch
+
+        t0 = time.monotonic()
+        phases: dict[str, int] = {}
+
+        def _mark(name: str, since: float) -> float:
+            now = time.monotonic()
+            phases[name] = int((now - since) * 1000)
+            return now
+
+        rules = self.config.rules
+        key = self.table.key
+        tschema = self.table.schema
+        data_cols = [f.name for f in tschema.fields if f.name != key]
+        ev = classify(parsed, op_whitelist=rules.op_whitelist)
+        live = ev.filter(self._fresh_epoch_filter())
+        pcols = set(live.schema["payload"].dataType.names)
+        payload_sel = [
+            F.col(f"payload.{f.name}").alias(f.name)
+            if f.name in pcols
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in tschema.fields
+            if f.name != key
+        ]
+        fields_col = (
+            F.col("fields")
+            if "fields" in live.columns
+            else F.lit(None).cast("array<string>")
+        )
+        # one scan, pinned: every downstream job (rollup, quarantine,
+        # composition) reads the materialized batch
+        flat = live.select(
+            "raw",
+            "event_class",
+            "op",
+            "doc_id",
+            *payload_sel,
+            fields_col.alias("fields"),
+            "commit_ts",
+            "lsn",
+            "batch_epoch",
+            "envelope_fail",
+            F.spark_partition_id().alias("_pid"),
+        ).localCheckpoint(eager=True)
+        try:
+            src = (
+                F.col("source")
+                if "source" in data_cols
+                else F.lit(None).cast("string")
+            )
+            lin_groups = (
+                flat.groupBy(
+                    F.col("batch_epoch").alias("_epoch"),
+                    F.col("_pid"),
+                    src.alias("_src"),
+                    F.col("event_class").alias("_class"),
+                )
+                .agg(F.count(F.lit(1)).alias("_n_events"))
+                .collect()
+            )
+            if not lin_groups:
+                return BatchMetrics(
+                    epochs=[], wall_ms=int((time.monotonic() - t0) * 1000)
+                )
+            by_class: dict[str, int] = {}
+            for r in lin_groups:
+                by_class[r["_class"]] = by_class.get(r["_class"], 0) + r["_n_events"]
+            new_epochs = sorted(
+                {
+                    int(r["_epoch"])
+                    for r in lin_groups
+                    if r["_epoch"] is not None and int(r["_epoch"]) >= 0
+                }
+            )
+            to_mark = self._marks_for(new_epochs, defer_boundary)
+
+            # envelope rejects -> quarantine; unattributable rows (null
+            # or negative epoch) share a batch-content fallback
+            # partition so identical redelivery overwrites in place
+            # (same construction as apply_batch's XOR scheme)
+            rejects = flat.filter(F.col("event_class") == "reject").select(
+                "raw",
+                "doc_id",
+                F.array("envelope_fail").alias(FAIL_COL),
+                "batch_epoch",
+            )
+            qs = rejects.filter(
+                F.col("batch_epoch").isNull() | (F.col("batch_epoch") < 0)
+            ).agg(
+                F.bit_xor(F.xxhash64("raw")).alias("x"),
+                F.count(F.lit(1)).alias("n"),
+            ).collect()[0]
+            if qs["x"] is not None:
+                combined = (
+                    int(qs["x"]) * 0x9E3779B97F4A7C15 + int(qs["n"])
+                ) % (1 << 63)
+                fallback_epoch = -1 - (combined % (1 << 62))
+            else:
+                fallback_epoch = -1
+            rejects = rejects.withColumn(
+                "batch_epoch",
+                F.when(F.col("batch_epoch") >= 0, F.col("batch_epoch"))
+                .otherwise(F.lit(fallback_epoch)),
+            )
+
+            # compose + resolve, then validate the POST-IMAGES
+            apply_ev = flat.filter(F.col("event_class") == "apply").select(
+                "doc_id", "op", "commit_ts", "lsn", *data_cols, "fields",
+                "batch_epoch",
+            )
+            r = resolve_patch_batch(self.table, apply_ev)
+            v = validate_frame(
+                r["ups"], rules, self.config.validator
+            ).localCheckpoint(eager=True)
+            is_bad = F.coalesce(F.size(FAIL_COL) > 0, F.lit(False))
+            good = v.filter(~is_bad).select(key, *data_cols)
+            bad_q = v.filter(is_bad).select(
+                F.to_json(F.struct(key, *data_cols)).alias("raw"),
+                F.col(key).alias("doc_id"),
+                FAIL_COL,
+                # apply-class envelopes always carry a valid epoch
+                # (batch_epoch is a required envelope field and
+                # negatives are envelope-rejected)
+                "batch_epoch",
+            )
+            cnt = v.agg(
+                F.sum((~is_bad).cast("long")).alias("n_good"),
+                F.sum(is_bad.cast("long")).alias("n_bad"),
+            ).collect()[0]
+            n_good, n_bad = int(cnt["n_good"] or 0), int(cnt["n_bad"] or 0)
+            td = _mark("compose_resolve_validate", t0)
+
+            # sinks BEFORE the marker-committing merge (crash ordering
+            # — see apply_batch)
+            write_quarantine(rejects.unionByName(bad_q), self.quarantine_path)
+            n_dels = r["dels"].count()
+            if new_epochs:
+                merge_info = self.table.merge(
+                    good,
+                    r["dels"],
+                    epochs=to_mark,
+                    affected_buckets=r["touched"],
+                    affected_buckets_nb=r["num_buckets"],
+                    mode=self.config.merge_mode,
+                )
+                if (
+                    self.config.merge_mode == "mor"
+                    and self.config.compact_every
+                    and merge_info.get("mor_depth", 0) >= self.config.compact_every
+                ):
+                    self.table.compact(min_depth=self.config.compact_every)
+                if self.config.vacuum_keep_last > 0 and self.table.branch is None:
+                    self.table.vacuum(
+                        keep_last=self.config.vacuum_keep_last,
+                        min_age_seconds=self.config.vacuum_min_age_seconds,
+                    )
+            tm = _mark("merge_and_quarantine", td)
+
+            rows_merged = n_good + n_dels
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            metrics = BatchMetrics(
+                events_seen=sum(by_class.values()),
+                # patch-mode rejects are per resolved KEY (the whole
+                # key's window withheld); events_applied counts the
+                # apply-class events whose key survived — approximated
+                # as apply events minus bad keys (exact when one event
+                # per key)
+                events_applied=by_class.get("apply", 0) - n_bad,
+                rejects=by_class.get("reject", 0) + n_bad,
+                skipped=by_class.get("skip", 0),
+                rows_merged=rows_merged,
+                epochs=new_epochs,
+                wall_ms=wall_ms,
+            )
+            lin_rows = [
+                (
+                    int(r["_epoch"])
+                    if r["_epoch"] is not None and int(r["_epoch"]) >= 0
+                    else fallback_epoch,
+                    int(r["_pid"]),
+                    r["_src"],
+                    int(r["_n_events"]),
+                    int(r["_n_events"]) if r["_class"] == "apply" else 0,
+                    int(r["_n_events"]) if r["_class"] == "reject" else 0,
+                    int(r["_n_events"]) if r["_class"] == "skip" else 0,
+                    int(rows_merged),
+                    int(wall_ms),
+                )
+                for r in lin_groups
+            ]
+            write_lineage_rows(lin_rows, self.lineage_path)
+            _mark("sinks", tm)
+            metrics.phase_ms = phases
+            return metrics
+        finally:
+            flat.unpersist()
 
     # ------------------------------------------------------ quarantine replay
 
