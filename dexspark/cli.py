@@ -73,6 +73,14 @@ def main(argv: list[str] | None = None) -> int:
         "pipeline (event-level replay tolerance; operators/stateful.py)",
     )
     ap.add_argument(
+        "--patch-events",
+        action="store_true",
+        help="partial-image event semantics: envelopes may carry a "
+        "fields mask; per-key events compose in (commit_ts, lsn) order "
+        "and validation judges the resolved post-image "
+        "(EngineConfig.patch_events; operators/patch.py)",
+    )
+    ap.add_argument(
         "--history",
         action="store_true",
         help="instead of tailing: print the retained snapshot lineage",
@@ -368,6 +376,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["rules"] = rules
     if args.suppress_stale:
         cfg_kwargs["suppress_stale"] = True
+    if args.patch_events:
+        cfg_kwargs["patch_events"] = True
     if args.merge_mode is not None:
         cfg_kwargs["merge_mode"] = args.merge_mode
     if args.compact_every is not None:
