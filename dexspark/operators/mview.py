@@ -183,9 +183,15 @@ def refresh_agg_view(
             .distinct()
             .collect()
         ]
-        pre = source.read(buckets=touched, version=synced).join(
-            changed_keys, key, "left_semi"
-        )
+        # the synced snapshot reads under ITS OWN column names; align
+        # to the current schema (alias-aware) so a rename of the key
+        # or a group/sum column between refreshes cannot break the
+        # probe join or the delta aggregation
+        pre = source._align(
+            source.read(buckets=touched, version=synced),
+            source.schema,
+            aliases=source._aliases_of(source.manifest()),
+        ).join(changed_keys, key, "left_semi")
 
     def contrib(df: DataFrame, sign: int) -> DataFrame:
         cols = [F.col(g) for g in group_cols] + [

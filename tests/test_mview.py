@@ -198,3 +198,28 @@ def test_refresh_is_crash_atomic_with_cursor(spark, tmp_path, source):
     _assert_view_equals_full(source, view)
     w2, _ = view.epoch_state()
     assert w2 == source.current_version()
+
+
+def test_refresh_across_source_rename(spark, tmp_path, source):
+    """A rename of the key or a summed column between refreshes must
+    not break the pre-image probe (it reads the synced snapshot under
+    OLD names and joins changelog keys under NEW names)."""
+    view = create_agg_view(spark, str(tmp_path / "v"), source, GROUP, SUMS)
+    refresh_agg_view(source, view, GROUP, SUMS)
+    source.rename_column("doc_id", "document_id")
+    source.rename_column("n_tok", "tok_count")
+    source.merge(
+        spark.createDataFrame(
+            [("d1", [1] * 9, 9, "a"), ("d50", [1] * 4, 4, "b")],
+            "document_id string, tokens array<int>, tok_count int, source string",
+        ),
+        delete_keys=spark.createDataFrame([("d2",)], "document_id string"),
+        mode="mor",
+    )
+    sums2 = {"tok_count": "sum_n_tok"}  # renamed source column, same view col
+    refresh_agg_view(source, view, GROUP, sums2)
+    got = read_view(view).orderBy("source").collect()
+    want = (
+        full_agg(source.read(), GROUP, sums2).orderBy("source").collect()
+    )
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
