@@ -130,7 +130,15 @@ def resolve_patch_batch(table, events: DataFrame) -> dict:
     j = j.localCheckpoint(eager=True)  # consumed twice (ups + dels)
     extra = [F.col(EPOCH_COL)] if has_epoch else []
     ups = j.filter(~F.col("_final_delete")).select(
-        key, *[resolved(c) for c in data_cols], *extra
+        key,
+        *[resolved(c) for c in data_cols],
+        # provenance of the post-image: the key's LAST event in the
+        # window ((commit_ts, lsn) max = the sorted list's tail). The
+        # engine renders a quarantined post-image back into a FULL
+        # envelope with these, so reprocess_quarantine can replay it.
+        F.expr("element_at(_pl, -1).commit_ts").alias("_last_commit_ts"),
+        F.expr("element_at(_pl, -1).lsn").alias("_last_lsn"),
+        *extra,
     )
     dels = j.filter(F.col("_final_delete")).select(key)
     return {"ups": ups, "dels": dels, "touched": touched, "num_buckets": nb}
@@ -151,7 +159,7 @@ def apply_patches(
     Returns the merge info dict.
     """
     r = resolve_patch_batch(table, events)
-    ups = r["ups"]
+    ups = r["ups"].drop("_last_commit_ts", "_last_lsn")
     if EPOCH_COL in ups.columns:
         ups = ups.drop(EPOCH_COL)
     if validate is not None:

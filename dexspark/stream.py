@@ -649,8 +649,22 @@ class CdcEngine:
             ).localCheckpoint(eager=True)
             is_bad = F.coalesce(F.size(FAIL_COL) > 0, F.lit(False))
             good = v.filter(~is_bad).select(key, *data_cols)
+            # quarantine the failing post-image as a FULL-IMAGE
+            # ENVELOPE (op/doc_id/payload/commit_ts/lsn/batch_epoch,
+            # provenance = the key's last event in the window), so
+            # reprocess_quarantine can replay it through the standard
+            # parse -> validate -> merge pipeline after a rule fix
             bad_q = v.filter(is_bad).select(
-                F.to_json(F.struct(key, *data_cols)).alias("raw"),
+                F.to_json(
+                    F.struct(
+                        F.lit("update").alias("op"),
+                        F.col(key).alias("doc_id"),
+                        F.struct(*data_cols).alias("payload"),
+                        F.col("_last_commit_ts").alias("commit_ts"),
+                        F.col("_last_lsn").alias("lsn"),
+                        F.col("batch_epoch"),
+                    )
+                ).alias("raw"),
                 F.col(key).alias("doc_id"),
                 FAIL_COL,
                 # apply-class envelopes always carry a valid epoch

@@ -110,12 +110,23 @@ def test_patch_validation_judges_post_image(spark, tmp_path):
     q = spark.read.parquet(eng.quarantine_path)
     row = q.collect()[0]
     assert any("n_tok" in r for r in row["fail_reasons"])
-    assert json.loads(row["raw"])["n_tok"] == 5
+    raw = json.loads(row["raw"])
+    # quarantined as a replayable FULL-IMAGE envelope
+    assert raw["payload"]["n_tok"] == 5 and raw["op"] == "update"
+    assert raw["lsn"] == 2 and raw["batch_epoch"] == 1
     # the epoch is marked: replaying it is a no-op (the invalid window
     # is withheld permanently, not retried)
     v = table.current_version()
     eng.apply_binlog(b1)
     assert table.current_version() == v
+    # ...until the rule-set is fixed: reprocess_quarantine replays the
+    # post-image envelope through the standard pipeline and recovers it
+    from dexspark.config import RuleSet
+
+    relaxed = RuleSet(required=("doc_id",))
+    info = eng.reprocess_quarantine(rules=relaxed)
+    assert info["recovered"] == 1
+    assert _state(table)["d1"]["n_tok"] == 5
 
 
 def test_patch_mode_envelope_anomalies_quarantined(spark, tmp_path):
