@@ -43,7 +43,7 @@ FIELDS_COL = "fields"
 EPOCH_COL = "batch_epoch"
 
 
-def resolve_patch_batch(table, events: DataFrame) -> dict:
+def resolve_patch_batch(table, events: DataFrame, schema=None) -> dict:
     """Compose one batch of patch events per key and resolve them
     against the table's current rows.
 
@@ -55,12 +55,19 @@ def resolve_patch_batch(table, events: DataFrame) -> dict:
     optional ``batch_epoch`` column rides through as the per-key max
     (for quarantine attribution of a resolved row).
 
+    ``schema``: optional EVOLVED row schema (table schema reconciled
+    with the incoming payload struct) — pass it when patch events may
+    carry brand-new columns, so resolution keeps them (current rows
+    read null for them) and the merge evolves the table additively.
+    Default: the table's current schema.
+
     Returns ``{"ups", "dels", "touched", "num_buckets"}``: full
     post-image upsert rows (one per surviving key), delete keys, and
     the affected-bucket hint for :meth:`LakeTable.merge`.
     """
     key = table.key
-    data_cols = [f.name for f in table.schema.fields if f.name != key]
+    schema = schema or table.schema
+    data_cols = [f.name for f in schema.fields if f.name != key]
     all_set = F.array(*[F.lit(c) for c in data_cols])
     has_epoch = EPOCH_COL in events.columns
 
@@ -109,7 +116,7 @@ def resolve_patch_batch(table, events: DataFrame) -> dict:
         .distinct()
         .collect()
     ]
-    old = table.read(buckets=touched).join(
+    old = table._align(table.read(buckets=touched), schema).join(
         composed.select(key), key, "left_semi"
     )
     old = old.select(key, *[F.col(c).alias(f"_old_{c}") for c in data_cols])

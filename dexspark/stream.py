@@ -543,9 +543,19 @@ class CdcEngine:
             phases[name] = int((now - since) * 1000)
             return now
 
+        from .schema import reconcile
+
         rules = self.config.rules
         key = self.table.key
-        tschema = self.table.schema
+        # additive evolution, patch-style: reconcile the incoming
+        # payload struct against the table up front so a brand-new
+        # column survives resolution (current rows read null for it)
+        # and the merge evolves the table schema
+        tschema = reconcile(
+            self.table.schema,
+            parsed.schema["payload"].dataType,
+            self.table._aliases_of(self.table.manifest()),
+        )
         data_cols = [f.name for f in tschema.fields if f.name != key]
         ev = classify(parsed, op_whitelist=rules.op_whitelist)
         live = ev.filter(self._fresh_epoch_filter())
@@ -643,7 +653,7 @@ class CdcEngine:
                 "doc_id", "op", "commit_ts", "lsn", *data_cols, "fields",
                 "batch_epoch",
             )
-            r = resolve_patch_batch(self.table, apply_ev)
+            r = resolve_patch_batch(self.table, apply_ev, schema=tschema)
             v = validate_frame(
                 r["ups"], rules, self.config.validator
             ).localCheckpoint(eager=True)
@@ -939,6 +949,17 @@ class CdcEngine:
             max_files_per_trigger=max_files_per_trigger,
         )
         if self.config.suppress_stale:
+            if self.config.patch_events:
+                # suppression drops events at-or-below each key's
+                # forwarded (commit_ts, lsn) — correct under
+                # last-writer-wins, WRONG under composition: an older
+                # patch still contributes the columns the newer one
+                # didn't set. Refuse loudly instead of corrupting.
+                raise ValueError(
+                    "suppress_stale and patch_events are incompatible: "
+                    "stale suppression assumes last-writer-wins, but "
+                    "patches compose"
+                )
             from .operators.stateful import suppress_stale
             from .validate import fail_reasons_column
 

@@ -216,3 +216,53 @@ def test_patch_stream_matches_fold_oracle(spark, tmp_path, mode):
     # the generator guarantees every resolved row is valid at any
     # batching, so the engine must land EXACTLY the fold state
     assert _state(table) == state
+
+
+def test_patch_mode_additive_schema_evolution(spark, tmp_path):
+    """A patch event carrying a brand-new payload column evolves the
+    table additively (current rows read null for it), like the default
+    path does."""
+    from dexspark.schema import change_event_schema, sequences_schema
+    import pyspark.sql.types as T
+
+    eng, table = _engine(spark, tmp_path)
+    eng.apply_binlog(
+        _write_binlog(
+            tmp_path,
+            [_ev("d1", "insert", 1, 1, 0, {"tokens": [1], "n_tok": 1, "source": "web"})],
+            "b0",
+        )
+    )
+    # evolved payload schema (the "schema registry" side): adds lang
+    evolved = T.StructType(
+        list(sequences_schema().fields) + [T.StructField("lang", T.StringType(), True)]
+    )
+    eng2 = CdcEngine(
+        spark, table, str(tmp_path / "wh"),
+        config=EngineConfig(patch_events=True, vacuum_min_age_seconds=0),
+        payload_schema=evolved,
+    )
+    b1 = _write_binlog(
+        tmp_path,
+        [
+            _ev("d2", "insert", 2, 2, 1,
+                {"tokens": [2], "n_tok": 1, "source": "wiki", "lang": "en"}),
+            _ev("d1", "update", 3, 3, 1, {"lang": "fr"}, ["lang"]),
+        ],
+        "b1",
+    )
+    m = eng2.apply_binlog(b1)
+    assert m.rejects == 0
+    got = {r["doc_id"]: r for r in table.read().collect()}
+    assert got["d1"]["lang"] == "fr" and got["d1"]["tokens"] == [1]
+    assert got["d2"]["lang"] == "en"
+
+
+def test_patch_mode_refuses_suppress_stale(spark, tmp_path):
+    eng, table = _engine(spark, tmp_path, suppress_stale=True)
+    b = _write_binlog(
+        tmp_path,
+        [_ev("d1", "insert", 1, 1, 0, {"tokens": [1], "n_tok": 1, "source": "web"})],
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        eng.run_until_caught_up(b, str(tmp_path / "ck"))
