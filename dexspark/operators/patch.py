@@ -43,34 +43,22 @@ FIELDS_COL = "fields"
 EPOCH_COL = "batch_epoch"
 
 
-def resolve_patch_batch(table, events: DataFrame, schema=None) -> dict:
-    """Compose one batch of patch events per key and resolve them
-    against the table's current rows.
+def compose_events(
+    events: DataFrame, key: str, data_cols: list[str]
+) -> DataFrame:
+    """Per-key patch-composition fold (no table base) — the algebra of
+    partial images, shared by :func:`resolve_patch_batch` and the
+    ``patch_compose`` driver query. Pure JVM HOFs, one shuffle.
 
-    ``events`` columns: the table key, ``op`` (``upsert`` | ``delete``),
-    ``commit_ts``, ``lsn``, every table data column (null-padded), and
-    ``fields: array<string>`` naming the columns each upsert actually
-    sets (ignored for deletes; a null ``fields`` on an upsert means a
-    FULL image — all columns set, the plain-CDC degenerate case). An
-    optional ``batch_epoch`` column rides through as the per-key max
-    (for quarantine attribution of a resolved row).
-
-    ``schema``: optional EVOLVED row schema (table schema reconciled
-    with the incoming payload struct) — pass it when patch events may
-    carry brand-new columns, so resolution keeps them (current rows
-    read null for them) and the merge evolves the table additively.
-    Default: the table's current schema.
-
-    Returns ``{"ups", "dels", "touched", "num_buckets"}``: full
-    post-image upsert rows (one per surviving key), delete keys, and
-    the affected-bucket hint for :meth:`LakeTable.merge`.
-    """
-    key = table.key
-    schema = schema or table.schema
-    data_cols = [f.name for f in schema.fields if f.name != key]
+    Returns one row per key: ``_v_<c>`` (the LAST set value of column
+    c among events after the key's last delete; null if never set),
+    ``_s_<c>`` (whether c was set), ``_had_delete``, ``_final_delete``
+    (the key's last event is a delete), ``_n_eff`` (events
+    contributing to the post-image), ``_last_commit_ts`` /
+    ``_last_lsn`` (the window's final event, for provenance), plus the
+    per-key max ``batch_epoch`` when the input carries one."""
     all_set = F.array(*[F.lit(c) for c in data_cols])
     has_epoch = EPOCH_COL in events.columns
-
     ev = events.withColumn(
         FIELDS_COL,
         F.when(F.col("op") == "delete", F.array().cast("array<string>"))
@@ -103,9 +91,60 @@ def resolve_patch_batch(table, events: DataFrame, schema=None) -> dict:
         )
         # the effective patch list: everything after the last delete
         .withColumn("_eff", F.expr("filter(_ix, x -> x.i > _last_del)"))
-        .withColumn("_final_delete", (F.size("_eff") == 0) & (F.col("_last_del") >= 0))
+        .withColumn(
+            "_final_delete", (F.size("_eff") == 0) & (F.col("_last_del") >= 0)
+        )
         .withColumn("_had_delete", F.col("_last_del") >= 0)
+        .withColumn("_n_eff", F.size("_eff"))
+        .withColumn(
+            "_last_commit_ts", F.expr("element_at(_pl, -1).commit_ts")
+        )
+        .withColumn("_last_lsn", F.expr("element_at(_pl, -1).lsn"))
     )
+    cols = [F.col(key)]
+    for c in data_cols:
+        setters = f"filter(_eff, x -> array_contains(x.p.{FIELDS_COL}, '{c}'))"
+        cols.append(F.expr(f"try_element_at({setters}, -1).p.{c}").alias(f"_v_{c}"))
+        cols.append(F.expr(f"size({setters}) > 0").alias(f"_s_{c}"))
+    cols += [
+        F.col("_had_delete"),
+        F.col("_final_delete"),
+        F.col("_n_eff"),
+        F.col("_last_commit_ts"),
+        F.col("_last_lsn"),
+    ]
+    if has_epoch:
+        cols.append(F.col(EPOCH_COL))
+    return composed.select(*cols)
+
+
+def resolve_patch_batch(table, events: DataFrame, schema=None) -> dict:
+    """Compose one batch of patch events per key and resolve them
+    against the table's current rows.
+
+    ``events`` columns: the table key, ``op`` (``upsert`` | ``delete``),
+    ``commit_ts``, ``lsn``, every table data column (null-padded), and
+    ``fields: array<string>`` naming the columns each upsert actually
+    sets (ignored for deletes; a null ``fields`` on an upsert means a
+    FULL image — all columns set, the plain-CDC degenerate case). An
+    optional ``batch_epoch`` column rides through as the per-key max
+    (for quarantine attribution of a resolved row).
+
+    ``schema``: optional EVOLVED row schema (table schema reconciled
+    with the incoming payload struct) — pass it when patch events may
+    carry brand-new columns, so resolution keeps them (current rows
+    read null for them) and the merge evolves the table additively.
+    Default: the table's current schema.
+
+    Returns ``{"ups", "dels", "touched", "num_buckets"}``: full
+    post-image upsert rows (one per surviving key), delete keys, and
+    the affected-bucket hint for :meth:`LakeTable.merge`.
+    """
+    key = table.key
+    schema = schema or table.schema
+    data_cols = [f.name for f in schema.fields if f.name != key]
+    composed = compose_events(events, key, data_cols)
+    has_epoch = EPOCH_COL in composed.columns
 
     # resolve against current rows, reading only the affected buckets
     nb = table.num_buckets
@@ -123,16 +162,12 @@ def resolve_patch_batch(table, events: DataFrame, schema=None) -> dict:
     j = composed.join(old, key, "left")
 
     def resolved(c: str) -> F.Column:
-        setters = F.expr(
-            f"filter(_eff, x -> array_contains(x.p.{FIELDS_COL}, '{c}'))"
-        )
-        last_val = F.expr(
-            f"try_element_at(filter(_eff, x -> array_contains(x.p.{FIELDS_COL}, '{c}')), -1).p.{c}"
-        )
         base = F.when(F.col("_had_delete"), F.lit(None)).otherwise(
             F.col(f"_old_{c}")
         )
-        return F.when(F.size(setters) > 0, last_val).otherwise(base).alias(c)
+        return (
+            F.when(F.col(f"_s_{c}"), F.col(f"_v_{c}")).otherwise(base).alias(c)
+        )
 
     j = j.localCheckpoint(eager=True)  # consumed twice (ups + dels)
     extra = [F.col(EPOCH_COL)] if has_epoch else []
@@ -140,11 +175,11 @@ def resolve_patch_batch(table, events: DataFrame, schema=None) -> dict:
         key,
         *[resolved(c) for c in data_cols],
         # provenance of the post-image: the key's LAST event in the
-        # window ((commit_ts, lsn) max = the sorted list's tail). The
-        # engine renders a quarantined post-image back into a FULL
-        # envelope with these, so reprocess_quarantine can replay it.
-        F.expr("element_at(_pl, -1).commit_ts").alias("_last_commit_ts"),
-        F.expr("element_at(_pl, -1).lsn").alias("_last_lsn"),
+        # window. The engine renders a quarantined post-image back
+        # into a FULL envelope with these, so reprocess_quarantine
+        # can replay it.
+        F.col("_last_commit_ts"),
+        F.col("_last_lsn"),
         *extra,
     )
     dels = j.filter(F.col("_final_delete")).select(key)

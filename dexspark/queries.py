@@ -102,25 +102,9 @@ def f3_event_type_filter(spark, sf_dir):
     )
 
 
-# F4: required-params null-check conjunction (FnDecompressor.kt:76-84)
-@query(
-    "f4_required_fields",
-    """
-    SELECT CAST(user_id IS NOT NULL AND event_type IS NOT NULL
-                AND trim(props) <> '' AND value IS NOT NULL AS INT) AS is_valid,
-           count(*) AS n
-    FROM events GROUP BY 1
-    """,
-)
-def f4_required_fields(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
-    valid = (
-        F.col("user_id").isNotNull()
-        & F.col("event_type").isNotNull()
-        & (F.trim("props") != "")
-        & F.col("value").isNotNull()
-    )
-    return e.groupBy(valid.cast("int").alias("is_valid")).agg(F.count("*").alias("n"))
+# F4 (required-params null-check conjunction, FnDecompressor.kt:76-84)
+# is folded into f6_metadata_required_keys below (envelope_valid
+# column) — freeing a 50-query-window slot for patch_compose.
 
 
 # F5: path destructure: split + element_at + size guard (FnDecompressor.kt:171-182)
@@ -1711,8 +1695,10 @@ def v7_header_normalize(spark, sf_dir):
     """
     SELECT CAST(json_extract_string(props, '$.k') IS NOT NULL
                 AND trim(json_extract_string(props, '$.k')) <> '' AS INT) AS has_required,
+           CAST(user_id IS NOT NULL AND event_type IS NOT NULL
+                AND trim(props) <> '' AND value IS NOT NULL AS INT) AS envelope_valid,
            count(*) AS n
-    FROM events GROUP BY 1
+    FROM events GROUP BY 1, 2
     """,
 )
 def f6_metadata_required_keys(spark, sf_dir):
@@ -1722,7 +1708,89 @@ def f6_metadata_required_keys(spark, sf_dir):
     )
     v = F.element_at(meta, "k")
     has = (v.isNotNull() & (F.trim(v) != "")).cast("int")
-    return e.groupBy(has.alias("has_required")).agg(F.count("*").alias("n"))
+    # F4's required-params conjunction (consolidated r3c)
+    valid = (
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & (F.trim("props") != "")
+        & F.col("value").isNotNull()
+    )
+    return e.groupBy(
+        has.alias("has_required"), valid.cast("int").alias("envelope_valid")
+    ).agg(F.count("*").alias("n"))
+
+
+# Patch composition (operators/patch.py compose_events): Debezium-
+# style partial row images folded per key in (commit_ts, lsn) order —
+# later setter of a column wins, a delete resets the window, a key
+# whose last event is a delete is dropped. Synthesized deterministic
+# patch stream over the events table: 'error' events are deletes,
+# event_id % 3 picks the fields mask. Oracle: the same fold in SQL
+# (row_number -> last-delete watermark -> arg_max per column over its
+# setters). Values are null-coalesced up front: DuckDB's arg_max
+# skips NULL values while the engine keeps "last setter's value even
+# if null" — pinning non-null inputs keeps the two semantics aligned
+# without weakening the fold under test.
+@query(
+    "patch_compose",
+    """
+    WITH ev AS (
+      SELECT CAST(user_id AS VARCHAR) AS doc_id,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+             ts, event_id AS lsn,
+             coalesce(value, -1.0) AS value,
+             event_type AS etype,
+             CASE CAST(event_id % 3 AS INT)
+               WHEN 0 THEN ['value'] WHEN 1 THEN ['etype']
+               ELSE ['value', 'etype'] END AS fields
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    ordered AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY ts, lsn) AS rn
+      FROM ev
+    ),
+    ld AS (
+      SELECT doc_id, coalesce(max(rn) FILTER (WHERE op = 'delete'), 0) AS last_del
+      FROM ordered GROUP BY doc_id
+    ),
+    eff AS (
+      SELECT o.* FROM ordered o JOIN ld USING (doc_id)
+      WHERE o.rn > ld.last_del
+    )
+    SELECT doc_id,
+           arg_max(value, rn) FILTER (WHERE list_contains(fields, 'value'))
+             AS last_value,
+           arg_max(etype, rn) FILTER (WHERE list_contains(fields, 'etype'))
+             AS last_etype,
+           count(*) AS n_eff
+    FROM eff GROUP BY doc_id
+    """,
+)
+def patch_compose(spark, sf_dir):
+    from .operators.patch import compose_events
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ev = e.select(
+        F.col("user_id").cast("string").alias("doc_id"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("ts").alias("commit_ts"),
+        F.col("event_id").alias("lsn"),
+        F.coalesce(F.col("value"), F.lit(-1.0)).alias("value"),
+        F.col("event_type").alias("etype"),
+        F.when(F.col("event_id") % 3 == 0, F.array(F.lit("value")))
+        .when(F.col("event_id") % 3 == 1, F.array(F.lit("etype")))
+        .otherwise(F.array(F.lit("value"), F.lit("etype")))
+        .alias("fields"),
+    )
+    c = compose_events(ev, "doc_id", ["value", "etype"])
+    return c.filter(~F.col("_final_delete")).select(
+        "doc_id",
+        F.col("_v_value").alias("last_value"),
+        F.col("_v_etype").alias("last_etype"),
+        F.col("_n_eff").cast("long").alias("n_eff"),
+    )
 
 
 # §2.8 string family in one pass: lower/endswith/trim/length/
