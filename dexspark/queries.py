@@ -1175,11 +1175,25 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in")
             / len(string_split(text, ' ')), 4) AS stopword_ratio,
       round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
             / length(text), 4) AS punct_ratio,
-      CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END AS length_ok
-    FROM documents
+      CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END AS length_ok,
+      round(1.0 - len(list_distinct(string_split(text, ' ')))
+            / len(string_split(text, ' '))::DOUBLE, 4) AS dup_word_frac,
+      round(least((SELECT coalesce(max(cnt), 0) FROM (
+                     SELECT count(*) AS cnt
+                     FROM unnest([array_to_string(w[i:i+1], ' ')
+                                  FOR i IN range(1, greatest(len(w) - 1, 0) + 1)]) AS t(g)
+                     GROUP BY g)) * 2.0
+            / greatest(len(w), 1), 1.0), 4) AS top_bigram_frac
+    FROM (SELECT *, string_split(text, ' ') AS w FROM documents)
     """,
 )
 def text_token_count(spark, sf_dir):
+    # the repetition columns (Gopher quality rules) come from the REAL
+    # operator — operators/textquality.py — so the driver oracle
+    # verifies the shipped repetition_stats implementation, including
+    # its O(n log n) sort-and-fold top-bigram count (no shuffle).
+    from .operators.textquality import _max_run_count, _word_ngrams
+
     d = _t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
     stop_ratio = F.size(
@@ -1197,6 +1211,20 @@ def text_token_count(spark, sf_dir):
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.col("n_chars").between(100, 400).cast("int").alias("length_ok"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(words)) / F.size(words).cast("double"),
+            4,
+        ).alias("dup_word_frac"),
+        F.round(
+            F.least(
+                _max_run_count(_word_ngrams(words, 2)).cast("double")
+                * 2.0
+                / F.greatest(F.size(words), F.lit(1)),
+                F.lit(1.0),
+            ),
+            4,
+        ).alias("top_bigram_frac"),
     )
 
 
