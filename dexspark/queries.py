@@ -1824,10 +1824,33 @@ def patch_compose(spark, sf_dir):
 # §2.8 string family in one pass: lower/endswith/trim/length/
 # regexp_replace/concat_ws (csvValidationFunction_Generic.kt:65,71;
 # Entry.java:81-102; FnDecompressor.kt:179) + V15 type coercion
-# (try_cast integer parse, cerberus_data_validation.py:38-39)
+# (try_cast integer parse, cerberus_data_validation.py:38-39) + the
+# PII redaction operator (operators/redact.py) run over a synthesized
+# PII-bearing string (the raw corpus has none): the oracle SQL chain
+# is GENERATED from the operator's own DEFAULT_PATTERNS so the two
+# sides cannot drift.
+def _pii_oracle_exprs() -> tuple[str, str]:
+    """(n_pii SQL, fully-redacted SQL) over the synthesized pii string,
+    replaying redact()'s chained count-then-rewrite order in DuckDB."""
+    from .operators.redact import DEFAULT_PATTERNS
+
+    remaining = (
+        "concat('mail ', source, '@example.com ip 10.0.0.', "
+        "CAST(doc_id % 200 + 1 AS VARCHAR), ' txt ', text)"
+    )
+    counts = []
+    for _name, pat, repl in DEFAULT_PATTERNS:
+        counts.append(f"len(regexp_extract_all({remaining}, '{pat}'))")
+        remaining = f"regexp_replace({remaining}, '{pat}', '{repl}', 'g')"
+    return " + ".join(counts), remaining
+
+
+_PII_N_SQL, _PII_RED_SQL = _pii_oracle_exprs()
+
+
 @query(
     "scalar_string_family",
-    """
+    f"""
     SELECT doc_id,
            lower(source) AS src_lower,
            CAST(ends_with(lower(source), '0') AS INT) AS src_ends_0,
@@ -1835,13 +1858,26 @@ def patch_compose(spark, sf_dir):
            length(regexp_replace(text, '[aeiou]', '', 'g')) AS len_novowel,
            concat_ws('|', lang, source) AS lang_src,
            CAST(TRY_CAST(split_part(text, ' ', 1) AS BIGINT) IS NOT NULL AS INT)
-             AS first_word_is_int
+             AS first_word_is_int,
+           CAST({_PII_N_SQL} AS BIGINT) AS n_pii,
+           substring({_PII_RED_SQL}, 1, 40) AS redacted_head
     FROM documents
     """,
 )
 def scalar_string_family(spark, sf_dir):
+    from .operators.redact import redact
+
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    pii = F.concat(
+        F.lit("mail "),
+        F.col("source"),
+        F.lit("@example.com ip 10.0.0."),
+        (F.col("doc_id") % 200 + 1).cast("string"),
+        F.lit(" txt "),
+        F.col("text"),
+    )
+    red = redact(d.withColumn("pii_text", pii), text="pii_text")
+    return red.select(
         "doc_id",
         F.lower("source").alias("src_lower"),
         F.lower("source").endswith("0").cast("int").alias("src_ends_0"),
@@ -1853,6 +1889,8 @@ def scalar_string_family(spark, sf_dir):
         .isNotNull()
         .cast("int")
         .alias("first_word_is_int"),
+        F.col("n_pii").cast("long").alias("n_pii"),
+        F.substring("pii_text", 1, 40).alias("redacted_head"),
     )
 
 
