@@ -798,39 +798,22 @@ def _minhash_sql() -> str:
 
 def _minhash_candidate_pairs(spark, sf_dir) -> DataFrame:
     """(band, da, db) distinct LSH candidate pairs — shared by the
-    banding query and the connected-components clustering query."""
-    # distinct=False: min() is duplicate-insensitive, so the set
-    # shuffle the Jaccard path needs is pure waste here — one full
-    # exchange of the exploded shingle frame removed (the oracle's
-    # SELECT DISTINCT is equally irrelevant to its min() aggs)
-    sh = _shingles_spark(_t(spark, sf_dir, "documents"), n=4, distinct=False)
-    # the two seeded md5s are projected BEFORE the aggregate so each
-    # is computed once per shingle row (the 8 min-aggs then slice
-    # cheap substrings, not fresh hashes)
-    proj = sh.select(
-        "doc_id",
-        F.md5(F.concat(F.lit("0"), F.col("shingle")).cast("binary")).alias("_m0"),
-        F.md5(F.concat(F.lit("1"), F.col("shingle")).cast("binary")).alias("_m1"),
-    )
+    banding query and the connected-components clustering query.
+
+    Signature + band computation comes from the SHARED scheme in
+    operators/dedup_index.py (the CDC-maintained dedup index), so the
+    batch pipeline and the persisted index provably agree.
+    keep_short=False: band buckets ignore null-signature docs, so the
+    short-doc anti-join would be dead weight here."""
+    from .operators.dedup_index import band_keys, minhash_signatures
+
     # checkpoint: the signature frame (one row per doc) feeds 4 band
     # projections x 2 join sides = 8 consumers; without it the whole
     # shingle+minhash pipeline re-executes per consumer
-    sig = proj.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.substring(F.col(f"_m{k // 4}"), 1 + 8 * (k % 4), 8)
-            ).alias(f"h{k}")
-            for k in range(_MINHASH_K)
-        ]
+    sig = minhash_signatures(
+        _t(spark, sf_dir, "documents"), keep_short=False
     ).localCheckpoint(eager=False)
-    rows_per_band = _MINHASH_K // _MINHASH_BANDS
-    bands = None
-    for b in range(_MINHASH_BANDS):
-        key = F.concat(
-            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        part = sig.select("doc_id", F.lit(b).alias("band"), key.alias("key"))
-        bands = part if bands is None else bands.unionByName(part)
+    bands = band_keys(sig)
     a, bb = bands.alias("a"), bands.alias("b")
     return (
         a.join(
