@@ -775,20 +775,93 @@ class LakeTable:
         files that cannot contain it. At 4096 buckets + blooms a point
         read touches a handful of row groups out of 10^10 rows.
         """
+        return self.lookup_many([value])
+
+    def lookup_many(self, values) -> DataFrame:
+        """Batched point read: current rows whose key is in ``values``.
+
+        The probe primitive for batch-vs-index workloads (a
+        micro-batch checking itself against a persisted dedup/ANN
+        index): ONE job computes every probe key's bucket with the
+        writer's own JVM expression, the snapshot is pruned to exactly
+        those buckets plus the probe set's [min, max] zone-map window,
+        and the row filter keeps only the probed keys. Cost scales
+        with |values| x (table fraction per bucket), independent of
+        corpus size — never a full index scan per batch.
+
+        ``values`` must be driver-sized (a batch's key set, not a
+        table). Small sets filter via ``isin`` (pushed to parquet
+        row-group stats + the key bloom filter when the table carries
+        ``bloom_filter_key``); large sets switch to a broadcast
+        semi-join to keep the filter expression tree bounded.
+        """
+        key = self.key
+        vals = list(dict.fromkeys(values))  # dedupe, keep determinism
+        if not vals:
+            return self.read(buckets=[])
+        key_type = next(f.dataType for f in self.schema.fields if f.name == key)
+        probe = self.spark.createDataFrame(
+            [(v,) for v in vals], T.StructType([T.StructField(key, key_type, False)])
+        )
+        nb = self.num_buckets
+        buckets = sorted(
+            r["b"]
+            for r in probe.select(
+                F.pmod(F.xxhash64(F.col(key).cast(key_type)), F.lit(nb))
+                .cast("int")
+                .alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        rng = None
+        if all(_json_scalar(v) and v is not None for v in vals):
+            try:
+                rng = (min(vals), max(vals))
+            except TypeError:  # mixed types — skip zone-map pruning
+                rng = None
+        snap = self.read(buckets=buckets, key_range=rng)
+        if len(vals) <= 256:
+            return snap.filter(F.col(key).isin(vals))
+        return snap.join(F.broadcast(probe), key, "left_semi")
+
+    def probe(self, keys: DataFrame) -> DataFrame:
+        """Distributed batched point read: current rows whose key
+        appears in the single-column DataFrame ``keys``.
+
+        The fully distributed sibling of :meth:`lookup_many`: the key
+        set never materializes on the driver as rows. ONE bounded
+        collect fetches the probe's distinct bucket ids plus its
+        [min, max] key window (≤ ``num_buckets`` ints + 2 scalars —
+        independent of probe size), the snapshot read is pruned to
+        those buckets and that zone-map window, and the row filter is
+        a broadcast LEFT SEMI join against the (deduplicated) keys.
+        Cost scales with the probed buckets' data, never the corpus —
+        the micro-batch-vs-index probe shape (band posting lists, ANN
+        cells) at any batch size.
+        """
         key = self.key
         key_type = next(f.dataType for f in self.schema.fields if f.name == key)
-        b = (
-            self.spark.range(1)
-            .select(
-                F.pmod(
-                    F.xxhash64(F.lit(value).cast(key_type)),
-                    F.lit(self.num_buckets),
-                ).cast("int").alias("b")
-            )
-            .collect()[0]["b"]
+        kdf = (
+            keys.toDF(key)
+            .filter(F.col(key).isNotNull())
+            .select(F.col(key).cast(key_type))
+            .distinct()
         )
-        rng = (value, value) if _json_scalar(value) else None
-        return self.read(buckets=[b], key_range=rng).filter(F.col(key) == value)
+        stats = kdf.agg(
+            F.collect_set(
+                F.pmod(F.xxhash64(F.col(key)), F.lit(self.num_buckets)).cast("int")
+            ).alias("bs"),
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+        ).collect()[0]
+        if not stats["bs"]:
+            return self.read(buckets=[])
+        rng = None
+        if _json_scalar(stats["lo"]) and stats["lo"] is not None:
+            rng = (stats["lo"], stats["hi"])
+        snap = self.read(buckets=sorted(stats["bs"]), key_range=rng)
+        return snap.join(F.broadcast(kdf), key, "left_semi")
 
     def scan_range(self, lo, hi) -> DataFrame:
         """Key-range scan: all current rows with ``lo <= key <= hi``.
