@@ -32,8 +32,19 @@ from pyspark.sql import DataFrame, functions as F
 def ngrams(
     df: DataFrame, n: int = 8, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id_col, gram) word n-grams, JVM-side, duplicates kept (map-only)."""
-    words = F.split(F.col(text), " ")
+    """(id_col, gram) n-grams, JVM-side, duplicates kept (map-only).
+
+    ``text`` may be a string column (split on spaces — word n-grams)
+    or an array column (token-id n-grams over pre-tokenized
+    sequences, the north-star payload): the unit sequence is chosen
+    from the column's dtype, everything downstream is identical.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[text].dataType, T.ArrayType):
+        words = F.col(text).cast("array<string>")
+    else:
+        words = F.split(F.col(text), " ")
     idx = F.when(
         F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))

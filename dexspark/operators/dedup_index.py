@@ -153,7 +153,8 @@ def sync_dedup_index(
         )
     )
     ups = minhash_signatures(
-        latest.filter(F.col("_change_type") != "delete").select("doc_id", text)
+        latest.filter(F.col("_change_type") != "delete").select("doc_id", text),
+        text=text,
     )
     dels = latest.filter(F.col("_change_type") == "delete").select("doc_id")
     return index_table.merge(ups, delete_keys=dels, mode="mor", epochs=epochs)
@@ -180,6 +181,221 @@ def sync_dedup_index_from_table(source, index_table, text: str = "text") -> dict
         epochs=list(range(synced + 1, cur + 1)),
     )
     return {"synced_through": cur, "applied": True, **info}
+
+
+# ---------------------------------------------------------------------
+# band posting-list index: probe cost O(batch), not O(corpus)
+# ---------------------------------------------------------------------
+#
+# near_dup_candidates() scans the WHOLE signature index per probe —
+# map-only, but still O(corpus) I/O per micro-batch. The posting-list
+# index inverts it: a second LakeTable keyed by LSH band key whose
+# value is the (capped) list of docs in that band. A probe then reads
+# ONLY the buckets the batch's own band keys hash to (lookup_many /
+# probe bucket pruning + blooms), so per-batch cost is
+# O(batch_bands x rows-per-bucket) — independent of corpus size.
+# Maintenance is changelog-driven and touches only changed docs' band
+# keys. This is the LSH analogue of the CDC-maintained IVF posting
+# lists (operators/ann.py sync_index_from_table).
+
+POSTING_CAP = 128  # max docs retained per band key (hot-band bound)
+
+
+def band_index_schema(id_type=None):
+    """Persisted posting row: band key -> capped sorted doc list.
+
+    ``overflowed`` is sticky: once a band exceeds POSTING_CAP it stays
+    flagged (recall on that band degrades gracefully to the retained
+    sample) until a rebuild resets it — same contract as the r2 LSH
+    bucket caps.
+    """
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("bkey", T.StringType(), False),
+            T.StructField(
+                "postings", T.ArrayType(id_type or T.LongType()), True
+            ),
+            T.StructField("overflowed", T.BooleanType(), True),
+        ]
+    )
+
+
+def _bkeyed(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, bkey) — collapse (band, key) to one string key."""
+    return bands.select(
+        id_col,
+        F.concat(F.col("band").cast("string"), F.lit(":"), F.col("key")).alias(
+            "bkey"
+        ),
+    )
+
+
+def sync_band_index(
+    band_table, sig_table, changes: DataFrame, text: str = "text", epochs=None
+) -> dict:
+    """Fold a source-changelog window into the posting-list index.
+
+    ``sig_table`` must hold the signatures AS OF the window start (it
+    supplies each changed doc's OLD band keys, so updates/deletes
+    remove the doc from bands it left) — callers commit the band fold
+    BEFORE the signature fold for the same window; see
+    :func:`sync_indexes_from_table` for the crash-safe ordering.
+
+    Work is O(changed docs): old signatures come from a bucket-pruned
+    :meth:`LakeTable.probe` on the changed keys, current postings from
+    a probe on the touched band keys. The corpus index is never
+    scanned or shuffled.
+    """
+    latest = (
+        changes.groupBy("doc_id")
+        .agg(
+            F.max_by(
+                F.struct(text, "_change_type"), F.col("_commit_version")
+            ).alias("_c")
+        )
+        .select(
+            "doc_id",
+            F.col(f"_c.{text}").alias(text),
+            F.col("_c._change_type").alias("_change_type"),
+        )
+        .localCheckpoint(eager=True)  # reused 3x below; window is batch-sized
+    )
+    old_bands = _bkeyed(band_keys(sig_table.probe(latest.select("doc_id"))))
+    new_bands = _bkeyed(
+        band_keys(
+            minhash_signatures(
+                latest.filter(F.col("_change_type") != "delete").select(
+                    "doc_id", text
+                ),
+                text=text,
+                keep_short=False,
+            )
+        )
+    )
+    cols = ["doc_id", "bkey"]
+    adds = new_bands.join(old_bands, cols, "left_anti")
+    removes = old_bands.join(new_bands, cols, "left_anti")
+    delta = adds.withColumn("_op", F.lit(1)).unionByName(
+        removes.withColumn("_op", F.lit(-1))
+    ).localCheckpoint(eager=True)
+    touched = delta.select("bkey").distinct()
+    current = band_table.probe(touched)
+    cur_pairs = current.select(
+        "bkey", F.explode("postings").alias("doc_id"), "overflowed"
+    )
+    kept = cur_pairs.join(
+        removes.select("bkey", "doc_id"), ["bkey", "doc_id"], "left_anti"
+    )
+    after = kept.select("bkey", "doc_id", "overflowed").unionByName(
+        # a doc overflow-dropped earlier then re-added dedupes in the
+        # collect_set below; new rows inherit no overflow history
+        adds.select("bkey", "doc_id", F.lit(False).alias("overflowed"))
+    )
+    grouped = after.groupBy("bkey").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("_all"),
+        F.max("overflowed").alias("_prev_of"),
+    )
+    ups = grouped.select(
+        "bkey",
+        F.slice("_all", 1, POSTING_CAP).alias("postings"),
+        (F.col("_prev_of") | (F.size("_all") > POSTING_CAP)).alias("overflowed"),
+    )
+    dels = touched.join(grouped.select("bkey"), "bkey", "left_anti")
+    return band_table.merge(ups, delete_keys=dels, mode="mor", epochs=epochs)
+
+
+def sync_indexes_from_table(
+    source, sig_table, band_table, text: str = "text"
+) -> dict:
+    """Exactly-once maintenance of BOTH dedup indexes from the source
+    changelog, crash-safe across the two commits.
+
+    Invariant: band cursor >= signature cursor, because the band fold
+    for a window needs the signature table still at the window START
+    (old band membership) and therefore commits FIRST. Every resume
+    path replays deterministically:
+
+    * crash after band commit, before sig commit -> next call sees
+      sig < band, completes the signature fold for (sig, band] alone
+      (the band fold for that window is already epoch-marked), then
+      proceeds;
+    * replay of a fully synced window -> both cursors == current, no-op.
+    """
+    s = max(sig_table.epoch_state()[0], 0)
+    b = max(band_table.epoch_state()[0], 0)
+    if s > b:
+        raise RuntimeError(
+            f"signature cursor v{s} ahead of band cursor v{b} — the band "
+            "fold can no longer read window-start signatures; rebuild the "
+            "band index (rebuild_band_index)"
+        )
+    applied = False
+    if s < b:  # finish the interrupted signature fold
+        sync_dedup_index(
+            sig_table, source.changes(s, b), text=text,
+            epochs=list(range(s + 1, b + 1)),
+        )
+        s, applied = b, True
+    cur = source.current_version()
+    if cur > b:
+        window = source.changes(b, cur)
+        sync_band_index(
+            band_table, sig_table, window, text=text,
+            epochs=list(range(b + 1, cur + 1)),
+        )
+        sync_dedup_index(
+            sig_table, window, text=text, epochs=list(range(b + 1, cur + 1))
+        )
+        applied = True
+    return {"synced_through": max(cur, b), "applied": applied}
+
+
+def rebuild_band_index(band_table, sig_table) -> dict:
+    """Full rebuild from the signature table: resets overflow flags
+    and purges any posting drift. O(corpus) — the periodic compaction
+    path, not the per-batch one."""
+    bands = _bkeyed(band_keys(sig_table.read()))
+    rows = bands.groupBy("bkey").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("_all")
+    )
+    ups = rows.select(
+        "bkey",
+        F.slice("_all", 1, POSTING_CAP).alias("postings"),
+        (F.size("_all") > POSTING_CAP).alias("overflowed"),
+    )
+    wm, tail = band_table.epoch_state()
+    band_table.overwrite(ups)
+    return {"rebuilt": True, "epoch_watermark": wm, "epoch_tail": tail}
+
+
+def near_dup_candidates_indexed(
+    band_table, batch: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(batch_doc_id, corpus_doc_id, n_shared_bands) via posting lists.
+
+    Same output contract as :func:`near_dup_candidates`, different
+    cost: the batch's band keys drive a bucket-pruned probe of the
+    posting table, so I/O is proportional to the BATCH's band keys
+    (x rows-per-bucket, bloom-pruned), never the corpus. Overflowed
+    bands contribute their retained sample (bounded recall loss,
+    flagged on the row).
+    """
+    batch_bands = _bkeyed(
+        band_keys(minhash_signatures(batch, text, id_col, keep_short=False)),
+        id_col,
+    ).withColumnRenamed(id_col, "batch_doc_id").localCheckpoint(eager=True)
+    postings = band_table.probe(batch_bands.select("bkey"))
+    return (
+        postings.join(F.broadcast(batch_bands), "bkey")
+        .select(
+            "batch_doc_id", F.explode("postings").alias("corpus_doc_id")
+        )
+        .filter(F.col("corpus_doc_id") != F.col("batch_doc_id"))
+        .groupBy("batch_doc_id", "corpus_doc_id")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
 
 
 def near_dup_candidates(
@@ -222,6 +438,7 @@ def gate_batch(
     text: str = "text",
     id_col: str = "doc_id",
     min_shared_bands: int = 1,
+    band_table=None,
 ) -> tuple[DataFrame, DataFrame]:
     """(novel_docs, dup_pairs): the continuous-ingest dedup gate.
 
@@ -230,10 +447,17 @@ def gate_batch(
     The reject side keeps the matched corpus doc for lineage (which
     existing doc shadowed this one — the quarantine-provenance
     contract, SURVEY V17).
+
+    With ``band_table`` (a posting-list index maintained by
+    :func:`sync_indexes_from_table`), candidates come from the
+    bucket-pruned probe (O(batch) I/O); otherwise from the map-only
+    full-index scan (O(corpus) I/O per batch).
     """
-    pairs = near_dup_candidates(index_table, batch, text, id_col).filter(
-        F.col("n_shared_bands") >= min_shared_bands
-    )
+    if band_table is not None:
+        pairs = near_dup_candidates_indexed(band_table, batch, text, id_col)
+    else:
+        pairs = near_dup_candidates(index_table, batch, text, id_col)
+    pairs = pairs.filter(F.col("n_shared_bands") >= min_shared_bands)
     dup_ids = pairs.select(F.col("batch_doc_id").alias(id_col)).distinct()
     novel = batch.join(F.broadcast(dup_ids), id_col, "left_anti")
     return novel, pairs
