@@ -81,6 +81,23 @@ def main(argv: list[str] | None = None) -> int:
         "(EngineConfig.patch_events; operators/patch.py)",
     )
     ap.add_argument(
+        "--near-dup-gate",
+        action="store_true",
+        help="corpus-level near-duplicate gate: MinHash/LSH-sign each "
+        "batch's winning upserts over their token arrays and probe a "
+        "CDC-maintained posting-list index of everything ingested so "
+        "far; near-dups are quarantined with near_dup:doc:<id> "
+        "provenance (EngineConfig.near_dup_gate; "
+        "operators/dedup_index.py)",
+    )
+    ap.add_argument(
+        "--near-dup-min-bands",
+        type=int,
+        default=None,
+        help="LSH bands a doc must share with an indexed doc to be "
+        "gated (default 1 = standard LSH candidate)",
+    )
+    ap.add_argument(
         "--history",
         action="store_true",
         help="instead of tailing: print the retained snapshot lineage",
@@ -378,6 +395,10 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["suppress_stale"] = True
     if args.patch_events:
         cfg_kwargs["patch_events"] = True
+    if args.near_dup_gate:
+        cfg_kwargs["near_dup_gate"] = True
+    if args.near_dup_min_bands is not None:
+        cfg_kwargs["near_dup_min_bands"] = args.near_dup_min_bands
     if args.merge_mode is not None:
         cfg_kwargs["merge_mode"] = args.merge_mode
     if args.compact_every is not None:
@@ -550,7 +571,11 @@ def main(argv: list[str] | None = None) -> int:
             # markers only, data is already applied)
             engine.flush_epoch_markers()
     else:
-        engine.run_until_caught_up(args.binlog, args.checkpoint)
+        engine.run_until_caught_up(
+            args.binlog,
+            args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
         _status()
     return 0
 

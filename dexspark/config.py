@@ -170,4 +170,25 @@ class EngineConfig:
     # resolved row rendered to JSON), and applied_lineage is not
     # emitted (a resolved row has no single parent event).
     patch_events: bool = False
+    # Corpus-level near-duplicate gate (operators/dedup_index.py):
+    # when on, each batch's winning upserts are MinHash-signed and
+    # probed against a CDC-maintained LSH posting-list index of the
+    # WHOLE table ingested so far; docs sharing >= near_dup_min_bands
+    # LSH bands with an already-ingested doc are quarantined with a
+    # `near_dup:doc:<matched_id>` reason instead of merged. The two
+    # sidecar index tables (<warehouse>/dedup_sig, dedup_band) are
+    # maintained from the target table's own changelog with
+    # exactly-once cursors, so probe cost per batch is O(batch band
+    # keys), never a corpus scan, and a crash anywhere reconverges.
+    # Signatures are computed over `near_dup_column` — an array column
+    # (token n-grams over pre-tokenized sequences, the north-star
+    # payload) or a string column (word n-grams). Limits: docs within
+    # ONE batch are not gated against each other (the index learns a
+    # batch only after its merge), and updates to an existing doc are
+    # gated like inserts (self-matches under the same doc_id are
+    # exempt). Not compatible with patch_events (post-images resolve
+    # against bucket state, a different pipeline).
+    near_dup_gate: bool = False
+    near_dup_min_bands: int = 1
+    near_dup_column: str = "tokens"
     rules: RuleSet = field(default_factory=sequences_ruleset)

@@ -98,6 +98,127 @@ class CdcEngine:
         # epochs applied but not yet marker-committed (streaming
         # defer_boundary mode; see apply_batch)
         self._deferred_epochs: set[int] = set()
+        self._nd_sig = self._nd_band = None
+        if self.config.near_dup_gate:
+            if self.config.patch_events:
+                raise ValueError(
+                    "near_dup_gate is not supported with patch_events"
+                )
+            self._nd_sig, self._nd_band = self._open_dedup_indexes(warehouse)
+
+    def _open_dedup_indexes(self, warehouse: str):
+        """Open (or create) the two near-dup sidecar tables. Idempotent
+        across restarts: an existing table is reopened with its cursor
+        (epoch markers) intact."""
+        from .operators.dedup_index import band_index_schema, index_schema
+
+        key_type = next(
+            f.dataType
+            for f in self.table.schema.fields
+            if f.name == self.table.key
+        )
+        out = []
+        for name, schema, key in (
+            ("dedup_sig", index_schema(key_type), "doc_id"),
+            ("dedup_band", band_index_schema(key_type), "bkey"),
+        ):
+            root = os.path.join(warehouse, name)
+            t = LakeTable(self.spark, root)
+            if t.current_version() == 0:
+                t = LakeTable.create(
+                    self.spark, root, schema, key=key,
+                    num_buckets=self.table.num_buckets,
+                )
+            out.append(t)
+        return tuple(out)
+
+    def _sync_dedup_indexes(self) -> None:
+        from .operators.dedup_index import sync_indexes_from_table
+
+        sync_indexes_from_table(
+            self.table, self._nd_sig, self._nd_band,
+            text=self.config.near_dup_column,
+        )
+
+    def _gate_near_dups(self, latest: DataFrame, payload_cols) -> DataFrame:
+        """Re-classify near-duplicate upserts in ``latest`` as
+        quarantine rows (reason ``near_dup:doc:<matched_id>``).
+
+        Runs between the batch's dedup aggregate and its stats/merge
+        consumers, so every downstream artifact (rows_merged, affected
+        buckets, quarantine write, lineage counts) sees the gated
+        classification with no special-casing. The index probe is
+        bucket-pruned O(batch band keys); the index itself is synced
+        from the table changelog FIRST, so a crash that merged a batch
+        but lost the index commit self-heals before the next gate.
+        Quarantined rows get a replayable full-image envelope as their
+        ``raw`` (the patch-mode quarantine contract): an operator who
+        clears the dup via reprocess_quarantine is explicitly
+        overriding the gate.
+        """
+        from .operators.dedup_index import near_dup_candidates_indexed
+
+        self._sync_dedup_indexes()
+        col = self.config.near_dup_column
+        gateable = (
+            ~F.col("_is_q")
+            & (F.col("event_class") == "apply")
+            & (F.col("op") != "delete")
+        )
+        cand = latest.filter(gateable).select("doc_id", col)
+        dups = (
+            near_dup_candidates_indexed(self._nd_band, cand, text=col)
+            .filter(F.col("n_shared_bands") >= self.config.near_dup_min_bands)
+            .groupBy("batch_doc_id")
+            .agg(F.min("corpus_doc_id").alias("_nd_match"))
+        )
+        hit = gateable & F.col("_nd_match").isNotNull()
+        return (
+            latest.join(
+                F.broadcast(dups),
+                latest["doc_id"] == dups["batch_doc_id"],
+                "left",
+            )
+            .drop("batch_doc_id")
+            .withColumn(
+                "raw",
+                F.when(
+                    hit,
+                    F.to_json(
+                        F.struct(
+                            F.col("op"),
+                            F.col("doc_id"),
+                            F.struct(*payload_cols).alias("payload"),
+                            F.col("commit_ts"),
+                            F.col("lsn"),
+                            F.col("batch_epoch"),
+                        )
+                    ),
+                ).otherwise(F.col("raw")),
+            )
+            .withColumn(
+                FAIL_COL,
+                F.when(
+                    hit,
+                    F.array(
+                        F.concat(
+                            F.lit("near_dup:doc:"),
+                            F.col("_nd_match").cast("string"),
+                        )
+                    ),
+                ).otherwise(F.col(FAIL_COL)),
+            )
+            .withColumn("_is_q", F.col("_is_q") | hit)
+            # a gated key quarantines its WINNING image once, not one
+            # row per collapsed duplicate event (those lost the
+            # last-writer-wins dedup regardless of the gate)
+            .withColumn(
+                "_n_events",
+                F.when(hit, F.lit(1)).otherwise(F.col("_n_events")),
+            )
+            .drop("_nd_match")
+            .localCheckpoint(eager=True)
+        )
 
     # ------------------------------------------------------------ one batch
 
@@ -295,6 +416,8 @@ class CdcEngine:
         latest = agg.filter(F.col("_qkey").isNotNull()).select(
             F.col("_r.*"), "_n_events"
         )
+        if self._nd_band is not None:
+            latest = self._gate_near_dups(latest, payload_cols)
         try:
             # job 1 (builds the cache): collect the tiny lineage rollup
             lin_groups = [
@@ -474,6 +597,11 @@ class CdcEngine:
                         keep_last=self.config.vacuum_keep_last,
                         min_age_seconds=self.config.vacuum_min_age_seconds,
                     )
+                # fold this batch's merge into the near-dup index so
+                # the NEXT batch's gate sees it (crash here self-heals:
+                # _gate_near_dups re-syncs before probing)
+                if self._nd_band is not None:
+                    self._sync_dedup_indexes()
             tm = _mark("merge_and_quarantine", td)
             n_env_rejects = by_class.get("reject", 0)
             n_val_rejects = n_quarantined - n_env_rejects
@@ -1024,7 +1152,17 @@ class CdcEngine:
         self._deferred_epochs = set()
         return epochs
 
-    def run_until_caught_up(self, binlog_path: str, checkpoint_path: str) -> None:
-        q = self.run_stream(binlog_path, checkpoint_path, available_now=True)
+    def run_until_caught_up(
+        self,
+        binlog_path: str,
+        checkpoint_path: str,
+        max_files_per_trigger: int | None = None,
+    ) -> None:
+        q = self.run_stream(
+            binlog_path,
+            checkpoint_path,
+            available_now=True,
+            max_files_per_trigger=max_files_per_trigger,
+        )
         q.awaitTermination()
         self.flush_epoch_markers()

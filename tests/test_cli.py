@@ -522,3 +522,60 @@ def test_cli_create_and_refresh_view(spark, tmp_warehouse, capsys):
     assert cli.main(["--table", root, "--refresh-view", vroot]) == 0
     out = json.loads(capsys.readouterr().out.strip())
     assert out["refresh_view"]["applied"] is False
+
+
+def test_cli_near_dup_gate(spark, tmp_warehouse, capsys):
+    """--near-dup-gate quarantines a cross-batch near-duplicate and
+    leaves the sidecar index tables behind in the warehouse."""
+    import json as _json
+
+    from dexspark import cli
+    from dexspark.schema import sequences_schema
+
+    A = list(range(100, 140))
+    A_NEAR = A[:20] + [9999] + A[21:]
+
+    def _env(doc_id, tokens, lsn, epoch):
+        return _json.dumps(
+            {
+                "op": "insert",
+                "doc_id": doc_id,
+                "payload": {"tokens": tokens, "n_tok": len(tokens), "source": "web"},
+                "commit_ts": f"2024-01-01T00:00:{lsn:02d}.000Z",
+                "lsn": lsn,
+                "batch_epoch": epoch,
+            }
+        )
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    os.makedirs(binlog)
+    with open(os.path.join(binlog, "epoch-0-0.ndjson"), "w") as f:
+        f.write(_env("docA", A, 1, 0) + "\n")
+    with open(os.path.join(binlog, "epoch-1-0.ndjson"), "w") as f:
+        f.write(_env("docDUP", A_NEAR, 2, 1) + "\n")
+    # force distinct mtimes so maxFilesPerTrigger=1 delivers epoch 0
+    # strictly before epoch 1 (same-second writes can tie)
+    os.utime(os.path.join(binlog, "epoch-0-0.ndjson"), (1700000000, 1700000000))
+    os.utime(os.path.join(binlog, "epoch-1-0.ndjson"), (1700000100, 1700000100))
+
+    wh = os.path.join(tmp_warehouse, "wh")
+    rc = cli.main(
+        [
+            "--table", os.path.join(tmp_warehouse, "seq"),
+            "--binlog", binlog,
+            "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+            "--warehouse", wh,
+            "--create", "--num-buckets", "4",
+            "--near-dup-gate", "--max-files-per-trigger", "1",
+        ]
+    )
+    assert rc == 0
+    table = LakeTable(spark, os.path.join(tmp_warehouse, "seq"))
+    ids = {r["doc_id"] for r in table.read().select("doc_id").collect()}
+    assert ids == {"docA"}
+    q = spark.read.parquet(os.path.join(wh, "quarantine"))
+    row = q.collect()[0]
+    assert row["doc_id"] == "docDUP"
+    assert row["fail_reasons"] == ["near_dup:doc:docA"]
+    assert os.path.isdir(os.path.join(wh, "dedup_sig"))
+    assert os.path.isdir(os.path.join(wh, "dedup_band"))
