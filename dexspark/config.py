@@ -182,13 +182,19 @@ class EngineConfig:
     # keys), never a corpus scan, and a crash anywhere reconverges.
     # Signatures are computed over `near_dup_column` — an array column
     # (token n-grams over pre-tokenized sequences, the north-star
-    # payload) or a string column (word n-grams). Limits: docs within
-    # ONE batch are not gated against each other (the index learns a
-    # batch only after its merge), and updates to an existing doc are
-    # gated like inserts (self-matches under the same doc_id are
-    # exempt). Not compatible with patch_events (post-images resolve
-    # against bucket state, a different pipeline).
+    # payload) or a string column (word n-grams). With
+    # near_dup_intra_batch (default), docs are ALSO gated against
+    # earlier (commit_ts, lsn)-ordered docs of the same batch — the
+    # pair orientation keeps the earliest of a dup cluster; chains
+    # gate transitively (operators/dedup_index.intra_batch_candidates
+    # documents the exact semantics + the per-band witness cap that
+    # bounds a batch of N identical docs to O(N) pairs). Limits:
+    # updates to an existing doc are gated like inserts (self-matches
+    # under the same doc_id are exempt). Not compatible with
+    # patch_events (post-images resolve against bucket state, a
+    # different pipeline).
     near_dup_gate: bool = False
     near_dup_min_bands: int = 1
     near_dup_column: str = "tokens"
+    near_dup_intra_batch: bool = True
     rules: RuleSet = field(default_factory=sequences_ruleset)

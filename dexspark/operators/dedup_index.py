@@ -398,6 +398,59 @@ def near_dup_candidates_indexed(
     )
 
 
+def intra_batch_candidates(
+    batch: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    order_col: str = "_nd_ord",
+    witness_cap: int = POSTING_CAP,
+) -> DataFrame:
+    """(batch_doc_id, corpus_doc_id, n_shared_bands) pairs WITHIN one
+    batch, oriented by ``order_col``: ``corpus_doc_id`` is always the
+    strictly-earlier doc, so gating the later side of every pair keeps
+    exactly the docs with no earlier band-sharing neighbor.
+
+    Semantics note (deliberately conservative): a doc is paired with
+    earlier docs regardless of whether THOSE docs are themselves gated
+    — i.e. chains gate transitively (A<B<C with A~B, B~C gates both B
+    and C even when A!~C), sitting between strict sequential
+    processing and connected-component dedup. Deterministic, one
+    self-join, no iteration.
+
+    Scale guard: the band self-join is capped on the witness side —
+    per band key only the ``witness_cap`` EARLIEST docs can gate later
+    ones (a batch of N identical docs costs O(N x cap) pairs, never
+    O(N^2)). With min_shared_bands=1 a single earliest witness per
+    band already decides every gate verdict exactly; higher thresholds
+    degrade recall gracefully past the cap — the POSTING_CAP contract.
+    """
+    from pyspark.sql import Window
+
+    bands = _bkeyed(
+        band_keys(minhash_signatures(batch, text, id_col, keep_short=False)),
+        id_col,
+    ).join(batch.select(id_col, order_col), id_col)
+    w = Window.partitionBy("bkey").orderBy(F.col(order_col).asc())
+    witnesses = (
+        bands.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= witness_cap)
+        .select(
+            F.col(id_col).alias("corpus_doc_id"),
+            F.col(order_col).alias("_o_w"),
+            "bkey",
+        )
+    )
+    probes = bands.select(
+        F.col(id_col).alias("batch_doc_id"), F.col(order_col).alias("_o_p"), "bkey"
+    )
+    return (
+        probes.join(witnesses, "bkey")
+        .filter(F.col("_o_w") < F.col("_o_p"))
+        .groupBy("batch_doc_id", "corpus_doc_id")
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
 def near_dup_candidates(
     index_table, batch: DataFrame, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -155,8 +155,19 @@ class CdcEngine:
         ``raw`` (the patch-mode quarantine contract): an operator who
         clears the dup via reprocess_quarantine is explicitly
         overriding the gate.
+
+        With ``near_dup_intra_batch`` (default), docs are also gated
+        against EARLIER (commit_ts, lsn)-ordered docs of the same
+        batch — the index only learns a batch after its merge, so
+        without this a crawl batch carrying a dup cluster would ingest
+        the whole cluster. Pair orientation keeps the cluster's
+        earliest doc (intra_batch_candidates documents the chain
+        semantics + the witness cap bounding identical-doc blowup).
         """
-        from .operators.dedup_index import near_dup_candidates_indexed
+        from .operators.dedup_index import (
+            intra_batch_candidates,
+            near_dup_candidates_indexed,
+        )
 
         self._sync_dedup_indexes()
         col = self.config.near_dup_column
@@ -165,9 +176,16 @@ class CdcEngine:
             & (F.col("event_class") == "apply")
             & (F.col("op") != "delete")
         )
-        cand = latest.filter(gateable).select("doc_id", col)
+        cand = latest.filter(gateable).select(
+            "doc_id", col, F.struct("commit_ts", "lsn").alias("_nd_ord")
+        )
+        pairs = near_dup_candidates_indexed(self._nd_band, cand, text=col)
+        if self.config.near_dup_intra_batch:
+            pairs = pairs.unionByName(
+                intra_batch_candidates(cand, text=col, order_col="_nd_ord")
+            )
         dups = (
-            near_dup_candidates_indexed(self._nd_band, cand, text=col)
+            pairs
             .filter(F.col("n_shared_bands") >= self.config.near_dup_min_bands)
             .groupBy("batch_doc_id")
             .agg(F.min("corpus_doc_id").alias("_nd_match"))

@@ -195,6 +195,73 @@ def test_final_state_matches_ungated_plus_gate_policy(spark, tmp_warehouse):
     assert states[0] == states[1]
 
 
+def test_intra_batch_dup_gated_earliest_wins(spark, tmp_warehouse, engine):
+    """Two near-dup docs arriving in the SAME batch: the earlier
+    (commit_ts, lsn) doc ingests, the later quarantines against it —
+    the index has not even learned the batch yet."""
+    # doc_id order is the REVERSE of lsn order: proves the gate keys
+    # on (commit_ts, lsn), not on id sort order
+    m = engine.apply_binlog(
+        _binlog(
+            tmp_warehouse, "b1",
+            [_env("insert", "docZ_first", C, 1, 0),
+             _env("insert", "docA_second", C_NEAR, 2, 0)],
+        )
+    )
+    assert m.rows_merged == 1
+    ids = _doc_ids(engine.table)
+    assert "docZ_first" in ids and "docA_second" not in ids
+    q = spark.read.parquet(engine.quarantine_path)
+    row = q.filter(F.col("doc_id") == "docA_second").collect()[0]
+    assert row["fail_reasons"] == ["near_dup:doc:docZ_first"]
+
+
+def test_intra_batch_identical_cluster_keeps_one(spark, tmp_warehouse, engine):
+    """A dup cluster of identical docs in one batch keeps exactly the
+    earliest; every later member quarantines against an earlier one."""
+    lines = [
+        _env("insert", f"doc{i}", C, 10 + i, 0) for i in range(5)
+    ]
+    m = engine.apply_binlog(_binlog(tmp_warehouse, "b1", lines))
+    assert m.rows_merged == 1
+    ids = _doc_ids(engine.table)
+    assert "doc0" in ids
+    assert not any(f"doc{i}" in ids for i in range(1, 5))
+    q = spark.read.parquet(engine.quarantine_path)
+    for r in q.filter(F.col("doc_id") != "doc0").collect():
+        assert r["fail_reasons"][0].startswith("near_dup:doc:doc")
+
+
+def test_intra_batch_off_passes_both(spark, tmp_warehouse):
+    """near_dup_intra_batch=False restores the index-only gate: two
+    same-batch near-dups both ingest (the index learns them only
+    after the merge)."""
+    t = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "sequences"), sequences_schema(),
+        key="doc_id", num_buckets=4,
+    )
+    e = CdcEngine(
+        spark, t, tmp_warehouse,
+        EngineConfig(
+            num_buckets=4, near_dup_gate=True, near_dup_intra_batch=False
+        ),
+    )
+    m = e.apply_binlog(
+        _binlog(
+            tmp_warehouse, "b1",
+            [_env("insert", "docC", C, 1, 0),
+             _env("insert", "docCN", C_NEAR, 2, 0)],
+        )
+    )
+    assert m.rows_merged == 2
+    assert _doc_ids(t) == {"docC", "docCN"}
+    # ...but a LATER batch near-dup is still gated by the index
+    m2 = e.apply_binlog(
+        _binlog(tmp_warehouse, "b2", [_env("insert", "docC3", C, 3, 1)])
+    )
+    assert m2.rows_merged == 0
+
+
 def test_patch_events_combination_rejected(spark, tmp_warehouse):
     t = LakeTable.create(
         spark, os.path.join(tmp_warehouse, "sequences"), sequences_schema(),
