@@ -76,6 +76,9 @@ BINLOG_FORMAT = os.environ.get("DEXSPARK_BINLOG_FORMAT", "ndjson")
 MERGE_MODE = os.environ.get("DEXSPARK_MERGE_MODE", "mor")
 # Fraction of events aimed at the hottest 1% of keys (skew stress)
 CDC_HOT_PCT = int(os.environ.get("DEXSPARK_CDC_HOT_PCT", "20"))
+# opt-in feature-cost knob: corpus near-dup gate (BENCH.md measures it
+# off the default path; the gate maintains two sidecar index tables)
+NEAR_DUP_GATE = os.environ.get("DEXSPARK_NEAR_DUP_GATE", "") == "1"
 
 
 def _binlog_key() -> str:
@@ -232,10 +235,10 @@ def run_cdc(
         )
         wtable.overwrite(base)
         CdcEngine(
-            spark, wtable, os.path.join(workdir, "warm"), EngineConfig(num_buckets=64, merge_mode=MERGE_MODE)
+            spark, wtable, os.path.join(workdir, "warm"), EngineConfig(num_buckets=64, merge_mode=MERGE_MODE, near_dup_gate=NEAR_DUP_GATE)
         ).apply_binlog(binlog)
 
-    engine = CdcEngine(spark, table, workdir, EngineConfig(num_buckets=64, merge_mode=MERGE_MODE))
+    engine = CdcEngine(spark, table, workdir, EngineConfig(num_buckets=64, merge_mode=MERGE_MODE, near_dup_gate=NEAR_DUP_GATE))
     t1 = time.monotonic()
     metrics = engine.apply_binlog(binlog)
     apply_sec = time.monotonic() - t1
@@ -378,7 +381,7 @@ def main_stream_cdc(cpus: int, max_files_per_trigger: int = 4) -> None:
     _write_bench_binlog(spark, binlog)
     n_files = len([f for f in os.listdir(binlog) if not f.startswith("_")])
     engine = CdcEngine(
-        spark, table, workdir, EngineConfig(num_buckets=64, merge_mode=MERGE_MODE)
+        spark, table, workdir, EngineConfig(num_buckets=64, merge_mode=MERGE_MODE, near_dup_gate=NEAR_DUP_GATE)
     )
     t0 = time.monotonic()
     q = engine.run_stream(

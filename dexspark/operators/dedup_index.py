@@ -51,45 +51,54 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id_col, h0..h7) — one row per doc, the sliced 2-md5 scheme.
 
-    Shingles are word ``SHINGLE_N``-grams kept WITH duplicates
-    (min() is duplicate-insensitive, so the distinct shuffle is pure
-    waste — map-side partial aggregation collapses them for free).
-    With ``keep_short`` (the index-maintenance default), docs shorter
-    than the shingle width still get a signature row (NULL hashes) so
-    the index keeps a row per live doc — costs one anti-join; batch
-    pipelines that only consume band buckets pass False and skip it.
-    """
-    from .decontaminate import ngrams
+    Computed entirely MAP-SIDE with higher-order functions: the
+    shingle array, its two seeded md5s, and the 8 per-band minima are
+    per-row array expressions — no explode (the shingle blow-up never
+    becomes rows), no groupBy shuffle, no exchange at all. The earlier
+    explode+groupBy formulation produced byte-identical signatures
+    (min over the same multiset — pytest-pinned) but shuffled
+    |docs| x |shingles| rows per signing; at 195k docs/batch that was
+    ~20 s/pass on 8 cores vs map-only cost here, and the engine gate
+    signs every batch.
 
-    sh = ngrams(docs, n=SHINGLE_N, text=text, id_col=id_col).withColumnRenamed(
-        "gram", "shingle"
+    With ``keep_short`` (the index-maintenance default), docs shorter
+    than the shingle width keep a signature row with NULL hashes so
+    the index holds a row per live doc; ``keep_short=False`` drops
+    them (band/pair consumers can never match NULL keys anyway).
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(docs.schema[text].dataType, T.ArrayType):
+        words = F.col(text).cast("array<string>")
+    else:
+        words = F.split(F.col(text), " ")
+    n = SHINGLE_N
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    # two seeded md5s per shingle, computed once; the 8 minima slice
+    # cheap substrings (identical scheme to the r2 exploded version)
+    ms = F.transform(
+        grams,
+        lambda g: F.struct(
+            F.md5(F.concat(F.lit("0"), g).cast("binary")).alias("m0"),
+            F.md5(F.concat(F.lit("1"), g).cast("binary")).alias("m1"),
+        ),
     )
-    # two seeded md5s projected BEFORE the aggregate: each computed
-    # once per shingle row; the 8 min-aggs slice cheap substrings
-    proj = sh.select(
-        id_col,
-        F.md5(F.concat(F.lit("0"), F.col("shingle")).cast("binary")).alias("_m0"),
-        F.md5(F.concat(F.lit("1"), F.col("shingle")).cast("binary")).alias("_m1"),
-    )
-    sig = proj.groupBy(id_col).agg(
-        *[
-            F.min(
-                F.substring(F.col(f"_m{k // 4}"), 1 + 8 * (k % 4), 8)
-            ).alias(f"h{k}")
-            for k in range(MINHASH_K)
-        ]
-    )
-    if not keep_short:
+    def _slice(m, lo):
+        return lambda x: F.substring(x[m], lo, 8)
+
+    hashes = [
+        F.array_min(
+            F.transform(ms, _slice(f"m{k // 4}", 1 + 8 * (k % 4)))
+        ).alias(f"h{k}")
+        for k in range(MINHASH_K)
+    ]
+    sig = docs.select(id_col, *hashes)
+    if keep_short:
         return sig
-    # short docs (< SHINGLE_N words) produce no shingles -> re-attach
-    # with NULL hashes so every live doc has an index row
-    short = docs.select(id_col).join(sig.select(id_col), id_col, "left_anti")
-    return sig.unionByName(
-        short.select(
-            id_col,
-            *[F.lit(None).cast("string").alias(f"h{k}") for k in range(MINHASH_K)],
-        )
-    )
+    return sig.filter(F.col("h0").isNotNull())
 
 
 def band_keys(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -128,7 +137,7 @@ def index_schema(id_type=None):
 
 
 def sync_dedup_index(
-    index_table, changes: DataFrame, text: str = "text", epochs=None
+    index_table, changes: DataFrame, text: str = "text", epochs=None, sigs=None
 ) -> dict:
     """Fold a source-changelog window into the signature index.
 
@@ -138,6 +147,12 @@ def sync_dedup_index(
     Signatures are computed over the CHANGED docs only; the merge is
     MOR so the commit is change-sized. Nothing about the existing
     index is read or shuffled.
+
+    ``sigs``: optional precomputed (doc_id, h0..h7) covering AT LEAST
+    every non-delete doc in the window with its post-window content —
+    the engine gate signs each batch once and passes the frame here so
+    the fold never re-signs (sign-once contract; the caller owns the
+    coverage guarantee).
     """
     latest = (
         changes.groupBy("doc_id")
@@ -152,10 +167,11 @@ def sync_dedup_index(
             F.col("_c._change_type").alias("_change_type"),
         )
     )
-    ups = minhash_signatures(
-        latest.filter(F.col("_change_type") != "delete").select("doc_id", text),
-        text=text,
-    )
+    live = latest.filter(F.col("_change_type") != "delete")
+    if sigs is not None:
+        ups = live.select("doc_id").join(sigs, "doc_id")
+    else:
+        ups = minhash_signatures(live.select("doc_id", text), text=text)
     dels = latest.filter(F.col("_change_type") == "delete").select("doc_id")
     return index_table.merge(ups, delete_keys=dels, mode="mor", epochs=epochs)
 
@@ -233,7 +249,12 @@ def _bkeyed(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def sync_band_index(
-    band_table, sig_table, changes: DataFrame, text: str = "text", epochs=None
+    band_table,
+    sig_table,
+    changes: DataFrame,
+    text: str = "text",
+    epochs=None,
+    sigs=None,
 ) -> dict:
     """Fold a source-changelog window into the posting-list index.
 
@@ -263,17 +284,14 @@ def sync_band_index(
         .localCheckpoint(eager=True)  # reused 3x below; window is batch-sized
     )
     old_bands = _bkeyed(band_keys(sig_table.probe(latest.select("doc_id"))))
-    new_bands = _bkeyed(
-        band_keys(
-            minhash_signatures(
-                latest.filter(F.col("_change_type") != "delete").select(
-                    "doc_id", text
-                ),
-                text=text,
-                keep_short=False,
-            )
+    live = latest.filter(F.col("_change_type") != "delete")
+    if sigs is not None:
+        new_sig = live.select("doc_id").join(sigs, "doc_id")
+    else:
+        new_sig = minhash_signatures(
+            live.select("doc_id", text), text=text, keep_short=False
         )
-    )
+    new_bands = _bkeyed(band_keys(new_sig))
     cols = ["doc_id", "bkey"]
     adds = new_bands.join(old_bands, cols, "left_anti")
     removes = old_bands.join(new_bands, cols, "left_anti")
@@ -307,10 +325,19 @@ def sync_band_index(
 
 
 def sync_indexes_from_table(
-    source, sig_table, band_table, text: str = "text"
+    source, sig_table, band_table, text: str = "text", sigs=None, sigs_version=None
 ) -> dict:
     """Exactly-once maintenance of BOTH dedup indexes from the source
     changelog, crash-safe across the two commits.
+
+    ``sigs`` (+ its ``sigs_version``): optional precomputed signatures
+    covering every non-delete doc of the single source version
+    ``sigs_version`` — the engine passes the gate's checkpointed batch
+    signatures right after its own merge commit, so the fold re-signs
+    nothing. They are used ONLY when the pending window is exactly
+    (sigs_version-1, sigs_version]; any other window (crash recovery
+    spanning several versions, foreign commits) falls back to signing
+    from the changelog.
 
     Invariant: band cursor >= signature cursor, because the band fold
     for a window needs the signature table still at the window START
@@ -341,12 +368,14 @@ def sync_indexes_from_table(
     cur = source.current_version()
     if cur > b:
         window = source.changes(b, cur)
+        use = sigs if (sigs is not None and sigs_version == cur == b + 1) else None
         sync_band_index(
             band_table, sig_table, window, text=text,
-            epochs=list(range(b + 1, cur + 1)),
+            epochs=list(range(b + 1, cur + 1)), sigs=use,
         )
         sync_dedup_index(
-            sig_table, window, text=text, epochs=list(range(b + 1, cur + 1))
+            sig_table, window, text=text, epochs=list(range(b + 1, cur + 1)),
+            sigs=use,
         )
         applied = True
     return {"synced_through": max(cur, b), "applied": applied}
@@ -371,7 +400,11 @@ def rebuild_band_index(band_table, sig_table) -> dict:
 
 
 def near_dup_candidates_indexed(
-    band_table, batch: DataFrame, text: str = "text", id_col: str = "doc_id"
+    band_table,
+    batch: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(batch_doc_id, corpus_doc_id, n_shared_bands) via posting lists.
 
@@ -380,12 +413,17 @@ def near_dup_candidates_indexed(
     posting table, so I/O is proportional to the BATCH's band keys
     (x rows-per-bucket, bloom-pruned), never the corpus. Overflowed
     bands contribute their retained sample (bounded recall loss,
-    flagged on the row).
+    flagged on the row). ``signatures``: optional precomputed batch
+    signatures (sign-once contract).
     """
-    batch_bands = _bkeyed(
-        band_keys(minhash_signatures(batch, text, id_col, keep_short=False)),
-        id_col,
-    ).withColumnRenamed(id_col, "batch_doc_id").localCheckpoint(eager=True)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(batch, text, id_col, keep_short=False)
+    )
+    batch_bands = _bkeyed(band_keys(sig, id_col), id_col).withColumnRenamed(
+        id_col, "batch_doc_id"
+    ).localCheckpoint(eager=True)
     postings = band_table.probe(batch_bands.select("bkey"))
     return (
         postings.join(F.broadcast(batch_bands), "bkey")
@@ -404,6 +442,7 @@ def intra_batch_candidates(
     id_col: str = "doc_id",
     order_col: str = "_nd_ord",
     witness_cap: int = POSTING_CAP,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """(batch_doc_id, corpus_doc_id, n_shared_bands) pairs WITHIN one
     batch, oriented by ``order_col``: ``corpus_doc_id`` is always the
@@ -426,10 +465,14 @@ def intra_batch_candidates(
     """
     from pyspark.sql import Window
 
-    bands = _bkeyed(
-        band_keys(minhash_signatures(batch, text, id_col, keep_short=False)),
-        id_col,
-    ).join(batch.select(id_col, order_col), id_col)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(batch, text, id_col, keep_short=False)
+    )
+    bands = _bkeyed(band_keys(sig, id_col), id_col).join(
+        batch.select(id_col, order_col), id_col
+    )
     w = Window.partitionBy("bkey").orderBy(F.col(order_col).asc())
     witnesses = (
         bands.withColumn("_rk", F.row_number().over(w))

@@ -132,12 +132,13 @@ class CdcEngine:
             out.append(t)
         return tuple(out)
 
-    def _sync_dedup_indexes(self) -> None:
+    def _sync_dedup_indexes(self, sigs=None, sigs_version=None) -> None:
         from .operators.dedup_index import sync_indexes_from_table
 
         sync_indexes_from_table(
             self.table, self._nd_sig, self._nd_band,
             text=self.config.near_dup_column,
+            sigs=sigs, sigs_version=sigs_version,
         )
 
     def _gate_near_dups(self, latest: DataFrame, payload_cols) -> DataFrame:
@@ -166,6 +167,7 @@ class CdcEngine:
         """
         from .operators.dedup_index import (
             intra_batch_candidates,
+            minhash_signatures,
             near_dup_candidates_indexed,
         )
 
@@ -179,10 +181,20 @@ class CdcEngine:
         cand = latest.filter(gateable).select(
             "doc_id", col, F.struct("commit_ts", "lsn").alias("_nd_ord")
         )
-        pairs = near_dup_candidates_indexed(self._nd_band, cand, text=col)
+        # sign ONCE per batch (keep_short so the post-merge index fold
+        # can reuse the frame for short docs too), checkpoint, and
+        # share across: the corpus probe, the intra-batch probe, and —
+        # via _last_gate_sigs — the post-merge index fold
+        sigs = minhash_signatures(cand, text=col).localCheckpoint(eager=True)
+        self._last_gate_sigs = sigs
+        pairs = near_dup_candidates_indexed(
+            self._nd_band, cand, text=col, signatures=sigs
+        )
         if self.config.near_dup_intra_batch:
             pairs = pairs.unionByName(
-                intra_batch_candidates(cand, text=col, order_col="_nd_ord")
+                intra_batch_candidates(
+                    cand, text=col, order_col="_nd_ord", signatures=sigs
+                )
             )
         dups = (
             pairs
@@ -617,9 +629,16 @@ class CdcEngine:
                     )
                 # fold this batch's merge into the near-dup index so
                 # the NEXT batch's gate sees it (crash here self-heals:
-                # _gate_near_dups re-syncs before probing)
+                # _gate_near_dups re-syncs before probing). The gate's
+                # checkpointed batch signatures ride along so the fold
+                # signs nothing; sigs_version pins them to THIS merge's
+                # commit — any other pending window ignores them.
                 if self._nd_band is not None:
-                    self._sync_dedup_indexes()
+                    self._sync_dedup_indexes(
+                        sigs=getattr(self, "_last_gate_sigs", None),
+                        sigs_version=self.table.current_version(),
+                    )
+                    self._last_gate_sigs = None
             tm = _mark("merge_and_quarantine", td)
             n_env_rejects = by_class.get("reject", 0)
             n_val_rejects = n_quarantined - n_env_rejects

@@ -91,6 +91,50 @@ def test_signatures_keep_short_docs_as_null_rows(spark):
     assert {r["doc_id"] for r in minhash_signatures(docs, keep_short=False).collect()} == {1}
 
 
+def test_hof_signatures_match_exploded_reference(spark):
+    """The map-only HOF formulation is byte-identical to the original
+    explode+groupBy minhash (min over the same shingle multiset) —
+    over strings, token arrays, dup-heavy docs, and width-edge docs."""
+    from pyspark.sql import functions as F
+    from dexspark.operators.dedup_index import MINHASH_K, SHINGLE_N
+    from dexspark.operators.decontaminate import ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "a b c d"),                      # exactly SHINGLE_N words
+            (3, "x y z"),                        # short: no shingles
+            (4, "rep rep rep rep rep rep rep"),  # duplicate shingles
+        ],
+        SRC_SCHEMA,
+    )
+    toks = spark.createDataFrame(
+        [(10, list(range(50))), (11, [1, 2, 3]), (12, [7] * 20)],
+        "doc_id long, text array<int>",
+    )
+
+    def exploded_reference(frame):
+        sh = ngrams(frame, n=SHINGLE_N).withColumnRenamed("gram", "shingle")
+        proj = sh.select(
+            "doc_id",
+            F.md5(F.concat(F.lit("0"), F.col("shingle")).cast("binary")).alias("_m0"),
+            F.md5(F.concat(F.lit("1"), F.col("shingle")).cast("binary")).alias("_m1"),
+        )
+        return proj.groupBy("doc_id").agg(
+            *[
+                F.min(F.substring(F.col(f"_m{k // 4}"), 1 + 8 * (k % 4), 8)).alias(
+                    f"h{k}"
+                )
+                for k in range(MINHASH_K)
+            ]
+        )
+
+    for frame in (docs, toks):
+        got = _sigset(minhash_signatures(frame, keep_short=False))
+        want = _sigset(exploded_reference(frame))
+        assert got == want and got  # non-empty, byte-identical
+
+
 def test_sync_tracks_source_changes_exactly(spark, source, index):
     def rebuild():
         return _sigset(minhash_signatures(source.read()))
