@@ -22,11 +22,16 @@ CDC-maintained ANN index (operators/ann.py:194) and the north-star's
 - ``gate_batch``: the ingest gate — split a batch into novel docs and
   near-dup rejects, one call.
 
-Signature scheme: identical to the oracle-verified batch query
-(dexspark/queries.py ``dedup_minhash_lsh`` imports THIS module), so
-the persisted index provably agrees with the batch pipeline: 8
-minhashes sliced from two seeded md5s over word 4-gram shingles, 4
-bands x 2 rows.
+Signature scheme: 8 minhashes over word/token 4-gram shingles, 4
+bands x 2 rows, with TWO hash back-ends behind one banding structure
+(``minhash_signatures(scheme=...)``): ``xxhash64`` — the engine
+default, one JVM hash per raw token slice, ~10x cheaper than md5 —
+and ``md5``, which the oracle-verified batch queries
+(dexspark/queries.py ``dedup_minhash_lsh`` + clustering import THIS
+module) pin because DuckDB can replicate it in SQL. Both back-ends
+are pytest-pinned byte-identical to exploded reference formulations;
+an index must be built and probed under ONE scheme (the engine uses
+the default everywhere).
 
 Reference anchor: the reference's existence/dup checks gate ingest
 per event (FnDecompressor.kt:98-101); this is the corpus-level
@@ -43,59 +48,118 @@ _ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
 SHINGLE_N = 4
 
 
+def _shingle_parts(docs: DataFrame, text: str, as_strings: bool = True):
+    """(words, idx) column pair: the token array and the 1-based start
+    index of every width-``SHINGLE_N`` shingle (empty for short docs).
+
+    ``as_strings=False`` keeps an array-typed ``text`` column RAW —
+    the xxhash64 scheme hashes token slices directly, and casting
+    100k x 64 ints to strings per batch was measured 5x the cost of
+    the hashing itself."""
+    from pyspark.sql import types as T
+
+    if not isinstance(docs.schema[text].dataType, T.ArrayType):
+        words = F.split(F.col(text), " ")
+    elif as_strings:
+        words = F.col(text).cast("array<string>")
+    else:
+        words = F.col(text)
+    n = SHINGLE_N
+    idx = F.when(
+        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return words, idx
+
+
 def minhash_signatures(
     docs: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
     keep_short: bool = True,
+    scheme: str = "xxhash64",
 ) -> DataFrame:
-    """(id_col, h0..h7) — one row per doc, the sliced 2-md5 scheme.
+    """(id_col, h0..h7) — one row per doc; h columns are strings.
 
     Computed entirely MAP-SIDE with higher-order functions: the
-    shingle array, its two seeded md5s, and the 8 per-band minima are
-    per-row array expressions — no explode (the shingle blow-up never
-    becomes rows), no groupBy shuffle, no exchange at all. The earlier
-    explode+groupBy formulation produced byte-identical signatures
-    (min over the same multiset — pytest-pinned) but shuffled
-    |docs| x |shingles| rows per signing; at 195k docs/batch that was
-    ~20 s/pass on 8 cores vs map-only cost here, and the engine gate
-    signs every batch.
+    shingle array, its hashes, and the 8 per-band minima are per-row
+    array expressions — no explode (the shingle blow-up never becomes
+    rows), no groupBy shuffle, no exchange at all. Both schemes are
+    pytest-pinned byte-identical to an explode+groupBy reference
+    formulation (min over the same shingle multiset).
+
+    ``scheme``:
+
+    - ``"xxhash64"`` (default — what the engine's near-dup gate runs):
+      one JVM xxhash64 per shingle over the raw token slice (no gram
+      string is ever built), 8 per-band minima over cheap derived
+      hashes, each doc's 8 minima hex-formatted once. Measured 10x
+      faster than md5 at 100k docs/batch (2.8 s vs 28 s on 8 cores) —
+      the gate signs EVERY batch, so this is hot-path cost.
+    - ``"md5"``: the r2 sliced 2-md5-over-gram-strings scheme, kept
+      because the oracle-verified batch queries (``dedup_minhash_lsh``
+      + clustering) pin it in DuckDB SQL, which has no xxhash64. The
+      md5-pair array is materialized in its OWN projection: lambda-
+      bearing expressions are excluded from codegen subexpression
+      elimination, so inlining it into the 8 minima re-hashed every
+      shingle 8x (measured 4x slower).
 
     With ``keep_short`` (the index-maintenance default), docs shorter
     than the shingle width keep a signature row with NULL hashes so
     the index holds a row per live doc; ``keep_short=False`` drops
     them (band/pair consumers can never match NULL keys anyway).
     """
-    from pyspark.sql import types as T
-
-    if isinstance(docs.schema[text].dataType, T.ArrayType):
-        words = F.col(text).cast("array<string>")
-    else:
-        words = F.split(F.col(text), " ")
     n = SHINGLE_N
-    idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
-    # two seeded md5s per shingle, computed once; the 8 minima slice
-    # cheap substrings (identical scheme to the r2 exploded version)
-    ms = F.transform(
-        grams,
-        lambda g: F.struct(
-            F.md5(F.concat(F.lit("0"), g).cast("binary")).alias("m0"),
-            F.md5(F.concat(F.lit("1"), g).cast("binary")).alias("m1"),
-        ),
-    )
-    def _slice(m, lo):
-        return lambda x: F.substring(x[m], lo, 8)
+    if scheme == "xxhash64":
+        words, idx = _shingle_parts(docs, text, as_strings=False)
+        # base hash per shingle straight off the token slice; the 8
+        # band hashes derive via xxhash64(k, base). Signed-long minima
+        # are an arbitrary-but-fixed total order on the hash space
+        # (all consumers are equality-based); %016x keeps the stored
+        # index schema string-typed and width-fixed for both schemes.
+        base = F.transform(idx, lambda i: F.xxhash64(F.slice(words, i, n)))
 
-    hashes = [
-        F.array_min(
-            F.transform(ms, _slice(f"m{k // 4}", 1 + 8 * (k % 4)))
-        ).alias(f"h{k}")
-        for k in range(MINHASH_K)
-    ]
-    sig = docs.select(id_col, *hashes)
+        # single-arg lambda factory: a second lambda parameter would
+        # make transform() bind it to the ARRAY INDEX, silently
+        # replacing the band constant
+        def _band_hash(k):
+            return lambda h: F.xxhash64(F.lit(k), h)
+
+        # hex(), not format_string('%016x'): NULL-propagating (short
+        # docs keep NULL hashes with no when() guard) and codegen'd —
+        # java.util.Formatter re-parses the spec per call and measured
+        # ~2s/batch of pure formatting overhead
+        hashes = [
+            F.hex(F.array_min(F.transform(base, _band_hash(k)))).alias(f"h{k}")
+            for k in range(MINHASH_K)
+        ]
+        sig = docs.select(id_col, *hashes)
+    elif scheme == "md5":
+        words, idx = _shingle_parts(docs, text)
+        grams = F.transform(
+            idx, lambda i: F.array_join(F.slice(words, i, n), " ")
+        )
+        ms = F.transform(
+            grams,
+            lambda g: F.concat(
+                F.md5(F.concat(F.lit("0"), g).cast("binary")),
+                F.md5(F.concat(F.lit("1"), g).cast("binary")),
+            ),
+        )
+        # _ms in its own projection => the md5 pair computes once per
+        # shingle; the 8 minima slice cheap substrings of the result
+        staged = docs.select(id_col, ms.alias("_ms"))
+
+        def _slice(k):
+            lo = 1 + 32 * (k // 4) + 8 * (k % 4)
+            return lambda s: F.substring(s, lo, 8)
+
+        hashes = [
+            F.array_min(F.transform(F.col("_ms"), _slice(k))).alias(f"h{k}")
+            for k in range(MINHASH_K)
+        ]
+        sig = staged.select(id_col, *hashes)
+    else:
+        raise ValueError(f"unknown minhash scheme: {scheme!r}")
     if keep_short:
         return sig
     return sig.filter(F.col("h0").isNotNull())
@@ -136,25 +200,13 @@ def index_schema(id_type=None):
     return T.StructType(fields)
 
 
-def sync_dedup_index(
-    index_table, changes: DataFrame, text: str = "text", epochs=None, sigs=None
-) -> dict:
-    """Fold a source-changelog window into the signature index.
-
-    ``changes``: (doc_id, <text>, _change_type, _commit_version) — the
-    LakeTable.changes() surface. Commits collapse to the latest per
-    key first (upsert@v7 + delete@v9 must index as deleted).
-    Signatures are computed over the CHANGED docs only; the merge is
-    MOR so the commit is change-sized. Nothing about the existing
-    index is read or shuffled.
-
-    ``sigs``: optional precomputed (doc_id, h0..h7) covering AT LEAST
-    every non-delete doc in the window with its post-window content —
-    the engine gate signs each batch once and passes the frame here so
-    the fold never re-signs (sign-once contract; the caller owns the
-    coverage guarantee).
-    """
-    latest = (
+def _window_latest(changes: DataFrame, text: str) -> DataFrame:
+    """Collapse a changelog window to the latest change per key
+    (upsert@v7 + delete@v9 must index as deleted), MATERIALIZED:
+    every sync consumer fans out from this frame several times, and
+    the window lineage behind it (changes read + max_by shuffle) is
+    the most expensive thing in a fold."""
+    return (
         changes.groupBy("doc_id")
         .agg(
             F.max_by(
@@ -166,7 +218,37 @@ def sync_dedup_index(
             F.col(f"_c.{text}").alias(text),
             F.col("_c._change_type").alias("_change_type"),
         )
+        .localCheckpoint(eager=True)
     )
+
+
+def sync_dedup_index(
+    index_table,
+    changes: DataFrame,
+    text: str = "text",
+    epochs=None,
+    sigs=None,
+    latest: DataFrame | None = None,
+) -> dict:
+    """Fold a source-changelog window into the signature index.
+
+    ``changes``: (doc_id, <text>, _change_type, _commit_version) — the
+    LakeTable.changes() surface. Commits collapse to the latest per
+    key first. Signatures are computed over the CHANGED docs only; the
+    merge is MOR so the commit is change-sized. Nothing about the
+    existing index is read or shuffled.
+
+    ``sigs``: optional precomputed (doc_id, h0..h7) covering AT LEAST
+    every non-delete doc in the window with its post-window content —
+    the engine gate signs each batch once and passes the frame here so
+    the fold never re-signs (sign-once contract; the caller owns the
+    coverage guarantee).
+
+    ``latest``: optional precomputed :func:`_window_latest` of this
+    window (sync_indexes_from_table computes it ONCE for both folds).
+    """
+    if latest is None:
+        latest = _window_latest(changes, text)
     live = latest.filter(F.col("_change_type") != "delete")
     if sigs is not None:
         ups = live.select("doc_id").join(sigs, "doc_id")
@@ -255,6 +337,7 @@ def sync_band_index(
     text: str = "text",
     epochs=None,
     sigs=None,
+    latest: DataFrame | None = None,
 ) -> dict:
     """Fold a source-changelog window into the posting-list index.
 
@@ -268,21 +351,17 @@ def sync_band_index(
     :meth:`LakeTable.probe` on the changed keys, current postings from
     a probe on the touched band keys. The corpus index is never
     scanned or shuffled.
+
+    Materialization discipline (this fold runs per engine batch, so
+    wasted recomputation is hot-path cost): ``latest`` is checkpointed
+    (or passed in already materialized), the add/remove band delta is
+    checkpointed and every later consumer derives from IT — the
+    signing + anti-join lineage executes exactly once — and
+    ``grouped`` is checkpointed because both the upsert frame and the
+    emptied-band delete frame read it.
     """
-    latest = (
-        changes.groupBy("doc_id")
-        .agg(
-            F.max_by(
-                F.struct(text, "_change_type"), F.col("_commit_version")
-            ).alias("_c")
-        )
-        .select(
-            "doc_id",
-            F.col(f"_c.{text}").alias(text),
-            F.col("_c._change_type").alias("_change_type"),
-        )
-        .localCheckpoint(eager=True)  # reused 3x below; window is batch-sized
-    )
+    if latest is None:
+        latest = _window_latest(changes, text)
     old_bands = _bkeyed(band_keys(sig_table.probe(latest.select("doc_id"))))
     live = latest.filter(F.col("_change_type") != "delete")
     if sigs is not None:
@@ -293,11 +372,17 @@ def sync_band_index(
         )
     new_bands = _bkeyed(band_keys(new_sig))
     cols = ["doc_id", "bkey"]
-    adds = new_bands.join(old_bands, cols, "left_anti")
-    removes = old_bands.join(new_bands, cols, "left_anti")
-    delta = adds.withColumn("_op", F.lit(1)).unionByName(
-        removes.withColumn("_op", F.lit(-1))
-    ).localCheckpoint(eager=True)
+    delta = (
+        new_bands.join(old_bands, cols, "left_anti")
+        .withColumn("_op", F.lit(1))
+        .unionByName(
+            old_bands.join(new_bands, cols, "left_anti")
+            .withColumn("_op", F.lit(-1))
+        )
+        .localCheckpoint(eager=True)
+    )
+    adds = delta.filter(F.col("_op") == 1).select(*cols)
+    removes = delta.filter(F.col("_op") == -1).select(*cols)
     touched = delta.select("bkey").distinct()
     current = band_table.probe(touched)
     cur_pairs = current.select(
@@ -314,7 +399,7 @@ def sync_band_index(
     grouped = after.groupBy("bkey").agg(
         F.sort_array(F.collect_set("doc_id")).alias("_all"),
         F.max("overflowed").alias("_prev_of"),
-    )
+    ).localCheckpoint(eager=True)
     ups = grouped.select(
         "bkey",
         F.slice("_all", 1, POSTING_CAP).alias("postings"),
@@ -369,13 +454,17 @@ def sync_indexes_from_table(
     if cur > b:
         window = source.changes(b, cur)
         use = sigs if (sigs is not None and sigs_version == cur == b + 1) else None
+        # collapse the window ONCE; both folds fan out from the
+        # materialized frame (the window read + max_by shuffle is the
+        # expensive part of a fold and ran twice before this)
+        latest = _window_latest(window, text)
         sync_band_index(
             band_table, sig_table, window, text=text,
-            epochs=list(range(b + 1, cur + 1)), sigs=use,
+            epochs=list(range(b + 1, cur + 1)), sigs=use, latest=latest,
         )
         sync_dedup_index(
             sig_table, window, text=text, epochs=list(range(b + 1, cur + 1)),
-            sigs=use,
+            sigs=use, latest=latest,
         )
         applied = True
     return {"synced_through": max(cur, b), "applied": applied}

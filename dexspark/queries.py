@@ -811,7 +811,7 @@ def _minhash_candidate_pairs(spark, sf_dir) -> DataFrame:
     # projections x 2 join sides = 8 consumers; without it the whole
     # shingle+minhash pipeline re-executes per consumer
     sig = minhash_signatures(
-        _t(spark, sf_dir, "documents"), keep_short=False
+        _t(spark, sf_dir, "documents"), keep_short=False, scheme="md5"
     ).localCheckpoint(eager=False)
     bands = band_keys(sig)
     a, bb = bands.alias("a"), bands.alias("b")

@@ -140,6 +140,25 @@ class CdcEngine:
             text=self.config.near_dup_column,
             sigs=sigs, sigs_version=sigs_version,
         )
+        # The sidecar tables take one MOR merge per batch; give them
+        # the SAME maintenance policy as the main table, or a long
+        # stream degrades every probe (growing per-bucket delta depth
+        # at read-reconstruction time) and leaks snapshot history.
+        # Both tables are single-row-per-key (doc_id signature rows /
+        # bkey posting rows), so compact()'s per-key-winner rewrite is
+        # exact.
+        for t in (self._nd_sig, self._nd_band):
+            if (
+                self.config.compact_every
+                and int(t.manifest().get("mor_depth", 0))
+                >= self.config.compact_every
+            ):
+                t.compact(min_depth=self.config.compact_every)
+            if self.config.vacuum_keep_last > 0:
+                t.vacuum(
+                    keep_last=self.config.vacuum_keep_last,
+                    min_age_seconds=self.config.vacuum_min_age_seconds,
+                )
 
     def _gate_near_dups(self, latest: DataFrame, payload_cols) -> DataFrame:
         """Re-classify near-duplicate upserts in ``latest`` as
@@ -196,11 +215,18 @@ class CdcEngine:
                     cand, text=col, order_col="_nd_ord", signatures=sigs
                 )
             )
+        # eager checkpoint: ``dups`` is tiny (one row per gated doc)
+        # but its lineage carries the index probe + the intra-batch
+        # window. The gated ``latest`` feeds SEVERAL downstream jobs
+        # (stats, merge, quarantine write); without materializing here
+        # each of them silently re-ran the whole probe (measured 3-4x
+        # the gate's cost at bench scale).
         dups = (
             pairs
             .filter(F.col("n_shared_bands") >= self.config.near_dup_min_bands)
             .groupBy("batch_doc_id")
             .agg(F.min("corpus_doc_id").alias("_nd_match"))
+            .localCheckpoint(eager=True)
         )
         hit = gateable & F.col("_nd_match").isNotNull()
         return (

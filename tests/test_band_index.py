@@ -211,12 +211,16 @@ def test_token_array_signatures(spark, tmp_path):
             T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
         ]
     )
-    base = list(range(100, 120))
+    # one changed token in a 40-token doc: shingle Jaccard ~0.8, so
+    # >= 4 of 8 shared minhashes is a robust expectation under any
+    # well-mixed hash scheme (was 20 tokens / J~0.42, which only
+    # passed by md5-specific luck)
+    base = list(range(100, 140))
     docs = spark.createDataFrame(
         [
             (0, base),
             (1, base[:10] + [999] + base[11:]),  # near-dup of 0
-            (2, list(range(500, 520))),          # unrelated
+            (2, list(range(500, 540))),          # unrelated
             (3, [7, 8]),                         # shorter than shingle width
         ],
         schema,

@@ -91,27 +91,30 @@ def test_signatures_keep_short_docs_as_null_rows(spark):
     assert {r["doc_id"] for r in minhash_signatures(docs, keep_short=False).collect()} == {1}
 
 
-def test_hof_signatures_match_exploded_reference(spark):
-    """The map-only HOF formulation is byte-identical to the original
-    explode+groupBy minhash (min over the same shingle multiset) —
-    over strings, token arrays, dup-heavy docs, and width-edge docs."""
+_PIN_DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "a b c d"),                      # exactly SHINGLE_N words
+    (3, "x y z"),                        # short: no shingles
+    (4, "rep rep rep rep rep rep rep"),  # duplicate shingles
+]
+_PIN_TOKS = [(10, list(range(50))), (11, [1, 2, 3]), (12, [7] * 20)]
+
+
+def _pin_frames(spark):
+    return (
+        spark.createDataFrame(_PIN_DOCS, SRC_SCHEMA),
+        spark.createDataFrame(_PIN_TOKS, "doc_id long, text array<int>"),
+    )
+
+
+def test_md5_hof_signatures_match_exploded_reference(spark):
+    """The map-only md5 HOF formulation is byte-identical to the
+    original r2 explode+groupBy minhash (min over the same shingle
+    multiset) — over strings, token arrays, dup-heavy docs, and
+    width-edge docs. This is the scheme the DuckDB oracle pins."""
     from pyspark.sql import functions as F
     from dexspark.operators.dedup_index import MINHASH_K, SHINGLE_N
     from dexspark.operators.decontaminate import ngrams
-
-    docs = spark.createDataFrame(
-        [
-            (1, "the quick brown fox jumps over the lazy dog again and again"),
-            (2, "a b c d"),                      # exactly SHINGLE_N words
-            (3, "x y z"),                        # short: no shingles
-            (4, "rep rep rep rep rep rep rep"),  # duplicate shingles
-        ],
-        SRC_SCHEMA,
-    )
-    toks = spark.createDataFrame(
-        [(10, list(range(50))), (11, [1, 2, 3]), (12, [7] * 20)],
-        "doc_id long, text array<int>",
-    )
 
     def exploded_reference(frame):
         sh = ngrams(frame, n=SHINGLE_N).withColumnRenamed("gram", "shingle")
@@ -129,10 +132,44 @@ def test_hof_signatures_match_exploded_reference(spark):
             ]
         )
 
-    for frame in (docs, toks):
-        got = _sigset(minhash_signatures(frame, keep_short=False))
+    for frame in _pin_frames(spark):
+        got = _sigset(minhash_signatures(frame, keep_short=False, scheme="md5"))
         want = _sigset(exploded_reference(frame))
         assert got == want and got  # non-empty, byte-identical
+
+
+def test_xxhash_hof_signatures_match_exploded_reference(spark):
+    """The engine-default xxhash64 scheme is byte-identical to an
+    explode+groupBy reference: base = xxhash64 over each raw token
+    slice, h_k = hex of min over xxhash64(k, base)."""
+    from pyspark.sql import functions as F
+    from dexspark.operators.dedup_index import (
+        MINHASH_K,
+        SHINGLE_N,
+        _shingle_parts,
+    )
+
+    def exploded_reference(frame):
+        words, idx = _shingle_parts(frame, "text", as_strings=False)
+        base = frame.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    idx, lambda i: F.xxhash64(F.slice(words, i, SHINGLE_N))
+                )
+            ).alias("_bh"),
+        )
+        return base.groupBy("doc_id").agg(
+            *[
+                F.hex(F.min(F.xxhash64(F.lit(k), F.col("_bh")))).alias(f"h{k}")
+                for k in range(MINHASH_K)
+            ]
+        )
+
+    for frame in _pin_frames(spark):
+        got = _sigset(minhash_signatures(frame, keep_short=False))
+        want = _sigset(exploded_reference(frame))
+        assert got == want and got
 
 
 def test_sync_tracks_source_changes_exactly(spark, source, index):

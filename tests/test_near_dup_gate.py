@@ -272,3 +272,51 @@ def test_patch_events_combination_rejected(spark, tmp_warehouse):
             spark, t, tmp_warehouse,
             EngineConfig(near_dup_gate=True, patch_events=True),
         )
+
+
+def test_sidecar_index_maintenance_bounds_depth_and_history(
+    spark, tmp_warehouse
+):
+    """Long-stream hygiene: the sidecar index tables take one MOR
+    merge per batch, so the engine applies its compact_every /
+    vacuum_keep_last policy to them too — delta depth and snapshot
+    history stay bounded over an unbounded stream, and the compacted
+    index still gates correctly against the earliest batches."""
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "sequences"), sequences_schema(),
+        key="doc_id", num_buckets=4,
+    )
+    table.overwrite(
+        spark.createDataFrame([("docA", A, len(A), "web")],
+                              schema=sequences_schema())
+    )
+    eng = CdcEngine(
+        spark, table, tmp_warehouse,
+        EngineConfig(
+            num_buckets=4, near_dup_gate=True, merge_mode="mor",
+            compact_every=2, vacuum_keep_last=2,
+            vacuum_min_age_seconds=0.0,
+        ),
+    )
+    for i in range(6):
+        toks = list(range(5000 + 100 * i, 5040 + 100 * i))
+        eng.apply_binlog(
+            _binlog(tmp_warehouse, f"nb{i}",
+                    [_env("insert", f"nd{i}", toks, 10 + i, i)])
+        )
+    for t in (eng._nd_sig, eng._nd_band):
+        m = t.manifest()
+        # depth reached compact_every at most transiently; the
+        # maintenance pass right after the sync folded it back down
+        assert int(m.get("mor_depth", 0)) < 2, m.get("mor_depth")
+        assert len(t.history()) <= 3, [h["version"] for h in t.history()]
+    # the compacted+vacuumed index still knows batch-0's doc: a
+    # near-dup of nd0 quarantines against it
+    near0 = list(range(5000, 5040))
+    near0[7] = 1
+    m = eng.apply_binlog(
+        _binlog(tmp_warehouse, "nb-dup",
+                [_env("insert", "nd0close", near0, 99, 6)])
+    )
+    assert m.rows_merged == 0
+    assert "nd0close" not in _doc_ids(eng.table)
