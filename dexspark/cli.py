@@ -258,6 +258,17 @@ def main(argv: list[str] | None = None) -> int:
         "into a --branch). Default: off",
     )
     ap.add_argument(
+        "--sink-retention-epochs",
+        type=int,
+        default=None,
+        metavar="N",
+        help="while tailing: after each batch, expire quarantine/"
+        "lineage/applied epoch partitions older than the last N "
+        "epochs under the committed watermark (expired quarantine "
+        "rows are gone for --reprocess-quarantine too). Default: "
+        "keep forever",
+    )
+    ap.add_argument(
         "--rebucket",
         type=int,
         metavar="N",
@@ -405,6 +416,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["compact_every"] = args.compact_every
     if args.vacuum_keep_last is not None:
         cfg_kwargs["vacuum_keep_last"] = args.vacuum_keep_last
+    if args.sink_retention_epochs is not None:
+        cfg_kwargs["sink_retention_epochs"] = args.sink_retention_epochs
     cfg = EngineConfig(**cfg_kwargs)
 
     # metadata / read-only modes: no engine (and no warehouse) needed

@@ -130,6 +130,17 @@ class EngineConfig:
     # manifest referencing missing files. Set to 0 only in
     # single-writer contexts (tests).
     vacuum_min_age_seconds: float = 3600.0
+    # Sink retention: when > 0, after each batch the engine expires
+    # quarantine / lineage / applied-lineage epoch partitions older
+    # than the last N epochs under the committed watermark
+    # (batch_epoch < watermark - N + 1) — without it the sinks grow
+    # with stream lifetime, not with state. Epochs above the
+    # watermark (deferred markers, out-of-order tail) are never
+    # touched, nor are the negative/NULL fallback partitions
+    # (unattributable quarantine rows carry no expirable epoch).
+    # Expired quarantine rows are gone for reprocess_quarantine too —
+    # size N to the rule-fix / replay window. 0 = keep forever.
+    sink_retention_epochs: int = 0
     # Cross-batch stale-event suppression (operators/stateful.py):
     # when on, run_stream inserts a keyed state store (max
     # (commit_ts, lsn) per doc_id) in front of the batch pipeline,

@@ -69,6 +69,36 @@ def read_applied(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def expire_epoch_partitions(path: str, below_epoch: int) -> int:
+    """Retention sweep for an epoch-partitioned sink: delete
+    ``batch_epoch=N`` partition dirs with ``0 <= N < below_epoch``;
+    return how many were removed.
+
+    Only non-negative integer partitions are candidates: negative
+    epochs are the quarantine's fallback space for unattributable
+    rows (no expirable epoch), and the Hive default partition (NULL
+    epochs) is skipped by the int parse. Replay cannot resurrect an
+    expired epoch — the engine's watermark filter drops
+    already-committed epochs before any sink write, and callers only
+    pass cutoffs at or below the committed watermark."""
+    import shutil
+
+    if not os.path.isdir(path):
+        return 0  # sink never written (e.g. applied_lineage off)
+    n = 0
+    for d in os.listdir(path):
+        if not d.startswith("batch_epoch="):
+            continue
+        try:
+            epoch = int(d.split("=", 1)[1])
+        except ValueError:
+            continue  # __HIVE_DEFAULT_PARTITION__ and friends
+        if 0 <= epoch < below_epoch:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            n += 1
+    return n
+
+
 def write_lineage_rows(rows: list[tuple], path: str) -> None:
     """Driver-side lineage write (pyarrow, no Spark job).
 

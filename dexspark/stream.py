@@ -700,11 +700,30 @@ class CdcEngine:
                 for r in lin_groups
             ]
             write_lineage_rows(lin_rows, self.lineage_path)
+            self._expire_sinks()
             _mark("sinks", tm)
             metrics.phase_ms = phases
             return metrics
         finally:
             agg.unpersist()
+
+    def _expire_sinks(self) -> None:
+        """Sink retention (EngineConfig.sink_retention_epochs): keep
+        the last N epoch partitions under the committed watermark in
+        each sink; see lineage.expire_epoch_partitions for what is
+        deliberately never touched. Runs after this batch's sinks and
+        markers, so the cutoff reflects the batch just committed."""
+        from .lineage import expire_epoch_partitions
+
+        keep = self.config.sink_retention_epochs
+        if keep <= 0:
+            return
+        watermark, _tail = self.table.epoch_state()
+        cutoff = watermark - keep + 1
+        if cutoff <= 0:
+            return
+        for p in (self.quarantine_path, self.lineage_path, self.applied_path):
+            expire_epoch_partitions(p, cutoff)
 
     def _apply_batch_patch(
         self, parsed: DataFrame, defer_boundary: bool = False
@@ -939,6 +958,7 @@ class CdcEngine:
                 for r in lin_groups
             ]
             write_lineage_rows(lin_rows, self.lineage_path)
+            self._expire_sinks()
             _mark("sinks", tm)
             metrics.phase_ms = phases
             return metrics

@@ -488,3 +488,107 @@ def test_write_binlog_epoch_order_beyond_ten(spark, tmp_warehouse):
     )
     file_epochs = [int(re.search(r"epoch-(\d+)-", os.path.basename(f)).group(1)) for f in files]
     assert file_epochs == sorted(file_epochs) == list(range(12))
+
+
+def test_sink_retention_expires_old_epoch_partitions(spark, tmp_warehouse):
+    """EngineConfig.sink_retention_epochs: quarantine / lineage /
+    applied sinks keep only the last N epoch partitions under the
+    committed watermark; negative fallback partitions (malformed
+    rows with no expirable epoch) survive, and the sinks stay
+    readable after the sweep."""
+    import json
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "sequences"), sequences_schema(),
+        key="doc_id", num_buckets=4,
+    )
+    engine = CdcEngine(
+        spark, table, tmp_warehouse,
+        EngineConfig(
+            num_buckets=4, applied_lineage=True, sink_retention_epochs=2
+        ),
+    )
+
+    def env(op, doc_id, tokens, lsn, epoch, n_tok=None):
+        return json.dumps(
+            {
+                "op": op,
+                "doc_id": doc_id,
+                "payload": {
+                    "tokens": tokens,
+                    "n_tok": len(tokens) if n_tok is None else n_tok,
+                    "source": "web",
+                },
+                "commit_ts": f"2024-01-01T00:00:{lsn:02d}.000Z",
+                "lsn": lsn,
+                "batch_epoch": epoch,
+            }
+        )
+
+    for epoch in range(5):
+        d = os.path.join(tmp_warehouse, f"bl{epoch}")
+        os.makedirs(d)
+        lines = [
+            env("insert", f"d{epoch}", [1, 2, 3], 2 * epoch, epoch),
+            # n_tok mismatch -> validation quarantine under this epoch
+            env("insert", f"bad{epoch}", [1, 2, 3], 2 * epoch + 1, epoch,
+                n_tok=99),
+        ]
+        if epoch == 0:
+            lines.append("{this is not json")  # fallback partition
+        with open(os.path.join(d, "e.ndjson"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+        engine.apply_binlog(d)
+
+    def parts(path):
+        return sorted(
+            d for d in os.listdir(path) if d.startswith("batch_epoch=")
+        )
+
+    def split(path):
+        ps = parts(path)
+        return (
+            [p for p in ps if not p.startswith("batch_epoch=-")],
+            [p for p in ps if p.startswith("batch_epoch=-")],
+        )
+
+    # watermark = 4, retention = 2 -> epochs 3 and 4 survive; the
+    # malformed line's negative fallback partition (present in both
+    # quarantine AND its lineage rollup) is never expired
+    kept_expect = ["batch_epoch=3", "batch_epoch=4"]
+    lin_kept, lin_neg = split(engine.lineage_path)
+    assert lin_kept == kept_expect and len(lin_neg) == 1
+    assert parts(engine.applied_path) == kept_expect
+    q_kept, q_neg = split(engine.quarantine_path)
+    assert q_kept == kept_expect
+    assert len(q_neg) == 1  # the malformed line's fallback partition
+    # sinks stay readable; surviving rows are exactly the kept window
+    q = spark.read.parquet(engine.quarantine_path)
+    assert {r["doc_id"] for r in q.filter(
+        F.col("doc_id").isNotNull()).collect()} == {"bad3", "bad4"}
+    lin = spark.read.parquet(engine.lineage_path)
+    assert {
+        r["batch_epoch"]
+        for r in lin.filter(F.col("batch_epoch") >= 0).collect()
+    } == {3, 4}
+    # the table itself is untouched by sink retention
+    assert {r["doc_id"] for r in table.read().collect()} >= {
+        f"d{e}" for e in range(5)
+    }
+
+
+def test_expire_epoch_partitions_unit(tmp_path):
+    from dexspark.lineage import expire_epoch_partitions
+
+    root = str(tmp_path / "sink")
+    for d in ("batch_epoch=0", "batch_epoch=7", "batch_epoch=-12345",
+              "batch_epoch=__HIVE_DEFAULT_PARTITION__", "not_a_partition"):
+        os.makedirs(os.path.join(root, d))
+    assert expire_epoch_partitions(root, 5) == 1  # only epoch 0
+    assert sorted(os.listdir(root)) == [
+        "batch_epoch=-12345",
+        "batch_epoch=7",
+        "batch_epoch=__HIVE_DEFAULT_PARTITION__",
+        "not_a_partition",
+    ]
+    assert expire_epoch_partitions(str(tmp_path / "missing"), 5) == 0
