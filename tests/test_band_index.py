@@ -244,3 +244,37 @@ def test_token_array_signatures(spark, tmp_path):
     )
     pairs = near_dup_candidates(sigt, docs.filter("doc_id = 1"), text="tokens")
     assert (1, 0) in {(r["batch_doc_id"], r["corpus_doc_id"]) for r in pairs.collect()}
+
+
+def test_sync_survives_source_rebucket_inside_window(spark, tmp_path, tables):
+    """A rebucket of the SOURCE table landing inside a sync window
+    (and between windows) must not confuse the changelog-driven index
+    folds — changes() spans the migration commit, and the index
+    tables keep their own bucket space."""
+    src, sig, band = tables
+    src.overwrite(_docs(spark, range(8)))
+    sync_indexes_from_table(src, sig, band)
+
+    # window spanning: merge -> rebucket -> merge, ONE sync after
+    src.merge(spark.createDataFrame([(20, _text(20))], SRC_SCHEMA), mode="mor")
+    src.rebucket(8)
+    src.merge(
+        spark.createDataFrame([(21, _text(21)), (3, _text(33))], SRC_SCHEMA),
+        delete_keys=spark.createDataFrame([(5,)], "doc_id: long"),
+        mode="mor",
+    )
+    sync_indexes_from_table(src, sig, band)
+    assert _postings_map(band) == _rebuilt_map(spark, tmp_path, sig, "rb-rk")
+    all_docs = {d for ps, _ in _postings_map(band).values() for d in ps}
+    assert {20, 21, 3} <= all_docs and 5 not in all_docs
+
+    # the signature index equals a fresh re-signing of current state
+    got = {
+        (r["doc_id"], tuple(r[f"h{k}"] for k in range(8)))
+        for r in sig.read().collect()
+    }
+    want = {
+        (r["doc_id"], tuple(r[f"h{k}"] for k in range(8)))
+        for r in minhash_signatures(src.read()).collect()
+    }
+    assert got == want
