@@ -63,6 +63,21 @@ def main(argv: list[str] | None = None) -> int:
         "(updated) --rules, recover newly-passing events into the table, and "
         "rewrite the quarantine to the still-failing rows",
     )
+    ap.add_argument(
+        "--dedup-index-stats",
+        action="store_true",
+        help="instead of tailing: print the near-dup index pair's health "
+        "(cursors vs the source, doc/band/posting counts, overflowed "
+        "bands, MOR depth) as JSON; needs --warehouse",
+    )
+    ap.add_argument(
+        "--rebuild-dedup-index",
+        action="store_true",
+        help="instead of tailing: catch the near-dup indexes up to the "
+        "table, then rebuild the band posting lists from the signature "
+        "table (resets sticky overflow flags — the recall-reset "
+        "maintenance op); needs --warehouse",
+    )
     ap.add_argument("--follow", action="store_true", help="keep tailing (processingTime trigger); default: availableNow catch-up")
     ap.add_argument("--trigger", default="10 seconds")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
@@ -350,6 +365,8 @@ def main(argv: list[str] | None = None) -> int:
         or args.scan_range is not None
         or args.compact_binlog is not None
         or args.reprocess_quarantine
+        or args.dedup_index_stats
+        or args.rebuild_dedup_index
         or args.tag is not None
         or args.drop_tag is not None
         or args.tags
@@ -365,6 +382,11 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--binlog is required with --compact-binlog")
     if args.reprocess_quarantine and not args.warehouse:
         ap.error("--warehouse is required with --reprocess-quarantine")
+    if (args.dedup_index_stats or args.rebuild_dedup_index) and not args.warehouse:
+        ap.error(
+            "--warehouse is required with --dedup-index-stats / "
+            "--rebuild-dedup-index (the index tables live under it)"
+        )
     if args.changes and not args.out:
         ap.error("--out is required with --changes")
 
@@ -452,6 +474,39 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if args.branches:
         print(json.dumps(table.branches()))
+        return 0
+    if args.dedup_index_stats or args.rebuild_dedup_index:
+        import os as _os
+
+        from .operators.dedup_index import (
+            index_stats,
+            rebuild_band_index,
+            sync_indexes_from_table,
+        )
+
+        # open, never create: stats/rebuild against a warehouse that
+        # was never gated must not materialize empty index tables
+        sig_t = LakeTable(spark, _os.path.join(args.warehouse, "dedup_sig"))
+        band_t = LakeTable(spark, _os.path.join(args.warehouse, "dedup_band"))
+        if sig_t.current_version() == 0 or band_t.current_version() == 0:
+            print(
+                json.dumps(
+                    {
+                        "error": "no near-dup index under this warehouse "
+                        "(tail with --near-dup-gate first)"
+                    }
+                )
+            )
+            return 1
+        out = {}
+        if args.rebuild_dedup_index:
+            # catch up first so the rebuild reflects the table head
+            sync_indexes_from_table(
+                table, sig_t, band_t, text=cfg.near_dup_column
+            )
+            out = rebuild_band_index(band_t, sig_t)
+        out.update(index_stats(table, sig_t, band_t))
+        print(json.dumps(out))
         return 0
     if args.lookup is not None:
         rows = [r.asDict(recursive=True) for r in table.lookup(args.lookup).collect()]

@@ -470,6 +470,42 @@ def sync_indexes_from_table(
     return {"synced_through": max(cur, b), "applied": applied}
 
 
+def index_stats(source, sig_table, band_table) -> dict:
+    """Operator introspection for the near-dup index pair: cursor
+    positions vs the source, size counters, and recall health (how
+    many bands run capped/overflowed — the signal to schedule
+    :func:`rebuild_band_index`). One scan per index table; the
+    cursor/depth fields are manifest-only."""
+    sw = max(sig_table.epoch_state()[0], 0)
+    bw = max(band_table.epoch_state()[0], 0)
+    cur = source.current_version()
+    brow = band_table.read().agg(
+        F.count(F.lit(1)).alias("bands"),
+        F.coalesce(F.sum(F.size("postings")), F.lit(0)).alias("postings"),
+        F.coalesce(
+            F.sum(F.col("overflowed").cast("long")), F.lit(0)
+        ).alias("overflowed"),
+    ).collect()[0]
+    return {
+        "source_version": cur,
+        "behind": max(0, cur - min(sw, bw)),
+        "sig": {
+            "synced_through": sw,
+            "docs": sig_table.read().count(),
+            "version": sig_table.current_version(),
+            "mor_depth": int(sig_table.manifest().get("mor_depth", 0)),
+        },
+        "band": {
+            "synced_through": bw,
+            "bands": int(brow["bands"]),
+            "postings": int(brow["postings"]),
+            "overflowed_bands": int(brow["overflowed"]),
+            "version": band_table.current_version(),
+            "mor_depth": int(band_table.manifest().get("mor_depth", 0)),
+        },
+    }
+
+
 def rebuild_band_index(band_table, sig_table) -> dict:
     """Full rebuild from the signature table: resets overflow flags
     and purges any posting drift. O(corpus) — the periodic compaction

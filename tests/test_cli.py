@@ -579,3 +579,74 @@ def test_cli_near_dup_gate(spark, tmp_warehouse, capsys):
     assert row["fail_reasons"] == ["near_dup:doc:docA"]
     assert os.path.isdir(os.path.join(wh, "dedup_sig"))
     assert os.path.isdir(os.path.join(wh, "dedup_band"))
+
+
+def test_cli_dedup_index_stats_and_rebuild(spark, tmp_warehouse, capsys):
+    """--dedup-index-stats reports index health; --rebuild-dedup-index
+    catches up + rebuilds and preserves the sync cursor; both refuse
+    a warehouse that was never gated."""
+    import json as _json
+
+    from dexspark import cli
+
+    def _env(doc_id, tokens, lsn, epoch):
+        return _json.dumps(
+            {
+                "op": "insert",
+                "doc_id": doc_id,
+                "payload": {"tokens": tokens, "n_tok": len(tokens), "source": "web"},
+                "commit_ts": f"2024-01-01T00:00:{lsn:02d}.000Z",
+                "lsn": lsn,
+                "batch_epoch": epoch,
+            }
+        )
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    os.makedirs(binlog)
+    with open(os.path.join(binlog, "e.ndjson"), "w") as f:
+        f.write(
+            "\n".join(
+                _env(f"d{i}", list(range(100 * i, 100 * i + 40)), i, 0)
+                for i in range(3)
+            )
+            + "\n"
+        )
+    wh = os.path.join(tmp_warehouse, "wh")
+    tbl = os.path.join(tmp_warehouse, "seq")
+    assert cli.main(
+        [
+            "--table", tbl, "--binlog", binlog,
+            "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+            "--warehouse", wh, "--create", "--num-buckets", "4",
+            "--near-dup-gate",
+        ]
+    ) == 0
+    capsys.readouterr()
+
+    assert cli.main(["--table", tbl, "--warehouse", wh, "--dedup-index-stats"]) == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the end-of-run marker flush is a data-less commit AFTER the last
+    # index fold, so a freshly-tailed table legitimately reads 1 behind
+    assert stats["behind"] <= 1
+    assert stats["sig"]["docs"] == 3
+    assert stats["band"]["bands"] > 0
+    assert stats["band"]["overflowed_bands"] == 0
+
+    # rebuild catches the cursors up first, then rebuilds the postings
+    assert cli.main(["--table", tbl, "--warehouse", wh, "--rebuild-dedup-index"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rebuilt"] is True
+    assert out["behind"] == 0
+    assert out["band"]["synced_through"] == stats["source_version"]
+    assert out["sig"]["docs"] == 3
+    assert out["band"]["bands"] == stats["band"]["bands"]
+
+    # ungated warehouse -> structured refusal, nothing created
+    empty_wh = os.path.join(tmp_warehouse, "wh-empty")
+    os.makedirs(empty_wh)
+    assert cli.main(
+        ["--table", tbl, "--warehouse", empty_wh, "--dedup-index-stats"]
+    ) == 1
+    err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "no near-dup index" in err["error"]
+    assert not os.path.isdir(os.path.join(empty_wh, "dedup_sig"))
