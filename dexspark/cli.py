@@ -78,6 +78,14 @@ def main(argv: list[str] | None = None) -> int:
         "table (resets sticky overflow flags — the recall-reset "
         "maintenance op); needs --warehouse",
     )
+    ap.add_argument(
+        "--bootstrap-dedup-index",
+        action="store_true",
+        help="instead of tailing: create the near-dup index tables (if "
+        "absent) and fold the table's full history into them, so the "
+        "O(corpus) bootstrap runs as an offline job instead of being "
+        "charged to the first gated micro-batch; needs --warehouse",
+    )
     ap.add_argument("--follow", action="store_true", help="keep tailing (processingTime trigger); default: availableNow catch-up")
     ap.add_argument("--trigger", default="10 seconds")
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
@@ -367,6 +375,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.reprocess_quarantine
         or args.dedup_index_stats
         or args.rebuild_dedup_index
+        or args.bootstrap_dedup_index
         or args.tag is not None
         or args.drop_tag is not None
         or args.tags
@@ -382,10 +391,15 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--binlog is required with --compact-binlog")
     if args.reprocess_quarantine and not args.warehouse:
         ap.error("--warehouse is required with --reprocess-quarantine")
-    if (args.dedup_index_stats or args.rebuild_dedup_index) and not args.warehouse:
+    if (
+        args.dedup_index_stats
+        or args.rebuild_dedup_index
+        or args.bootstrap_dedup_index
+    ) and not args.warehouse:
         ap.error(
             "--warehouse is required with --dedup-index-stats / "
-            "--rebuild-dedup-index (the index tables live under it)"
+            "--rebuild-dedup-index / --bootstrap-dedup-index (the index "
+            "tables live under it)"
         )
     if args.changes and not args.out:
         ap.error("--out is required with --changes")
@@ -475,7 +489,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.branches:
         print(json.dumps(table.branches()))
         return 0
-    if args.dedup_index_stats or args.rebuild_dedup_index:
+    if (
+        args.dedup_index_stats
+        or args.rebuild_dedup_index
+        or args.bootstrap_dedup_index
+    ):
         import os as _os
 
         from .operators.dedup_index import (
@@ -484,20 +502,36 @@ def main(argv: list[str] | None = None) -> int:
             sync_indexes_from_table,
         )
 
-        # open, never create: stats/rebuild against a warehouse that
-        # was never gated must not materialize empty index tables
-        sig_t = LakeTable(spark, _os.path.join(args.warehouse, "dedup_sig"))
-        band_t = LakeTable(spark, _os.path.join(args.warehouse, "dedup_band"))
-        if sig_t.current_version() == 0 or band_t.current_version() == 0:
-            print(
-                json.dumps(
-                    {
-                        "error": "no near-dup index under this warehouse "
-                        "(tail with --near-dup-gate first)"
-                    }
-                )
+        if args.bootstrap_dedup_index:
+            # create-if-absent + full-history fold, exactly the
+            # engine's own opener/sync (same schemas, same cursors) —
+            # the first gated micro-batch then starts warm
+            from dataclasses import replace
+
+            from .stream import CdcEngine
+
+            eng = CdcEngine(
+                spark, table, args.warehouse,
+                replace(cfg, near_dup_gate=True),
             )
-            return 1
+            eng._sync_dedup_indexes()
+            sig_t, band_t = eng._nd_sig, eng._nd_band
+        else:
+            # open, never create: stats/rebuild against a warehouse
+            # that was never gated must not materialize empty tables
+            sig_t = LakeTable(spark, _os.path.join(args.warehouse, "dedup_sig"))
+            band_t = LakeTable(spark, _os.path.join(args.warehouse, "dedup_band"))
+            if sig_t.current_version() == 0 or band_t.current_version() == 0:
+                print(
+                    json.dumps(
+                        {
+                            "error": "no near-dup index under this warehouse "
+                            "(tail with --near-dup-gate first, or "
+                            "--bootstrap-dedup-index)"
+                        }
+                    )
+                )
+                return 1
         out = {}
         if args.rebuild_dedup_index:
             # catch up first so the rebuild reflects the table head

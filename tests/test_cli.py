@@ -650,3 +650,62 @@ def test_cli_dedup_index_stats_and_rebuild(spark, tmp_warehouse, capsys):
     err = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "no near-dup index" in err["error"]
     assert not os.path.isdir(os.path.join(empty_wh, "dedup_sig"))
+
+
+def test_cli_bootstrap_dedup_index_prewarms_gate(spark, tmp_warehouse, capsys):
+    """--bootstrap-dedup-index folds an existing (never-gated) table
+    into freshly-created index tables as an offline job; the first
+    gated micro-batch then rejects a near-dup of PRE-EXISTING data."""
+    import json as _json
+
+    from dexspark import cli
+    from dexspark.schema import sequences_schema
+
+    A = list(range(100, 140))
+    A_NEAR = A[:20] + [9999] + A[21:]
+    tbl_path = os.path.join(tmp_warehouse, "seq")
+    table = LakeTable.create(
+        spark, tbl_path, sequences_schema(), key="doc_id", num_buckets=4
+    )
+    table.overwrite(
+        spark.createDataFrame(
+            [("docA", A, len(A), "web")], schema=sequences_schema()
+        )
+    )
+    wh = os.path.join(tmp_warehouse, "wh")
+    os.makedirs(wh)
+    assert cli.main(
+        ["--table", tbl_path, "--warehouse", wh, "--bootstrap-dedup-index"]
+    ) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["behind"] == 0 and out["sig"]["docs"] == 1
+    assert os.path.isdir(os.path.join(wh, "dedup_sig"))
+
+    # first gated batch: near-dup of the bootstrapped doc is rejected
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    os.makedirs(binlog)
+    with open(os.path.join(binlog, "e.ndjson"), "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "op": "insert", "doc_id": "docDUP",
+                    "payload": {"tokens": A_NEAR, "n_tok": len(A_NEAR),
+                                "source": "web"},
+                    "commit_ts": "2024-01-01T00:00:01.000Z",
+                    "lsn": 1, "batch_epoch": 0,
+                }
+            )
+            + "\n"
+        )
+    assert cli.main(
+        [
+            "--table", tbl_path, "--binlog", binlog,
+            "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+            "--warehouse", wh, "--num-buckets", "4", "--near-dup-gate",
+        ]
+    ) == 0
+    capsys.readouterr()
+    ids = {r["doc_id"] for r in LakeTable(spark, tbl_path).read().collect()}
+    assert ids == {"docA"}
+    q = spark.read.parquet(os.path.join(wh, "quarantine"))
+    assert q.collect()[0]["fail_reasons"] == ["near_dup:doc:docA"]
