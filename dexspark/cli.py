@@ -349,6 +349,26 @@ def main(argv: list[str] | None = None) -> int:
         "re-tail with a fresh --checkpoint to replay the rolled-back "
         "epochs",
     )
+    ap.add_argument(
+        "--bootstrap-snapshot",
+        metavar="PARQUET_DIR",
+        default=None,
+        help="CDC bootstrap: load a consistent parquet snapshot dump "
+        "that already reflects every change event with batch_epoch <= "
+        "--snapshot-position, stamping the handoff in the same atomic "
+        "commit so a subsequent tail applies only newer epochs "
+        "(Flink-CDC initial-snapshot / Debezium snapshot mode). "
+        "Combine with --binlog/--checkpoint/--warehouse to start "
+        "tailing immediately after the load, or run alone to exit "
+        "after the bootstrap",
+    )
+    ap.add_argument(
+        "--snapshot-position",
+        type=int,
+        default=None,
+        help="the binlog epoch the --bootstrap-snapshot dump is "
+        "consistent up to (inclusive)",
+    )
     args = ap.parse_args(argv)
     maintenance = (
         args.compact
@@ -384,9 +404,15 @@ def main(argv: list[str] | None = None) -> int:
         or args.drop_branch is not None
         or args.branches
         or maintenance
+        # a bare bootstrap exits after the load; with binlog/checkpoint
+        # /warehouse it continues into the tail, whose own args are
+        # checked at engine construction
+        or args.bootstrap_snapshot is not None
     )
     if tailing and not (args.binlog and args.checkpoint and args.warehouse):
         ap.error("--binlog/--checkpoint/--warehouse are required when tailing")
+    if args.bootstrap_snapshot is not None and args.snapshot_position is None:
+        ap.error("--snapshot-position is required with --bootstrap-snapshot")
     if args.compact_binlog and not args.binlog:
         ap.error("--binlog is required with --compact-binlog")
     if args.reprocess_quarantine and not args.warehouse:
@@ -455,6 +481,23 @@ def main(argv: list[str] | None = None) -> int:
     if args.sink_retention_epochs is not None:
         cfg_kwargs["sink_retention_epochs"] = args.sink_retention_epochs
     cfg = EngineConfig(**cfg_kwargs)
+
+    if args.bootstrap_snapshot is not None:
+        snap = spark.read.parquet(args.bootstrap_snapshot)
+        v = table.bootstrap(snap, args.snapshot_position)
+        print(
+            json.dumps(
+                {
+                    "bootstrap": {
+                        "version": v,
+                        "position": args.snapshot_position,
+                        "epoch_watermark": table.epoch_state()[0],
+                    }
+                }
+            )
+        )
+        if not (args.binlog and args.checkpoint and args.warehouse):
+            return 0
 
     # metadata / read-only modes: no engine (and no warehouse) needed
     if args.history:

@@ -1019,8 +1019,18 @@ class LakeTable:
         live = {rel for fs in buckets.values() for rel in fs}
         return {rel: b for rel, b in known.items() if rel in live}
 
-    def overwrite(self, df: DataFrame, epochs: list[int] | None = None) -> int:
-        """Replace the full table contents atomically (initial load)."""
+    def overwrite(
+        self,
+        df: DataFrame,
+        epochs: list[int] | None = None,
+        _epoch_state: dict | None = None,
+        _operation: str = "overwrite",
+    ) -> int:
+        """Replace the full table contents atomically (initial load).
+
+        ``_epoch_state`` / ``_operation`` are internal hooks for
+        :meth:`bootstrap`, which must publish a position handoff in
+        the SAME commit as the data load."""
         m = self.manifest()
         version = self._next_version(m)
         al = self._aliases_of(m)
@@ -1030,13 +1040,17 @@ class LakeTable:
         )
         buckets = self._write_commit(data, version)
         fb, fr = self._file_bounds_of(buckets)
-        epoch_fields = self._next_epoch_state(m, epochs)
+        epoch_fields = (
+            _epoch_state
+            if _epoch_state is not None
+            else self._next_epoch_state(m, epochs)
+        )
         m.pop("committed_epochs", None)
         m.update(
             version=version,
             version_hwm=version,
             parent=m["version"],
-            operation="overwrite",
+            operation=_operation,
             schema=schema.jsonValue(),
             columns_meta=self._columns_meta_after(m, schema, version),
             buckets=buckets,
@@ -1054,6 +1068,43 @@ class LakeTable:
             **epoch_fields,
         )
         return self._commit(m)
+
+    def bootstrap(self, df: DataFrame, position: int) -> int:
+        """Initial-snapshot load with a binlog-position handoff.
+
+        The classic CDC bootstrap (Flink CDC "initial snapshot then
+        incremental", Debezium snapshot mode): ``df`` is a consistent
+        snapshot dump that already REFLECTS every change event with
+        ``batch_epoch <= position``, so a subsequent binlog tail must
+        apply only epochs ``> position``. Without the handoff the tail
+        either re-applies the snapshot's entire history (O(history)
+        wasted work, double-counted lineage) or the operator has to
+        truncate the binlog at exactly the snapshot cut.
+
+        One atomic commit publishes the data AND the epoch state
+        ``(base=-1, watermark=position)`` — every non-negative epoch
+        ``<= position`` reads as committed — so a crash between "data
+        loaded" and "position stamped" cannot leave a table that
+        replays from zero. Re-running the bootstrap is a plain
+        overwrite: idempotent in content, new snapshot version.
+
+        Reference parity: the reference re-validates whole files from
+        scratch and has no incremental handoff; this is the piece a
+        log-tailing engine needs instead (north_star: "replay from any
+        checkpoint reconverges").
+        """
+        position = int(position)
+        if position < 0:
+            raise ValueError("bootstrap position must be >= 0")
+        return self.overwrite(
+            df,
+            _epoch_state={
+                "epoch_watermark": position,
+                "epoch_tail": [],
+                "epoch_base": -1,
+            },
+            _operation="bootstrap",
+        )
 
     def merge(
         self,

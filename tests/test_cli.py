@@ -709,3 +709,62 @@ def test_cli_bootstrap_dedup_index_prewarms_gate(spark, tmp_warehouse, capsys):
     assert ids == {"docA"}
     q = spark.read.parquet(os.path.join(wh, "quarantine"))
     assert q.collect()[0]["fail_reasons"] == ["near_dup:doc:docA"]
+
+
+def test_cli_bootstrap_snapshot_then_tail(spark, tmp_warehouse, capsys):
+    """--bootstrap-snapshot loads a position-stamped dump; combined
+    with tail args the same invocation catches up from the cut; final
+    state equals a from-zero replay."""
+    import re
+
+    from dexspark import cli
+    from dexspark.schema import sequences_schema
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    events = gen.change_events(
+        spark, n_events=600, n_docs=80, n_epochs=4, max_len=8, anomaly_pct=5
+    )
+    files = gen.write_binlog(events, binlog)
+    cut = 1
+    early = [
+        f
+        for f in files
+        if int(re.search(r"epoch-(\d+)-", os.path.basename(f)).group(1)) <= cut
+    ]
+    snap_state = oracle.replay(early).state
+    dump = os.path.join(tmp_warehouse, "dump")
+    spark.createDataFrame(
+        [{"doc_id": k, **v} for k, v in snap_state.items()],
+        schema=sequences_schema(),
+    ).write.parquet(dump)
+
+    root = os.path.join(tmp_warehouse, "seq")
+    # bare bootstrap: exits after the load, no tail args needed
+    rc = cli.main(
+        [
+            "--table", root, "--create", "--num-buckets", "4",
+            "--bootstrap-snapshot", dump, "--snapshot-position", str(cut),
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["bootstrap"]["position"] == cut
+    assert out["bootstrap"]["epoch_watermark"] == cut
+
+    # tail the full binlog: only post-cut epochs are applied
+    rc = cli.main(
+        [
+            "--table", root,
+            "--binlog", binlog,
+            "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+            "--warehouse", os.path.join(tmp_warehouse, "wh"),
+            "--num-buckets", "4", "--batch",
+        ]
+    )
+    assert rc == 0
+    status = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["epoch_watermark"] == 3
+
+    table = LakeTable(spark, root)
+    want = oracle.replay(files)
+    oracle.assert_equal_state(want.state, table.read().collect(), "cli bootstrap")
