@@ -1106,6 +1106,26 @@ class LakeTable:
             _operation="bootstrap",
         )
 
+    def mark_epochs(self, epochs) -> int:
+        """Manifest-only epoch-marker commit: record ``epochs`` as
+        applied with NO data change and NO Spark jobs (a ``merge-noop``
+        snapshot, so concurrent merges rebase over it freely).
+
+        The multi-table router uses this to advance a route's
+        watermark past epochs that routed zero events to it — without
+        the marker, every epoch a route never sees would sit in its
+        out-of-order tail forever, growing the manifest and the
+        already-committed predicate with stream lifetime."""
+        epochs = sorted({int(e) for e in epochs if int(e) >= 0})
+        if not epochs:
+            return self.current_version()
+        parent = self.current_version()
+        return int(
+            self._publish_with_rebase(
+                parent, [], lambda base: self._noop_manifest(base, epochs)
+            )["version"]
+        )
+
     def merge(
         self,
         upserts: DataFrame,

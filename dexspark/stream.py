@@ -299,6 +299,22 @@ class CdcEngine:
             committed = committed | e.isin(tail)
         return e.isNull() | (e < 0) | ~committed
 
+    def _already_committed_filtered(self, extra_epochs) -> set[int]:
+        """The non-negative ``extra_epochs`` not yet committed on this
+        table: a redelivered extra that is already marked must not fold
+        back in (harmless for state, but it would trigger a pointless
+        noop commit when the route's own batch slice is empty)."""
+        if not extra_epochs:
+            return set()
+        w, tail = self.table.epoch_state()
+        base = self.table.epoch_base()
+        tail_s = set(tail)
+        return {
+            int(e)
+            for e in extra_epochs
+            if int(e) >= 0 and not (base < int(e) <= w or int(e) in tail_s)
+        }
+
     def _marks_for(self, new_epochs: list[int], defer_boundary: bool) -> list[int]:
         """Which epochs this batch may safely marker-commit (see
         defer_boundary in apply_batch's docstring). epoch_marker_lag
@@ -316,9 +332,20 @@ class CdcEngine:
         return sorted(e for e in pending if e <= cutoff)
 
     def apply_batch(
-        self, parsed: DataFrame, defer_boundary: bool = False
+        self,
+        parsed: DataFrame,
+        defer_boundary: bool = False,
+        extra_epochs: list[int] | None = None,
     ) -> BatchMetrics:
         """Apply one micro-batch of parsed change events exactly-once.
+
+        ``extra_epochs``: epochs known (by the caller) to be fully
+        delivered to THIS engine in this batch even if none of their
+        events routed here — the multi-table router passes the batch's
+        whole epoch set so every route's watermark advances in step.
+        They fold into the marker set BEFORE the deferred-boundary
+        logic, so a split epoch is deferred uniformly whether or not
+        this route saw its rows.
 
         ``defer_boundary`` (the STREAMING path sets it): an epoch whose
         files straddle a micro-batch boundary (maxFilesPerTrigger, or
@@ -339,7 +366,7 @@ class CdcEngine:
         mark-everything semantics: the whole log is one batch, every
         epoch in it is complete by construction."""
         if self.config.patch_events:
-            return self._apply_batch_patch(parsed, defer_boundary)
+            return self._apply_batch_patch(parsed, defer_boundary, extra_epochs)
         t0 = time.monotonic()
         phases: dict[str, int] = {}
 
@@ -491,13 +518,19 @@ class CdcEngine:
                     for r in lin_groups
                     if r["_epoch"] is not None and int(r["_epoch"]) >= 0
                 }
+                | self._already_committed_filtered(extra_epochs)
             )
             by_class: dict[str, int] = {}
             for r in lin_groups:
                 by_class[r["_class"]] = by_class.get(r["_class"], 0) + r["_n_events"]
             if not lin_groups:  # empty binlog or every epoch already committed
+                # the router may still owe this route markers for
+                # epochs that routed zero events here (manifest-only)
+                marked = self._marks_for(new_epochs, defer_boundary)
+                if marked:
+                    self.table.mark_epochs(marked)
                 return BatchMetrics(
-                    epochs=[], wall_ms=int((time.monotonic() - t0) * 1000)
+                    epochs=marked, wall_ms=int((time.monotonic() - t0) * 1000)
                 )
             to_mark = self._marks_for(new_epochs, defer_boundary)
 
@@ -726,7 +759,10 @@ class CdcEngine:
             expire_epoch_partitions(p, cutoff)
 
     def _apply_batch_patch(
-        self, parsed: DataFrame, defer_boundary: bool = False
+        self,
+        parsed: DataFrame,
+        defer_boundary: bool = False,
+        extra_epochs: list[int] | None = None,
     ) -> BatchMetrics:
         """Patch-mode apply (``EngineConfig.patch_events``): events may
         carry partial row images (a ``fields`` mask), so per-key events
@@ -814,8 +850,14 @@ class CdcEngine:
                 .collect()
             )
             if not lin_groups:
+                marked = self._marks_for(
+                    sorted(self._already_committed_filtered(extra_epochs)),
+                    defer_boundary,
+                )
+                if marked:
+                    self.table.mark_epochs(marked)
                 return BatchMetrics(
-                    epochs=[], wall_ms=int((time.monotonic() - t0) * 1000)
+                    epochs=marked, wall_ms=int((time.monotonic() - t0) * 1000)
                 )
             by_class: dict[str, int] = {}
             for r in lin_groups:
@@ -826,6 +868,7 @@ class CdcEngine:
                     for r in lin_groups
                     if r["_epoch"] is not None and int(r["_epoch"]) >= 0
                 }
+                | self._already_committed_filtered(extra_epochs)
             )
             to_mark = self._marks_for(new_epochs, defer_boundary)
 

@@ -1,0 +1,198 @@
+"""Multi-table router: one binlog fanned out to N engines exactly-once.
+
+The invariant under routing is the same token-array equality bar as
+the single-engine path (BASELINE.json input_hint), applied per route:
+the union of the routed tables must equal the oracle's full replay
+state, split by the route function — plus the router-specific
+bookkeeping: EVERY route's watermark advances through every batch
+epoch (even epochs that routed zero events to it), and redelivery is
+a no-op on every route."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dexspark import gen, oracle
+from dexspark.config import EngineConfig
+from dexspark.lake import LakeTable
+from dexspark.router import RoutedEngine
+from dexspark.schema import sequences_schema
+from dexspark.stream import CdcEngine
+
+N_DOCS = 200
+N_EVENTS = 1_500
+N_EPOCHS = 3
+
+# "doc%08d" ends in a digit: parity of the last digit is computable
+# identically in Spark (route expr) and Python (oracle split).
+# (A string so it builds without an active SparkContext at import.)
+PARITY = "cast(cast(substring(doc_id, -1, 1) as int) % 2 as string)"
+
+
+def _parity(doc_id: str) -> str:
+    return str(int(doc_id[-1]) % 2)
+
+
+def _mk_routes(spark, tmp_warehouse, names=("0", "1"), num_buckets=4):
+    routes = {}
+    for name in names:
+        wh = os.path.join(tmp_warehouse, f"route-{name}")
+        table = LakeTable.create(
+            spark,
+            os.path.join(wh, "sequences"),
+            sequences_schema(),
+            key="doc_id",
+            num_buckets=num_buckets,
+        )
+        routes[name] = CdcEngine(
+            spark, table, wh, EngineConfig(num_buckets=num_buckets)
+        )
+    return routes
+
+
+@pytest.fixture()
+def binlog(spark, tmp_warehouse):
+    events = gen.change_events(
+        spark,
+        n_events=N_EVENTS,
+        n_docs=N_DOCS,
+        n_epochs=N_EPOCHS,
+        max_len=12,
+        anomaly_pct=10,
+    )
+    path = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(events, path)
+    return path
+
+
+def _split_state(state: dict) -> dict[str, dict]:
+    out = {"0": {}, "1": {}}
+    for k, v in state.items():
+        out[_parity(k)][k] = v
+    return out
+
+
+def _count_unroutable(binlog_path: str) -> int:
+    """Events whose doc_id yields a NULL parity: malformed JSON and
+    NULL/absent doc_id (blank lines are source rows too — the parser
+    keeps them as malformed raw, routed nowhere)."""
+    n = 0
+    for fn in sorted(os.listdir(binlog_path)):
+        if not fn.endswith(".ndjson"):
+            continue
+        with open(os.path.join(binlog_path, fn)) as f:
+            for line in f:
+                line = line.rstrip("\n")
+                try:
+                    ev = json.loads(line)
+                    if not isinstance(ev, dict):
+                        raise ValueError
+                except ValueError:
+                    n += 1
+                    continue
+                d = ev.get("doc_id")
+                if d is None or not str(d)[-1:].isdigit():
+                    n += 1
+    return n
+
+
+def test_parity_routing_matches_oracle_split(spark, tmp_warehouse, binlog):
+    routes = _mk_routes(spark, tmp_warehouse)
+    router = RoutedEngine(spark, tmp_warehouse, routes, PARITY)
+    metrics = router.apply_binlog(binlog)
+
+    want = oracle.replay(binlog)
+    split = _split_state(want.state)
+    for name, eng in routes.items():
+        oracle.assert_equal_state(
+            split[name], eng.table.read().collect(), f"route {name}"
+        )
+        # the quiet half of every epoch still advances this route's
+        # watermark: the router passed the batch's epoch set as extras
+        w, tail = eng.table.epoch_state()
+        assert w == N_EPOCHS - 1 and tail == [], (name, w, tail)
+
+    # quarantine accounting: unroutable events (NULL parity) land in
+    # the router sink; every other reject lands in its route's engine
+    n_unrouted = _count_unroutable(binlog)
+    assert n_unrouted > 0, "fixture should generate unroutable anomalies"
+    got_unrouted = spark.read.parquet(router.unrouted_path)
+    assert got_unrouted.count() == n_unrouted
+    assert got_unrouted.filter(F.size("fail_reasons") == 0).count() == 0
+    assert (
+        sum(m.rejects for m in metrics.values())
+        == want.quarantined - n_unrouted
+    )
+
+
+def test_redelivery_is_noop_on_every_route(spark, tmp_warehouse, binlog):
+    routes = _mk_routes(spark, tmp_warehouse)
+    router = RoutedEngine(spark, tmp_warehouse, routes, PARITY)
+    router.apply_binlog(binlog)
+    versions = {n: e.table.current_version() for n, e in routes.items()}
+    states = {n: oracle.state_from_rows(e.table.read().collect()) for n, e in routes.items()}
+
+    again = router.apply_binlog(binlog)  # full redelivery
+    for name, eng in routes.items():
+        assert again[name].epochs == []
+        assert eng.table.current_version() == versions[name], name
+        oracle.assert_equal_state(
+            states[name], eng.table.read().collect(), f"redelivered {name}"
+        )
+
+
+def test_quiet_route_watermark_advances_by_markers_only(spark, tmp_warehouse, binlog):
+    """A route that never receives a single event must still track the
+    stream's epochs (manifest-only marker commits) — otherwise every
+    epoch sits in its out-of-order tail forever."""
+    routes = _mk_routes(spark, tmp_warehouse)
+    router = RoutedEngine(
+        spark, tmp_warehouse, routes, F.lit("0"), default="0"
+    )
+    metrics = router.apply_binlog(binlog)
+
+    quiet = routes["1"].table
+    w, tail = quiet.epoch_state()
+    assert w == N_EPOCHS - 1 and tail == []
+    assert metrics["1"].epochs == list(range(N_EPOCHS))
+    assert metrics["1"].events_seen == 0
+    # marker-only commits carry no data
+    assert quiet.read().count() == 0
+    # and the busy route matches the full oracle (default absorbed all)
+    want = oracle.replay(binlog)
+    oracle.assert_equal_state(
+        want.state, routes["0"].table.read().collect(), "default route"
+    )
+    # with a default route there is no router quarantine
+    assert not os.path.exists(router.unrouted_path)
+
+
+def test_streaming_routed_tail_converges(spark, tmp_warehouse, binlog):
+    """Structured Streaming tail through the router with split epochs
+    (maxFilesPerTrigger=3 over 4-files-per-epoch binlog): the deferred
+    boundary marker logic must hold uniformly across routes."""
+    routes = _mk_routes(spark, tmp_warehouse)
+    router = RoutedEngine(spark, tmp_warehouse, routes, PARITY)
+    router.run_until_caught_up(
+        binlog,
+        os.path.join(tmp_warehouse, "ckpt"),
+        max_files_per_trigger=3,
+    )
+    want = oracle.replay(binlog)
+    split = _split_state(want.state)
+    for name, eng in routes.items():
+        oracle.assert_equal_state(
+            split[name], eng.table.read().collect(), f"streamed route {name}"
+        )
+        w, tail = eng.table.epoch_state()
+        assert w == N_EPOCHS - 1 and tail == [], (name, w, tail)
+
+
+def test_router_rejects_bad_default(spark, tmp_warehouse):
+    routes = _mk_routes(spark, tmp_warehouse)
+    with pytest.raises(ValueError):
+        RoutedEngine(spark, tmp_warehouse, routes, PARITY, default="nope")
+    with pytest.raises(ValueError):
+        RoutedEngine(spark, tmp_warehouse, {}, PARITY)
