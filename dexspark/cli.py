@@ -31,7 +31,31 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="dexspark", description=__doc__)
-    ap.add_argument("--table", required=True, help="LakeTable root path")
+    ap.add_argument(
+        "--table",
+        help="LakeTable root path (required except in --route mode)",
+    )
+    ap.add_argument(
+        "--route",
+        action="append",
+        metavar="NAME=TABLE_PATH",
+        help="multi-table routing: fan the binlog out to NAME's table "
+        "(repeatable; see router.RoutedEngine). Each route's sinks "
+        "live under <warehouse>/<NAME>; requires --route-expr",
+    )
+    ap.add_argument(
+        "--route-expr",
+        metavar="SQL",
+        help="deterministic SQL expression over the parsed envelope "
+        "(doc_id, payload.*, op, ...) whose STRING value picks the "
+        "route name, e.g. \"payload.source\"",
+    )
+    ap.add_argument(
+        "--route-default",
+        metavar="NAME",
+        help="route that also receives NULL/unmatched route values "
+        "(default: they land in <warehouse>/_router/unrouted)",
+    )
     ap.add_argument("--binlog", help="change-event log dir (ndjson)")
     ap.add_argument("--checkpoint", help="streaming checkpoint dir")
     ap.add_argument("--warehouse", help="quarantine/lineage root")
@@ -411,6 +435,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     if tailing and not (args.binlog and args.checkpoint and args.warehouse):
         ap.error("--binlog/--checkpoint/--warehouse are required when tailing")
+    if args.route:
+        if not args.route_expr:
+            ap.error("--route-expr is required with --route")
+        if not tailing:
+            ap.error("--route only composes with the tailing modes")
+        if any("=" not in r for r in args.route):
+            ap.error("--route takes NAME=TABLE_PATH")
+    elif not args.table:
+        ap.error("--table is required (except in --route mode)")
     if args.bootstrap_snapshot is not None and args.snapshot_position is None:
         ap.error("--snapshot-position is required with --bootstrap-snapshot")
     if args.compact_binlog and not args.binlog:
@@ -440,13 +473,13 @@ def main(argv: list[str] | None = None) -> int:
     spark = SparkSession.builder.appName("dexspark-cdc").getOrCreate()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    if args.create and args.branch is None:
+    if args.create and args.branch is None and args.table:
         t0 = LakeTable(spark, args.table)
         if t0.current_version() == 0:
             LakeTable.create(
                 spark, args.table, sequences_schema(), num_buckets=args.num_buckets
             )
-    table = LakeTable(spark, args.table, branch=args.branch)
+    table = LakeTable(spark, args.table, branch=args.branch) if args.table else None
 
     rules = None
     if args.rules:
@@ -676,6 +709,57 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.binlog, args.compact_binlog, rules=cfg.rules
         )
         print(json.dumps(info))
+        return 0
+
+    if args.route:
+        import os as _os
+
+        from .router import RoutedEngine
+
+        routes = {}
+        for spec in args.route:
+            name, _, path = spec.partition("=")
+            rt = LakeTable(spark, path)
+            if args.create and rt.current_version() == 0:
+                rt = LakeTable.create(
+                    spark, path, sequences_schema(), num_buckets=args.num_buckets
+                )
+            routes[name] = CdcEngine(
+                spark, rt, _os.path.join(args.warehouse, name), cfg
+            )
+        router = RoutedEngine(
+            spark, args.warehouse, routes, args.route_expr,
+            default=args.route_default,
+        )
+        if args.batch:
+            router.apply_binlog(args.binlog)
+        elif args.follow:
+            q = router.run_stream(
+                args.binlog,
+                args.checkpoint,
+                available_now=False,
+                processing_time=args.trigger,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                router.flush_epoch_markers()
+        else:
+            router.run_until_caught_up(
+                args.binlog,
+                args.checkpoint,
+                max_files_per_trigger=args.max_files_per_trigger,
+            )
+        status = {}
+        for name, eng in routes.items():
+            w, tl = eng.table.epoch_state()
+            status[name] = {
+                "table_version": eng.table.current_version(),
+                "epoch_watermark": w,
+                "epoch_tail": tl,
+            }
+        print(json.dumps({"routes": status}))
         return 0
 
     engine = CdcEngine(spark, table, args.warehouse, cfg)

@@ -196,3 +196,47 @@ def test_router_rejects_bad_default(spark, tmp_warehouse):
         RoutedEngine(spark, tmp_warehouse, routes, PARITY, default="nope")
     with pytest.raises(ValueError):
         RoutedEngine(spark, tmp_warehouse, {}, PARITY)
+
+
+def test_cli_routed_tail(spark, tmp_warehouse, binlog, capsys):
+    """--route/--route-expr drive a RoutedEngine through the CLI: both
+    tables converge to the oracle parity split and report per-route
+    status; rerun (fresh checkpoint) is a no-op."""
+    from dexspark import cli
+
+    argv = [
+        "--route", "0=" + os.path.join(tmp_warehouse, "t0"),
+        "--route", "1=" + os.path.join(tmp_warehouse, "t1"),
+        "--route-expr", PARITY,
+        "--binlog", binlog,
+        "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+        "--warehouse", os.path.join(tmp_warehouse, "wh"),
+        "--create", "--num-buckets", "4",
+    ]
+    assert cli.main(argv) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = oracle.replay(binlog)
+    split = _split_state(want.state)
+    for name in ("0", "1"):
+        assert out["routes"][name]["epoch_watermark"] == N_EPOCHS - 1
+        t = LakeTable(spark, os.path.join(tmp_warehouse, f"t{name}"))
+        oracle.assert_equal_state(
+            split[name], t.read().collect(), f"cli route {name}"
+        )
+
+    versions = {n: out["routes"][n]["table_version"] for n in ("0", "1")}
+    argv[argv.index("--checkpoint") + 1] = os.path.join(tmp_warehouse, "ckpt2")
+    assert cli.main(argv) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {n: out2["routes"][n]["table_version"] for n in ("0", "1")} == versions
+
+
+def test_cli_route_validation(tmp_warehouse):
+    from dexspark import cli
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        cli.main(["--route", "a=/tmp/x", "--binlog", "b", "--checkpoint",
+                  "c", "--warehouse", "w"])  # no --route-expr
+    with _pytest.raises(SystemExit):
+        cli.main(["--binlog", "b", "--checkpoint", "c", "--warehouse", "w"])  # no --table
