@@ -228,6 +228,14 @@ def main(argv: list[str] | None = None) -> int:
         "purge) applied as a MERGE of tombstones, e.g. \"source = 'bad'\"",
     )
     ap.add_argument(
+        "--outbox",
+        metavar="OUT_DIR",
+        help="instead of tailing: emit every table commit since the "
+        "outbox cursor as a structured parquet binlog another engine "
+        "can tail (epoch = commit version; exactly-once downstream via "
+        "its own markers; see operators.outbox)",
+    )
+    ap.add_argument(
         "--changes",
         metavar="FROM[,TO]",
         help="instead of tailing: incremental changelog read (CDC-out) "
@@ -414,6 +422,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.stats
         or args.lookup is not None
         or args.changes is not None
+        or args.outbox is not None
         or args.scan_range is not None
         or args.compact_binlog is not None
         or args.reprocess_quarantine
@@ -681,6 +690,11 @@ def main(argv: list[str] | None = None) -> int:
                 kwargs["min_age_seconds"] = args.min_age_seconds
             out["vacuum"] = table.vacuum(**kwargs)
         print(json.dumps(out))
+        return 0
+    if args.outbox is not None:
+        from .operators.outbox import emit_changes
+
+        print(json.dumps(emit_changes(table, args.outbox)))
         return 0
     if args.changes is not None:
         parts = args.changes.split(",")

@@ -1,0 +1,159 @@
+"""Outbox: table changelog re-emitted as a binlog, consumed by a
+second engine — cascading replication with exactly-once at each hop.
+
+The end-state invariant is the BASELINE token-array equality bar
+applied transitively: source table == replica table after the replica
+engine tails only the emitted outbox."""
+
+import os
+
+from dexspark import gen, oracle
+from dexspark.config import EngineConfig
+from dexspark.lake import LakeTable
+from dexspark.operators.outbox import emit_changes
+from dexspark.schema import sequences_schema
+from dexspark.stream import CdcEngine
+
+
+def _mk(spark, root, name, num_buckets=4, **cfg):
+    wh = os.path.join(root, name)
+    t = LakeTable.create(
+        spark, os.path.join(wh, "t"), sequences_schema(),
+        key="doc_id", num_buckets=num_buckets,
+    )
+    return CdcEngine(
+        spark, t, wh, EngineConfig(num_buckets=num_buckets, **cfg)
+    ), t
+
+
+def _binlog(spark, root, name, seed, n_events=800, n_docs=120, n_epochs=2):
+    path = os.path.join(root, name)
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=n_events, n_docs=n_docs, n_epochs=n_epochs,
+            max_len=10, anomaly_pct=10, seed=seed,
+        ),
+        path,
+    )
+    return path
+
+
+def _subset(binlog: str, dest: str, epochs: tuple[int, ...]) -> str:
+    """Hardlink only the named epochs' files into ``dest`` (a partial
+    delivery of the same log)."""
+    os.makedirs(dest, exist_ok=True)
+    for fn in os.listdir(binlog):
+        if any(fn.startswith(f"epoch-{e}-") for e in epochs):
+            os.link(os.path.join(binlog, fn), os.path.join(dest, fn))
+    return dest
+
+
+def _states_equal(src: LakeTable, dst: LakeTable, ctx: str) -> None:
+    oracle.assert_equal_state(
+        oracle.state_from_rows(src.read().collect()), dst.read().collect(), ctx
+    )
+
+
+def test_outbox_chain_replicates(spark, tmp_warehouse):
+    src_eng, src = _mk(spark, tmp_warehouse, "src")
+    dst_eng, dst = _mk(spark, tmp_warehouse, "dst")
+    outbox = os.path.join(tmp_warehouse, "outbox")
+
+    # seed the source with a base snapshot, then the first half of a
+    # 4-epoch log (the second half lands later as "new" commits)
+    base = gen.base_sequences(spark, n_docs=120, max_len=10)
+    src.overwrite(base)
+    full = _binlog(spark, tmp_warehouse, "b1", seed=1, n_events=1600, n_epochs=4)
+    src_eng.apply_binlog(_subset(full, os.path.join(tmp_warehouse, "b1a"), (0, 1)))
+
+    info1 = emit_changes(src, outbox)
+    assert info1["synced_through"] == src.current_version()
+    assert info1["events"] > 0
+    dst_eng.apply_binlog(outbox)  # auto-sniffs the parquet binlog
+    _states_equal(src, dst, "after first hop")
+
+    # incremental: more source epochs, second emission emits ONLY the
+    # new commits; the replica catches up through the same directory
+    src_eng.apply_binlog(full)  # markers keep 0-1, apply 2-3
+    info2 = emit_changes(src, outbox)
+    assert set(info2["emitted_versions"]).isdisjoint(info1["emitted_versions"])
+    assert min(info2["emitted_versions"]) > max(info1["emitted_versions"])
+    dst_eng.apply_binlog(outbox)
+    _states_equal(src, dst, "after catch-up")
+
+    # quiescent source: emission is a no-op
+    info3 = emit_changes(src, outbox)
+    assert info3 == {
+        "synced_through": src.current_version(),
+        "emitted_versions": [],
+        "events": 0,
+    }
+
+    # redelivery: re-applying the whole outbox must not move the replica
+    v = dst.current_version()
+    dst_eng.apply_binlog(outbox)
+    assert dst.current_version() == v
+    _states_equal(src, dst, "after redelivery")
+
+
+def test_outbox_mor_source_key_only_deletes(spark, tmp_warehouse):
+    """A MOR source emits tombstones with no pre-image; the replica
+    must still converge (delete envelopes are key-only)."""
+    src_eng, src = _mk(spark, tmp_warehouse, "src", merge_mode="mor")
+    dst_eng, dst = _mk(spark, tmp_warehouse, "dst")
+    outbox = os.path.join(tmp_warehouse, "outbox")
+
+    src_eng.apply_binlog(_binlog(spark, tmp_warehouse, "b1", seed=3))
+    emit_changes(src, outbox)
+    dst_eng.apply_binlog(outbox)
+    _states_equal(src, dst, "mor hop")
+    # the generator produces deletes; prove some keys were dropped so
+    # the tombstone path was actually exercised
+    assert spark.read.parquet(outbox).filter("op = 'delete'").count() > 0
+
+
+def test_outbox_crash_between_write_and_cursor(spark, tmp_warehouse):
+    """Re-emission after a lost cursor advance (crash window) rewrites
+    the same epochs; the consumer's markers absorb the duplicates."""
+    src_eng, src = _mk(spark, tmp_warehouse, "src")
+    dst_eng, dst = _mk(spark, tmp_warehouse, "dst")
+    outbox = os.path.join(tmp_warehouse, "outbox")
+    src_eng.apply_binlog(_binlog(spark, tmp_warehouse, "b1", seed=4))
+
+    info1 = emit_changes(src, outbox)
+    dst_eng.apply_binlog(outbox)
+    # simulate the crash: roll the cursor back as if the first
+    # emission never recorded it
+    os.remove(os.path.join(outbox, "_outbox_cursor.json"))
+    info2 = emit_changes(src, outbox)
+    assert info2["emitted_versions"] == info1["emitted_versions"]
+    v = dst.current_version()
+    dst_eng.apply_binlog(outbox)
+    assert dst.current_version() == v
+    _states_equal(src, dst, "after duplicate emission")
+
+
+def test_cli_outbox_chain(spark, tmp_warehouse, capsys):
+    """--outbox emits from the CLI; a second CLI tail consumes it."""
+    import json as _json
+
+    from dexspark import cli
+
+    src_eng, src = _mk(spark, tmp_warehouse, "src")
+    src_eng.apply_binlog(_binlog(spark, tmp_warehouse, "b1", seed=9))
+    outbox = os.path.join(tmp_warehouse, "outbox")
+
+    assert cli.main(["--table", src.root, "--outbox", outbox]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["synced_through"] == src.current_version()
+    assert out["events"] > 0
+
+    dst_root = os.path.join(tmp_warehouse, "replica")
+    assert cli.main([
+        "--table", dst_root, "--binlog", outbox,
+        "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+        "--warehouse", os.path.join(tmp_warehouse, "wh2"),
+        "--create", "--num-buckets", "4", "--batch",
+    ]) == 0
+    capsys.readouterr()
+    _states_equal(src, LakeTable(spark, dst_root), "cli chain")
