@@ -66,6 +66,7 @@ class RoutedEngine:
         routes: dict[str, CdcEngine],
         route_expr: Column | str,
         default: str | None = None,
+        max_parallel_routes: int = 4,
     ):
         if not routes:
             raise ValueError("RoutedEngine needs at least one route")
@@ -78,6 +79,13 @@ class RoutedEngine:
             F.expr(route_expr) if isinstance(route_expr, str) else route_expr
         ).cast("string")
         self.unrouted_path = os.path.join(warehouse, "_router", "unrouted")
+        # routes write DISJOINT tables/sinks, so their per-batch applies
+        # can overlap via driver threads (Spark job submission is
+        # thread-safe; the fair scheduler interleaves their stages).
+        # Bounded: each in-flight route holds its aggregate's
+        # localCheckpoint blocks, so unbounded fan-out trades memory
+        # for no additional throughput once executors are saturated.
+        self.max_parallel_routes = max(1, int(max_parallel_routes))
 
     # ------------------------------------------------------------ one batch
 
@@ -105,16 +113,32 @@ class RoutedEngine:
             .distinct()
             .collect()
         )
-        out: dict[str, BatchMetrics] = {}
-        for name, eng in self.routes.items():
+        def _one(name: str, eng: CdcEngine) -> BatchMetrics:
             pred = rc.eqNullSafe(F.lit(name))
             if name == self.default:
                 pred = pred | ~self._matched() | rc.isNull()
-            out[name] = eng.apply_batch(
+            return eng.apply_batch(
                 batch.filter(pred),
                 defer_boundary=defer_boundary,
                 extra_epochs=epochs,
             )
+
+        out: dict[str, BatchMetrics] = {}
+        if self.max_parallel_routes == 1 or len(self.routes) == 1:
+            for name, eng in self.routes.items():
+                out[name] = _one(name, eng)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(self.max_parallel_routes, len(self.routes))
+            ) as pool:
+                futs = {
+                    name: pool.submit(_one, name, eng)
+                    for name, eng in self.routes.items()
+                }
+                for name, fut in futs.items():
+                    out[name] = fut.result()
         if self.default is None:
             self._write_unrouted(batch)
         return out

@@ -128,8 +128,12 @@ def test_parity_routing_matches_oracle_split(spark, tmp_warehouse, binlog):
 
 
 def test_redelivery_is_noop_on_every_route(spark, tmp_warehouse, binlog):
+    # max_parallel_routes=1 exercises the sequential apply path (the
+    # other tests run the threaded default); results must be identical
     routes = _mk_routes(spark, tmp_warehouse)
-    router = RoutedEngine(spark, tmp_warehouse, routes, PARITY)
+    router = RoutedEngine(
+        spark, tmp_warehouse, routes, PARITY, max_parallel_routes=1
+    )
     router.apply_binlog(binlog)
     versions = {n: e.table.current_version() for n, e in routes.items()}
     states = {n: oracle.state_from_rows(e.table.read().collect()) for n, e in routes.items()}
