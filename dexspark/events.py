@@ -30,6 +30,8 @@ slower in multi-pass pipelines.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.window import Window
 
@@ -118,6 +120,30 @@ def _finalize_structured(
     return _finalize(flat)
 
 
+OUTBOX_SCHEMA_FILE = "_outbox_schema.json"
+
+
+def _sidecar_payload_schema(path: str) -> T.StructType | None:
+    """Payload schema published NEXT TO a structured log (the
+    schema-registry-beside-the-topic pattern; operators/outbox.py
+    writes it at each emission). Without it, a consumer with no
+    explicit payload_schema would cast the payload struct to the
+    DEFAULT schema and silently drop columns the producer evolved.
+    Best-effort local-FS sniff: an explicit payload_schema always
+    wins, and absence just means the default schema (the
+    pre-evolution contract)."""
+    import json
+
+    p = os.path.join(path, OUTBOX_SCHEMA_FILE)
+    try:
+        if os.path.exists(p):
+            with open(p) as f:
+                return T.StructType.fromJson(json.load(f))
+    except (OSError, ValueError, KeyError):
+        return None
+    return None
+
+
 def read_binlog_parquet(
     spark: SparkSession, path: str, payload_schema: T.StructType | None = None
 ) -> DataFrame:
@@ -129,6 +155,8 @@ def read_binlog_parquet(
     validate / dedup pipeline runs downstream unchanged. Rows the
     producer could not parse arrive with NULL envelope columns + the
     raw line and classify as rejects, exactly like the ndjson path."""
+    if payload_schema is None:
+        payload_schema = _sidecar_payload_schema(path)
     return _finalize_structured(spark.read.parquet(path), payload_schema)
 
 
@@ -141,6 +169,8 @@ def read_binlog_parquet_stream(
     """Streaming tail of a structured parquet change log (file
     source; checkpointed offsets, maxFilesPerTrigger batching — the
     same contract as the ndjson stream but with columnar decode)."""
+    if payload_schema is None:
+        payload_schema = _sidecar_payload_schema(path)
     schema = T.StructType(
         list(change_event_schema(payload_schema).fields)
         + [T.StructField(RAW_COL, T.StringType(), True)]

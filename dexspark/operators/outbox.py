@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 from ..lake import LakeTable
 
 CURSOR_FILE = "_outbox_cursor.json"
+SCHEMA_FILE = "_outbox_schema.json"  # mirrored by events.OUTBOX_SCHEMA_FILE
 
 
 def _cursor(out_dir: str) -> int:
@@ -58,12 +59,17 @@ def _cursor(out_dir: str) -> int:
         return int(json.load(f)["synced_through"])
 
 
-def _write_cursor(out_dir: str, version: int) -> None:
-    p = os.path.join(out_dir, CURSOR_FILE)
-    tmp = p + ".tmp"
+def _write_json(path: str, doc) -> None:
+    tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"synced_through": int(version)}, f)
-    os.replace(tmp, p)  # atomic on POSIX
+        json.dump(doc, f)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def _write_cursor(out_dir: str, version: int) -> None:
+    _write_json(
+        os.path.join(out_dir, CURSOR_FILE), {"synced_through": int(version)}
+    )
 
 
 def emit_changes(
@@ -108,6 +114,20 @@ def emit_changes(
         .partitionBy("batch_epoch")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(out_dir)
+    )
+    # publish the CURRENT payload schema beside the log (the
+    # schema-registry-beside-the-topic pattern): a consumer with no
+    # explicit payload_schema parses evolved columns instead of
+    # casting them away to the default struct. Additive evolution
+    # means the latest schema is a superset — older epochs' rows read
+    # null for the new columns, exactly the engine's evolution
+    # contract. Written before the cursor: the same crash-redelivery
+    # window as the data, idempotent rewrite.
+    import pyspark.sql.types as T
+
+    _write_json(
+        os.path.join(out_dir, SCHEMA_FILE),
+        T.StructType([f for f in table.schema.fields if f.name != key]).jsonValue(),
     )
     _write_cursor(out_dir, cur)
     # count from the written files (new partitions only) rather than a

@@ -157,3 +157,52 @@ def test_cli_outbox_chain(spark, tmp_warehouse, capsys):
     ]) == 0
     capsys.readouterr()
     _states_equal(src, LakeTable(spark, dst_root), "cli chain")
+
+
+def test_outbox_propagates_schema_evolution(spark, tmp_warehouse):
+    """A column added upstream travels through the outbox: the emitted
+    log carries a schema sidecar, the replica parses the evolved
+    payload (instead of casting it to the default struct) and its
+    table evolves additively."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from dexspark.schema import payload_schema
+
+    evolved = T.StructType(
+        list(payload_schema().fields)
+        + [T.StructField("lang", T.StringType(), True)]
+    )
+    src_eng, src = _mk(spark, tmp_warehouse, "src")
+    src_eng.payload_schema = evolved
+    dst_eng, dst = _mk(spark, tmp_warehouse, "dst")
+    outbox = os.path.join(tmp_warehouse, "outbox")
+
+    lines = [
+        _json.dumps({
+            "op": "update", "doc_id": f"doc{i:08d}",
+            "payload": {"tokens": [1, i], "n_tok": 2, "source": "wiki",
+                        "lang": "en" if i % 2 else None},
+            "commit_ts": f"2024-01-01T00:00:{i:02d}.000Z",
+            "lsn": i, "batch_epoch": 0,
+        })
+        for i in range(8)
+    ]
+    blog = os.path.join(tmp_warehouse, "evolved-binlog")
+    os.makedirs(blog)
+    with open(os.path.join(blog, "epoch-0-0.ndjson"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    src_eng.apply_binlog(blog)
+    assert "lang" in [f.name for f in src.schema.fields]
+
+    emit_changes(src, outbox)
+    assert os.path.exists(os.path.join(outbox, "_outbox_schema.json"))
+    # replica engine has NO explicit payload schema — the sidecar must
+    # carry the evolution
+    dst_eng.apply_binlog(outbox)
+    assert "lang" in [f.name for f in dst.schema.fields]
+    rows = {r["doc_id"]: r.asDict() for r in dst.read().collect()}
+    assert rows["doc00000001"]["lang"] == "en"
+    assert rows["doc00000000"]["lang"] is None
+    _states_equal(src, dst, "evolved chain")
