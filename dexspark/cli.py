@@ -228,6 +228,13 @@ def main(argv: list[str] | None = None) -> int:
         "purge) applied as a MERGE of tombstones, e.g. \"source = 'bad'\"",
     )
     ap.add_argument(
+        "--emit-outbox",
+        metavar="OUT_DIR",
+        help="while tailing: after each batch, re-emit the table's new "
+        "commits into OUT_DIR as a structured binlog (continuous "
+        "replication chain; see operators.outbox)",
+    )
+    ap.add_argument(
         "--outbox",
         metavar="OUT_DIR",
         help="instead of tailing: emit every table commit since the "
@@ -522,6 +529,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["vacuum_keep_last"] = args.vacuum_keep_last
     if args.sink_retention_epochs is not None:
         cfg_kwargs["sink_retention_epochs"] = args.sink_retention_epochs
+    if args.emit_outbox is not None:
+        cfg_kwargs["outbox_dir"] = args.emit_outbox
     cfg = EngineConfig(**cfg_kwargs)
 
     if args.bootstrap_snapshot is not None:

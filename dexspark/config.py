@@ -130,6 +130,13 @@ class EngineConfig:
     # manifest referencing missing files. Set to 0 only in
     # single-writer contexts (tests).
     vacuum_min_age_seconds: float = 3600.0
+    # Continuous changelog outbox (operators/outbox.py): when set,
+    # after each batch's merge the engine re-emits the table's new
+    # commits into this directory as a structured binlog another
+    # engine can tail — a live replication chain. Cursor-based and
+    # crash-safe: a batch whose emission failed is folded into the
+    # next batch's emission. None = emit manually (CLI --outbox).
+    outbox_dir: str | None = None
     # Sink retention: when > 0, after each batch the engine expires
     # quarantine / lineage / applied-lineage epoch partitions older
     # than the last N epochs under the committed watermark

@@ -734,11 +734,25 @@ class CdcEngine:
             ]
             write_lineage_rows(lin_rows, self.lineage_path)
             self._expire_sinks()
+            self._emit_outbox()
             _mark("sinks", tm)
             metrics.phase_ms = phases
             return metrics
         finally:
             agg.unpersist()
+
+    def _emit_outbox(self) -> None:
+        """Continuous outbox (EngineConfig.outbox_dir): emit the
+        commits this batch produced into the downstream binlog. Runs
+        AFTER markers commit, so a crash between merge and emission
+        just leaves the cursor behind — the next batch's emission
+        folds both (at-least-once emission, consumer markers make the
+        effect exactly-once)."""
+        if not self.config.outbox_dir:
+            return
+        from .operators.outbox import emit_changes
+
+        emit_changes(self.table, self.config.outbox_dir)
 
     def _expire_sinks(self) -> None:
         """Sink retention (EngineConfig.sink_retention_epochs): keep
@@ -1002,6 +1016,7 @@ class CdcEngine:
             ]
             write_lineage_rows(lin_rows, self.lineage_path)
             self._expire_sinks()
+            self._emit_outbox()
             _mark("sinks", tm)
             metrics.phase_ms = phases
             return metrics
@@ -1276,6 +1291,10 @@ class CdcEngine:
         empty = self.spark.createDataFrame([], self.table.schema)
         self.table.merge(empty, epochs=epochs, mode=self.config.merge_mode)
         self._deferred_epochs = set()
+        # keep the continuous outbox cursor at the head: the flush
+        # commit itself is manifest-only (emits zero events), but a
+        # lagging cursor would re-walk it on every later emission
+        self._emit_outbox()
         return epochs
 
     def run_until_caught_up(

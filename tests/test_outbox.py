@@ -206,3 +206,26 @@ def test_outbox_propagates_schema_evolution(spark, tmp_warehouse):
     assert rows["doc00000001"]["lang"] == "en"
     assert rows["doc00000000"]["lang"] is None
     _states_equal(src, dst, "evolved chain")
+
+
+def test_streaming_engine_emits_outbox_continuously(spark, tmp_warehouse):
+    """EngineConfig(outbox_dir=...): the tailing engine re-emits after
+    every micro-batch — no manual emit step — and a replica that tails
+    only the outbox converges to the source."""
+    outbox = os.path.join(tmp_warehouse, "outbox")
+    src_eng, src = _mk(spark, tmp_warehouse, "src", outbox_dir=outbox)
+    dst_eng, dst = _mk(spark, tmp_warehouse, "dst")
+
+    full = _binlog(spark, tmp_warehouse, "b1", seed=11, n_events=1200, n_epochs=3)
+    src_eng.run_until_caught_up(
+        full, os.path.join(tmp_warehouse, "ckpt"), max_files_per_trigger=4
+    )
+    # multiple micro-batches emitted without any manual emit_changes:
+    # the cursor tracks the table head
+    assert os.path.exists(os.path.join(outbox, "_outbox_cursor.json"))
+    from dexspark.operators.outbox import _cursor
+
+    assert _cursor(outbox) == src.current_version()
+
+    dst_eng.apply_binlog(outbox)
+    _states_equal(src, dst, "live chain")
