@@ -358,6 +358,91 @@ def main_default(sf_dir: str, cpus: int) -> None:
     spark.stop()
 
 
+def main_routed(cpus: int, rounds: int = 2) -> None:
+    """A/B: one RoutedEngine fanning a binlog to 2 tables vs 2
+    independent engines each scanning + filtering the same binlog.
+
+    The work downstream of the scan is identical by construction (the
+    router's route-0-with-default predicate equals the independent
+    variant's NOT-route-1 filter), so the delta isolates the router's
+    orchestration: overlapped per-route applies + epochs read off the
+    log layout instead of scanned. (The checkpoint-shared scan was
+    ALSO measured here and lost to re-scan on this host — see
+    BENCH.md routed A/B — which is why apply_binlog defaults to
+    share_scan=False.) Interleaved best-of-``rounds`` (host throttling
+    protocol, BENCH.md)."""
+    from pyspark.sql import functions as F
+
+    from dexspark import gen
+    from dexspark.config import EngineConfig
+    from dexspark.events import read_binlog
+    from dexspark.lake import LakeTable
+    from dexspark.router import RoutedEngine
+    from dexspark.schema import sequences_schema
+    from dexspark.stream import CdcEngine
+
+    spark = _mk_spark(cpus)
+    workdir = "/tmp/dexspark-bench-routed"
+    shutil.rmtree(workdir, ignore_errors=True)
+    os.makedirs(workdir)
+    binlog = os.path.join(workdir, "binlog")
+    _write_bench_binlog(spark, binlog)
+    parity = "cast(cast(substring(doc_id, -1, 1) as int) % 2 as string)"
+
+    def _engines(tag: str) -> dict[str, CdcEngine]:
+        out = {}
+        for name in ("0", "1"):
+            wh = os.path.join(workdir, f"{tag}-{name}")
+            t = LakeTable.create(
+                spark, os.path.join(wh, "t"), sequences_schema(),
+                key="doc_id", num_buckets=64,
+            )
+            out[name] = CdcEngine(
+                spark, t, wh, EngineConfig(num_buckets=64, merge_mode=MERGE_MODE)
+            )
+        return out
+
+    def _routed(i: int) -> float:
+        router = RoutedEngine(
+            spark, os.path.join(workdir, f"r{i}"), _engines(f"r{i}"),
+            parity, default="0",
+        )
+        t0 = time.monotonic()
+        router.apply_binlog(binlog)
+        return time.monotonic() - t0
+
+    def _independent(i: int) -> float:
+        engines = _engines(f"i{i}")
+        p = F.expr(parity)
+        preds = {"0": ~p.eqNullSafe(F.lit("1")), "1": p.eqNullSafe(F.lit("1"))}
+        t0 = time.monotonic()
+        for name, eng in engines.items():
+            # each engine re-reads + re-parses the full log (the
+            # composition the router replaces)
+            eng.apply_batch(read_binlog(spark, binlog).filter(preds[name]))
+        return time.monotonic() - t0
+
+    routed, indep = [], []
+    for i in range(rounds):  # interleaved: same throttle exposure
+        routed.append(round(_routed(i), 3))
+        indep.append(round(_independent(i), 3))
+    print(
+        json.dumps(
+            {
+                "metric": "routed fan-out vs N independent engines (2 routes)",
+                "events": CDC_EVENTS,
+                "cpus": cpus,
+                "routed_sec": min(routed),
+                "independent_sec": min(indep),
+                "routed_runs": routed,
+                "independent_runs": indep,
+                "routed_speedup": round(min(indep) / min(routed), 3),
+                "host": host_calibration(spark),
+            }
+        )
+    )
+
+
 def main_stream_cdc(cpus: int, max_files_per_trigger: int = 4) -> None:
     """Sustained STREAMING throughput: the same change log consumed as
     checkpointed Structured Streaming micro-batches (availableNow +
@@ -547,6 +632,7 @@ if __name__ == "__main__":
     ap.add_argument("--stream-cdc", action="store_true")
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     ap.add_argument("--worker-cdc", action="store_true")
+    ap.add_argument("--routed", action="store_true")
     ap.add_argument("--warmup", action="store_true")
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -557,6 +643,8 @@ if __name__ == "__main__":
     args = ap.parse_args()
     if args.worker_cdc:
         main_worker_cdc(args.cpus, args.shared_binlog, args.warmup)
+    elif args.routed:
+        main_routed(args.cpus, rounds=args.rounds)
     elif args.stream_cdc:
         main_stream_cdc(args.cpus, args.max_files_per_trigger)
     elif args.weak_scaling:

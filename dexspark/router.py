@@ -6,11 +6,18 @@ tables (per tenant, per source system, per doc-id shard). The naive
 composition — run N independent engines over the same log with a
 pre-filter each — breaks exactly-once bookkeeping in two ways:
 
-1. **N source scans per batch.** Each engine re-reads and re-parses
-   the same files. The router materializes the parsed batch ONCE
-   (``localCheckpoint``) and every route filters the in-memory
-   blocks — one source scan per batch total, the same shape a
-   1000-executor cluster wants at 100 TB.
+1. **Unshared, serialized per-route work.** The router overlaps the
+   per-route applies in a bounded driver pool, reads the batch epoch
+   set off the log layout instead of a dedicated scan, and can
+   materialize the parsed batch ONCE (``share_scan=True``,
+   ``localCheckpoint``) so every route filters in-memory blocks.
+   Measured on this host (BENCH.md routed A/B): re-scanning a
+   page-cached log beats materializing it, so batch replay defaults
+   to parallel re-scan (1.36x over independent engines) while the
+   streaming path keeps the shared scan (a foreachBatch micro-batch
+   re-read re-lists the source); both strategies are one flag apart
+   for sources where the economics flip (remote/decompressed logs,
+   large route counts).
 2. **Stuck watermarks on quiet routes.** An engine only learns an
    epoch from the events it SEES; a route that received no events of
    epoch E would keep E in its out-of-order tail forever (manifest +
@@ -93,26 +100,46 @@ class RoutedEngine:
         return self._route_col.isin(list(self.routes))
 
     def apply_batch(
-        self, parsed: DataFrame, defer_boundary: bool = False
+        self,
+        parsed: DataFrame,
+        defer_boundary: bool = False,
+        extra_epochs: list[int] | None = None,
+        share_scan: bool = True,
     ) -> dict[str, BatchMetrics]:
         """Apply one micro-batch through every route exactly-once.
 
-        One source scan: the parsed batch is checkpointed eagerly and
-        each route's filter (plus the epoch collect and the unrouted
-        write) reads the materialized blocks. The batch's non-negative
-        epoch set is passed to every route as ``extra_epochs`` so a
-        route that saw none of an epoch's events still commits its
-        marker (deferred uniformly under ``defer_boundary`` — a split
-        epoch defers on ALL routes, whether or not they saw rows)."""
-        batch = parsed.localCheckpoint(eager=True)
+        ``share_scan=True`` (the streaming default): the parsed batch
+        is checkpointed eagerly and each route's filter (plus the
+        epoch collect and the unrouted write) reads the materialized
+        blocks — ONE source scan however many routes there are.
+        ``share_scan=False``: each route re-scans the source under its
+        own filter; with the parallel route pool the scans overlap, and
+        on a page-cached / columnar source this measured FASTER than
+        paying the full-batch materialization (BENCH.md routed A/B —
+        the same trade the engine's own aggregate made). Prefer
+        sharing when the source is expensive to re-read (remote log,
+        heavy decompression) or the route count is large.
+
+        The batch's non-negative epoch set is passed to every route as
+        ``extra_epochs`` so a route that saw none of an epoch's events
+        still commits its marker (deferred uniformly under
+        ``defer_boundary`` — a split epoch defers on ALL routes,
+        whether or not they saw rows). Callers that already know the
+        set (``apply_binlog`` reads it off the epoch file names) pass
+        it in; otherwise it costs one batch_epoch-only pass over the
+        batch."""
+        batch = parsed.localCheckpoint(eager=True) if share_scan else parsed
         rc = self._route_col
-        epochs = sorted(
-            int(r[0])
-            for r in batch.select("batch_epoch")
-            .where(F.col("batch_epoch") >= 0)
-            .distinct()
-            .collect()
-        )
+        if extra_epochs is not None:
+            epochs = sorted({int(e) for e in extra_epochs if int(e) >= 0})
+        else:
+            epochs = sorted(
+                int(r[0])
+                for r in batch.select("batch_epoch")
+                .where(F.col("batch_epoch") >= 0)
+                .distinct()
+                .collect()
+            )
         def _one(name: str, eng: CdcEngine) -> BatchMetrics:
             pred = rc.eqNullSafe(F.lit(name))
             if name == self.default:
@@ -171,10 +198,36 @@ class RoutedEngine:
 
     # ------------------------------------------------------------ batch/replay
 
+    @staticmethod
+    def _epochs_from_listing(binlog_path: str) -> list[int] | None:
+        """The epoch set straight off the log layout — no scan.
+        ``epoch-<E>-*`` files (gen.write_binlog) or ``batch_epoch=<E>``
+        partition dirs (structured parquet logs). None when the layout
+        doesn't encode epochs (caller falls back to a scan)."""
+        import re
+
+        try:
+            names = os.listdir(binlog_path)
+        except OSError:
+            return None
+        out = set()
+        for n in names:
+            m = re.match(r"epoch-(\d+)-", n) or re.match(r"batch_epoch=(\d+)$", n)
+            if m:
+                out.add(int(m.group(1)))
+        return sorted(out) if out else None
+
     def apply_binlog(
         self, binlog_path: str, format: str | None = None
     ) -> dict[str, BatchMetrics]:
-        """Replay a whole change-log directory as one routed batch."""
+        """Replay a whole change-log directory as one routed batch.
+
+        The epoch set comes off the file names (free), so the batch is
+        NOT materialized: each route re-scans the (page-cached) log
+        under its own filter, overlapping in the route pool — measured
+        faster than checkpoint-sharing for the replay shape (BENCH.md
+        routed A/B). Logs whose layout doesn't name epochs fall back
+        to the shared-scan path."""
         if format is None:
             format = "parquet" if binlog_looks_parquet(binlog_path) else "json"
         reader = read_binlog_parquet if format == "parquet" else read_binlog
@@ -183,7 +236,10 @@ class RoutedEngine:
         # additive drift route-by-route)
         any_engine = next(iter(self.routes.values()))
         parsed = reader(self.spark, binlog_path, any_engine.payload_schema)
-        return self.apply_batch(parsed)
+        epochs = self._epochs_from_listing(binlog_path)
+        return self.apply_batch(
+            parsed, extra_epochs=epochs, share_scan=epochs is None
+        )
 
     # --------------------------------------------------------- streaming API
 
