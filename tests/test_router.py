@@ -244,3 +244,66 @@ def test_cli_route_validation(tmp_warehouse):
                   "c", "--warehouse", "w"])  # no --route-expr
     with _pytest.raises(SystemExit):
         cli.main(["--binlog", "b", "--checkpoint", "c", "--warehouse", "w"])  # no --table
+
+
+def test_route_value_edge_cases(spark, tmp_warehouse):
+    """Routing contract under hostile route values: unicode keys,
+    values matching no route, NULL doc_ids (malformed envelopes), and
+    keys that embed the delimiter — compared against a plain-Python
+    split of the same rules."""
+    import json as _json
+
+    def _ev(doc_id, lsn, payload=True):
+        d = {
+            "op": "update",
+            "doc_id": doc_id,
+            "commit_ts": f"2024-01-01T00:00:{lsn:02d}.000Z",
+            "lsn": lsn,
+            "batch_epoch": 0,
+        }
+        if payload:
+            d["payload"] = {"tokens": [1, 2], "n_tok": 2, "source": "wiki"}
+        return _json.dumps(d)
+
+    doc_ids = [
+        "αβγ-a",        # unicode prefix
+        "x-b",
+        "y-c",          # suffix matches no route -> unrouted
+        "z--a",         # embedded delimiter; split(-1) still 'a'
+        "plain",        # no delimiter: split(-1) = whole id -> unrouted
+        None,           # malformed envelope (doc_id null) -> unrouted
+    ]
+    lines = [_ev(d, i) for i, d in enumerate(doc_ids)]
+    lines.append("{not json")  # parse failure -> NULL route -> unrouted
+    blog = os.path.join(tmp_warehouse, "edge-binlog")
+    os.makedirs(blog)
+    with open(os.path.join(blog, "epoch-0-0.ndjson"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    routes = _mk_routes(spark, tmp_warehouse, names=("a", "b"))
+    router = RoutedEngine(
+        spark, tmp_warehouse, routes,
+        "element_at(split(doc_id, '-'), -1)",
+    )
+    router.apply_binlog(blog)
+
+    def py_route(d):
+        if d is None:
+            return None
+        tail = d.split("-")[-1]
+        return tail if tail in ("a", "b") else None
+
+    want = {"a": set(), "b": set()}
+    unrouted = 1  # the malformed line
+    for d in doc_ids:
+        r = py_route(d)
+        if r is None:
+            unrouted += 1
+        else:
+            want[r].add(d)
+    for name, eng in routes.items():
+        got = {r["doc_id"] for r in eng.table.read().collect()}
+        assert got == want[name], (name, got, want[name])
+        assert eng.table.epoch_state()[0] == 0  # all routes marked epoch 0
+    q = spark.read.parquet(router.unrouted_path)
+    assert q.count() == unrouted
