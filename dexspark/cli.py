@@ -81,6 +81,14 @@ def main(argv: list[str] | None = None) -> int:
         "replay-convergence preserved)",
     )
     ap.add_argument(
+        "--reprocess-unrouted",
+        action="store_true",
+        help="route mode: re-route the dead-letter sink after the "
+        "routing table changed (rows that now match a route replay "
+        "through that engine's quarantine machinery); needs --route/"
+        "--route-expr/--warehouse",
+    )
+    ap.add_argument(
         "--reprocess-quarantine",
         action="store_true",
         help="instead of tailing: re-validate the error container against the "
@@ -433,6 +441,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.scan_range is not None
         or args.compact_binlog is not None
         or args.reprocess_quarantine
+        or args.reprocess_unrouted
         or args.dedup_index_stats
         or args.rebuild_dedup_index
         or args.bootstrap_dedup_index
@@ -454,12 +463,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.route:
         if not args.route_expr:
             ap.error("--route-expr is required with --route")
-        if not tailing:
+        if not tailing and not args.reprocess_unrouted:
             ap.error("--route only composes with the tailing modes")
+        if args.reprocess_unrouted and not args.warehouse:
+            ap.error("--warehouse is required with --reprocess-unrouted")
         if any("=" not in r for r in args.route):
             ap.error("--route takes NAME=TABLE_PATH")
     elif not args.table:
         ap.error("--table is required (except in --route mode)")
+    if args.reprocess_unrouted and not args.route:
+        ap.error("--reprocess-unrouted needs --route mode")
     if args.bootstrap_snapshot is not None and args.snapshot_position is None:
         ap.error("--snapshot-position is required with --bootstrap-snapshot")
     if args.compact_binlog and not args.binlog:
@@ -754,6 +767,9 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.warehouse, routes, args.route_expr,
             default=args.route_default,
         )
+        if args.reprocess_unrouted:
+            print(json.dumps(router.reprocess_unrouted()))
+            return 0
         if args.batch:
             router.apply_binlog(args.binlog)
         elif args.follow:

@@ -196,6 +196,96 @@ class RoutedEngine:
         )
         write_quarantine(unrouted, self.unrouted_path)
 
+    def reprocess_unrouted(self, run_quarantine_replay: bool = True) -> dict:
+        """Dead-letter replay after the routing table changed (a route
+        added, the expression corrected, a default named): re-parse the
+        unrouted sink's raw lines, hand each row that NOW matches a
+        route to that route's engine QUARANTINE (raw + epoch
+        preserved), rewrite the sink to the still-unmatched remainder,
+        and (by default) run each affected engine's
+        ``reprocess_quarantine`` so recovered events reach the tables
+        under its validation + stale-ordering guards — one recovery
+        path, not two.
+
+        Crash contract: the quarantine handoff happens BEFORE the sink
+        rewrite, so a crash between them re-hands-off on rerun —
+        at-least-once in the safe direction (recovered duplicates are
+        state no-ops under last-writer-wins; still-failing duplicates
+        stay visible rather than vanishing). Maintenance op: run while
+        the routed stream is paused, like ``reprocess_quarantine``."""
+        import shutil
+
+        from .events import parse_envelopes
+
+        path = self.unrouted_path
+        old = path + ".reprocess-old"
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.rename(old, path)  # crash recovery: restore parked sink
+        try:
+            q = self.spark.read.parquet(path)
+        except Exception:  # sink never written
+            return {"rerouted": {}, "still_unrouted": 0, "replay": {}}
+        any_engine = next(iter(self.routes.values()))
+        parsed = parse_envelopes(
+            q.select("raw"), any_engine.payload_schema
+        ).localCheckpoint(eager=True)
+        rc = self._route_col
+        rerouted: dict[str, int] = {}
+        for name, eng in self.routes.items():
+            pred = rc.eqNullSafe(F.lit(name))
+            if name == self.default:
+                pred = pred | ~self._matched() | rc.isNull()
+            sub = parsed.filter(pred).select(
+                "raw",
+                "doc_id",
+                F.array(
+                    F.concat(F.lit("unrouted:rerouted:"), F.lit(name))
+                ).alias(FAIL_COL),
+                F.when(F.col("batch_epoch") >= 0, F.col("batch_epoch"))
+                .otherwise(F.lit(-1))
+                .alias("batch_epoch"),
+            )
+            n = sub.count()
+            if n:
+                sub.write.mode("append").partitionBy("batch_epoch").parquet(
+                    eng.quarantine_path
+                )
+            rerouted[name] = n
+        if self.default is None:
+            still = parsed.filter(~self._matched() | rc.isNull())
+        else:  # a default absorbs everything: the sink empties
+            still = parsed.filter(F.lit(False))
+        failing = still.select(
+            "raw",
+            "doc_id",
+            F.array(
+                F.concat(
+                    F.lit("unrouted:"), F.coalesce(rc, F.lit("null"))
+                )
+            ).alias(FAIL_COL),
+            F.when(F.col("batch_epoch") >= 0, F.col("batch_epoch"))
+            .otherwise(F.lit(-1))
+            .alias("batch_epoch"),
+        )
+        n_still = failing.count()
+        tmp = path + ".reprocess-tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        failing.write.partitionBy("batch_epoch").parquet(tmp)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+        replay = {}
+        if run_quarantine_replay:
+            for name, n in rerouted.items():
+                if n:
+                    replay[name] = self.routes[name].reprocess_quarantine()
+        return {
+            "rerouted": rerouted,
+            "still_unrouted": n_still,
+            "replay": replay,
+        }
+
     # ------------------------------------------------------------ batch/replay
 
     @staticmethod

@@ -307,3 +307,89 @@ def test_route_value_edge_cases(spark, tmp_warehouse):
         assert eng.table.epoch_state()[0] == 0  # all routes marked epoch 0
     q = spark.read.parquet(router.unrouted_path)
     assert q.count() == unrouted
+
+
+def test_reprocess_unrouted_after_route_added(spark, tmp_warehouse):
+    """Dead-letter replay: events that matched no route are recovered
+    once the missing route exists — through the new route's OWN
+    quarantine-replay machinery, so validation still gates them."""
+    import json as _json
+
+    def _ev(doc_id, lsn, good=True):
+        p = {"tokens": [1, 2], "n_tok": 2 if good else 5, "source": "wiki"}
+        return _json.dumps({
+            "op": "update", "doc_id": doc_id, "payload": p,
+            "commit_ts": f"2024-01-01T00:00:{lsn:02d}.000Z",
+            "lsn": lsn, "batch_epoch": 0,
+        })
+
+    lines = [
+        _ev("x-a", 1),
+        _ev("q-c", 2),          # no 'c' route yet -> unrouted
+        _ev("r-c", 3, good=False),  # unrouted now, INVALID later
+        "{broken",              # malformed: unroutable forever
+    ]
+    blog = os.path.join(tmp_warehouse, "binlog")
+    os.makedirs(blog)
+    with open(os.path.join(blog, "epoch-0-0.ndjson"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    expr = "element_at(split(doc_id, '-'), -1)"
+    routes = _mk_routes(spark, tmp_warehouse, names=("a", "b"))
+    router = RoutedEngine(spark, tmp_warehouse, routes, expr)
+    router.apply_binlog(blog)
+    assert spark.read.parquet(router.unrouted_path).count() == 3
+
+    # operator adds the missing route and replays the dead letters
+    routes2 = dict(routes, **_mk_routes(spark, tmp_warehouse, names=("c",)))
+    router2 = RoutedEngine(spark, tmp_warehouse, routes2, expr)
+    info = router2.reprocess_unrouted()
+    assert info["rerouted"] == {"a": 0, "b": 0, "c": 2}
+    assert info["still_unrouted"] == 1  # the malformed line
+    assert info["replay"]["c"]["recovered"] == 1  # q-c passes rules
+    assert info["replay"]["c"]["still_failing"] == 1  # r-c: n_tok != len
+
+    got = {r["doc_id"] for r in routes2["c"].table.read().collect()}
+    assert got == {"q-c"}
+    assert spark.read.parquet(router2.unrouted_path).count() == 1
+    # idempotent rerun: nothing left to reroute
+    again = router2.reprocess_unrouted()
+    assert again["rerouted"] == {"a": 0, "b": 0, "c": 0}
+    assert again["still_unrouted"] == 1
+
+
+def test_cli_reprocess_unrouted(spark, tmp_warehouse, binlog, capsys):
+    """--reprocess-unrouted through the CLI: adding a route recovers
+    its dead letters."""
+    import json as _json
+
+    from dexspark import cli
+
+    wh = os.path.join(tmp_warehouse, "wh")
+    base = [
+        "--route", "0=" + os.path.join(tmp_warehouse, "t0"),
+        "--route-expr", PARITY,
+        "--binlog", binlog,
+        "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+        "--warehouse", wh,
+        "--create", "--num-buckets", "4", "--batch",
+    ]
+    assert cli.main(base) == 0
+    capsys.readouterr()
+    # odd-parity docs were unrouted; add route 1 and replay
+    argv = [
+        "--route", "0=" + os.path.join(tmp_warehouse, "t0"),
+        "--route", "1=" + os.path.join(tmp_warehouse, "t1"),
+        "--route-expr", PARITY,
+        "--warehouse", wh,
+        "--create", "--num-buckets", "4",
+        "--reprocess-unrouted",
+    ]
+    assert cli.main(argv) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rerouted"]["1"] > 0
+    assert out["replay"]["1"]["recovered"] > 0
+    want = oracle.replay(binlog)
+    split = _split_state(want.state)
+    t1 = LakeTable(spark, os.path.join(tmp_warehouse, "t1"))
+    oracle.assert_equal_state(split["1"], t1.read().collect(), "cli replayed route")
