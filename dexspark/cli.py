@@ -752,6 +752,8 @@ def main(argv: list[str] | None = None) -> int:
 
         from .router import RoutedEngine
 
+        from dataclasses import replace as _replace
+
         routes = {}
         for spec in args.route:
             name, _, path = spec.partition("=")
@@ -760,8 +762,16 @@ def main(argv: list[str] | None = None) -> int:
                 rt = LakeTable.create(
                     spark, path, sequences_schema(), num_buckets=args.num_buckets
                 )
+            # an outbox dir holds ONE table's cursor and epoch space
+            # (epoch = commit version): routes must not share one, so
+            # --emit-outbox fans out to per-route subdirs
+            rcfg = cfg
+            if cfg.outbox_dir:
+                rcfg = _replace(
+                    cfg, outbox_dir=_os.path.join(cfg.outbox_dir, name)
+                )
             routes[name] = CdcEngine(
-                spark, rt, _os.path.join(args.warehouse, name), cfg
+                spark, rt, _os.path.join(args.warehouse, name), rcfg
             )
         router = RoutedEngine(
             spark, args.warehouse, routes, args.route_expr,

@@ -750,6 +750,13 @@ class CdcEngine:
         effect exactly-once)."""
         if not self.config.outbox_dir:
             return
+        # never auto-emit from a branch tail (write-audit-publish
+        # staging): staged commits are unpublished by definition —
+        # replicating them would leak state main's readers never saw.
+        # Emit from the main handle after --publish-branch instead
+        # (the publish commit carries the promoted changes).
+        if self.table.branch is not None:
+            return
         from .operators.outbox import emit_changes
 
         emit_changes(self.table, self.config.outbox_dir)

@@ -264,3 +264,66 @@ def test_outbox_feeds_router(spark, tmp_warehouse):
         # every shard's watermark covers every emitted commit version
         w, _tail = eng.table.epoch_state()
         assert w == src.current_version()
+
+
+def test_branch_tail_never_auto_emits(spark, tmp_warehouse):
+    """Tailing INTO a branch with outbox_dir set must not emit: staged
+    commits are unpublished — replicating them would leak state main's
+    readers never saw."""
+    outbox = os.path.join(tmp_warehouse, "outbox")
+    _eng, src = _mk(spark, tmp_warehouse, "src")
+    src.create_branch("staging")
+    branch = LakeTable(spark, src.root, branch="staging")
+    from dexspark.stream import CdcEngine as _E
+
+    beng = _E(
+        spark, branch, os.path.join(tmp_warehouse, "bwh"),
+        EngineConfig(num_buckets=4, outbox_dir=outbox),
+    )
+    beng.apply_binlog(_binlog(spark, tmp_warehouse, "b1", seed=31))
+    assert not os.path.exists(outbox)
+
+
+def test_cli_routed_emit_outbox_per_route_dirs(spark, tmp_warehouse, capsys):
+    """--route + --emit-outbox: each route gets its own outbox subdir
+    (one cursor and commit-version epoch space per table)."""
+    import json as _json
+
+    from dexspark import cli
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=400, n_docs=80, n_epochs=2, max_len=8, anomaly_pct=0
+        ),
+        binlog,
+    )
+    outbox = os.path.join(tmp_warehouse, "outbox")
+    assert cli.main([
+        "--route", "0=" + os.path.join(tmp_warehouse, "t0"),
+        "--route", "1=" + os.path.join(tmp_warehouse, "t1"),
+        "--route-expr",
+        "cast(cast(substring(doc_id, -1, 1) as int) % 2 as string)",
+        "--binlog", binlog,
+        "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+        "--warehouse", os.path.join(tmp_warehouse, "wh"),
+        "--create", "--num-buckets", "4", "--batch",
+        "--emit-outbox", outbox,
+    ]) == 0
+    capsys.readouterr()
+    for name in ("0", "1"):
+        d = os.path.join(outbox, name)
+        assert os.path.exists(os.path.join(d, "_outbox_cursor.json")), d
+        # each route's outbox replays into an equal replica
+        dst = LakeTable.create(
+            spark, os.path.join(tmp_warehouse, f"rep{name}", "t"),
+            sequences_schema(), key="doc_id", num_buckets=4,
+        )
+        from dexspark.stream import CdcEngine as _E
+
+        _E(
+            spark, dst, os.path.join(tmp_warehouse, f"rep{name}"),
+            EngineConfig(num_buckets=4),
+        ).apply_binlog(d)
+        src = LakeTable(spark, os.path.join(tmp_warehouse, f"t{name}"))
+        _states_equal(src, dst, f"route {name} outbox replica")
