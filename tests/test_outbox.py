@@ -327,3 +327,31 @@ def test_cli_routed_emit_outbox_per_route_dirs(spark, tmp_warehouse, capsys):
         ).apply_binlog(d)
         src = LakeTable(spark, os.path.join(tmp_warehouse, f"t{name}"))
         _states_equal(src, dst, f"route {name} outbox replica")
+
+
+def test_replica_follows_source_rollback(spark, tmp_warehouse):
+    """A source rollback is itself a commit whose logical diff travels
+    through the outbox: the replica converges to the rolled-back state
+    without any special handling (restored rows arrive as upserts with
+    a newer synthetic commit_ts, vanished rows as deletes)."""
+    src_eng, src = _mk(spark, tmp_warehouse, "src")
+    dst_eng, dst = _mk(spark, tmp_warehouse, "dst")
+    outbox = os.path.join(tmp_warehouse, "outbox")
+
+    full = _binlog(spark, tmp_warehouse, "b1", seed=41, n_events=1600, n_epochs=4)
+    src_eng.apply_binlog(_subset(full, os.path.join(tmp_warehouse, "b1a"), (0, 1)))
+    good_version = src.current_version()
+    emit_changes(src, outbox)
+    dst_eng.apply_binlog(outbox)
+    _states_equal(src, dst, "before bad batch")
+
+    src_eng.apply_binlog(full)  # the "bad" follow-up epochs
+    emit_changes(src, outbox)
+    dst_eng.apply_binlog(outbox)
+    _states_equal(src, dst, "bad state replicated")
+
+    src.rollback(good_version)
+    info = emit_changes(src, outbox)
+    assert info["events"] > 0  # the rollback's logical diff
+    dst_eng.apply_binlog(outbox)
+    _states_equal(src, dst, "after rollback")
