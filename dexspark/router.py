@@ -168,7 +168,55 @@ class RoutedEngine:
                     out[name] = fut.result()
         if self.default is None:
             self._write_unrouted(batch)
+        self._pin_consistent_frontier()
         return out
+
+    # ------------------------------------------------- cross-shard reads
+
+    @property
+    def _pin_path(self) -> str:
+        return os.path.join(
+            os.path.dirname(self.unrouted_path), "consistent.json"
+        )
+
+    def _pin_consistent_frontier(self) -> None:
+        """Record every route's table version AFTER the whole fan-out
+        applied — the read-consistency pin. Per-route exactly-once
+        already makes a mid-fan-out crash self-heal (redelivery applies
+        only the routes that missed), but between crash and redelivery
+        the shards sit at DIFFERENT batch frontiers; readers that need
+        a cross-shard-consistent view pin to the last version set that
+        a completed fan-out published (atomic os.replace, monotone:
+        a crash before the pin just leaves readers one batch behind)."""
+        import json
+
+        pin = {n: e.table.current_version() for n, e in self.routes.items()}
+        p = self._pin_path
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"versions": pin}, f)
+        os.replace(tmp, p)
+
+    def consistent_read(self) -> dict[str, DataFrame]:
+        """Per-route DataFrames pinned at the last COMPLETE fan-out's
+        version set — a cross-shard-consistent snapshot even while a
+        batch is mid-apply or a crashed batch awaits redelivery.
+        Requires the pinned versions to still be inside each route's
+        vacuum retention (size vacuum_keep_last to at least a few
+        batches on routed tables). Falls back to current versions when
+        no pin exists (no batch has completed yet)."""
+        import json
+
+        try:
+            with open(self._pin_path) as f:
+                pin = json.load(f)["versions"]
+        except OSError:
+            return {n: e.table.read() for n, e in self.routes.items()}
+        return {
+            n: e.table.read(version=int(pin[n])) if n in pin else e.table.read()
+            for n, e in self.routes.items()
+        }
 
     def _write_unrouted(self, batch: DataFrame) -> None:
         """Router-level quarantine for rows no route claims.

@@ -393,3 +393,43 @@ def test_cli_reprocess_unrouted(spark, tmp_warehouse, binlog, capsys):
     split = _split_state(want.state)
     t1 = LakeTable(spark, os.path.join(tmp_warehouse, "t1"))
     oracle.assert_equal_state(split["1"], t1.read().collect(), "cli replayed route")
+
+
+def test_consistent_read_pins_complete_fanouts(spark, tmp_warehouse, binlog):
+    """consistent_read returns a cross-shard snapshot at the last
+    COMPLETE fan-out even while one shard has advanced past it (the
+    crash-redelivery window where shards sit at different frontiers)."""
+    routes = _mk_routes(spark, tmp_warehouse)
+    router = RoutedEngine(spark, tmp_warehouse, routes, PARITY)
+    router.apply_binlog(binlog)
+    pinned_counts = {
+        n: df.count() for n, df in router.consistent_read().items()
+    }
+    live_counts = {n: e.table.read().count() for n, e in routes.items()}
+    assert pinned_counts == live_counts  # quiescent: pin == head
+
+    # simulate a mid-fan-out crash: one route applies a later batch,
+    # the pin is never rewritten (no router.apply_batch completion)
+    import json as _json
+
+    extra = _json.dumps({
+        "op": "update", "doc_id": "zzz-extra-0",
+        "payload": {"tokens": [1], "n_tok": 1, "source": "wiki"},
+        "commit_ts": "2030-01-01T00:00:00.000Z", "lsn": 999999,
+        "batch_epoch": 99,
+    })
+    blog2 = os.path.join(tmp_warehouse, "late")
+    os.makedirs(blog2)
+    with open(os.path.join(blog2, "epoch-99-0.ndjson"), "w") as f:
+        f.write(extra + "\n")
+    routes["0"].apply_binlog(blog2)  # shard 0 is now AHEAD of the pin
+
+    got = router.consistent_read()
+    assert got["0"].count() == pinned_counts["0"]  # pinned, not live
+    assert routes["0"].table.read().count() == pinned_counts["0"] + 1
+    assert got["0"].filter("doc_id = 'zzz-extra-0'").count() == 0
+
+    # the next complete fan-out advances the pin past the straggler
+    router.apply_binlog(blog2)  # epoch 99 already on shard 0: no-op there
+    got2 = router.consistent_read()
+    assert got2["0"].filter("doc_id = 'zzz-extra-0'").count() == 1
