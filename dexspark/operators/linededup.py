@@ -1,0 +1,106 @@
+"""Line-level deduplication (CCNet-style boilerplate removal).
+
+Web-crawl pretraining corpora carry lines repeated verbatim across
+many pages — cookie banners, nav menus, footers, share buttons. The
+standard treatment (CCNet; used for LLaMA/CommonCrawl prep) is
+line-granular: drop every line that occurs in at least
+``min_doc_freq`` distinct documents, keep the rest of each document
+intact and in order. This complements the document-level family
+(exact / MinHash / SimHash / embedding near-dup): those drop whole
+documents, this cleans the insides of the survivors.
+
+Plan shape at corpus scale (the 100-TB review):
+
+1. ``posexplode(split(text))`` — map-only fan-out, no shuffle; line
+   position rides along so reassembly preserves order.
+2. Per-line-hash document frequency — ONE exchange:
+   ``count_distinct(doc_id) GROUP BY hash`` runs two-phase with
+   map-side partial aggregation (hot boilerplate hashes collapse
+   before the shuffle).
+3. Filter-join lines to their frequency — hash-partitioned on the
+   same key as (2), so AQE reuses the exchange rather than
+   re-shuffling the big side.
+4. Reassemble — one shuffle back to doc_id: ``collect_list`` of
+   (pos, line) structs, ``array_sort`` (pos leads the struct, so
+   struct ordering IS position ordering), ``transform`` +
+   ``array_join``. Pure JVM HOFs, no Python in the path.
+
+Deliberately exact (count_distinct, not approx): the df threshold is
+tiny (2-10) where sketch error rates bite hardest, and the two-phase
+aggregate is one shuffle either way.
+
+Reference parity: none — the reference validates CSVs; this op is
+part of the beyond-reference LLM-pipeline surface (build brief), next
+to dedup_* and the quality filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dedup_lines(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_doc_freq: int = 3,
+    sep: str = "\n",
+    normalize: bool = True,
+) -> DataFrame:
+    """Drop every line occurring in >= ``min_doc_freq`` distinct docs.
+
+    Returns ``docs`` with ``text_col`` rewritten (remaining lines in
+    original order, re-joined with ``sep``) plus ``n_lines_removed``.
+    Documents whose every line was boilerplate keep an empty string;
+    NULL texts pass through NULL. ``normalize=True`` compares lines
+    case-insensitively with collapsed whitespace (the match key only —
+    the ORIGINAL line text is what survives into the output)."""
+    line = F.col("_line")
+    norm = (
+        F.lower(F.trim(F.regexp_replace(line, r"\s+", " ")))
+        if normalize
+        else line
+    )
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("_pos", "_line"),
+    ).withColumn("_h", F.xxhash64(norm))
+    freq = lines.groupBy("_h").agg(
+        F.count_distinct(id_col).alias("_df")
+    )
+    rebuilt = (
+        lines.join(freq, "_h")
+        .withColumn("_keep", F.col("_df") < min_doc_freq)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"), F.struct("_pos", "_line")
+                            )
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+                sep,
+            ).alias("_clean"),
+            F.sum((~F.col("_keep")).cast("long")).alias("n_lines_removed"),
+        )
+    )
+    # left join preserves NULL-text docs (split(NULL) explodes to
+    # nothing, so they never reach the aggregate)
+    out_cols = [
+        F.col("_clean").alias(text_col)
+        if c == text_col
+        else F.col(c)
+        for c in docs.columns
+    ]
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .select(
+            *out_cols,
+            F.coalesce("n_lines_removed", F.lit(0)).alias("n_lines_removed"),
+        )
+    )
