@@ -9,25 +9,28 @@ intact and in order. This complements the document-level family
 (exact / MinHash / SimHash / embedding near-dup): those drop whole
 documents, this cleans the insides of the survivors.
 
-Plan shape at corpus scale (the 100-TB review):
+Plan shape (verified with .explain("formatted") at sf0.001; the
+100-TB reading is in parentheses):
 
 1. ``posexplode(split(text))`` — map-only fan-out, no shuffle; line
    position rides along so reassembly preserves order.
-2. Per-line-hash document frequency — ONE exchange:
-   ``count_distinct(doc_id) GROUP BY hash`` runs two-phase with
-   map-side partial aggregation (hot boilerplate hashes collapse
-   before the shuffle).
-3. Filter-join lines to their frequency — hash-partitioned on the
-   same key as (2), so AQE reuses the exchange rather than
-   re-shuffling the big side.
+2. Per-line-hash document frequency — ``count_distinct(doc_id)
+   GROUP BY hash`` plans as the standard two-phase expansion: partial
+   agg, exchange on (hash, doc_id), partial agg, exchange on hash.
+   Both phases keep map-side partials, so hot boilerplate lines
+   (the millions-of-copies cookie banner) collapse per task before
+   either wire hop.
+3. Filter-join lines to their frequency — Catalyst picks the
+   strategy by size: BroadcastHashJoin at test scale (observed), a
+   hash-partitioned join on the line hash at corpus scale where the
+   distinct-line table is itself corpus-sized and unbroadcastable.
 4. Reassemble — one shuffle back to doc_id: ``collect_list`` of
    (pos, line) structs, ``array_sort`` (pos leads the struct, so
    struct ordering IS position ordering), ``transform`` +
    ``array_join``. Pure JVM HOFs, no Python in the path.
 
 Deliberately exact (count_distinct, not approx): the df threshold is
-tiny (2-10) where sketch error rates bite hardest, and the two-phase
-aggregate is one shuffle either way.
+tiny (2-10), exactly where sketch error rates bite hardest.
 
 Reference parity: none — the reference validates CSVs; this op is
 part of the beyond-reference LLM-pipeline surface (build brief), next
