@@ -433,3 +433,27 @@ def test_consistent_read_pins_complete_fanouts(spark, tmp_warehouse, binlog):
     router.apply_binlog(blog2)  # epoch 99 already on shard 0: no-op there
     got2 = router.consistent_read()
     assert got2["0"].filter("doc_id = 'zzz-extra-0'").count() == 1
+
+
+def test_eight_route_fanout(spark, tmp_warehouse, binlog):
+    """N > pool-size routes: 8 shards through the bounded (4-thread)
+    pool — shard union equals the oracle state, no row lost or doubled,
+    every shard's watermark in step."""
+    names = tuple(str(i) for i in range(8))
+    routes = _mk_routes(spark, tmp_warehouse, names=names, num_buckets=2)
+    expr = "cast(cast(substring(doc_id, -1, 1) as int) % 8 as string)"
+    router = RoutedEngine(spark, tmp_warehouse, routes, expr)
+    router.apply_binlog(binlog)
+
+    want = oracle.replay(binlog)
+    got_union = {}
+    for name, eng in routes.items():
+        rows = eng.table.read().collect()
+        for r in rows:
+            assert str(int(r["doc_id"][-1]) % 8) == name  # routed correctly
+            assert r["doc_id"] not in got_union  # shards are disjoint
+        got_union.update(oracle.state_from_rows(rows))
+        assert eng.table.epoch_state() == (N_EPOCHS - 1, [])
+    assert got_union.keys() == want.state.keys()
+    for k, v in want.state.items():
+        assert list(got_union[k]["tokens"] or []) == list(v["tokens"] or []), k
