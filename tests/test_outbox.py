@@ -40,11 +40,19 @@ def _binlog(spark, root, name, seed, n_events=800, n_docs=120, n_epochs=2):
 
 def _subset(binlog: str, dest: str, epochs: tuple[int, ...]) -> str:
     """Hardlink only the named epochs' files into ``dest`` (a partial
-    delivery of the same log)."""
+    delivery of the same log). File names are zero-padded
+    (``epoch-000002-000.ndjson``), so parse the number rather than
+    prefix-match."""
+    import re
+
     os.makedirs(dest, exist_ok=True)
+    linked = 0
     for fn in os.listdir(binlog):
-        if any(fn.startswith(f"epoch-{e}-") for e in epochs):
+        m = re.match(r"epoch-(\d+)-", fn)
+        if m and int(m.group(1)) in epochs:
             os.link(os.path.join(binlog, fn), os.path.join(dest, fn))
+            linked += 1
+    assert linked, f"no files for epochs {epochs} in {binlog}"
     return dest
 
 
@@ -355,3 +363,62 @@ def test_replica_follows_source_rollback(spark, tmp_warehouse):
     assert info["events"] > 0  # the rollback's logical diff
     dst_eng.apply_binlog(outbox)
     _states_equal(src, dst, "after rollback")
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed", [7, 23])
+def test_outbox_chain_random_interleaving(spark, tmp_warehouse, seed):
+    """Model test: random interleavings of source applies (including
+    redeliveries), emissions, cursor-crash rollbacks, and replica
+    catch-ups — after a final emit+catch-up the chain reconverges to
+    the oracle replay, regardless of history."""
+    import random
+
+    rng = random.Random(seed)
+    src_eng, src = _mk(spark, tmp_warehouse, "src")
+    dst_eng, dst = _mk(spark, tmp_warehouse, "dst")
+    outbox = os.path.join(tmp_warehouse, "outbox")
+
+    n_epochs = 4
+    full = _binlog(
+        spark, tmp_warehouse, "log", seed=seed,
+        n_events=1200, n_docs=100, n_epochs=n_epochs,
+    )
+    chunks = {
+        e: _subset(full, os.path.join(tmp_warehouse, f"e{e}"), (e,))
+        for e in range(n_epochs)
+    }
+    delivered = []
+    steps = []
+    for _ in range(10):
+        op = rng.choice(["apply_new", "redeliver", "emit", "catchup", "crash_cursor"])
+        steps.append(op)
+        if op == "apply_new" and len(delivered) < n_epochs:
+            e = len(delivered)
+            src_eng.apply_binlog(chunks[e])
+            delivered.append(e)
+        elif op == "redeliver" and delivered:
+            src_eng.apply_binlog(chunks[rng.choice(delivered)])
+        elif op == "emit":
+            emit_changes(src, outbox)
+        elif op == "catchup" and os.path.isdir(outbox):
+            dst_eng.apply_binlog(outbox)
+        elif op == "crash_cursor":
+            cur = os.path.join(outbox, "_outbox_cursor.json")
+            if os.path.exists(cur):
+                os.remove(cur)
+    # drain: deliver what's left, emit, catch up
+    for e in range(len(delivered), n_epochs):
+        src_eng.apply_binlog(chunks[e])
+    emit_changes(src, outbox)
+    dst_eng.apply_binlog(outbox)
+
+    want = oracle.replay(full)
+    oracle.assert_equal_state(
+        want.state, src.read().collect(), f"src after {steps}"
+    )
+    oracle.assert_equal_state(
+        want.state, dst.read().collect(), f"replica after {steps}"
+    )
