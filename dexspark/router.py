@@ -340,8 +340,14 @@ class RoutedEngine:
     def _epochs_from_listing(binlog_path: str) -> list[int] | None:
         """The epoch set straight off the log layout — no scan.
         ``epoch-<E>-*`` files (gen.write_binlog) or ``batch_epoch=<E>``
-        partition dirs (structured parquet logs). None when the layout
-        doesn't encode epochs (caller falls back to a scan)."""
+        partition dirs (structured parquet logs / the outbox). None
+        when the layout doesn't encode epochs (caller falls back to a
+        scan). Contract: the layout must PARTITION epochs (every
+        dexspark writer does). A log that hides epoch-E events inside
+        another epoch's file degrades safely — a route that received
+        none of E's events misses only E's quiet-route marker (its
+        tail-compaction optimization), never data: E redelivered later
+        applies and marks then."""
         import re
 
         try:

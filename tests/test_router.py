@@ -457,3 +457,61 @@ def test_eight_route_fanout(spark, tmp_warehouse, binlog):
     assert got_union.keys() == want.state.keys()
     for k, v in want.state.items():
         assert list(got_union[k]["tokens"] or []) == list(v["tokens"] or []), k
+
+
+def test_routed_patch_mode_quiet_route_markers(spark, tmp_warehouse):
+    """Patch-mode engines behind the router: the patch apply path must
+    honor extra_epochs too — a route that saw no events of an epoch
+    still marks it, and composed patches land on the right shard."""
+    import json as _json
+
+    def _pev(doc, ts, lsn, epoch, payload, fields):
+        return _json.dumps({
+            "op": "update", "doc_id": doc,
+            "commit_ts": f"2026-01-01 00:00:{ts:02d}", "lsn": lsn,
+            "batch_epoch": epoch, "payload": payload, "fields": fields,
+        })
+
+    lines = [
+        # doc x-a: two composing patches, SAME epoch 0
+        _pev("x-a", 1, 1, 0, {"tokens": [1, 2], "n_tok": 2}, ["tokens", "n_tok"]),
+        _pev("x-a", 2, 2, 0, {"source": "wiki"}, ["source"]),
+        # epoch 1 routes ONLY to 'a' as well: route 'b' stays quiet
+        _pev("y-a", 3, 3, 1, {"tokens": [5], "n_tok": 1, "source": "web"},
+             ["tokens", "n_tok", "source"]),
+    ]
+    # real-writer layout: files PARTITION epochs (the listing-derived
+    # epoch set assumes this; see RoutedEngine._epochs_from_listing)
+    blog = os.path.join(tmp_warehouse, "patch-binlog")
+    os.makedirs(blog)
+    with open(os.path.join(blog, "epoch-0-0.ndjson"), "w") as f:
+        f.write("\n".join(lines[:2]) + "\n")
+    with open(os.path.join(blog, "epoch-1-0.ndjson"), "w") as f:
+        f.write(lines[2] + "\n")
+
+    routes = {}
+    for name in ("a", "b"):
+        wh = os.path.join(tmp_warehouse, f"route-{name}")
+        t = LakeTable.create(
+            spark, os.path.join(wh, "t"), sequences_schema(),
+            key="doc_id", num_buckets=4,
+        )
+        routes[name] = CdcEngine(
+            spark, t, wh, EngineConfig(num_buckets=4, patch_events=True)
+        )
+    router = RoutedEngine(
+        spark, tmp_warehouse, routes, "element_at(split(doc_id, '-'), -1)"
+    )
+    router.apply_binlog(blog)
+
+    rows = {r["doc_id"]: r for r in routes["a"].table.read().collect()}
+    assert list(rows["x-a"]["tokens"]) == [1, 2]  # patch 1 survived...
+    assert rows["x-a"]["source"] == "wiki"        # ...composed with patch 2
+    assert rows["y-a"]["n_tok"] == 1
+    # the quiet patch-mode route marked both epochs (manifest-only)
+    assert routes["b"].table.read().count() == 0
+    assert routes["b"].table.epoch_state() == (1, [])
+    # redelivery: no-op on both (patch path honors the markers)
+    v = {n: e.table.current_version() for n, e in routes.items()}
+    router.apply_binlog(blog)
+    assert {n: e.table.current_version() for n, e in routes.items()} == v
