@@ -74,6 +74,7 @@ class RoutedEngine:
         route_expr: Column | str,
         default: str | None = None,
         max_parallel_routes: int = 4,
+        unrouted_retention_epochs: int = 0,
     ):
         if not routes:
             raise ValueError("RoutedEngine needs at least one route")
@@ -93,6 +94,10 @@ class RoutedEngine:
         # localCheckpoint blocks, so unbounded fan-out trades memory
         # for no additional throughput once executors are saturated.
         self.max_parallel_routes = max(1, int(max_parallel_routes))
+        # retention for the unrouted sink (the engine sinks' own
+        # sink_retention_epochs analogue): keep the last N epoch
+        # partitions under the MIN route watermark; 0 = keep forever
+        self.unrouted_retention_epochs = int(unrouted_retention_epochs)
 
     # ------------------------------------------------------------ one batch
 
@@ -168,8 +173,29 @@ class RoutedEngine:
                     out[name] = fut.result()
         if self.default is None:
             self._write_unrouted(batch)
+            self._expire_unrouted()
         self._pin_consistent_frontier()
         return out
+
+    def _expire_unrouted(self) -> None:
+        """Unrouted-sink retention (``unrouted_retention_epochs``):
+        expire epoch partitions older than the last N epochs under the
+        MINIMUM route watermark — an epoch no route could still be
+        waiting on. Expired rows are gone for ``reprocess_unrouted``
+        too, so size N to the route-change / replay window (the same
+        contract as the engines' sink retention). The ``-1`` fallback
+        partition (NULL/negative epochs — malformed lines) is never
+        expired by construction (``expire_epoch_partitions`` skips
+        negative partitions)."""
+        keep = self.unrouted_retention_epochs
+        if keep <= 0:
+            return
+        from .lineage import expire_epoch_partitions
+
+        watermark = min(e.table.epoch_state()[0] for e in self.routes.values())
+        cutoff = watermark - keep + 1
+        if cutoff > 0:
+            expire_epoch_partitions(self.unrouted_path, cutoff)
 
     # ------------------------------------------------- cross-shard reads
 

@@ -515,3 +515,28 @@ def test_routed_patch_mode_quiet_route_markers(spark, tmp_warehouse):
     v = {n: e.table.current_version() for n, e in routes.items()}
     router.apply_binlog(blog)
     assert {n: e.table.current_version() for n, e in routes.items()} == v
+
+
+def test_unrouted_sink_retention(spark, tmp_warehouse, binlog):
+    """unrouted_retention_epochs bounds the dead-letter sink like the
+    engines' sink retention: old epoch partitions expire under the
+    min route watermark; the -1 fallback partition never does."""
+    routes = _mk_routes(spark, tmp_warehouse)
+    router = RoutedEngine(
+        spark, tmp_warehouse, routes, PARITY, unrouted_retention_epochs=1
+    )
+    router.apply_binlog(binlog)  # epochs 0..N_EPOCHS-1, watermark 2
+
+    parts = {
+        d for d in os.listdir(router.unrouted_path)
+        if d.startswith("batch_epoch=")
+    }
+    kept_epochs = {
+        int(d.split("=")[1]) for d in parts
+        if not d.split("=")[1].startswith("-")
+        and d.split("=")[1].lstrip("-").isdigit()
+    }
+    # keep=1 under watermark 2: only epoch 2 survives of 0,1,2
+    assert all(e >= N_EPOCHS - 1 for e in kept_epochs), kept_epochs
+    # the fallback partition (malformed lines) survives retention
+    assert any(d.split("=")[1].startswith("-") for d in parts), parts
