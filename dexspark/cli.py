@@ -81,6 +81,13 @@ def main(argv: list[str] | None = None) -> int:
         "replay-convergence preserved)",
     )
     ap.add_argument(
+        "--routes-status",
+        action="store_true",
+        help="route mode: print per-route version/watermark/tail, the "
+        "cross-shard consistent-read pin, and the unrouted dead-letter "
+        "count as JSON (no writes)",
+    )
+    ap.add_argument(
         "--reprocess-unrouted",
         action="store_true",
         help="route mode: re-route the dead-letter sink after the "
@@ -442,6 +449,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.compact_binlog is not None
         or args.reprocess_quarantine
         or args.reprocess_unrouted
+        or args.routes_status
         or args.dedup_index_stats
         or args.rebuild_dedup_index
         or args.bootstrap_dedup_index
@@ -463,16 +471,19 @@ def main(argv: list[str] | None = None) -> int:
     if args.route:
         if not args.route_expr:
             ap.error("--route-expr is required with --route")
-        if not tailing and not args.reprocess_unrouted:
+        if not tailing and not (args.reprocess_unrouted or args.routes_status):
             ap.error("--route only composes with the tailing modes")
-        if args.reprocess_unrouted and not args.warehouse:
-            ap.error("--warehouse is required with --reprocess-unrouted")
+        if (args.reprocess_unrouted or args.routes_status) and not args.warehouse:
+            ap.error(
+                "--warehouse is required with --reprocess-unrouted / "
+                "--routes-status"
+            )
         if any("=" not in r for r in args.route):
             ap.error("--route takes NAME=TABLE_PATH")
     elif not args.table:
         ap.error("--table is required (except in --route mode)")
-    if args.reprocess_unrouted and not args.route:
-        ap.error("--reprocess-unrouted needs --route mode")
+    if (args.reprocess_unrouted or args.routes_status) and not args.route:
+        ap.error("--reprocess-unrouted / --routes-status need --route mode")
     if args.bootstrap_snapshot is not None and args.snapshot_position is None:
         ap.error("--snapshot-position is required with --bootstrap-snapshot")
     if args.compact_binlog and not args.binlog:
@@ -777,6 +788,35 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.warehouse, routes, args.route_expr,
             default=args.route_default,
         )
+        if args.routes_status:
+            status = {}
+            for name, eng in routes.items():
+                w, tl = eng.table.epoch_state()
+                status[name] = {
+                    "table_version": eng.table.current_version(),
+                    "epoch_watermark": w,
+                    "epoch_tail": tl,
+                }
+            try:
+                unrouted = spark.read.parquet(router.unrouted_path).count()
+            except Exception:
+                unrouted = 0
+            pin = None
+            try:
+                with open(router._pin_path) as f:
+                    pin = json.load(f)["versions"]
+            except OSError:
+                pass
+            print(
+                json.dumps(
+                    {
+                        "routes": status,
+                        "consistent_pin": pin,
+                        "unrouted_rows": unrouted,
+                    }
+                )
+            )
+            return 0
         if args.reprocess_unrouted:
             print(json.dumps(router.reprocess_unrouted()))
             return 0

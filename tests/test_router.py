@@ -540,3 +540,28 @@ def test_unrouted_sink_retention(spark, tmp_warehouse, binlog):
     assert all(e >= N_EPOCHS - 1 for e in kept_epochs), kept_epochs
     # the fallback partition (malformed lines) survives retention
     assert any(d.split("=")[1].startswith("-") for d in parts), parts
+
+
+def test_cli_routes_status(spark, tmp_warehouse, binlog, capsys):
+    import json as _json
+
+    from dexspark import cli
+
+    base = [
+        "--route", "0=" + os.path.join(tmp_warehouse, "t0"),
+        "--route", "1=" + os.path.join(tmp_warehouse, "t1"),
+        "--route-expr", PARITY,
+        "--warehouse", os.path.join(tmp_warehouse, "wh"),
+    ]
+    assert cli.main(base + [
+        "--binlog", binlog,
+        "--checkpoint", os.path.join(tmp_warehouse, "ckpt"),
+        "--create", "--num-buckets", "4", "--batch",
+    ]) == 0
+    capsys.readouterr()
+    assert cli.main(base + ["--routes-status"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for name in ("0", "1"):
+        assert out["routes"][name]["epoch_watermark"] == N_EPOCHS - 1
+        assert out["consistent_pin"][name] == out["routes"][name]["table_version"]
+    assert out["unrouted_rows"] > 0  # the parity-NULL anomalies
