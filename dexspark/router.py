@@ -4,7 +4,8 @@ The reference runs ONE pipeline per upload container; a production
 CDC tail often demultiplexes a single binlog into several target
 tables (per tenant, per source system, per doc-id shard). The naive
 composition — run N independent engines over the same log with a
-pre-filter each — breaks exactly-once bookkeeping in two ways:
+pre-filter each — falls short in two ways, one about cost and one
+about exactly-once bookkeeping:
 
 1. **Unshared, serialized per-route work.** The router overlaps the
    per-route applies in a bounded driver pool, reads the batch epoch
