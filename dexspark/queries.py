@@ -129,22 +129,36 @@ def f5_split_destructure(spark, sf_dir):
     )
 
 
-# F7/J4: existence anti-join (event refers to missing entity,
-# FnDecompressor.kt:98-101 doesBlobExist else FAIL)
+# F7 + J4: both existence anti-joins in one query (consolidated r3e
+# to free a window slot for dedup_spans). F7: event refers to a
+# missing entity (FnDecompressor.kt:98-101 doesBlobExist else FAIL);
+# J4: sink rows with no matching change (customers that never
+# ordered). Both anti-join shapes stay driver-verified.
 @query(
     "f7_existence_antijoin",
     """
-    SELECT count(*) AS n_orphans FROM events e
+    SELECT 'orphan_events' AS side, count(*) AS n FROM events e
     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+    UNION ALL
+    SELECT 'customers_without_orders' AS side, count(*) AS n FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
 )
 def f7_existence_antijoin(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     c = _t(spark, sf_dir, "customer")
-    return (
+    o = _t(spark, sf_dir, "orders")
+    orphans = (
         e.join(F.broadcast(c), e.user_id == c.c_custkey, "left_anti")
-        .agg(F.count("*").alias("n_orphans"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("orphan_events").alias("side"), "n")
     )
+    silent = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("customers_without_orders").alias("side"), "n")
+    )
+    return orphans.unionByName(silent)
 
 
 # =====================================================================
@@ -453,20 +467,7 @@ def j3_key_join(spark, sf_dir):
     )
 
 
-# J4: anti-join (customers that never ordered)
-@query(
-    "j4_anti_join",
-    """
-    SELECT count(*) AS n_customers_without_orders FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-)
-def j4_anti_join(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
-        F.count("*").alias("n_customers_without_orders")
-    )
+# J4 folded into f7_existence_antijoin (r3e) — see section 1.
 
 
 # TPC-H Q1 shape: pricing summary (flagship batch aggregate)
@@ -864,6 +865,52 @@ def dedup_components(spark, sf_dir):
 
     pairs = _minhash_candidate_pairs(spark, sf_dir).select("da", "db").distinct()
     return dedup_groups(pairs)
+
+
+# ---- Exact duplicate spans (Lee et al. exact-substring dedup) --------
+# The REAL operator (operators/spandedup.py) under its md5 scheme: a
+# k-gram duplicated anywhere in the corpus anchors a duplicated span;
+# interval-union of [pos, pos+k) over dup-gram starts = the maximal
+# duplicated spans of >= k tokens. Two shuffles: gram counts + the
+# dup-only island window.
+_SPAN_K = 8
+
+
+def _span_sql(k: int = _SPAN_K) -> str:
+    rng = f"range(1, greatest(len(w) - {k - 1}, 0) + 1)"
+    return f"""
+    WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+      SELECT doc_id,
+             unnest([i - 1 FOR i IN {rng}]) AS pos,
+             unnest([md5(array_to_string(w[i:i+{k - 1}], ' ')) FOR i IN {rng}]) AS g
+      FROM docs
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    brk AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {k}
+                  THEN 1 ELSE 0 END AS b
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM brk
+    )
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {k} AS BIGINT) AS span_end
+    FROM isl GROUP BY doc_id, island
+    """
+
+
+@query("dedup_spans", _span_sql())
+def dedup_spans(spark, sf_dir):
+    from .operators.spandedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_spans(d, min_len=_SPAN_K, scheme="md5")
 
 
 # ---- SimHash ---------------------------------------------------------
