@@ -143,6 +143,15 @@ def main(argv: list[str] | None = None) -> int:
         "(EngineConfig.patch_events; operators/patch.py)",
     )
     ap.add_argument(
+        "--profile-epochs",
+        action="store_true",
+        help="write per-epoch data profiles of the applied upserts "
+        "(null rates, source mix, n_tok quantiles, key-cardinality "
+        "sketch) to <warehouse>/profile as a long-format sink; "
+        "compare epochs with operators/profile.drift "
+        "(EngineConfig.profile)",
+    )
+    ap.add_argument(
         "--near-dup-gate",
         action="store_true",
         help="corpus-level near-duplicate gate: MinHash/LSH-sign each "
@@ -543,6 +552,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["patch_events"] = True
     if args.near_dup_gate:
         cfg_kwargs["near_dup_gate"] = True
+    if args.profile_epochs:
+        cfg_kwargs["profile"] = True
     if args.near_dup_min_bands is not None:
         cfg_kwargs["near_dup_min_bands"] = args.near_dup_min_bands
     if args.merge_mode is not None:

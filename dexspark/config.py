@@ -215,4 +215,15 @@ class EngineConfig:
     near_dup_min_bands: int = 1
     near_dup_column: str = "tokens"
     near_dup_intra_batch: bool = True
+    # Per-epoch data profiling (operators/profile.py): when on, each
+    # batch also writes long-format profile rows (n_rows, per-column
+    # null_frac, key-cardinality sketch, n_tok quantiles, source mix)
+    # for the APPLIED upserts into <warehouse>/<profile_subdir>,
+    # partitioned by batch_epoch with the same dynamic-overwrite
+    # idempotence as the other sinks — drift between epochs is then
+    # operators/profile.drift over the sink, no table scan. Off by
+    # default: one extra aggregate job per batch (over the batch's
+    # checkpointed frame, not a rescan).
+    profile: bool = False
+    profile_subdir: str = "profile"
     rules: RuleSet = field(default_factory=sequences_ruleset)

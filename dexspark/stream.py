@@ -95,6 +95,7 @@ class CdcEngine:
         self.quarantine_path = os.path.join(warehouse, self.config.quarantine_subdir)
         self.lineage_path = os.path.join(warehouse, self.config.lineage_subdir)
         self.applied_path = os.path.join(warehouse, self.config.applied_subdir)
+        self.profile_path = os.path.join(warehouse, self.config.profile_subdir)
         # epochs applied but not yet marker-committed (streaming
         # defer_boundary mode; see apply_batch)
         self._deferred_epochs: set[int] = set()
@@ -635,11 +636,11 @@ class CdcEngine:
             # negligible against the merge).
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=2) as pool:
+            with ThreadPoolExecutor(max_workers=3) as pool:
                 f_quar = pool.submit(
                     write_quarantine, quarantined, self.quarantine_path
                 )
-                f_applied = None
+                f_applied = f_prof = None
                 if self.config.applied_lineage and new_epochs:
                     applied_rows = latest.filter(is_good).select(
                         "doc_id", "lsn", "op", "commit_ts", "batch_epoch"
@@ -647,9 +648,26 @@ class CdcEngine:
                     f_applied = pool.submit(
                         write_applied, applied_rows, self.applied_path
                     )
+                if self.config.profile and new_epochs:
+                    # per-epoch data profile of the APPLIED upserts —
+                    # a sink like the others (before markers, dynamic
+                    # overwrite => identical on redelivery); reads the
+                    # checkpointed batch frame, not the source
+                    from .lineage import _write_epoch_partitioned
+                    from .operators.profile import profile_events
+
+                    prof = profile_events(
+                        latest.filter(is_good & (F.col("op") != "delete")).select(
+                            "doc_id", *payload_cols, "batch_epoch"
+                        )
+                    )
+                    f_prof = pool.submit(
+                        _write_epoch_partitioned, prof, self.profile_path
+                    )
                 f_quar.result()
-                if f_applied is not None:
-                    f_applied.result()
+                for f in (f_applied, f_prof):
+                    if f is not None:
+                        f.result()
             # merge only when there are fresh epochs — a pure
             # redelivery (every epoch already in the manifest) must not
             # bump the table version. The marker list may be a strict
@@ -776,7 +794,12 @@ class CdcEngine:
         cutoff = watermark - keep + 1
         if cutoff <= 0:
             return
-        for p in (self.quarantine_path, self.lineage_path, self.applied_path):
+        for p in (
+            self.quarantine_path,
+            self.lineage_path,
+            self.applied_path,
+            self.profile_path,
+        ):
             expire_epoch_partitions(p, cutoff)
 
     def _apply_batch_patch(
