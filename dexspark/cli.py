@@ -252,6 +252,20 @@ def main(argv: list[str] | None = None) -> int:
         "purge) applied as a MERGE of tombstones, e.g. \"source = 'bad'\"",
     )
     ap.add_argument(
+        "--remap-vocab",
+        metavar="MAP_JSON",
+        help="instead of tailing: in-place tokenizer migration — JSON "
+        "file of {old_id: new_id}; rewrites tokens/n_tok through "
+        "LakeTable.rewrite_payload (map-only, zero shuffle); "
+        "--remap-oov picks the OOV policy",
+    )
+    ap.add_argument(
+        "--remap-oov",
+        choices=["unk", "drop"],
+        default="unk",
+        help="OOV policy for --remap-vocab (default: unk -> id 0)",
+    )
+    ap.add_argument(
         "--emit-outbox",
         metavar="OUT_DIR",
         help="while tailing: after each batch, re-emit the table's new "
@@ -438,6 +452,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.vacuum
         or args.rebucket is not None
         or args.delete_where is not None
+        or args.remap_vocab is not None
         or args.set_property is not None
         or args.rollback is not None
         or args.rename_column is not None
@@ -691,6 +706,16 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.delete_where is not None:
             out["delete_where"] = table.delete_where(args.delete_where)
+        if args.remap_vocab is not None:
+            import json as _json
+
+            from .operators.vocabmap import remap_exprs
+
+            with open(args.remap_vocab) as fh:
+                mapping = {int(k): int(v) for k, v in _json.load(fh).items()}
+            out["remap_vocab"] = table.rewrite_payload(
+                remap_exprs(mapping, oov=args.remap_oov)
+            )
         if args.rebucket is not None:
             out["rebucket"] = table.rebucket(args.rebucket)
         if args.compact:

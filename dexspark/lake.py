@@ -878,7 +878,11 @@ class LakeTable:
     # ------------------------------------------------------------ write
 
     def _write_commit(
-        self, df: DataFrame, version: int, n_buckets: int | None = None
+        self,
+        df: DataFrame,
+        version: int,
+        n_buckets: int | None = None,
+        clustered: bool = False,
     ) -> dict[str, list[str]]:
         """Write ``df`` (which must carry ``_bucket``) under a fresh
         commit dir, one directory per bucket; return bucket -> relpaths.
@@ -898,7 +902,15 @@ class LakeTable:
         # with a bare repartition(col), AQE coalesces the small write
         # shuffle to ~output_bytes/64MB tasks, serializing the write at
         # bench scale (measured flat ~2.5s at any core count).
-        data = df.repartition(n_buckets or self.num_buckets, "_bucket")
+        # ``clustered=True`` skips the exchange: the caller asserts the
+        # input is already bucket-clustered (a map-only transform of
+        # per-bucket files — rewrite_payload), so shuffling the whole
+        # table again would be pure waste; each task's rows span few
+        # buckets and partitionBy's own per-task sort splits them.
+        if clustered:
+            data = df
+        else:
+            data = df.repartition(n_buckets or self.num_buckets, "_bucket")
         # Optional sort-on-write (table property, the Iceberg
         # write.sort-order idea): order rows by the merge key INSIDE
         # each bucket task so every parquet row group covers a narrow
@@ -1641,6 +1653,72 @@ class LakeTable:
             "version": version,
             "rebucketed": True,
             "num_buckets": new_num_buckets,
+        }
+
+    def rewrite_payload(self, exprs: dict) -> dict:
+        """Full-corpus map-only transform as ONE commit: rewrite every
+        row's payload columns through ``exprs`` (column name ->
+        pyspark Column or SQL string) without ever shuffling the table.
+
+        The 10^10-row migration path (retokenize under a new vocab,
+        re-normalize text, re-quantize embeddings): the merge key may
+        NOT be transformed, so every row's bucket assignment is
+        unchanged — the read is already bucket-clustered files, the
+        transform is a projection, and the write skips the exchange
+        (``_write_commit(clustered=True)``): scan + map + write, zero
+        shuffle. Compare ``overwrite(read().withColumn(...))``, which
+        pays a full-table exchange for the same result.
+
+        Types must stay schema-compatible (the result is aligned to
+        the table schema — widen the schema first for type changes).
+        MOR history folds down in the same pass (the read reconstructs
+        it; reconstruction shuffles only the MOR-dirty buckets —
+        ``compact()`` first for a perfectly clustered rewrite).
+        Publishes as ``rewrite-payload``, a table-wide commit:
+        concurrent merges never rebase over it (and it never rebases),
+        exactly like ``rebucket``. Epoch state is preserved — the
+        rewrite is not a change-apply, replay semantics are untouched.
+        Old commits remain time-travelable until ``vacuum()``;
+        ``changes()`` emits the rewrite as ordinary per-row upserts
+        (parent-vs-child diff), so changelog consumers reconverge.
+        """
+        m = self.manifest()
+        if m["key"] in exprs:
+            raise ValueError(
+                f"rewrite_payload cannot transform the merge key "
+                f"{m['key']!r} (bucket assignment must be preserved; "
+                f"use merge/delete for key changes)"
+            )
+        schema = T.StructType.fromJson(m["schema"])
+        names = {f.name for f in schema.fields}
+        unknown = set(exprs) - names
+        if unknown:
+            raise ValueError(f"unknown columns: {sorted(unknown)}")
+        state = self.read()
+        for c, e in exprs.items():
+            state = state.withColumn(c, F.expr(e) if isinstance(e, str) else e)
+        version = self._next_version(m)
+        data = self._bucket_col(self._align(state, schema), m["key"], m["num_buckets"])
+        written = self._write_commit(data, version, clustered=True)
+        fb, fr = self._file_bounds_of(written)
+        mm = dict(m)
+        mm.update(
+            version=version,
+            version_hwm=version,
+            parent=m["version"],
+            operation="rewrite-payload",
+            buckets=written,
+            file_bounds=fb,
+            file_rows=fr,
+            mor=False,
+            mor_depth=0,
+            mor_buckets={},
+        )
+        self._commit(mm)
+        return {
+            "version": version,
+            "rewritten_columns": sorted(exprs),
+            "buckets": len(written),
         }
 
     # ------------------------------------------------------- properties
