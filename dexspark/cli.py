@@ -288,6 +288,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--out", help="output dir for --changes")
     ap.add_argument(
+        "--drift",
+        metavar="E0,E1",
+        help="instead of tailing: compare two epochs of the profile "
+        "sink (--profile-epochs writes it) — per-metric deltas + the "
+        "source-mix L1, printed as JSON; needs --warehouse only",
+    )
+    ap.add_argument(
         "--compact",
         action="store_true",
         help="instead of tailing: fold merge-on-read history down "
@@ -468,6 +475,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.stats
         or args.lookup is not None
         or args.changes is not None
+        or args.drift is not None
         or args.outbox is not None
         or args.scan_range is not None
         or args.compact_binlog is not None
@@ -504,8 +512,10 @@ def main(argv: list[str] | None = None) -> int:
             )
         if any("=" not in r for r in args.route):
             ap.error("--route takes NAME=TABLE_PATH")
-    elif not args.table:
+    elif not args.table and args.drift is None:
         ap.error("--table is required (except in --route mode)")
+    if args.drift is not None and not args.warehouse:
+        ap.error("--warehouse is required with --drift")
     if (args.reprocess_unrouted or args.routes_status) and not args.route:
         ap.error("--reprocess-unrouted / --routes-status need --route mode")
     if args.bootstrap_snapshot is not None and args.snapshot_position is None:
@@ -536,6 +546,38 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName("dexspark-cdc").getOrCreate()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    if args.drift is not None:
+        # table-less read-only mode: compare two epochs of the profile
+        # sink (written while tailing with --profile-epochs)
+        import os as _os
+
+        from .operators.profile import drift as _drift
+
+        e0, e1 = (int(x) for x in args.drift.split(","))
+        prof = spark.read.parquet(_os.path.join(args.warehouse, "profile"))
+        rows = _drift(prof, e0, e1).collect()
+        print(
+            json.dumps(
+                {
+                    "epoch_a": e0,
+                    "epoch_b": e1,
+                    "drift": [
+                        {
+                            "kind": r["kind"],
+                            "key": r["key"],
+                            "value_a": r["value_a"],
+                            "value_b": r["value_b"],
+                            "abs_diff": r["abs_diff"],
+                        }
+                        for r in sorted(
+                            rows, key=lambda r: (r["kind"], r["key"])
+                        )
+                    ],
+                }
+            )
+        )
+        return 0
 
     if args.create and args.branch is None and args.table:
         t0 = LakeTable(spark, args.table)

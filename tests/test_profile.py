@@ -135,3 +135,36 @@ def test_engine_profile_sink(spark, tmp_warehouse):
     eng2.apply_binlog(binlog)
     assert LakeTable(spark, table_root).current_version() == v
     assert _rows(spark.read.parquet(eng2.profile_path)) == got
+
+
+def test_cli_drift_mode(spark, tmp_warehouse, capsys):
+    """--drift E0,E1 reads the profile sink only (no --table) and
+    reports the source-mix L1."""
+    import json
+    import os
+
+    from dexspark import cli, gen
+    from dexspark.config import EngineConfig
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+    from dexspark.stream import CdcEngine
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(spark, n_events=800, n_docs=150, n_epochs=2, max_len=8),
+        binlog,
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "t"), sequences_schema(),
+        key="doc_id", num_buckets=2,
+    )
+    CdcEngine(
+        spark, t, tmp_warehouse, EngineConfig(num_buckets=2, profile=True)
+    ).apply_binlog(binlog)
+
+    rc = cli.main(["--warehouse", tmp_warehouse, "--drift", "0,1"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = {(r["kind"], r["key"]): r for r in out["drift"]}
+    assert ("drift_l1", "source_frac") in got
+    assert got[("n_rows", "_all")]["value_a"] > 0

@@ -184,3 +184,56 @@ def test_dedup_plans_agree_and_match_python(spark, data):
             want[k] = (ts, lsn, v)
     assert a == want
     assert b == want
+
+
+# ------------------------------------------------- duplicate spans
+
+# small alphabet + short docs force heavy shared k-grams, so every
+# code path (merge, intra-doc, near-miss) is hit; min_len=3 keeps the
+# brute-force oracle cheap
+span_corpora = st.lists(
+    st.lists(st.integers(min_value=0, max_value=3), max_size=14),
+    min_size=1,
+    max_size=8,
+)
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(span_corpora)
+def test_duplicate_spans_match_bruteforce(spark, corpora):
+    from dexspark.operators.spandedup import duplicate_spans
+
+    k = 3
+    docs = {i: [str(t) for t in toks] for i, toks in enumerate(corpora)}
+    # brute force: global k-gram counts -> covered positions -> islands
+    counts: dict = {}
+    for toks in docs.values():
+        for i in range(len(toks) - k + 1):
+            g = tuple(toks[i : i + k])
+            counts[g] = counts.get(g, 0) + 1
+    want: dict = {}
+    for did, toks in docs.items():
+        spans: list = []
+        for p in range(len(toks) - k + 1):
+            if counts[tuple(toks[p : p + k])] < 2:
+                continue
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + k)
+            else:
+                spans.append([p, p + k])
+        if spans:
+            want[did] = sorted(tuple(s) for s in spans)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id int, tokens array<string>"
+    )
+    got: dict = {}
+    for r in duplicate_spans(df, text="tokens", min_len=k).collect():
+        got.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got == want
