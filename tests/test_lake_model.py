@@ -58,8 +58,8 @@ def _apply_random_ops(spark, table, rng, n_ops):
     for _ in range(n_ops):
         op = rng.choices(
             ["merge", "delete_where", "compact", "rebucket", "overwrite",
-             "rollback", "branch_publish"],
-            weights=[50, 10, 8, 8, 8, 8, 12],
+             "rollback", "branch_publish", "rewrite_payload"],
+            weights=[50, 10, 8, 8, 8, 8, 12, 8],
         )[0]
         if op == "merge":
             ups = [_payload(rng, k) for k in rng.sample(KEYS, rng.randint(1, 8))]
@@ -137,6 +137,19 @@ def _apply_random_ops(spark, table, rng, n_ops):
             rows = [_payload(rng, k) for k in rng.sample(KEYS, rng.randint(1, 6))]
             table.overwrite(spark.createDataFrame(rows, schema=sequences_schema()))
             model = {k: (t, n, s) for k, t, n, s in rows}
+        elif op == "rewrite_payload":
+            # in-place full-corpus transform (vocab-shift shape): must
+            # compose with every other commit type and fold MOR history
+            shift = rng.randint(1, 5)
+            from pyspark.sql import functions as F
+
+            table.rewrite_payload(
+                {"tokens": F.transform("tokens", lambda t: t + shift)}
+            )
+            model = {
+                k: ([t + shift for t in toks], n, src)
+                for k, (toks, n, src) in model.items()
+            }
         history.append(
             (table.manifest()["version"], dict(model), list(merged_epochs))
         )
