@@ -422,3 +422,32 @@ def test_outbox_chain_random_interleaving(spark, tmp_warehouse, seed):
     oracle.assert_equal_state(
         want.state, dst.read().collect(), f"replica after {steps}"
     )
+
+
+def test_replica_follows_source_rewrite_payload(spark, tmp_warehouse):
+    """An in-place corpus rewrite (vocab migration) is a logical
+    change: its diff travels through the outbox as ordinary upserts and
+    the replica converges to the rewritten corpus."""
+    from pyspark.sql import functions as F
+
+    src_eng, src = _mk(spark, tmp_warehouse, "src")
+    dst_eng, dst = _mk(spark, tmp_warehouse, "dst")
+    outbox = os.path.join(tmp_warehouse, "outbox")
+
+    full = _binlog(spark, tmp_warehouse, "b1", seed=77, n_events=1600, n_epochs=2)
+    src_eng.apply_binlog(full)
+    emit_changes(src, outbox)
+    dst_eng.apply_binlog(outbox)
+    _states_equal(src, dst, "before rewrite")
+
+    src.rewrite_payload({"tokens": F.transform("tokens", lambda t: t + 7)})
+    info = emit_changes(src, outbox)
+    assert info["events"] > 0
+    dst_eng.apply_binlog(outbox)
+    _states_equal(src, dst, "after rewrite")
+
+    # redelivery of the whole outbox is still a no-op
+    v = dst.current_version()
+    dst_eng.apply_binlog(outbox)
+    assert dst.current_version() == v
+    _states_equal(src, dst, "after redelivery")

@@ -180,3 +180,41 @@ def test_cli_remap_vocab(spark, tmp_warehouse, capsys):
 
     got = {r["doc_id"]: r for r in LakeTable(spark, root).read().collect()}
     assert got["doc-3"]["tokens"] == [8] and got["doc-3"]["n_tok"] == 1
+
+
+def test_rewrite_payload_stages_on_branch_then_publishes(spark, tmp_warehouse):
+    """The audited migration: stage the full-corpus rewrite on a
+    branch, verify it, publish — main flips to the rewritten corpus in
+    one conditional put. A rewrite on MAIN under a live branch instead
+    blocks that branch's publish (table-wide conflict)."""
+    from dexspark.gen import base_sequences
+    from dexspark.lake import ConcurrentCommitError, LakeTable
+    from dexspark.schema import sequences_schema
+
+    root = os.path.join(tmp_warehouse, "mig")
+    t = LakeTable.create(
+        spark, root, sequences_schema(), key="doc_id", num_buckets=4
+    )
+    t.overwrite(base_sequences(spark, n_docs=60, max_len=6))
+    before = {r["doc_id"]: r["tokens"] for r in t.read().collect()}
+
+    t.create_branch("mig")
+    bt = LakeTable(spark, root, branch="mig")
+    bt.rewrite_payload({"tokens": F.transform("tokens", lambda x: x + 1)})
+    # audit: main untouched, branch rewritten
+    assert {r["doc_id"]: r["tokens"] for r in t.read().collect()} == before
+    staged = {r["doc_id"]: r["tokens"] for r in bt.read().collect()}
+    assert staged == {d: [x + 1 for x in v] for d, v in before.items()}
+    t.publish_branch("mig")
+    t.drop_branch("mig")
+    assert {r["doc_id"]: r["tokens"] for r in t.read().collect()} == staged
+
+    # main-side rewrite under a live branch: the branch's publish must
+    # refuse (its merge was audited against pre-rewrite state)
+    t.create_branch("b2")
+    bt2 = LakeTable(spark, root, branch="b2")
+    bt2.merge(base_sequences(spark, n_docs=5, max_len=6))
+    t.rewrite_payload({"tokens": F.transform("tokens", lambda x: x + 1)})
+    with pytest.raises(ConcurrentCommitError):
+        t.publish_branch("b2")
+    t.drop_branch("b2")
