@@ -252,6 +252,15 @@ def main(argv: list[str] | None = None) -> int:
         "purge) applied as a MERGE of tombstones, e.g. \"source = 'bad'\"",
     )
     ap.add_argument(
+        "--trim-dup-spans",
+        type=int,
+        metavar="MIN_LEN",
+        help="instead of tailing: corpus hygiene pass — detect verbatim"
+        " repeated token spans of >= MIN_LEN (operators/spandedup, the"
+        " exact-substring dedup) and rewrite the table with every"
+        " occurrence removed (n_tok recomputed); one overwrite commit",
+    )
+    ap.add_argument(
         "--remap-vocab",
         metavar="MAP_JSON",
         help="instead of tailing: in-place tokenizer migration — JSON "
@@ -460,6 +469,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.rebucket is not None
         or args.delete_where is not None
         or args.remap_vocab is not None
+        or args.trim_dup_spans is not None
         or args.set_property is not None
         or args.rollback is not None
         or args.rename_column is not None
@@ -758,6 +768,25 @@ def main(argv: list[str] | None = None) -> int:
             out["remap_vocab"] = table.rewrite_payload(
                 remap_exprs(mapping, oov=args.remap_oov)
             )
+        if args.trim_dup_spans is not None:
+            from pyspark.sql import functions as F
+
+            from .operators.spandedup import remove_duplicate_spans
+
+            state = table.read()
+            trimmed = remove_duplicate_spans(
+                state, text="tokens", min_len=args.trim_dup_spans
+            ).withColumn("n_tok", F.size("tokens").cast("int"))
+            n_removed = int(
+                trimmed.agg(F.sum("n_removed_tokens")).collect()[0][0] or 0
+            )
+            if n_removed:
+                table.overwrite(trimmed.drop("n_removed_tokens"))
+            out["trim_dup_spans"] = {
+                "version": table.current_version(),
+                "tokens_removed": n_removed,
+                "min_len": args.trim_dup_spans,
+            }
         if args.rebucket is not None:
             out["rebucket"] = table.rebucket(args.rebucket)
         if args.compact:

@@ -147,3 +147,44 @@ def test_real_documents_smoke(spark):
     spans.limit(5).collect()  # runs end-to-end
     bad = spans.filter("span_end - span_start < 8 OR span_start < 0").count()
     assert bad == 0
+
+
+def test_cli_trim_dup_spans(spark, tmp_path, capsys):
+    """--trim-dup-spans MIN_LEN: hygiene rewrite of the whole table;
+    boilerplate runs vanish, n_tok recomputed, idempotent on re-run."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dexspark import cli
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+
+    root = str(tmp_path / "seq")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=2)
+    boiler = list(range(900, 910))
+    rows = [
+        ("d1", boiler + [1, 2, 3], 13, "a"),
+        ("d2", [7, 8] + boiler, 12, "a"),
+        ("d3", [20, 21, 22, 23], 4, "b"),
+    ]
+    t.overwrite(spark.createDataFrame(rows, schema=sequences_schema()))
+
+    rc = cli.main(["--table", root, "--trim-dup-spans", "8"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["trim_dup_spans"]["tokens_removed"] == 20
+
+    got = {r["doc_id"]: (r["tokens"], r["n_tok"]) for r in
+           LakeTable(spark, root).read().collect()}
+    assert got["d1"] == ([1, 2, 3], 3)
+    assert got["d2"] == ([7, 8], 2)
+    assert got["d3"] == ([20, 21, 22, 23], 4)
+
+    # idempotent: nothing left to trim, version unchanged
+    v = LakeTable(spark, root).current_version()
+    rc = cli.main(["--table", root, "--trim-dup-spans", "8"])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["trim_dup_spans"]["tokens_removed"] == 0
+    assert LakeTable(spark, root).current_version() == v
