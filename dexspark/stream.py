@@ -989,6 +989,20 @@ class CdcEngine:
             # sinks BEFORE the marker-committing merge (crash ordering
             # — see apply_batch)
             write_quarantine(rejects.unionByName(bad_q), self.quarantine_path)
+            if self.config.profile and new_epochs:
+                # per-epoch profile of the resolved POST-IMAGES (the
+                # rows about to merge) — same sink semantics as the
+                # default path
+                from .lineage import _write_epoch_partitioned
+                from .operators.profile import profile_events
+
+                _write_epoch_partitioned(
+                    profile_events(
+                        v.filter(~is_bad).select(key, *data_cols, "batch_epoch"),
+                        key_col=key,
+                    ),
+                    self.profile_path,
+                )
             n_dels = r["dels"].count()
             if new_epochs:
                 merge_info = self.table.merge(

@@ -168,3 +168,36 @@ def test_cli_drift_mode(spark, tmp_warehouse, capsys):
     got = {(r["kind"], r["key"]): r for r in out["drift"]}
     assert ("drift_l1", "source_frac") in got
     assert got[("n_rows", "_all")]["value_a"] > 0
+
+
+def test_patch_mode_profile_sink(spark, tmp_warehouse):
+    """EngineConfig(profile=True) also works in patch mode: the sink
+    profiles the resolved post-images per epoch."""
+    import os
+
+    from dexspark import gen
+    from dexspark.config import EngineConfig
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+    from dexspark.stream import CdcEngine
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(spark, n_events=600, n_docs=120, n_epochs=2, max_len=8),
+        binlog,
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "t"), sequences_schema(),
+        key="doc_id", num_buckets=2,
+    )
+    eng = CdcEngine(
+        spark, t, tmp_warehouse,
+        EngineConfig(num_buckets=2, profile=True, patch_events=True),
+    )
+    eng.apply_binlog(binlog)
+    got = _rows(spark.read.parquet(eng.profile_path))
+    epochs = sorted({e for (e, _, _) in got})
+    assert epochs == [0, 1]
+    for e in epochs:
+        assert got[(e, "n_rows", "_all")] > 0
+    assert (0, "null_frac", "tokens") in got
