@@ -304,6 +304,15 @@ def main(argv: list[str] | None = None) -> int:
         "source-mix L1, printed as JSON; needs --warehouse only",
     )
     ap.add_argument(
+        "--distinct-over",
+        metavar="LO,HI",
+        help="instead of tailing: union the mergeable HLL sketch sink "
+        "(--profile-epochs writes it beside the profile) over an "
+        "inclusive epoch window (either bound may be empty = "
+        "unbounded) — distinct keys seen across the window, no table "
+        "or binlog rescan; needs --warehouse only",
+    )
+    ap.add_argument(
         "--compact",
         action="store_true",
         help="instead of tailing: fold merge-on-read history down "
@@ -486,6 +495,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.lookup is not None
         or args.changes is not None
         or args.drift is not None
+        or args.distinct_over is not None
         or args.outbox is not None
         or args.scan_range is not None
         or args.compact_binlog is not None
@@ -522,10 +532,12 @@ def main(argv: list[str] | None = None) -> int:
             )
         if any("=" not in r for r in args.route):
             ap.error("--route takes NAME=TABLE_PATH")
-    elif not args.table and args.drift is None:
+    elif not args.table and args.drift is None and args.distinct_over is None:
         ap.error("--table is required (except in --route mode)")
     if args.drift is not None and not args.warehouse:
         ap.error("--warehouse is required with --drift")
+    if args.distinct_over is not None and not args.warehouse:
+        ap.error("--warehouse is required with --distinct-over")
     if (args.reprocess_unrouted or args.routes_status) and not args.route:
         ap.error("--reprocess-unrouted / --routes-status need --route mode")
     if args.bootstrap_snapshot is not None and args.snapshot_position is None:
@@ -584,6 +596,36 @@ def main(argv: list[str] | None = None) -> int:
                             rows, key=lambda r: (r["kind"], r["key"])
                         )
                     ],
+                }
+            )
+        )
+        return 0
+
+    if args.distinct_over is not None:
+        # table-less read-only mode: union the mergeable HLL sketch
+        # sink over an epoch window (--profile-epochs writes it) —
+        # distinct keys over the window with NO table/binlog rescan
+        import os as _os
+
+        from .operators.profile import distinct_over as _distinct
+
+        lo_s, hi_s = (args.distinct_over.split(",") + [""])[:2]
+        lo = int(lo_s) if lo_s else None
+        hi = int(hi_s) if hi_s else None
+        sk = spark.read.parquet(_os.path.join(args.warehouse, "profile_sketch"))
+        rows = _distinct(sk, lo, hi).collect()
+        print(
+            json.dumps(
+                {
+                    "epoch_lo": lo,
+                    "epoch_hi": hi,
+                    "distinct": {
+                        r["key"]: {
+                            "n_epochs": r["n_epochs"],
+                            "n_distinct": round(r["n_distinct"], 1),
+                        }
+                        for r in rows
+                    },
                 }
             )
         )

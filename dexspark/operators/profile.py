@@ -176,3 +176,81 @@ def profile_schema() -> T.StructType:
             T.StructField("value", T.DoubleType()),
         ]
     )
+
+
+# ------------------------------------------------- mergeable sketches
+#
+# The profile's ``distinct_approx`` answers "how many distinct keys in
+# THIS epoch" but is a dead end across epochs: distinct counts don't
+# add. The sketch sink stores the DataSketches HLL state itself
+# (``hll_sketch_agg``, binary, ~2 KB at the default lgK=12), so any
+# epoch window unions to an exact-algebra distinct estimate —
+# "distinct doc_ids touched in the last 10k epochs" costs a scan of
+# 10k tiny sink rows, never a table or binlog re-scan. This is the
+# standard mergeable-summary contract (same stance as the profile's
+# percentile_approx t-digests, but persisted in mergeable form).
+
+
+def sketch_events(
+    df: DataFrame,
+    epoch_col: str = "batch_epoch",
+    columns: tuple[str, ...] | list[str] = ("doc_id",),
+    lgk: int = 12,
+) -> DataFrame:
+    """Per-epoch HLL sketches: long rows ``(epoch_col, key,
+    sketch:binary)``, one per (epoch, column). ONE map-side-partial
+    aggregate; NULLs don't feed the sketch (SQL-distinct semantics).
+
+    All sketches in one sink must share ``lgk`` so
+    :func:`distinct_over` can union them."""
+    cols = [c for c in columns if c in df.columns]
+    aggs = [
+        F.hll_sketch_agg(F.col(c), F.lit(lgk)).alias(f"_sk_{c}")
+        for c in cols
+    ]
+    cells = df.groupBy(epoch_col).agg(*aggs)
+    unpivot = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("key"),
+                F.col(f"_sk_{c}").alias("sketch"),
+            )
+            for c in cols
+        ]
+    )
+    return cells.select(epoch_col, F.explode(unpivot).alias("_m")).select(
+        epoch_col, "_m.key", "_m.sketch"
+    )
+
+
+def distinct_over(
+    sketches: DataFrame,
+    epoch_lo: int | None = None,
+    epoch_hi: int | None = None,
+    epoch_col: str = "batch_epoch",
+) -> DataFrame:
+    """Union the sketch sink across an epoch window (inclusive
+    bounds, None = unbounded) -> ``(key, n_epochs, n_distinct)`` per
+    sketched column. Epoch pruning is partition pruning on the sink;
+    the union is a map-side-partial aggregate over O(epochs) rows."""
+    f = sketches
+    if epoch_lo is not None:
+        f = f.filter(F.col(epoch_col) >= epoch_lo)
+    if epoch_hi is not None:
+        f = f.filter(F.col(epoch_col) <= epoch_hi)
+    return f.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_epochs"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "n_distinct"
+        ),
+    )
+
+
+def sketch_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("batch_epoch", T.LongType()),
+            T.StructField("key", T.StringType()),
+            T.StructField("sketch", T.BinaryType()),
+        ]
+    )

@@ -96,6 +96,13 @@ class CdcEngine:
         self.lineage_path = os.path.join(warehouse, self.config.lineage_subdir)
         self.applied_path = os.path.join(warehouse, self.config.applied_subdir)
         self.profile_path = os.path.join(warehouse, self.config.profile_subdir)
+        # mergeable HLL sketch sink beside the profile (see
+        # operators/profile.sketch_events). Deliberately NOT in the
+        # _expire_sinks list: a sketch row is ~2 KB per epoch
+        # regardless of data size, and its whole value is the
+        # long-horizon distinct-over-window query that retention
+        # would destroy.
+        self.sketch_path = self.profile_path + "_sketch"
         # epochs applied but not yet marker-committed (streaming
         # defer_boundary mode; see apply_batch)
         self._deferred_epochs: set[int] = set()
@@ -654,15 +661,23 @@ class CdcEngine:
                     # overwrite => identical on redelivery); reads the
                     # checkpointed batch frame, not the source
                     from .lineage import _write_epoch_partitioned
-                    from .operators.profile import profile_events
-
-                    prof = profile_events(
-                        latest.filter(is_good & (F.col("op") != "delete")).select(
-                            "doc_id", *payload_cols, "batch_epoch"
-                        )
+                    from .operators.profile import (
+                        profile_events,
+                        sketch_events,
                     )
+
+                    applied_good = latest.filter(
+                        is_good & (F.col("op") != "delete")
+                    ).select("doc_id", *payload_cols, "batch_epoch")
+                    prof = profile_events(applied_good)
                     f_prof = pool.submit(
                         _write_epoch_partitioned, prof, self.profile_path
+                    )
+                    # mergeable distinct sketches beside the profile
+                    # (same crash ordering + dynamic-overwrite
+                    # idempotence; estimate-identical on redelivery)
+                    _write_epoch_partitioned(
+                        sketch_events(applied_good), self.sketch_path
                     )
                 f_quar.result()
                 for f in (f_applied, f_prof):
@@ -994,14 +1009,15 @@ class CdcEngine:
                 # rows about to merge) — same sink semantics as the
                 # default path
                 from .lineage import _write_epoch_partitioned
-                from .operators.profile import profile_events
+                from .operators.profile import profile_events, sketch_events
 
+                _post = v.filter(~is_bad).select(key, *data_cols, "batch_epoch")
                 _write_epoch_partitioned(
-                    profile_events(
-                        v.filter(~is_bad).select(key, *data_cols, "batch_epoch"),
-                        key_col=key,
-                    ),
+                    profile_events(_post, key_col=key),
                     self.profile_path,
+                )
+                _write_epoch_partitioned(
+                    sketch_events(_post, columns=(key,)), self.sketch_path
                 )
             n_dels = r["dels"].count()
             if new_epochs:

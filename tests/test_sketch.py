@@ -1,0 +1,196 @@
+"""Mergeable HLL distinct sketches (operators/profile.sketch_events /
+distinct_over) and the engine sketch sink beside the profile.
+
+Why this exists: the profile's per-epoch ``distinct_approx`` values
+can't be combined across epochs (distinct counts don't add). The
+sketch sink persists the HLL state itself, so ANY epoch window unions
+to a distinct estimate without rescanning the table or binlog —
+the mergeable-summary contract (reference reports only per-run
+counts: csvValidationFunction_Generic.kt:87-109; the cross-run
+rollup is this engine's extension)."""
+
+import json
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from dexspark.operators.profile import distinct_over, sketch_events
+
+
+def _mk(spark, epochs: dict[int, list[str]]):
+    rows = [(d, e) for e, docs in epochs.items() for d in docs]
+    return spark.createDataFrame(rows, "doc_id string, batch_epoch long")
+
+
+def test_sketch_exact_at_small_cardinality(spark):
+    # overlapping epochs: union is NOT the sum of per-epoch distincts
+    epochs = {
+        0: [f"d{i}" for i in range(60)],
+        1: [f"d{i}" for i in range(40, 100)],  # 20 overlap with e0
+        2: [f"d{i}" for i in range(90, 120)],  # 10 overlap with e1
+    }
+    sk = sketch_events(_mk(spark, epochs))
+    # per-epoch estimates are exact at this cardinality (HLL sparse mode)
+    per_epoch = {
+        r["batch_epoch"]: r["n"]
+        for r in sk.groupBy("batch_epoch")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n"))
+        .collect()
+    }
+    assert {e: round(v) for e, v in per_epoch.items()} == {0: 60, 1: 60, 2: 30}
+
+    # windowed union = true distinct over the window, not the sum
+    got = {r["key"]: r for r in distinct_over(sk, 0, 2).collect()}
+    assert round(got["doc_id"]["n_distinct"]) == 120
+    assert got["doc_id"]["n_epochs"] == 3
+    # sub-window
+    sub = {r["key"]: r for r in distinct_over(sk, 1, 2).collect()}
+    assert round(sub["doc_id"]["n_distinct"]) == 80  # 40..119
+    assert sub["doc_id"]["n_epochs"] == 2
+
+
+def test_sketch_estimate_tolerance_at_larger_cardinality(spark):
+    epochs = {
+        0: [f"k{i}" for i in range(4000)],
+        1: [f"k{i}" for i in range(2000, 6000)],
+    }
+    sk = sketch_events(_mk(spark, epochs))
+    got = distinct_over(sk).collect()[0]
+    assert abs(got["n_distinct"] - 6000) / 6000 < 0.03
+
+
+def test_sketch_multi_column_and_nulls(spark):
+    df = spark.createDataFrame(
+        [("d1", "a", 0), ("d2", None, 0), ("d2", "b", 0), (None, "b", 0)],
+        "doc_id string, source string, batch_epoch long",
+    )
+    sk = sketch_events(df, columns=("doc_id", "source", "absent_col"))
+    got = {r["key"]: r["n_distinct"] for r in distinct_over(sk).collect()}
+    # NULLs don't feed the sketch (SQL-distinct semantics); absent
+    # columns are skipped, not errors
+    assert set(got) == {"doc_id", "source"}
+    assert round(got["doc_id"]) == 2
+    assert round(got["source"]) == 2
+
+
+def test_engine_sketch_sink_and_redelivery(spark, tmp_warehouse):
+    """EngineConfig(profile=True) writes the sketch sink beside the
+    profile; estimates equal the exact distinct applied (non-delete)
+    doc_ids per epoch; redelivery leaves estimates identical and the
+    table version untouched."""
+    from dexspark import gen
+    from dexspark.config import EngineConfig
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+    from dexspark.stream import CdcEngine
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=2000, n_docs=300, n_epochs=3, max_len=16,
+            anomaly_pct=10,
+        ),
+        binlog,
+    )
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "t"), sequences_schema(),
+        key="doc_id", num_buckets=4,
+    )
+    cfg = EngineConfig(num_buckets=4, profile=True, applied_lineage=True)
+    eng = CdcEngine(spark, table, tmp_warehouse, cfg)
+    eng.apply_binlog(binlog)
+
+    sk = spark.read.parquet(eng.sketch_path)
+    est = {
+        r["batch_epoch"]: r["n"]
+        for r in sk.groupBy("batch_epoch")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n"))
+        .collect()
+    }
+    # ground truth from the applied-lineage sink (the same winning
+    # rows the profile/sketch frame reads), excluding deletes
+    exact = {
+        r["batch_epoch"]: r["n"]
+        for r in spark.read.parquet(eng.applied_path)
+        .filter(F.col("op") != "delete")
+        .groupBy("batch_epoch")
+        .agg(F.count_distinct("doc_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact) == {0, 1, 2}
+    # cardinalities here straddle the sketch's exact->estimated
+    # promotion (~a few hundred at lgK=12), so bound the error
+    # instead of asserting equality (exactness at small cardinality
+    # is pinned by test_sketch_exact_at_small_cardinality)
+    for e in exact:
+        assert abs(est[e] - exact[e]) / exact[e] < 0.02
+
+    # whole-stream distinct == distinct over all applied upserts
+    total = distinct_over(sk).collect()[0]
+    exact_total = (
+        spark.read.parquet(eng.applied_path)
+        .filter(F.col("op") != "delete")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert abs(total["n_distinct"] - exact_total) / exact_total < 0.02
+
+    # redelivery: idempotent estimates, no table version bump
+    v = table.current_version()
+    eng2 = CdcEngine(
+        spark, LakeTable(spark, os.path.join(tmp_warehouse, "t")),
+        tmp_warehouse, cfg,
+    )
+    eng2.apply_binlog(binlog)
+    assert LakeTable(spark, os.path.join(tmp_warehouse, "t")).current_version() == v
+    est2 = {
+        r["batch_epoch"]: r["n"]
+        for r in spark.read.parquet(eng2.sketch_path)
+        .groupBy("batch_epoch")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n"))
+        .collect()
+    }
+    assert {e: round(v_, 1) for e, v_ in est.items()} == {
+        e: round(v_, 1) for e, v_ in est2.items()
+    }
+
+
+def test_cli_distinct_over_mode(spark, tmp_warehouse, capsys):
+    """--distinct-over LO,HI reads only the sketch sink (no --table)."""
+    from dexspark import cli, gen
+    from dexspark.config import EngineConfig
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+    from dexspark.stream import CdcEngine
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(spark, n_events=600, n_docs=120, n_epochs=2, max_len=8),
+        binlog,
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "t"), sequences_schema(),
+        key="doc_id", num_buckets=2,
+    )
+    eng = CdcEngine(
+        spark, t, tmp_warehouse, EngineConfig(num_buckets=2, profile=True)
+    )
+    eng.apply_binlog(binlog)
+
+    rc = cli.main(["--warehouse", tmp_warehouse, "--distinct-over", "0,"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["epoch_lo"] == 0 and out["epoch_hi"] is None
+    d = out["distinct"]["doc_id"]
+    assert d["n_epochs"] == 2
+    exact = (
+        spark.read.parquet(eng.sketch_path)
+        .select("batch_epoch")
+        .distinct()
+        .count()
+    )
+    assert exact == 2
+    assert d["n_distinct"] > 0
+    assert math.isfinite(d["n_distinct"])
