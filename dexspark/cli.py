@@ -313,6 +313,16 @@ def main(argv: list[str] | None = None) -> int:
         "or binlog rescan; needs --warehouse only",
     )
     ap.add_argument(
+        "--compact-sketches",
+        metavar="THROUGH_EPOCH",
+        type=int,
+        help="instead of tailing: pack the sketch sink's per-epoch "
+        "partitions with batch_epoch <= THROUGH_EPOCH into one file "
+        "(pass a cutoff at or below the committed epoch watermark — "
+        "packed epochs are replay-stable); bounds the retention-exempt "
+        "sink's file count over stream lifetime; needs --warehouse only",
+    )
+    ap.add_argument(
         "--compact",
         action="store_true",
         help="instead of tailing: fold merge-on-read history down "
@@ -496,6 +506,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.changes is not None
         or args.drift is not None
         or args.distinct_over is not None
+        or args.compact_sketches is not None
         or args.outbox is not None
         or args.scan_range is not None
         or args.compact_binlog is not None
@@ -532,12 +543,19 @@ def main(argv: list[str] | None = None) -> int:
             )
         if any("=" not in r for r in args.route):
             ap.error("--route takes NAME=TABLE_PATH")
-    elif not args.table and args.drift is None and args.distinct_over is None:
+    elif (
+        not args.table
+        and args.drift is None
+        and args.distinct_over is None
+        and args.compact_sketches is None
+    ):
         ap.error("--table is required (except in --route mode)")
     if args.drift is not None and not args.warehouse:
         ap.error("--warehouse is required with --drift")
     if args.distinct_over is not None and not args.warehouse:
         ap.error("--warehouse is required with --distinct-over")
+    if args.compact_sketches is not None and not args.warehouse:
+        ap.error("--warehouse is required with --compact-sketches")
     if (args.reprocess_unrouted or args.routes_status) and not args.route:
         ap.error("--reprocess-unrouted / --routes-status need --route mode")
     if args.bootstrap_snapshot is not None and args.snapshot_position is None:
@@ -607,12 +625,12 @@ def main(argv: list[str] | None = None) -> int:
         # distinct keys over the window with NO table/binlog rescan
         import os as _os
 
-        from .operators.profile import distinct_over as _distinct
+        from .operators.profile import distinct_over as _distinct, read_sketches
 
         lo_s, hi_s = (args.distinct_over.split(",") + [""])[:2]
         lo = int(lo_s) if lo_s else None
         hi = int(hi_s) if hi_s else None
-        sk = spark.read.parquet(_os.path.join(args.warehouse, "profile_sketch"))
+        sk = read_sketches(spark, _os.path.join(args.warehouse, "profile_sketch"))
         rows = _distinct(sk, lo, hi).collect()
         print(
             json.dumps(
@@ -629,6 +647,19 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.compact_sketches is not None:
+        import os as _os
+
+        from .operators.profile import compact_sketches as _compact_sk
+
+        info = _compact_sk(
+            spark,
+            _os.path.join(args.warehouse, "profile_sketch"),
+            args.compact_sketches,
+        )
+        print(json.dumps({"through_epoch": args.compact_sketches, **info}))
         return 0
 
     if args.create and args.branch is None and args.table:

@@ -254,3 +254,76 @@ def sketch_schema() -> T.StructType:
             T.StructField("sketch", T.BinaryType()),
         ]
     )
+
+
+# ---------------------------------------------- sink file compaction
+#
+# The sketch sink is retention-exempt by design (its value is the
+# long horizon), so its per-epoch dynamic-overwrite layout —
+# ``batch_epoch=N/part-*.parquet``, the layout that makes redelivery
+# idempotent — accumulates one directory + file per epoch for the
+# stream's LIFETIME: a classic small-files problem at 10^5 epochs.
+# ``compact_sketches`` packs every epoch at or below the committed
+# watermark (those epochs are never re-applied — the engine's
+# watermark filter drops them before any sink write — so their
+# partitions will never be overwritten again) into a few large files
+# under ``_packed/pack=<through>/``. The underscore prefix means
+# ``spark.read.parquet(sink)`` keeps seeing ONLY the live per-epoch
+# partitions; ``read_sketches`` unions live + packed and drops
+# (epoch, key) duplicates, which makes the crash window between
+# pack-write and live-expire harmless and re-running a compaction a
+# no-op.
+
+_PACKED_SUBDIR = "_packed"
+
+
+def read_sketches(spark, path: str) -> DataFrame:
+    """All sketch rows: live per-epoch partitions + packed files,
+    deduped on (batch_epoch, key) so a compaction crash window (epoch
+    present in both) never double-counts ``n_epochs``."""
+    import os
+
+    live = spark.read.schema(sketch_schema()).parquet(path)
+    packed_path = os.path.join(path, _PACKED_SUBDIR)
+    if not os.path.isdir(packed_path):
+        return live
+    packed = spark.read.parquet(packed_path).select(
+        "batch_epoch", "key", "sketch"
+    )
+    return live.unionByName(packed).dropDuplicates(["batch_epoch", "key"])
+
+
+def compact_sketches(spark, path: str, through_epoch: int) -> dict:
+    """Pack live sketch partitions with ``0 <= batch_epoch <=
+    through_epoch`` into ``_packed/pack=<through_epoch>/`` (one file)
+    and delete the packed per-epoch dirs. Callers pass a cutoff at or
+    below the engine's committed epoch watermark — those epochs are
+    replay-stable, so the pack is write-once in practice; the pack
+    partition is dynamic-overwritten, so a crash + re-run converges.
+
+    Returns {"packed_epochs": n, "removed_dirs": n}."""
+    import os
+
+    from ..lineage import expire_epoch_partitions
+
+    live = (
+        spark.read.schema(sketch_schema())
+        .parquet(path)
+        .filter(
+            (F.col("batch_epoch") >= 0)
+            & (F.col("batch_epoch") <= through_epoch)
+        )
+    )
+    n_epochs = live.select("batch_epoch").distinct().count()
+    if n_epochs == 0:
+        return {"packed_epochs": 0, "removed_dirs": 0}
+    (
+        live.withColumn("pack", F.lit(through_epoch))
+        .repartition(1)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pack")
+        .parquet(os.path.join(path, _PACKED_SUBDIR))
+    )
+    removed = expire_epoch_partitions(path, through_epoch + 1)
+    return {"packed_epochs": n_epochs, "removed_dirs": removed}

@@ -194,3 +194,123 @@ def test_cli_distinct_over_mode(spark, tmp_warehouse, capsys):
     assert exact == 2
     assert d["n_distinct"] > 0
     assert math.isfinite(d["n_distinct"])
+
+
+def test_compact_sketches_preserves_estimates(spark, tmp_path):
+    """Packing epochs <= through into _packed leaves distinct_over
+    results identical, removes the per-epoch dirs, survives a
+    crash-window duplicate, and composes incrementally."""
+    import shutil
+
+    from dexspark.operators.profile import (
+        compact_sketches,
+        read_sketches,
+    )
+
+    path = str(tmp_path / "sk")
+    epochs = {e: [f"d{i}" for i in range(e * 40, e * 40 + 60)] for e in range(6)}
+    sk = sketch_events(_mk(spark, epochs))
+    (
+        sk.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_epoch")
+        .parquet(path)
+    )
+    before = {
+        (r["key"], r["n_epochs"]): round(r["n_distinct"], 1)
+        for r in distinct_over(read_sketches(spark, path)).collect()
+    }
+    sub_before = {
+        r["key"]: round(r["n_distinct"], 1)
+        for r in distinct_over(read_sketches(spark, path), 2, 4).collect()
+    }
+
+    info = compact_sketches(spark, path, through_epoch=3)
+    assert info == {"packed_epochs": 4, "removed_dirs": 4}
+    live_dirs = sorted(
+        d for d in os.listdir(path) if d.startswith("batch_epoch=")
+    )
+    assert live_dirs == ["batch_epoch=4", "batch_epoch=5"]
+    assert os.path.isdir(os.path.join(path, "_packed", "pack=3"))
+
+    after = {
+        (r["key"], r["n_epochs"]): round(r["n_distinct"], 1)
+        for r in distinct_over(read_sketches(spark, path)).collect()
+    }
+    assert after == before
+    # window straddling the pack boundary still prunes + answers
+    sub_after = {
+        r["key"]: round(r["n_distinct"], 1)
+        for r in distinct_over(read_sketches(spark, path), 2, 4).collect()
+    }
+    assert sub_after == sub_before
+
+    # re-run: live epochs <= 3 are gone -> no-op
+    assert compact_sketches(spark, path, 3) == {
+        "packed_epochs": 0,
+        "removed_dirs": 0,
+    }
+
+    # crash window: epoch 3 resurrected in live (pack kept it too) —
+    # read_sketches dedupes, n_epochs doesn't double-count
+    (
+        sketch_events(_mk(spark, {3: epochs[3]}))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_epoch")
+        .parquet(path)
+    )
+    dup = {
+        (r["key"], r["n_epochs"]): round(r["n_distinct"], 1)
+        for r in distinct_over(read_sketches(spark, path)).collect()
+    }
+    assert dup == before
+
+    # incremental second pack (sweeps the resurrected epoch 3 too)
+    info2 = compact_sketches(spark, path, 5)
+    assert info2["packed_epochs"] == 3 and info2["removed_dirs"] == 3
+    assert os.path.isdir(os.path.join(path, "_packed", "pack=5"))
+    final = {
+        (r["key"], r["n_epochs"]): round(r["n_distinct"], 1)
+        for r in distinct_over(read_sketches(spark, path)).collect()
+    }
+    assert final == before
+
+
+def test_cli_compact_sketches_mode(spark, tmp_warehouse, capsys):
+    """--compact-sketches packs the engine-written sink; --distinct-over
+    reads through the pack unchanged."""
+    from dexspark import cli, gen
+    from dexspark.config import EngineConfig
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+    from dexspark.stream import CdcEngine
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(spark, n_events=600, n_docs=120, n_epochs=3, max_len=8),
+        binlog,
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "t"), sequences_schema(),
+        key="doc_id", num_buckets=2,
+    )
+    eng = CdcEngine(
+        spark, t, tmp_warehouse, EngineConfig(num_buckets=2, profile=True)
+    )
+    eng.apply_binlog(binlog)
+
+    rc = cli.main(["--warehouse", tmp_warehouse, "--distinct-over", ","])
+    assert rc == 0
+    before = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # watermark is 2 (3 epochs committed); pack through 1
+    rc = cli.main(["--warehouse", tmp_warehouse, "--compact-sketches", "1"])
+    assert rc == 0
+    packed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert packed["packed_epochs"] == 2 and packed["removed_dirs"] == 2
+
+    rc = cli.main(["--warehouse", tmp_warehouse, "--distinct-over", ","])
+    assert rc == 0
+    after = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert after["distinct"] == before["distinct"]
