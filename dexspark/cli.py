@@ -479,7 +479,25 @@ def main(argv: list[str] | None = None) -> int:
         type=int,
         default=None,
         help="the binlog epoch the --bootstrap-snapshot dump is "
-        "consistent up to (inclusive)",
+        "consistent up to (inclusive); optional when the dump carries "
+        "an --export-snapshot _position.json sidecar",
+    )
+    ap.add_argument(
+        "--export-snapshot",
+        metavar="OUT_DIR",
+        default=None,
+        help="write a consistent snapshot dump of --table (parquet "
+        "under OUT_DIR/data) plus a _position.json sidecar recording "
+        "the epoch watermark it reflects — the producer half of "
+        "--bootstrap-snapshot; --export-version time-travels to an "
+        "earlier version or tag",
+    )
+    ap.add_argument(
+        "--export-version",
+        metavar="VERSION_OR_TAG",
+        default=None,
+        help="snapshot version (int) or tag name to export "
+        "(default: current)",
     )
     args = ap.parse_args(argv)
     maintenance = (
@@ -524,6 +542,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.drop_branch is not None
         or args.branches
         or maintenance
+        or args.export_snapshot is not None
         # a bare bootstrap exits after the load; with binlog/checkpoint
         # /warehouse it continues into the tail, whose own args are
         # checked at engine construction
@@ -559,7 +578,16 @@ def main(argv: list[str] | None = None) -> int:
     if (args.reprocess_unrouted or args.routes_status) and not args.route:
         ap.error("--reprocess-unrouted / --routes-status need --route mode")
     if args.bootstrap_snapshot is not None and args.snapshot_position is None:
-        ap.error("--snapshot-position is required with --bootstrap-snapshot")
+        # an --export-snapshot dump carries its position in a sidecar
+        import os as _os
+
+        if not _os.path.isfile(
+            _os.path.join(args.bootstrap_snapshot, "_position.json")
+        ):
+            ap.error(
+                "--snapshot-position is required with --bootstrap-snapshot "
+                "(no _position.json sidecar found in the dump)"
+            )
     if args.compact_binlog and not args.binlog:
         ap.error("--binlog is required with --compact-binlog")
     if args.reprocess_quarantine and not args.warehouse:
@@ -708,15 +736,36 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["outbox_dir"] = args.emit_outbox
     cfg = EngineConfig(**cfg_kwargs)
 
+    if args.export_snapshot is not None:
+        ver = args.export_version
+        if ver is not None and ver.lstrip("-").isdigit():
+            ver = int(ver)
+        sidecar = table.export_snapshot(args.export_snapshot, version=ver)
+        print(json.dumps({"export": sidecar}))
+        return 0
+
     if args.bootstrap_snapshot is not None:
-        snap = spark.read.parquet(args.bootstrap_snapshot)
-        v = table.bootstrap(snap, args.snapshot_position)
+        import os as _os
+
+        position = args.snapshot_position
+        data_dir = args.bootstrap_snapshot
+        sidecar_path = _os.path.join(data_dir, "_position.json")
+        if _os.path.isfile(sidecar_path):
+            # --export-snapshot layout: data under data/, position
+            # from the sidecar unless explicitly overridden
+            with open(sidecar_path) as fh:
+                side = json.load(fh)
+            if position is None:
+                position = int(side["position"])
+            data_dir = _os.path.join(data_dir, "data")
+        snap = spark.read.parquet(data_dir)
+        v = table.bootstrap(snap, position)
         print(
             json.dumps(
                 {
                     "bootstrap": {
                         "version": v,
-                        "position": args.snapshot_position,
+                        "position": position,
                         "epoch_watermark": table.epoch_state()[0],
                     }
                 }

@@ -1118,6 +1118,52 @@ class LakeTable:
             _operation="bootstrap",
         )
 
+    def export_snapshot(
+        self, out_dir: str, version: int | str | None = None
+    ) -> dict:
+        """Consistent snapshot dump + binlog-position sidecar — the
+        PRODUCER half of the bootstrap handoff (:meth:`bootstrap` is
+        the consumer half, and previously required the operator to
+        supply both the dump and its position by hand).
+
+        Writes the snapshot's rows as plain parquet under
+        ``out_dir/data`` and then ``out_dir/_position.json`` (written
+        LAST, atomically via temp+rename: a sidecar implies a complete
+        dump) recording the snapshot's epoch watermark — the binlog
+        position the dump is consistent up to. A downstream table
+        bootstraps with ``bootstrap(spark.read.parquet(dir/data),
+        sidecar["position"])`` (the CLI does this automatically) and
+        tails the SAME binlog, applying only newer epochs.
+
+        Position contract: the exported position is the watermark W
+        (every epoch <= W reflected). Out-of-order committed epochs
+        ABOVE W (the tail) are also reflected in the data but sit
+        above the handoff position, so a subsequent tail re-applies
+        them — idempotent under the LWW merge, never lossy; they are
+        listed in the sidecar for observability. ``version`` may be an
+        int or a tag name (time-travel export, e.g. reproducing the
+        exact dump a training run consumed)."""
+        m = self.manifest(version)
+        v = int(m["version"])
+        w, tail = self._epoch_state_of(m)
+        self.read(version=v).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "data")
+        )
+        sidecar = {
+            "position": w,
+            "source_version": v,
+            "source_root": self.root,
+            "key": m.get("key"),
+            "epoch_tail_above_position": sorted(
+                int(e) for e in tail if int(e) > w
+            ),
+        }
+        tmp = os.path.join(out_dir, f"._position.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(sidecar, f)
+        os.replace(tmp, os.path.join(out_dir, "_position.json"))
+        return sidecar
+
     def mark_epochs(self, epochs) -> int:
         """Manifest-only epoch-marker commit: record ``epochs`` as
         applied with NO data change and NO Spark jobs (a ``merge-noop``
