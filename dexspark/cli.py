@@ -313,6 +313,14 @@ def main(argv: list[str] | None = None) -> int:
         "or binlog rescan; needs --warehouse only",
     )
     ap.add_argument(
+        "--health",
+        action="store_true",
+        help="instead of tailing: one-shot health rollup as JSON — "
+        "manifest-only table stats + exactly-once epoch state + "
+        "per-sink epoch/row counts + top quarantine fail reasons; "
+        "needs --table and --warehouse",
+    )
+    ap.add_argument(
         "--compact-sketches",
         metavar="THROUGH_EPOCH",
         type=int,
@@ -525,6 +533,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.drift is not None
         or args.distinct_over is not None
         or args.compact_sketches is not None
+        or args.health
         or args.outbox is not None
         or args.scan_range is not None
         or args.compact_binlog is not None
@@ -575,6 +584,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--warehouse is required with --distinct-over")
     if args.compact_sketches is not None and not args.warehouse:
         ap.error("--warehouse is required with --compact-sketches")
+    if args.health and not (args.table and args.warehouse):
+        ap.error("--table and --warehouse are required with --health")
     if (args.reprocess_unrouted or args.routes_status) and not args.route:
         ap.error("--reprocess-unrouted / --routes-status need --route mode")
     if args.bootstrap_snapshot is not None and args.snapshot_position is None:
@@ -775,6 +786,11 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
     # metadata / read-only modes: no engine (and no warehouse) needed
+    if args.health:
+        from .health import warehouse_health
+
+        print(json.dumps(warehouse_health(spark, table, args.warehouse)))
+        return 0
     if args.history:
         print(json.dumps(table.history()))
         return 0

@@ -1,0 +1,105 @@
+"""One-shot operator health rollup: table + every warehouse sink.
+
+The reference surfaces run state piecemeal (per-run report rows,
+csvValidationFunction_Generic.kt:87-109; per-phase statistics,
+ValidateEntry.java:135-164); an operator of a long-running tail needs
+one answer to "is this deployment healthy?" without knowing which of
+the six sinks to query. ``warehouse_health`` assembles it:
+
+- table: manifest-only :meth:`LakeTable.stats` (zero Spark jobs) plus
+  the epoch exactly-once state;
+- per-sink: epoch-partition counts from a driver listing (no jobs)
+  and bounded row counts (lineage is O(groups)-sized by design; the
+  quarantine/applied sinks are sized by the retention window, not
+  stream lifetime, so a count over them is a bounded job);
+- quarantine: top fail reasons (explode + groupBy, one bounded job) —
+  the "what is breaking right now" answer.
+
+Everything degrades gracefully: a sink that was never written (the
+feature is off) reports ``null`` rather than failing, so the same
+command works against any deployment shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def _epoch_dirs(path: str) -> tuple[int, int] | None:
+    """(non-negative epoch partitions, fallback partitions) — the
+    negative/NULL space holds unattributable anomaly rows and is a
+    distinct health signal from stream progress."""
+    if not os.path.isdir(path):
+        return None
+    pos = neg = 0
+    for d in os.listdir(path):
+        if not d.startswith("batch_epoch="):
+            continue
+        try:
+            if int(d.split("=", 1)[1]) >= 0:
+                pos += 1
+            else:
+                neg += 1
+        except ValueError:
+            neg += 1  # __HIVE_DEFAULT_PARTITION__ (NULL epochs)
+    return pos, neg
+
+
+def _sink_rollup(spark: SparkSession, path: str, count_rows: bool = True):
+    counts = _epoch_dirs(path)
+    if counts is None:
+        return None
+    out = {"epochs": counts[0], "fallback_epochs": counts[1]}
+    if count_rows:
+        out["rows"] = spark.read.parquet(path).count()
+    return out
+
+
+def warehouse_health(
+    spark: SparkSession,
+    table,
+    warehouse: str,
+    top_reasons: int = 10,
+) -> dict:
+    """Health snapshot for a table + its warehouse sinks. ``table`` is
+    a :class:`~dexspark.lake.LakeTable` (may be a branch view)."""
+    w, tail = table.epoch_state()
+    health: dict = {
+        "table": {
+            **table.stats(),
+            "epoch_watermark": w,
+            "epoch_tail": tail,
+        },
+        "sinks": {},
+    }
+    sinks = health["sinks"]
+    for name in ("lineage", "applied", "profile"):
+        sinks[name] = _sink_rollup(spark, os.path.join(warehouse, name))
+
+    sk_path = os.path.join(warehouse, "profile_sketch")
+    live = _epoch_dirs(sk_path)
+    if live is None:
+        sinks["profile_sketch"] = None
+    else:
+        sinks["profile_sketch"] = {
+            "live_epochs": live[0],
+            "packed": os.path.isdir(os.path.join(sk_path, "_packed")),
+        }
+
+    q_path = os.path.join(warehouse, "quarantine")
+    q = _sink_rollup(spark, q_path)
+    if q is not None:
+        reasons = (
+            spark.read.parquet(q_path)
+            .select(F.explode("fail_reasons").alias("reason"))
+            .groupBy("reason")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "reason")
+            .limit(top_reasons)
+            .collect()
+        )
+        q["top_reasons"] = [{"reason": r["reason"], "n": r["n"]} for r in reasons]
+    sinks["quarantine"] = q
+    return health

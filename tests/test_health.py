@@ -1,0 +1,84 @@
+"""One-shot health rollup (health.warehouse_health, CLI --health)."""
+
+import json
+import os
+
+from dexspark import gen
+from dexspark.config import EngineConfig
+from dexspark.health import warehouse_health
+from dexspark.lake import LakeTable
+from dexspark.schema import sequences_schema
+from dexspark.stream import CdcEngine
+
+
+def _run_engine(spark, tmp_warehouse, **cfg_kwargs):
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=2000, n_docs=300, n_epochs=3, max_len=16,
+            anomaly_pct=10,
+        ),
+        binlog,
+    )
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "t"), sequences_schema(),
+        key="doc_id", num_buckets=4,
+    )
+    eng = CdcEngine(
+        spark, table, tmp_warehouse, EngineConfig(num_buckets=4, **cfg_kwargs)
+    )
+    eng.apply_binlog(binlog)
+    return table, eng
+
+
+def test_health_full_deployment(spark, tmp_warehouse):
+    table, eng = _run_engine(
+        spark, tmp_warehouse, profile=True, applied_lineage=True
+    )
+    h = warehouse_health(spark, table, tmp_warehouse)
+
+    t = h["table"]
+    assert t["epoch_watermark"] == 2 and t["epoch_tail"] == []
+    assert t["version"] == table.current_version()
+
+    s = h["sinks"]
+    assert s["lineage"]["epochs"] == 3 and s["lineage"]["rows"] > 0
+    assert s["applied"]["epochs"] == 3 and s["applied"]["rows"] > 0
+    assert s["profile"]["epochs"] == 3
+    assert s["profile_sketch"] == {"live_epochs": 3, "packed": False}
+
+    q = s["quarantine"]
+    assert q["rows"] > 0  # anomaly_pct=10 guarantees rejects
+    assert q["top_reasons"] and all(
+        r["n"] > 0 and isinstance(r["reason"], str) for r in q["top_reasons"]
+    )
+    # descending, ties broken by reason
+    ns = [r["n"] for r in q["top_reasons"]]
+    assert ns == sorted(ns, reverse=True)
+    json.dumps(h)  # fully serializable
+
+
+def test_health_minimal_deployment(spark, tmp_warehouse):
+    """Sinks that are off report null, not errors."""
+    table, _ = _run_engine(spark, tmp_warehouse)  # no profile/applied
+    h = warehouse_health(spark, table, tmp_warehouse)
+    s = h["sinks"]
+    assert s["applied"] is None
+    assert s["profile"] is None
+    assert s["profile_sketch"] is None
+    assert s["lineage"]["epochs"] == 3
+    assert s["quarantine"]["rows"] > 0
+
+
+def test_cli_health_mode(spark, tmp_warehouse, capsys):
+    from dexspark import cli
+
+    table, _ = _run_engine(spark, tmp_warehouse, profile=True)
+    rc = cli.main(
+        ["--table", table.root, "--warehouse", tmp_warehouse, "--health"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["table"]["epoch_watermark"] == 2
+    assert out["sinks"]["profile"]["epochs"] == 3
+    assert out["sinks"]["quarantine"]["top_reasons"]
