@@ -318,7 +318,9 @@ def main(argv: list[str] | None = None) -> int:
         help="instead of tailing: one-shot health rollup as JSON — "
         "manifest-only table stats + exactly-once epoch state + "
         "per-sink epoch/row counts + top quarantine fail reasons; "
-        "needs --table and --warehouse",
+        "needs --table and --warehouse; add --binlog for a consumer-"
+        "lag section (pending events/epochs vs the watermark, one "
+        "binlog scan)",
     )
     ap.add_argument(
         "--compact-sketches",
@@ -787,9 +789,13 @@ def main(argv: list[str] | None = None) -> int:
 
     # metadata / read-only modes: no engine (and no warehouse) needed
     if args.health:
-        from .health import warehouse_health
+        from .health import binlog_lag, warehouse_health
 
-        print(json.dumps(warehouse_health(spark, table, args.warehouse)))
+        h = warehouse_health(spark, table, args.warehouse)
+        if args.binlog:
+            # optional consumer-lag section: one O(binlog) scan
+            h["lag"] = binlog_lag(spark, table, args.binlog)
+        print(json.dumps(h))
         return 0
     if args.history:
         print(json.dumps(table.history()))

@@ -89,6 +89,12 @@ def warehouse_health(
         }
 
     q_path = os.path.join(warehouse, "quarantine")
+    q = _quarantine_rollup(spark, q_path, top_reasons)
+    sinks["quarantine"] = q
+    return health
+
+
+def _quarantine_rollup(spark: SparkSession, q_path: str, top_reasons: int):
     q = _sink_rollup(spark, q_path)
     if q is not None:
         reasons = (
@@ -101,5 +107,41 @@ def warehouse_health(
             .collect()
         )
         q["top_reasons"] = [{"reason": r["reason"], "n": r["n"]} for r in reasons]
-    sinks["quarantine"] = q
-    return health
+    return q
+
+
+def binlog_lag(spark: SparkSession, table, binlog: str) -> dict:
+    """How far behind the binlog head this table is: events whose
+    ``batch_epoch`` is not yet committed (above the watermark and not
+    in the out-of-order tail), from ONE scan of the binlog.
+
+    This is the consumer-lag question (Kafka ``records-lag``), asked
+    in the engine's own epoch terms so it needs no knowledge of
+    Structured Streaming's checkpoint internals. Cost is O(binlog) —
+    an explicit diagnostic, not a per-batch path; column pruning
+    reaches the JSON parser (only ``batch_epoch`` is read).
+    Unattributable events (NULL/negative epochs) are counted
+    separately — they will quarantine, not apply."""
+    from .events import read_binlog
+
+    w, tail = table.epoch_state()
+    ev = read_binlog(spark, binlog).select("batch_epoch")
+    e = F.col("batch_epoch")
+    pending = e.isNotNull() & (e >= 0) & (e > w)
+    if tail:  # committed out-of-order epochs above the watermark
+        pending = pending & ~e.isin([int(t) for t in tail])
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("total_events"),
+        F.sum(pending.cast("long")).alias("pending_events"),
+        F.sum((e.isNull() | (e < 0)).cast("long")).alias("unattributable"),
+        F.count_distinct(F.when(pending, e)).alias("pending_epochs"),
+        F.max(F.when(pending, e)).alias("head_epoch"),
+    ).first()
+    return {
+        "epoch_watermark": w,
+        "head_epoch": agg["head_epoch"],
+        "pending_epochs": agg["pending_epochs"],
+        "pending_events": int(agg["pending_events"] or 0),
+        "unattributable_events": int(agg["unattributable"] or 0),
+        "total_events": agg["total_events"],
+    }

@@ -82,3 +82,58 @@ def test_cli_health_mode(spark, tmp_warehouse, capsys):
     assert out["table"]["epoch_watermark"] == 2
     assert out["sinks"]["profile"]["epochs"] == 3
     assert out["sinks"]["quarantine"]["top_reasons"]
+
+
+def test_binlog_lag(spark, tmp_warehouse):
+    """Lag counts exactly the events in uncommitted non-negative
+    epochs; falls to zero after applying."""
+    from dexspark.health import binlog_lag
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=1200, n_docs=200, n_epochs=4, max_len=8,
+            anomaly_pct=10,
+        ),
+        binlog,
+    )
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "t"), sequences_schema(),
+        key="doc_id", num_buckets=4,
+    )
+    lag0 = binlog_lag(spark, table, binlog)
+    # fresh table: everything attributable is pending
+    assert lag0["epoch_watermark"] == -1
+    assert lag0["pending_epochs"] == 4 and lag0["head_epoch"] == 3
+    assert (
+        lag0["pending_events"] + lag0["unattributable_events"]
+        == lag0["total_events"]
+        == 1200
+    )
+
+    eng = CdcEngine(spark, table, tmp_warehouse, EngineConfig(num_buckets=4))
+    eng.apply_binlog(binlog)
+    lag1 = binlog_lag(
+        spark, LakeTable(spark, os.path.join(tmp_warehouse, "t")), binlog
+    )
+    assert lag1["epoch_watermark"] == 3
+    assert lag1["pending_events"] == 0 and lag1["pending_epochs"] == 0
+    assert lag1["head_epoch"] is None
+    assert lag1["unattributable_events"] == lag0["unattributable_events"]
+
+
+def test_cli_health_with_lag(spark, tmp_warehouse, capsys):
+    from dexspark import cli
+
+    table, _ = _run_engine(spark, tmp_warehouse)
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    rc = cli.main(
+        [
+            "--table", table.root, "--warehouse", tmp_warehouse,
+            "--binlog", binlog, "--health",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["lag"]["pending_events"] == 0
+    assert out["lag"]["epoch_watermark"] == 2
