@@ -280,6 +280,35 @@ def run_queries(spark, sf_dir: str, reps: int = 1) -> dict[str, list[float]]:
     return out
 
 
+def measure_packing(spark, n_docs: int = 200_000, seq_len: int = 2048) -> dict:
+    """Tokens/sec through pack_sequences over a deterministic corpus
+    (gen.base_sequences: avg ~128 tokens/doc). Best of 2 passes, same
+    rationale as the headline protocol; input localCheckpointed so the
+    timed slice is the packer, not the generator."""
+    from pyspark.sql import functions as F
+
+    from dexspark.gen import base_sequences
+    from dexspark.operators.packing import pack_sequences
+
+    docs = base_sequences(spark, n_docs=n_docs).localCheckpoint()
+    n_tokens = docs.agg(F.sum("n_tok")).first()[0] + docs.count()  # +EOS/doc
+    best = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        pack_sequences(docs, seq_len, eos_id=50256).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.monotonic() - t0
+        best = dt if best is None or dt < best else best
+    return {
+        "docs": n_docs,
+        "tokens": int(n_tokens),
+        "seq_len": seq_len,
+        "pack_sec": round(best, 3),
+        "tokens_per_sec": round(n_tokens / best, 1),
+    }
+
+
 def main_default(sf_dir: str, cpus: int) -> None:
     """The driver-contract bench. ``value`` is the sum of the measured
     operations the metric names — each headline query once, plus the
@@ -329,6 +358,11 @@ def main_default(sf_dir: str, cpus: int) -> None:
     runs["cdc_apply"] = [c["apply_sec"] for c in cdcs]
     queries = {name: min(ts) for name, ts in runs.items()}
     total = round(sum(queries.values()), 3)
+    # sequence-packing throughput, AFTER the timed window (reported as
+    # its own key, not folded into `value`): GPT concat-and-chunk of a
+    # deterministic 200k-doc token corpus into 2048-token rows —
+    # zero-shuffle mapInArrow (operators/packing.pack_sequences)
+    pack = measure_packing(spark)
     # host probe AFTER the timed window so it doesn't inflate `value`
     host = host_calibration(spark)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -351,6 +385,7 @@ def main_default(sf_dir: str, cpus: int) -> None:
                 "cdc_rows_merged": cdc["rows_merged"],
                 "cdc_phase_ms": cdc["phase_ms"],
                 "merge_mode": MERGE_MODE,
+                "pack": pack,
                 "host": host,
             }
         )
