@@ -225,3 +225,41 @@ def mix_token_budget(
         .drop("_frac", "_bkt", "_run")
     )
     return wholesale.unionByName(edge)
+
+
+def assign_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key: str = "doc_id",
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test labels: the [0, 1) hash
+    line is cut into contiguous bands proportional to ``weights``
+    (normalized) in sorted-name order, and each row's
+    :func:`hash_frac` picks its band. Map-only, no shuffle.
+
+    Properties the training workflow relies on: membership is a pure
+    function of (key, seed) — adding documents never moves an
+    existing one between splits; and since bands are contiguous,
+    growing one split's weight only MIGRATES rows across the adjacent
+    boundary (e.g. 0.9/0.1 -> 0.8/0.2 moves exactly the 0.8-0.9 band
+    from train to the next split) — no global relabeling. Exactly one
+    label per row (the last band's upper bound is forced to 1.0, so
+    float rounding cannot leave a sliver unlabeled)."""
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    total = float(sum(weights.values()))
+    if total <= 0:
+        raise ValueError("weights must sum to > 0")
+    frac = hash_frac(F.col(key), seed)
+    names = sorted(weights)
+    cum = 0.0
+    expr = F.lit(names[-1])  # last band catches frac up to 1.0
+    branches = []
+    for name in names[:-1]:
+        cum += weights[name] / total
+        branches.append((cum, name))
+    for hi, name in reversed(branches):
+        expr = F.when(frac < F.lit(hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

@@ -11,6 +11,7 @@ benchmark, via a broadcast join.
 
 import hashlib
 
+import pytest
 from pyspark.sql import Row, functions as F
 
 from dexspark.operators.decontaminate import (
@@ -239,3 +240,60 @@ def test_mix_histogram_ignores_unbudgeted_strata(spark):
     assert plan.count("s1") >= 1
     out = mix_token_budget(d, {"s1": 10**9}, n_buckets=8)
     assert {r.source for r in out.select("source").distinct().collect()} == {"s1"}
+
+
+# ------------------------------------------------------- split labels
+
+
+def test_assign_split_partitions_exactly(spark):
+    from dexspark.operators.sampling import assign_split
+
+    df = spark.range(0, 5000).select(
+        F.format_string("doc%05d", F.col("id")).alias("doc_id")
+    )
+    out = assign_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] + counts["val"] + counts["test"] == 5000
+    # bands proportional within sampling noise
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+
+
+def test_assign_split_stable_under_growth_and_contiguous_migration(spark):
+    from dexspark.operators.sampling import assign_split
+
+    small = spark.range(0, 1000).select(
+        F.format_string("doc%05d", F.col("id")).alias("doc_id")
+    )
+    big = spark.range(0, 3000).select(
+        F.format_string("doc%05d", F.col("id")).alias("doc_id")
+    )
+    w = {"train": 0.9, "val": 0.1}
+    lab_small = {r["doc_id"]: r["split"]
+                 for r in assign_split(small, w, seed=1).collect()}
+    lab_big = {r["doc_id"]: r["split"]
+               for r in assign_split(big, w, seed=1).collect()}
+    # adding docs never moves an existing one
+    assert all(lab_big[d] == s for d, s in lab_small.items())
+
+    # growing val only migrates train rows into val, never the reverse
+    lab2 = {r["doc_id"]: r["split"]
+            for r in assign_split(big, {"train": 0.7, "val": 0.3},
+                                  seed=1).collect()}
+    for d, s in lab_big.items():
+        if s == "val":
+            assert lab2[d] == "val"
+
+
+def test_assign_split_validation(spark):
+    from dexspark.operators.sampling import assign_split
+
+    df = spark.range(1).select(F.lit("a").alias("doc_id"))
+    with pytest.raises(ValueError):
+        assign_split(df, {})
+    with pytest.raises(ValueError):
+        assign_split(df, {"a": -1.0, "b": 2.0})
+    with pytest.raises(ValueError):
+        assign_split(df, {"a": 0.0})
