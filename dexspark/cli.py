@@ -313,6 +313,25 @@ def main(argv: list[str] | None = None) -> int:
         "or binlog rescan; needs --warehouse only",
     )
     ap.add_argument(
+        "--pack-corpus",
+        metavar="OUT_DIR",
+        default=None,
+        help="instead of tailing: read --table and write GPT-style "
+        "concat-and-chunk packed training sequences (exactly "
+        "--seq-len tokens per row, EOS-separated docs, final "
+        "remainder padded) as parquet under OUT_DIR — zero-shuffle "
+        "mapInArrow (operators/packing)",
+    )
+    ap.add_argument(
+        "--seq-len", type=int, default=2048, help="--pack-corpus row length"
+    )
+    ap.add_argument(
+        "--eos-id", type=int, default=50256, help="--pack-corpus EOS token id"
+    )
+    ap.add_argument(
+        "--pad-id", type=int, default=0, help="--pack-corpus pad token id"
+    )
+    ap.add_argument(
         "--health",
         action="store_true",
         help="instead of tailing: one-shot health rollup as JSON — "
@@ -554,6 +573,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.branches
         or maintenance
         or args.export_snapshot is not None
+        or args.pack_corpus is not None
         # a bare bootstrap exits after the load; with binlog/checkpoint
         # /warehouse it continues into the tail, whose own args are
         # checked at engine construction
@@ -748,6 +768,21 @@ def main(argv: list[str] | None = None) -> int:
     if args.emit_outbox is not None:
         cfg_kwargs["outbox_dir"] = args.emit_outbox
     cfg = EngineConfig(**cfg_kwargs)
+
+    if args.pack_corpus is not None:
+        from .operators.packing import pack_sequences
+
+        pack_sequences(
+            table.read(),
+            args.seq_len,
+            eos_id=args.eos_id,
+            pad_id=args.pad_id,
+            id_col=table.manifest().get("key", "doc_id"),
+        ).write.mode("overwrite").parquet(args.pack_corpus)
+        n = spark.read.parquet(args.pack_corpus).count()  # footer counts
+        print(json.dumps({"packs": n, "seq_len": args.seq_len,
+                          "out": args.pack_corpus}))
+        return 0
 
     if args.export_snapshot is not None:
         ver = args.export_version

@@ -170,3 +170,35 @@ def test_pack_rejects_bad_seq_len(spark):
         pack_sequences(_docs(spark, [("a", [1], 1, "w")]), 1, eos_id=EOS)
     with pytest.raises(ValueError):
         chunk_documents(_docs(spark, [("a", [1], 1, "w")]), 0)
+
+
+def test_cli_pack_corpus(spark, tmp_warehouse, capsys):
+    """--pack-corpus writes exact-seq_len training rows from a table;
+    token conservation vs the table contents."""
+    import json as _json
+    import os
+
+    from dexspark import cli
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+
+    t = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "t"), sequences_schema(),
+        key="doc_id", num_buckets=2,
+    )
+    rows = [(f"d{i}", list(range(i % 7 + 1)), i % 7 + 1, "web") for i in range(50)]
+    t.overwrite(spark.createDataFrame(rows, schema=sequences_schema()))
+
+    out_dir = os.path.join(tmp_warehouse, "packed")
+    rc = cli.main(
+        ["--table", t.root, "--pack-corpus", out_dir, "--seq-len", "16",
+         "--eos-id", "99", "--pad-id", "0"]
+    )
+    assert rc == 0
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    packed = spark.read.parquet(out_dir)
+    assert info["packs"] == packed.count() and info["seq_len"] == 16
+    got = packed.collect()
+    assert all(len(r["tokens"]) == 16 for r in got)
+    n_in = sum(len(tks) + 1 for _, tks, _, _ in rows)  # +EOS per doc
+    assert sum(r["n_real"] for r in got) == n_in
