@@ -196,31 +196,43 @@ def sketch_events(
     epoch_col: str = "batch_epoch",
     columns: tuple[str, ...] | list[str] = ("doc_id",),
     lgk: int = 12,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Per-epoch HLL sketches: long rows ``(epoch_col, key,
     sketch:binary)``, one per (epoch, column). ONE map-side-partial
     aggregate; NULLs don't feed the sketch (SQL-distinct semantics).
 
-    All sketches in one sink must share ``lgk`` so
-    :func:`distinct_over` can union them."""
+    With ``group_col`` (e.g. ``source``), sketches are additionally
+    keyed per group value — the key string encodes the group as
+    ``"<column>@<group>"`` (NULL group → ``@__null__``), so the sink
+    schema and every reader (:func:`distinct_over`, compaction, the
+    CLI) are unchanged; the per-group rows are one more
+    low-cardinality cell per epoch. All sketches in one sink must
+    share ``lgk`` so :func:`distinct_over` can union them."""
     cols = [c for c in columns if c in df.columns]
+    grouping = [F.col(epoch_col)]
+    key_suffix = F.lit("")
+    if group_col is not None and group_col in df.columns:
+        g = F.coalesce(F.col(group_col).cast("string"), F.lit("__null__"))
+        grouping.append(g.alias("_grp"))
+        key_suffix = F.concat(F.lit("@"), F.col("_grp"))
     aggs = [
         F.hll_sketch_agg(F.col(c), F.lit(lgk)).alias(f"_sk_{c}")
         for c in cols
     ]
-    cells = df.groupBy(epoch_col).agg(*aggs)
+    cells = df.groupBy(*grouping).agg(*aggs)
     unpivot = F.array(
         *[
             F.struct(
-                F.lit(c).alias("key"),
+                F.concat(F.lit(c), key_suffix).alias("key"),
                 F.col(f"_sk_{c}").alias("sketch"),
             )
             for c in cols
         ]
     )
-    return cells.select(epoch_col, F.explode(unpivot).alias("_m")).select(
-        epoch_col, "_m.key", "_m.sketch"
-    )
+    return cells.select(
+        F.col(epoch_col), F.explode(unpivot).alias("_m")
+    ).select(epoch_col, "_m.key", "_m.sketch")
 
 
 def distinct_over(

@@ -675,10 +675,14 @@ class CdcEngine:
                     )
                     # mergeable distinct sketches beside the profile
                     # (same crash ordering + dynamic-overwrite
-                    # idempotence; estimate-identical on redelivery)
-                    _write_epoch_partitioned(
-                        sketch_events(applied_good), self.sketch_path
-                    )
+                    # idempotence; estimate-identical on redelivery);
+                    # global + per-source keys in one sink
+                    sk = sketch_events(applied_good)
+                    if "source" in applied_good.columns:
+                        sk = sk.unionByName(
+                            sketch_events(applied_good, group_col="source")
+                        )
+                    _write_epoch_partitioned(sk, self.sketch_path)
                 f_quar.result()
                 for f in (f_applied, f_prof):
                     if f is not None:

@@ -127,7 +127,9 @@ def test_engine_sketch_sink_and_redelivery(spark, tmp_warehouse):
         assert abs(est[e] - exact[e]) / exact[e] < 0.02
 
     # whole-stream distinct == distinct over all applied upserts
-    total = distinct_over(sk).collect()[0]
+    # (filter to the global key: the sink also carries per-source
+    # doc_id@<source> rows)
+    total = distinct_over(sk.filter(F.col("key") == "doc_id")).collect()[0]
     exact_total = (
         spark.read.parquet(eng.applied_path)
         .filter(F.col("op") != "delete")
@@ -314,3 +316,73 @@ def test_cli_compact_sketches_mode(spark, tmp_warehouse, capsys):
     assert rc == 0
     after = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert after["distinct"] == before["distinct"]
+
+
+def test_sketch_per_group_keys(spark):
+    """group_col adds "<col>@<group>" keys in the SAME schema; the
+    global and per-group estimates agree with exact counts; NULL
+    groups land under @__null__."""
+    df = spark.createDataFrame(
+        [
+            ("d1", "web", 0), ("d2", "web", 0), ("d2", "web", 0),
+            ("d3", "code", 0), ("d1", None, 0),
+            ("d4", "web", 1), ("d1", "web", 1),
+        ],
+        "doc_id string, source string, batch_epoch long",
+    )
+    sk = sketch_events(df).unionByName(
+        sketch_events(df, group_col="source")
+    )
+    got = {
+        (r["key"], r["n_epochs"]): round(r["n_distinct"])
+        for r in distinct_over(sk).collect()
+    }
+    assert got == {
+        ("doc_id", 2): 4,            # d1..d4 globally
+        ("doc_id@web", 2): 3,        # d1, d2, d4
+        ("doc_id@code", 1): 1,       # d3
+        ("doc_id@__null__", 1): 1,   # d1 under NULL source
+    }
+    # windowed per-group query prunes like any other key
+    e1 = {
+        r["key"]: round(r["n_distinct"])
+        for r in distinct_over(sk, 1, 1).collect()
+    }
+    assert e1 == {"doc_id": 2, "doc_id@web": 2}
+
+
+def test_engine_writes_per_source_sketches(spark, tmp_warehouse):
+    from dexspark import gen
+    from dexspark.config import EngineConfig
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+    from dexspark.stream import CdcEngine
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(spark, n_events=800, n_docs=150, n_epochs=2, max_len=8),
+        binlog,
+    )
+    t = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "t"), sequences_schema(),
+        key="doc_id", num_buckets=2,
+    )
+    eng = CdcEngine(
+        spark, t, tmp_warehouse, EngineConfig(num_buckets=2, profile=True)
+    )
+    eng.apply_binlog(binlog)
+    keys = {
+        r["key"]
+        for r in spark.read.parquet(eng.sketch_path).select("key").distinct().collect()
+    }
+    assert "doc_id" in keys
+    per_source = {k for k in keys if k.startswith("doc_id@")}
+    assert per_source  # the generator emits multiple sources
+    # per-source estimates sum >= global (overlap impossible: a doc
+    # has one source per event, but the same doc may switch sources
+    # across events, so >= not ==)
+    got = {
+        r["key"]: r["n_distinct"]
+        for r in distinct_over(spark.read.parquet(eng.sketch_path)).collect()
+    }
+    assert sum(v for k, v in got.items() if k.startswith("doc_id@")) >= got["doc_id"] * 0.99
