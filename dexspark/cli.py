@@ -313,6 +313,14 @@ def main(argv: list[str] | None = None) -> int:
         "or binlog rescan; needs --warehouse only",
     )
     ap.add_argument(
+        "--quarantine-drift",
+        metavar="E0,E1",
+        help="instead of tailing: compare the quarantine error MIX "
+        "between two epochs — per-reason fractions, deltas, and the "
+        "L1 distance (0 identical, 2 disjoint); needs --warehouse "
+        "only (partition-pruned to the two epochs)",
+    )
+    ap.add_argument(
         "--pack-corpus",
         metavar="OUT_DIR",
         default=None,
@@ -554,6 +562,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.drift is not None
         or args.distinct_over is not None
         or args.compact_sketches is not None
+        or args.quarantine_drift is not None
         or args.health
         or args.outbox is not None
         or args.scan_range is not None
@@ -598,6 +607,7 @@ def main(argv: list[str] | None = None) -> int:
         and args.drift is None
         and args.distinct_over is None
         and args.compact_sketches is None
+        and args.quarantine_drift is None
     ):
         ap.error("--table is required (except in --route mode)")
     if args.drift is not None and not args.warehouse:
@@ -606,6 +616,8 @@ def main(argv: list[str] | None = None) -> int:
         ap.error("--warehouse is required with --distinct-over")
     if args.compact_sketches is not None and not args.warehouse:
         ap.error("--warehouse is required with --compact-sketches")
+    if args.quarantine_drift is not None and not args.warehouse:
+        ap.error("--warehouse is required with --quarantine-drift")
     if args.health and not (args.table and args.warehouse):
         ap.error("--table and --warehouse are required with --health")
     if (args.reprocess_unrouted or args.routes_status) and not args.route:
@@ -706,6 +718,17 @@ def main(argv: list[str] | None = None) -> int:
                         for r in rows
                     },
                 }
+            )
+        )
+        return 0
+
+    if args.quarantine_drift is not None:
+        from .health import quarantine_drift
+
+        e0_s, e1_s = args.quarantine_drift.split(",")
+        print(
+            json.dumps(
+                quarantine_drift(spark, args.warehouse, int(e0_s), int(e1_s))
             )
         )
         return 0

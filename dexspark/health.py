@@ -145,3 +145,54 @@ def binlog_lag(spark: SparkSession, table, binlog: str) -> dict:
         "unattributable_events": int(agg["unattributable"] or 0),
         "total_events": agg["total_events"],
     }
+
+
+def quarantine_drift(
+    spark: SparkSession,
+    warehouse: str,
+    epoch_a: int,
+    epoch_b: int,
+) -> dict:
+    """Error-mix drift between two epochs of the quarantine sink:
+    per-reason FRACTIONS of that epoch's reason occurrences (a row
+    carrying two reasons contributes to both — V17 accumulates all
+    reasons; fractions mean a traffic-volume change doesn't read as
+    a mix change), their delta,
+    and the L1 distance between the mixes (0 = identical error mix,
+    2 = disjoint) — "did a producer start failing differently", the
+    quarantine-side complement of :func:`~dexspark.operators.profile.
+    drift`. One bounded job over two epoch partitions (partition
+    pruning reaches the scan)."""
+    q = spark.read.parquet(os.path.join(warehouse, "quarantine"))
+    e = F.col("batch_epoch")
+    both = (
+        q.filter(e.isin(int(epoch_a), int(epoch_b)))
+        .select(e.alias("ep"), F.explode("fail_reasons").alias("reason"))
+        .groupBy("ep", "reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = both.collect()
+    tot = {epoch_a: 0, epoch_b: 0}
+    mix: dict[str, dict[int, int]] = {}
+    for r in rows:
+        tot[r["ep"]] += r["n"]
+        mix.setdefault(r["reason"], {})[r["ep"]] = r["n"]
+    out = {}
+    l1 = 0.0
+    for reason, by_ep in sorted(mix.items()):
+        fa = by_ep.get(epoch_a, 0) / tot[epoch_a] if tot[epoch_a] else 0.0
+        fb = by_ep.get(epoch_b, 0) / tot[epoch_b] if tot[epoch_b] else 0.0
+        l1 += abs(fb - fa)
+        out[reason] = {
+            "frac_a": round(fa, 6),
+            "frac_b": round(fb, 6),
+            "delta": round(fb - fa, 6),
+        }
+    return {
+        "epoch_a": int(epoch_a),
+        "epoch_b": int(epoch_b),
+        "occurrences_a": tot[epoch_a],
+        "occurrences_b": tot[epoch_b],
+        "reasons": out,
+        "drift_l1": round(l1, 6),
+    }

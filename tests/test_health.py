@@ -137,3 +137,40 @@ def test_cli_health_with_lag(spark, tmp_warehouse, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["lag"]["pending_events"] == 0
     assert out["lag"]["epoch_watermark"] == 2
+
+
+def test_quarantine_drift_exact_and_cli(spark, tmp_warehouse, capsys):
+    """Hand-built quarantine partitions -> exact fractions/deltas/L1;
+    CLI mode agrees."""
+    from dexspark import cli
+    from dexspark.health import quarantine_drift
+
+    rows = (
+        # epoch 0: 3 rows -> reasons A(2), B(2)  (one row has both)
+        [(0, ["A"]), (0, ["A", "B"]), (0, ["B"])]
+        # epoch 1: 2 rows -> reasons B(1), C(1)
+        + [(1, ["B"]), (1, ["C"])]
+    )
+    df = spark.createDataFrame(
+        rows, "batch_epoch long, fail_reasons array<string>"
+    )
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_epoch")
+        .parquet(os.path.join(tmp_warehouse, "quarantine"))
+    )
+    d = quarantine_drift(spark, tmp_warehouse, 0, 1)
+    # fractions are of REASON OCCURRENCES per epoch: e0 tot=4, e1 tot=2
+    assert d["occurrences_a"] == 4 and d["occurrences_b"] == 2
+    assert d["reasons"]["A"] == {"frac_a": 0.5, "frac_b": 0.0, "delta": -0.5}
+    assert d["reasons"]["B"] == {"frac_a": 0.5, "frac_b": 0.5, "delta": 0.0}
+    assert d["reasons"]["C"] == {"frac_a": 0.0, "frac_b": 0.5, "delta": 0.5}
+    assert d["drift_l1"] == 1.0
+
+    rc = cli.main(
+        ["--warehouse", tmp_warehouse, "--quarantine-drift", "0,1"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == d
