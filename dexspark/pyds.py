@@ -1,0 +1,826 @@
+"""LakeTable as a native Spark data source (Python DataSource API).
+
+Spark 4's Python DataSource API lets a pure-Python format participate
+in ordinary ``spark.read`` / ``spark.readStream`` plans — the last
+mile that makes the engine's table format consumable WITHOUT importing
+dexspark in the consumer's code:
+
+* ``spark.read.format("dexlake").load(root)`` — snapshot read, with
+  ``version`` (int or tag name), ``branch`` and ``buckets`` options
+  (time travel / WAP audit / bucket pruning), equal to
+  :meth:`LakeTable.read`.
+* ``spark.read.format("dexlake-changes").option("fromVersion", v)`` —
+  the bounded changelog (:meth:`LakeTable.changes`) as a batch scan.
+* ``spark.readStream.format("dexlake-changes")`` — the table AS A
+  STREAM (the Delta CDF / Iceberg incremental-scan surface):
+  Structured Streaming offsets are snapshot versions, each micro-batch
+  is the commit range ``(start, end]``, and the checkpoint gives
+  exactly-once delivery of every row-level change. Downstream
+  consumers (index builders, replica tables, samplers) tail the lake
+  with zero dexspark imports on the executor side... and the planning
+  half runs wherever the driver is.
+
+Scale shape (mirrors the engine's own read path, lake.py:634-762):
+
+* planning is manifest-only — the driver never lists data dirs;
+* clean (copy-on-write) buckets scan one task per data FILE;
+* merge-on-read buckets fold per BUCKET inside the Python worker
+  (pyarrow sort + last-per-key, no pandas objects) — same cost class
+  as the JVM fold, bounded by ``compact()`` exactly like the engine;
+* key predicates are pushed (Spark 4.1 ``pushFilters``) and pruned
+  against the manifest zone maps (``file_bounds``) at planning time:
+  a point read plans only the files whose [min,max] admit the key.
+  Every filter is also handed back to Spark for re-evaluation, so
+  pruning can only drop files, never change results. Bucket pruning
+  by key hash is NOT inferred from filters (it would need a Python
+  reimplementation of xxhash64, which lake.py deliberately refuses);
+  pass the ``buckets`` option when the bucket set is known.
+
+The JVM cannot call back into the driver's LakeTable object, so the
+reader re-derives everything from the manifest chain through the same
+LakeTable code (constructed spark-less — the manifest layer is pure
+FileIO, lake.py:206-248). Filter pushdown needs
+``spark.sql.python.filterPushdown.enabled=true`` (set by
+:func:`dexspark.session.get_spark`); without it the reader still
+works, just without file pruning.
+
+Reference parity: the reference's consumers read its outputs through
+the storage account directly (SURVEY §2.1 S4); this is the governed
+equivalent — consumers get snapshot isolation, time travel and the
+changelog without touching engine internals.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualNullSafe,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+
+from .lake import _TOMBSTONE, LakeTable
+
+_CHANGE_COLS = [
+    T.StructField("_change_type", T.StringType(), True),
+    T.StructField("_commit_version", T.IntegerType(), True),
+]
+
+# operations that emit no logical row change (lake.py changes())
+_PHYSICAL_OPS = (
+    "compact",
+    "rebucket",
+    "merge-noop",
+    "create",
+    "alter-properties",
+    "rename-column",
+    "drop-column",
+)
+
+
+def _table(options) -> LakeTable:
+    """Spark-less LakeTable over the manifest layer (planning only)."""
+    path = options.get("path")
+    if not path:
+        raise ValueError("dexlake: the 'path' option (table root) is required")
+    return LakeTable(None, path, branch=options.get("branch") or None)
+
+
+def _resolve_version(t: LakeTable, options) -> int:
+    v = options.get("version")
+    if v is None:
+        return t.current_version()
+    try:
+        return int(v)
+    except ValueError:
+        return t.ref_version(v)  # tag name
+
+
+# ------------------------------------------------------------------ partitions
+
+
+@dataclass
+class _FilesPart(InputPartition):
+    """Clean-bucket files from ONE commit (shared file_version)."""
+
+    paths: list
+    file_version: int
+
+
+@dataclass
+class _MorBucketPart(InputPartition):
+    """All files of one MOR bucket: (path, file_version) pairs."""
+
+    files: list
+
+
+@dataclass
+class _MorChangePart(InputPartition):
+    """CDF: the files one merge-mor commit appended."""
+
+    commit_version: int
+    schema_json: str
+    paths: list
+
+
+@dataclass
+class _DiffPart(InputPartition):
+    """CDF: parent-vs-child diff of one touched bucket of one commit.
+
+    ``old``/``new`` are [(path, file_version)]; either side may span
+    several commits (carried-forward files keep their adding commit).
+    ``old_mor``/``new_mor``: fold that side per-key before diffing
+    (the bucket carried MOR deltas at that snapshot)."""
+
+    commit_version: int
+    schema_json: str
+    old: list
+    new: list
+    old_mor: bool = False
+    new_mor: bool = False
+
+
+@dataclass
+class _NoopPart(InputPartition):
+    reason: str = "empty"
+
+
+# ------------------------------------------------------------------ arrow side
+
+
+def _arrow_schema(st: T.StructType):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(st)
+
+
+def _read_parquet(path: str):
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path)
+
+
+def _align_arrow(tbl, target, aliases, cmeta, file_version):
+    """pyarrow mirror of LakeTable._align (lake.py:582-620): project
+    ``tbl`` onto arrow schema ``target`` — case-insensitive + alias
+    name resolution, cast (int widening), null-fill missing columns,
+    and suppress columns whose identity postdates ``file_version``
+    (drop-then-re-add reads null, Iceberg field-id semantics)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    have = {n.lower(): n for n in tbl.schema.names}
+    cols = []
+    for f in target:
+        src = have.get(f.name.lower())
+        if src is None and aliases:
+            for a_l, canon in aliases.items():
+                if canon == f.name and a_l in have:
+                    src = have[a_l]
+                    break
+        added = (cmeta.get(f.name) or {}).get("added_at", 0)
+        if src is not None and not (
+            file_version is not None and added > file_version
+        ):
+            col = tbl.column(src)
+            if col.type != f.type:
+                col = pc.cast(col, f.type)
+        else:
+            col = pa.nulls(tbl.num_rows, f.type)
+        cols.append(col)
+    return pa.table(cols, schema=pa.schema(list(target)))
+
+
+def _with_const(tbl, name, value, patype):
+    import pyarrow as pa
+
+    return tbl.append_column(
+        pa.field(name, patype), pa.array([value] * tbl.num_rows, patype)
+    )
+
+
+def _fold_last_writer(tbl, key: str):
+    """Per-key last-writer-wins over an aligned arrow table carrying
+    ``_commit`` (int64) and ``_tombstone`` (bool) columns — the
+    pyarrow mirror of the MOR reconstruction aggregate
+    (lake.py:744-759): winner = max by (commit, NOT tombstone), then
+    tombstone winners drop the key. Pure arrow (sort + take): token
+    arrays never pass through pandas objects."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if tbl.num_rows == 0:
+        return tbl
+    nt = pc.invert(pc.fill_null(tbl.column(_TOMBSTONE), False))
+    tbl = tbl.append_column(pa.field("_nt", pa.bool_()), nt)
+    tbl = tbl.sort_by(
+        [(key, "ascending"), ("_commit", "ascending"), ("_nt", "ascending")]
+    )
+    tbl = tbl.filter(_last_per_run(tbl.column(key)))
+    tbl = tbl.filter(pc.invert(pc.fill_null(tbl.column(_TOMBSTONE), False)))
+    return tbl.drop_columns(["_nt"])
+
+
+def _last_per_run(keys) -> "object":
+    """Boolean mask marking the LAST row of each equal-key run in a
+    key-sorted column (Array or ChunkedArray)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if hasattr(keys, "chunks"):
+        keys = (
+            pa.concat_arrays(keys.chunks)
+            if keys.num_chunks != 1
+            else keys.chunk(0)
+        )
+    n = len(keys)
+    if n <= 1:
+        return pa.array([True] * n)
+    neq = pc.fill_null(
+        pc.not_equal(keys.slice(0, n - 1), keys.slice(1)), True
+    )
+    return pa.concat_arrays([neq, pa.array([True])])
+
+
+def _read_mor_bucket(files, target_plus_tomb, aliases, cmeta, key):
+    """Read + fold one MOR bucket's files; returns an arrow table of
+    ``target_plus_tomb`` (still carrying the tombstone column)."""
+    import pyarrow as pa
+
+    parts = []
+    for path, fv in files:
+        raw = _read_parquet(path)
+        if _TOMBSTONE not in raw.schema.names:
+            raw = _with_const(raw, _TOMBSTONE, False, pa.bool_())
+        t = _align_arrow(raw, target_plus_tomb, aliases, cmeta, fv)
+        parts.append(_with_const(t, "_commit", fv, pa.int64()))
+    folded = _fold_last_writer(
+        pa.concat_tables(parts, promote_options="none"), key
+    )
+    return folded.drop_columns(["_commit"])
+
+
+# --------------------------------------------------------------- batch readers
+
+
+class _SnapshotReaderBase(DataSourceReader):
+    """Batch snapshot scan: plans from the manifest, prunes with the
+    zone maps, reads with pyarrow on the executors."""
+
+    def __init__(self, options, schema: T.StructType):
+        t = _table(options)
+        self.version = _resolve_version(t, options)
+        m = t.manifest(self.version)
+        self.root = t.root
+        self.key = m["key"]
+        self.schema_json = json.dumps(m["schema"])
+        self.aliases = LakeTable._aliases_of(m)
+        self.cmeta = m.get("columns_meta") or {}
+        self._manifest = m
+        b_opt = options.get("buckets")
+        self.bucket_filter = (
+            {s.strip() for s in b_opt.split(",") if s.strip() != ""}
+            if b_opt
+            else None
+        )
+        self._key_range = None  # set by pushFilters
+
+    # -- planning (driver)
+
+    def _files(self):
+        """[(bucket, rel, file_version, mor?)] after bucket + zone-map
+        pruning. Zone-map pruning is exact under MOR for in-range keys
+        (lake.py:664-673); Spark re-applies the filters that induced
+        the range, so out-of-range stale winners never surface."""
+        m = self._manifest
+        fb = m.get("file_bounds", {}) if self._key_range else {}
+        mor_b = LakeTable._mor_buckets_of(m)
+        out = []
+        for b, files in m["buckets"].items():
+            if self.bucket_filter is not None and b not in self.bucket_filter:
+                continue
+            for rel in files:
+                if self._key_range and not LakeTable._may_contain(
+                    fb.get(rel), *self._key_range
+                ):
+                    continue
+                out.append(
+                    (b, rel, LakeTable._added_version(m, rel), b in mor_b)
+                )
+        return out
+
+    def partitions(self):
+        clean: dict[tuple, list] = {}  # (bucket dropped) commit -> paths
+        mor: dict[str, list] = {}  # bucket -> [(path, fv)]
+        for b, rel, fv, is_mor in self._files():
+            path = os.path.join(self.root, rel)
+            if is_mor:
+                mor.setdefault(b, []).append((path, fv))
+            else:
+                # one task per file: parallelism matches file count
+                clean.setdefault((rel, fv), []).append(path)
+        parts: list[InputPartition] = [
+            _FilesPart(paths, fv) for (_, fv), paths in clean.items()
+        ]
+        parts.extend(_MorBucketPart(files) for files in mor.values())
+        return parts or [_NoopPart()]
+
+    # -- execution (python worker)
+
+    def read(self, part):
+        schema = T.StructType.fromJson(json.loads(self.schema_json))
+        target = _arrow_schema(schema)
+        if isinstance(part, _NoopPart):
+            import pyarrow as pa
+
+            yield from pa.table(
+                {f.name: [] for f in target}, schema=target
+            ).to_batches()
+            return
+        if isinstance(part, _FilesPart):
+            for path in part.paths:
+                t = _align_arrow(
+                    _read_parquet(path),
+                    target,
+                    self.aliases,
+                    self.cmeta,
+                    part.file_version,
+                )
+                yield from t.to_batches()
+            return
+        # MOR bucket fold
+        import pyarrow as pa
+
+        tomb = _arrow_schema(
+            T.StructType(
+                list(schema.fields)
+                + [T.StructField(_TOMBSTONE, T.BooleanType(), True)]
+            )
+        )
+        folded = _read_mor_bucket(
+            part.files, tomb, self.aliases, self.cmeta, self.key
+        )
+        yield from folded.drop_columns([_TOMBSTONE]).cast(target).to_batches()
+
+
+class _SnapshotReaderPush(_SnapshotReaderBase):
+    """Adds Spark 4.1 filter pushdown (registered only when
+    ``spark.sql.python.filterPushdown.enabled`` is true — Spark
+    hard-errors on readers that declare pushFilters without it)."""
+
+    def pushFilters(self, filters):
+        lo = hi = None
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr is None or len(attr) != 1 or attr[0] != self.key:
+                continue
+            if isinstance(f, (EqualTo, EqualNullSafe)):
+                c_lo = c_hi = f.value
+            elif isinstance(f, In):
+                vals = [v for v in f.values if v is not None]
+                if not vals:
+                    continue
+                try:
+                    c_lo, c_hi = min(vals), max(vals)
+                except TypeError:
+                    continue
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                c_lo, c_hi = f.value, None
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                c_lo, c_hi = None, f.value
+            else:
+                continue
+            try:
+                if c_lo is not None and (lo is None or c_lo > lo):
+                    lo = c_lo
+                if c_hi is not None and (hi is None or c_hi < hi):
+                    hi = c_hi
+            except TypeError:
+                continue
+        if lo is not None or hi is not None:
+            fb = self._manifest.get("file_bounds", {})
+            # one-sided ranges: substitute the global extreme so the
+            # interval test stays two-sided
+            gmins = [b[0] for b in fb.values() if b]
+            gmaxs = [b[1] for b in fb.values() if b]
+            try:
+                self._key_range = (
+                    lo if lo is not None else (min(gmins) if gmins else None),
+                    hi if hi is not None else (max(gmaxs) if gmaxs else None),
+                )
+                if None in self._key_range:
+                    self._key_range = None
+            except TypeError:
+                self._key_range = None
+        # every filter is re-applied by Spark: pruning-only pushdown
+        return filters
+
+
+def _reader_for(options, schema, push_cls, base_cls):
+    spark = SparkSession.getActiveSession()
+    try:
+        enabled = (
+            spark is not None
+            and str(
+                spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+            ).lower()
+            == "true"
+        )
+    except Exception:
+        enabled = False
+    return (push_cls if enabled else base_cls)(options, schema)
+
+
+class DexLakeDataSource(DataSource):
+    """``spark.read.format("dexlake").load(<table root>)``.
+
+    Options: ``version`` (snapshot int or tag name), ``branch``,
+    ``buckets`` (comma-separated bucket ids)."""
+
+    @classmethod
+    def name(cls):
+        return "dexlake"
+
+    def schema(self):
+        t = _table(self.options)
+        m = t.manifest(_resolve_version(t, self.options))
+        return T.StructType.fromJson(m["schema"])
+
+    def reader(self, schema):
+        return _reader_for(
+            self.options, schema, _SnapshotReaderPush, _SnapshotReaderBase
+        )
+
+
+# ----------------------------------------------------------------- changes/CDF
+
+
+def _plan_changes(t: LakeTable, from_v: int, to_v: int):
+    """Partition plan for the commit range ``(from_v, to_v]`` — the
+    manifest-walk half of LakeTable.changes (lake.py:2539-2640),
+    emitting pyarrow-executable partitions instead of DataFrames."""
+    chain = []
+    v = to_v
+    while v > from_v:
+        m = t.manifest(v)
+        chain.append(m)
+        p = int(m.get("parent", v - 1))
+        if p >= v:
+            raise ValueError(f"corrupt parent pointer at v{v}: {p}")
+        v = p
+    if v != from_v:
+        raise ValueError(
+            f"fromVersion {from_v} is not an ancestor of {to_v}"
+        )
+    parts: list[InputPartition] = []
+    for m in reversed(chain):
+        v = m["version"]
+        op = m.get("operation", "diff")
+        if op in _PHYSICAL_OPS:
+            continue
+        schema_json = json.dumps(m["schema"])
+        if op == "merge-mor":
+            paths = t._commit_files(m, v)
+            if paths:
+                parts.append(_MorChangePart(v, schema_json, paths))
+            continue
+        pm = t.manifest(int(m.get("parent", v - 1)))
+        mor_new = LakeTable._mor_buckets_of(m)
+        mor_old = LakeTable._mor_buckets_of(pm)
+        for b in sorted(set(m["buckets"]) | set(pm["buckets"]), key=int):
+            if m["buckets"].get(b) == pm["buckets"].get(b):
+                continue
+
+            def _side(mani, bucket):
+                return [
+                    (
+                        os.path.join(t.root, rel),
+                        LakeTable._added_version(mani, rel),
+                    )
+                    for rel in mani["buckets"].get(bucket, [])
+                ]
+
+            parts.append(
+                _DiffPart(
+                    v,
+                    schema_json,
+                    _side(pm, b),
+                    _side(m, b),
+                    old_mor=b in mor_old,
+                    new_mor=b in mor_new,
+                )
+            )
+    return parts
+
+
+class _ChangesReaderMixin:
+    """read() shared by the batch CDF reader and the stream reader.
+
+    Needs: self.final_schema_json, self.aliases, self.cmeta, self.key
+    (all from the plan-time head manifest)."""
+
+    def _final(self, part):
+        # a stream's partitions carry their batch-head metadata (the
+        # driver-side reader object may be pickled once per query, so
+        # post-plan self-mutations would not reach the workers)
+        meta = getattr(part, "stream_meta", None)
+        if meta:
+            self.final_schema_json = meta["final_schema_json"]
+            self.aliases = meta["aliases"]
+            self.cmeta = meta["cmeta"]
+        data = T.StructType.fromJson(json.loads(self.final_schema_json))
+        full = T.StructType(list(data.fields) + _CHANGE_COLS)
+        return data, _arrow_schema(full)
+
+    def read_changes(self, part):
+        import pyarrow as pa
+
+        data_schema, target = self._final(part)
+        if isinstance(part, _NoopPart):
+            yield from pa.table(
+                {f.name: [] for f in target}, schema=target
+            ).to_batches()
+            return
+        commit_schema = T.StructType.fromJson(json.loads(part.schema_json))
+        tomb_schema = _arrow_schema(
+            T.StructType(
+                list(commit_schema.fields)
+                + [T.StructField(_TOMBSTONE, T.BooleanType(), True)]
+            )
+        )
+        v = part.commit_version
+        if isinstance(part, _MorChangePart):
+            parts = []
+            for path in part.paths:
+                raw = _read_parquet(path)
+                if _TOMBSTONE not in raw.schema.names:
+                    raw = _with_const(raw, _TOMBSTONE, False, pa.bool_())
+                # files of one commit: align at the commit's version
+                parts.append(
+                    _align_arrow(raw, tomb_schema, self.aliases, self.cmeta, v)
+                )
+            big = pa.concat_tables(parts, promote_options="none")
+            # same-commit tie-break (upsert beats tombstone): reuse the
+            # fold with a constant commit — order reduces to NOT(tomb)
+            big = _with_const(big, "_commit", v, pa.int64())
+            import pyarrow.compute as pc
+
+            tomb_col = pc.fill_null(big.column(_TOMBSTONE), False)
+            big = big.set_column(
+                big.schema.get_field_index(_TOMBSTONE),
+                pa.field(_TOMBSTONE, pa.bool_()),
+                tomb_col,
+            )
+            folded = _fold_keep_marker(big, self.key)
+            yield from self._emit(folded, v, data_schema, target)
+            return
+        # generic parent-vs-child diff of one bucket (COW commits)
+        old = self._load_side(part.old, part.old_mor, commit_schema, tomb_schema)
+        new = self._load_side(part.new, part.new_mor, commit_schema, tomb_schema)
+        diff = _diff_tables(old, new, self.key)
+        yield from self._emit(diff, v, data_schema, target)
+
+    def _load_side(self, files, is_mor, commit_schema, tomb_schema):
+        """One side of a diff, folded to current rows (no tombstones)."""
+        import pyarrow as pa
+
+        if not files:
+            return pa.table(
+                {f.name: [] for f in tomb_schema}, schema=tomb_schema
+            ).drop_columns([_TOMBSTONE])
+        folded = _read_mor_bucket(
+            files, tomb_schema, self.aliases, self.cmeta, self.key
+        )
+        return folded.drop_columns([_TOMBSTONE])
+
+    def _emit(self, tbl, version, data_schema, target):
+        """Project a (folded/diffed) arrow table carrying ``_ct`` to
+        the final CDF schema — aligned at the COMMIT version so
+        later-added columns read null for older commits."""
+        import pyarrow as pa
+
+        data_target = _arrow_schema(data_schema)
+        aligned = _align_arrow(
+            tbl, data_target, self.aliases, self.cmeta, version
+        )
+        aligned = aligned.append_column(
+            pa.field("_change_type", pa.string(), nullable=False),
+            tbl.column("_ct").cast(pa.string()),
+        )
+        aligned = _with_const(aligned, "_commit_version", version, pa.int32())
+        yield from aligned.cast(target).to_batches()
+
+
+def _fold_keep_marker(big, key: str):
+    """Fold one merge-mor commit's rows per key (upsert beats
+    tombstone within the commit, lake.py:2587-2601) and return the
+    survivors with a ``_ct`` change-type column."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # winner per key: max by NOT(tombstone) — reuse the LWW fold but
+    # keep tombstone winners (they become delete rows)
+    nt = pc.invert(big.column(_TOMBSTONE))
+    big = big.append_column(pa.field("_nt", pa.bool_()), nt)
+    big = big.sort_by([(key, "ascending"), ("_nt", "ascending")])
+    win = big.filter(_last_per_run(big.column(key)))
+    ct = pc.if_else(
+        pc.fill_null(win.column(_TOMBSTONE), False),
+        pa.scalar("delete"),
+        pa.scalar("upsert"),
+    )
+    win = win.append_column(pa.field("_ct", pa.string()), ct)
+    return win.drop_columns(["_nt", "_commit", _TOMBSTONE])
+
+
+def _diff_tables(old, new, key: str):
+    """Null-safe full-outer diff of two aligned arrow tables (the
+    pyarrow mirror of lake.py:2626-2639): rows only in ``old`` are
+    deletes (full pre-image), rows new/changed in ``new`` are
+    upserts; identical rows vanish. Row equality compares every data
+    column with arrays normalized to tuples (token-array equality —
+    the BASELINE invariant)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _hashable(v):
+        if isinstance(v, np.ndarray):
+            return tuple(v.tolist())
+        if isinstance(v, (list, tuple)):
+            return tuple(_hashable(x) for x in v)
+        if isinstance(v, dict):
+            return tuple(sorted((k, _hashable(x)) for k, x in v.items()))
+        if isinstance(v, np.generic):
+            return v.item()
+        return v
+
+    cols = [n for n in old.schema.names]
+    o_rows = {
+        _hashable(r[key]): tuple(_hashable(r[c]) for c in cols)
+        for r in old.to_pylist()
+    }
+    keep_old_idx = []
+    new_py = new.to_pylist()
+    keep_new_idx = []
+    seen = set()
+    for i, r in enumerate(new_py):
+        k = _hashable(r[key])
+        seen.add(k)
+        row = tuple(_hashable(r[c]) for c in cols)
+        if o_rows.get(k) != row:
+            keep_new_idx.append(i)
+    for i, r in enumerate(old.to_pylist()):
+        if _hashable(r[key]) not in seen:
+            keep_old_idx.append(i)
+    ups = new.take(pa.array(keep_new_idx, pa.int64()))
+    dels = old.take(pa.array(keep_old_idx, pa.int64()))
+    ups = ups.append_column(
+        pa.field("_ct", pa.string()),
+        pa.array(["upsert"] * ups.num_rows, pa.string()),
+    )
+    dels = dels.append_column(
+        pa.field("_ct", pa.string()),
+        pa.array(["delete"] * dels.num_rows, pa.string()),
+    )
+    return pa.concat_tables([ups, dels], promote_options="none")
+
+
+class _ChangesBatchReader(DataSourceReader, _ChangesReaderMixin):
+    def __init__(self, options, schema):
+        t = _table(options)
+        if options.get("fromVersion") is None:
+            raise ValueError(
+                "dexlake-changes: the 'fromVersion' option is required "
+                "for batch reads (readStream manages offsets itself)"
+            )
+        self.from_v = int(options.get("fromVersion"))
+        to_opt = options.get("toVersion")
+        self.to_v = int(to_opt) if to_opt is not None else t.current_version()
+        head = t.manifest(self.to_v) if self.to_v > 0 else None
+        self.key = head["key"] if head else None
+        self.final_schema_json = json.dumps(head["schema"]) if head else None
+        self.aliases = LakeTable._aliases_of(head) if head else {}
+        self.cmeta = (head.get("columns_meta") or {}) if head else {}
+        self._parts = (
+            _plan_changes(t, self.from_v, self.to_v) if head else []
+        )
+
+    def partitions(self):
+        return self._parts or [_NoopPart()]
+
+    def read(self, part):
+        yield from self.read_changes(part)
+
+
+class _ChangesStreamReader(DataSourceStreamReader, _ChangesReaderMixin):
+    """Structured Streaming over the commit log: offset == snapshot
+    version; each micro-batch reads the commits in ``(start, end]``.
+    The checkpoint's offset log + the planner's parent-chain walk give
+    exactly-once delivery of each commit's changes; a restart resumes
+    from the recorded version."""
+
+    def __init__(self, options, schema):
+        self._options = {k: options.get(k) for k in ("path", "branch")}
+        t = self._t()
+        sv = options.get("startingVersion")
+        self.start_v = int(sv) if sv is not None else t.current_version()
+        head_v = t.current_version()
+        head = t.manifest(head_v) if head_v > 0 else None
+        # plan-time head metadata; refreshed on each partitions() call
+        # so mid-stream schema evolution reaches the fold/align (the
+        # OUTPUT schema stays pinned at stream start — Spark streams
+        # cannot change schema mid-query; new columns surface after a
+        # stream restart, same contract as Delta CDF)
+        self.key = head["key"] if head else None
+        self.final_schema_json = json.dumps(head["schema"]) if head else None
+        self.aliases = LakeTable._aliases_of(head) if head else {}
+        self.cmeta = (head.get("columns_meta") or {}) if head else {}
+
+    def _t(self) -> LakeTable:
+        return LakeTable(
+            None, self._options["path"], branch=self._options.get("branch")
+        )
+
+    def initialOffset(self):
+        return {"version": self.start_v}
+
+    def latestOffset(self):
+        return {"version": self._t().current_version()}
+
+    def partitions(self, start, end):
+        s, e = int(start["version"]), int(end["version"])
+        if e <= s:
+            return [_NoopPart()]
+        t = self._t()
+        head = t.manifest(e)
+        parts = _plan_changes(t, s, e) or [_NoopPart()]
+        # align/fold metadata follows the batch's head commit; ship it
+        # WITH the partitions (see _ChangesReaderMixin._final). The
+        # emitted column set stays pinned at the stream's start schema
+        # (final_schema_json) — Spark streams cannot widen mid-query.
+        meta = {
+            "final_schema_json": self.final_schema_json,
+            "aliases": LakeTable._aliases_of(head),
+            "cmeta": head.get("columns_meta") or {},
+        }
+        for p in parts:
+            p.stream_meta = meta
+        return parts
+
+    def read(self, part):
+        yield from self.read_changes(part)
+
+    def commit(self, end):
+        pass
+
+    def stop(self):
+        pass
+
+
+class DexLakeChangesDataSource(DataSource):
+    """``spark.read.format("dexlake-changes")`` (bounded changelog,
+    ``fromVersion``/``toVersion`` options) and
+    ``spark.readStream.format("dexlake-changes")`` (the table as a
+    stream; ``startingVersion`` option, default = current version at
+    stream start). Schema = table schema + ``_change_type`` +
+    ``_commit_version``."""
+
+    @classmethod
+    def name(cls):
+        return "dexlake-changes"
+
+    def schema(self):
+        t = _table(self.options)
+        to_opt = self.options.get("toVersion")
+        v = int(to_opt) if to_opt is not None else t.current_version()
+        if v == 0:
+            raise FileNotFoundError(
+                f"no snapshot at {self.options.get('path')}"
+            )
+        data = T.StructType.fromJson(t.manifest(v)["schema"])
+        return T.StructType(list(data.fields) + _CHANGE_COLS)
+
+    def reader(self, schema):
+        return _ChangesBatchReader(self.options, schema)
+
+    def streamReader(self, schema):
+        return _ChangesStreamReader(self.options, schema)
+
+
+def register(spark: SparkSession) -> None:
+    """Register both formats on a session (idempotent)."""
+    spark.dataSource.register(DexLakeDataSource)
+    spark.dataSource.register(DexLakeChangesDataSource)

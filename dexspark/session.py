@@ -31,6 +31,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Deterministic timestamps across JVM/pandas/DuckDB comparisons.
         .config("spark.sql.session.timeZone", "UTC")
+        # Python DataSource filter pushdown (dexspark.pyds zone-map
+        # file pruning; Spark 4.1 gates pushFilters behind this conf).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("DEXSPARK_DRIVER_MEM", "24g"))
     )

@@ -1,0 +1,329 @@
+"""dexlake / dexlake-changes Python DataSources (dexspark/pyds.py).
+
+Contract under test: a consumer using only
+``spark.read.format("dexlake")`` sees exactly what
+``LakeTable.read()`` returns — across COW, MOR (incl. the
+same-commit upsert-beats-tombstone tie-break), time travel, tags,
+branches and additive schema evolution — and the ``dexlake-changes``
+batch/stream readers see exactly ``LakeTable.changes()``, with the
+streaming checkpoint giving exactly-once delivery of each commit
+range.
+"""
+
+import os
+
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+import pytest
+
+from dexspark import pyds
+from dexspark.lake import LakeTable
+from dexspark.schema import sequences_schema
+
+
+@pytest.fixture()
+def registered(spark):
+    pyds.register(spark)
+    return spark
+
+
+def _base(spark, n=30):
+    return spark.range(n).select(
+        F.concat(F.lit("doc-"), F.format_string("%03d", F.col("id"))).alias(
+            "doc_id"
+        ),
+        F.array(F.col("id").cast("int"), F.lit(1)).alias("tokens"),
+        F.lit(2).alias("n_tok"),
+        F.lit("src-a").alias("source"),
+    )
+
+
+def _ups(spark, ids, source="src-b", tok=9):
+    return spark.createDataFrame(
+        [(f"doc-{i:03d}", [tok, tok], 2, source) for i in ids],
+        schema=sequences_schema(),
+    )
+
+
+def _dels(spark, ids):
+    return spark.createDataFrame(
+        [(f"doc-{i:03d}",) for i in ids], "doc_id string"
+    )
+
+
+def _rows(df, cols=("doc_id", "tokens", "n_tok", "source")):
+    return sorted(
+        (
+            tuple(
+                tuple(r[c]) if isinstance(r[c], list) else r[c] for c in cols
+            )
+            for r in df.collect()
+        ),
+        key=repr,  # None-tolerant total order (delete rows null-fill)
+    )
+
+
+def _snap(spark, root, **opts):
+    r = spark.read.format("dexlake")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load(root)
+
+
+# ------------------------------------------------------------------- snapshot
+
+
+def test_snapshot_matches_read_cow_and_mor(registered, tmp_path):
+    spark = registered
+    for mode in ("cow", "mor"):
+        root = str(tmp_path / mode)
+        t = LakeTable.create(spark, root, sequences_schema(), num_buckets=4)
+        t.overwrite(_base(spark))
+        t.merge(_ups(spark, [1, 2, 40]), delete_keys=_dels(spark, [3]), mode=mode)
+        # same-batch upsert+delete of one key: upsert must win (the
+        # MOR tie-break read() implements)
+        t.merge(
+            _ups(spark, [5, 41], source="src-c"),
+            delete_keys=_dels(spark, [5, 2]),
+            mode=mode,
+        )
+        got = _rows(_snap(spark, root))
+        want = _rows(t.read())
+        assert got == want, mode
+        assert ("doc-005", (9, 9), 2, "src-c") in got
+
+
+def test_snapshot_time_travel_tag_and_buckets(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=4)
+    t.overwrite(_base(spark))
+    v0 = t.current_version()
+    t.tag("pin0", v0)
+    t.merge(_ups(spark, [0, 1]), mode="mor")
+    assert _rows(_snap(spark, root, version=v0)) == _rows(t.read(version=v0))
+    assert _rows(_snap(spark, root, version="pin0")) == _rows(
+        t.read(version=v0)
+    )
+    assert _rows(_snap(spark, root)) == _rows(t.read())
+    # bucket pruning option mirrors read(buckets=)
+    assert _rows(_snap(spark, root, buckets="0,2")) == _rows(
+        t.read(buckets=[0, 2])
+    )
+
+
+def test_snapshot_branch_read(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=4)
+    t.overwrite(_base(spark, 10))
+    t.create_branch("audit")
+    bt = LakeTable(spark, root, branch="audit")
+    bt.merge(_ups(spark, [0, 99]), mode="mor")
+    assert _rows(_snap(spark, root, branch="audit")) == _rows(bt.read())
+    # main unchanged
+    assert _rows(_snap(spark, root)) == _rows(t.read())
+
+
+def test_snapshot_schema_evolution_and_rename(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=2)
+    t.overwrite(_base(spark, 8))
+    # additive evolution: widen n_tok to bigint + add a column
+    evolved = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.LongType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+    up = spark.createDataFrame(
+        [("doc-001", [7, 7], 2, "src-b", "en")], schema=evolved
+    )
+    t.merge(up, mode="mor")
+    got = spark.read.format("dexlake").load(root)
+    assert [f.name for f in got.schema.fields] == [
+        "doc_id",
+        "tokens",
+        "n_tok",
+        "source",
+        "lang",
+    ]
+    assert got.schema["n_tok"].dataType == T.LongType()
+    assert _rows(got, cols=("doc_id", "tokens", "n_tok", "source", "lang")) == _rows(
+        t.read(), cols=("doc_id", "tokens", "n_tok", "source", "lang")
+    )
+    # rename: old files resolve through the alias map
+    t2 = LakeTable(spark, root)
+    t2.rename_column("source", "origin")
+    assert _rows(
+        _snap(spark, root), cols=("doc_id", "origin")
+    ) == _rows(t2.read(), cols=("doc_id", "origin"))
+
+
+def test_pushdown_prunes_planned_files(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        spark,
+        root,
+        sequences_schema(),
+        num_buckets=1,
+        properties={"sort_on_write": "true"},
+    )
+    # several MOR commits, each appending a narrow doc_id slice ->
+    # one delta file per commit with tight zone maps
+    for lo in (0, 100, 200, 300):
+        t.merge(_ups(spark, range(lo, lo + 20), source=f"s{lo}"), mode="mor")
+    n_files = sum(len(fs) for fs in t.manifest()["buckets"].values())
+    assert n_files >= 4
+
+    from pyspark.sql.datasource import EqualTo
+
+    rdr = pyds._SnapshotReaderPush({"path": root}, None)
+    rdr.pushFilters([EqualTo(("doc_id",), "doc-205")])
+    pruned = rdr.partitions()
+    planned_files = sum(
+        len(p.files) if isinstance(p, pyds._MorBucketPart) else len(p.paths)
+        for p in pruned
+        if not isinstance(p, pyds._NoopPart)
+    )
+    assert planned_files < n_files  # zone maps dropped other slices
+    # end-to-end through Spark (filter re-applied on top of pruning)
+    got = _snap(spark, root).filter(F.col("doc_id") == "doc-205").collect()
+    assert len(got) == 1 and got[0]["source"] == "s200"
+    # range predicate prunes too, and stays correct
+    rng = (
+        _snap(spark, root)
+        .filter((F.col("doc_id") >= "doc-300") & (F.col("doc_id") <= "doc-310"))
+        .count()
+    )
+    assert rng == 11
+
+
+# ------------------------------------------------------------------- changes
+
+
+def test_changes_batch_matches_lake_changes(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=4)
+    t.overwrite(_base(spark))
+    v0 = t.current_version()
+    t.merge(_ups(spark, [1, 2, 50]), delete_keys=_dels(spark, [3]), mode="mor")
+    t.merge(_ups(spark, [2, 4]), delete_keys=_dels(spark, [50]), mode="cow")
+    t.compact()  # physical-only: must emit nothing
+    v1 = t.current_version()
+
+    cols = ("doc_id", "tokens", "n_tok", "source", "_change_type", "_commit_version")
+    got = (
+        spark.read.format("dexlake-changes")
+        .option("fromVersion", v0)
+        .option("toVersion", v1)
+        .load(root)
+    )
+    assert _rows(got, cols=cols) == _rows(t.changes(v0, v1), cols=cols)
+    # full-history read from the table's creation
+    got_all = (
+        spark.read.format("dexlake-changes").option("fromVersion", 1).load(root)
+    )
+    assert _rows(got_all, cols=cols) == _rows(t.changes(1), cols=cols)
+
+
+def test_changes_stream_exactly_once(registered, tmp_path):
+    spark = registered
+    root = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out: list = []
+
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=4)
+    t.overwrite(_base(spark, 10))
+    t.merge(_ups(spark, [1, 2]), delete_keys=_dels(spark, [3]), mode="mor")
+    v1 = t.current_version()
+
+    cols = ("doc_id", "tokens", "n_tok", "source", "_change_type", "_commit_version")
+
+    def run_stream():
+        q = (
+            spark.readStream.format("dexlake-changes")
+            .option("startingVersion", 1)
+            .load(root)
+            .writeStream.foreachBatch(
+                lambda df, eid: out.extend(_rows(df, cols=cols))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_stream()
+    assert sorted(out, key=repr) == _rows(t.changes(1, v1), cols=cols)
+
+    # new commits after the first run: the checkpoint resumes from v1
+    # and delivers ONLY (v1, v2] — exactly-once over the union
+    out2: list = []
+    t.merge(_ups(spark, [5, 11], source="src-z"), mode="mor")
+    v2 = t.current_version()
+
+    q = (
+        spark.readStream.format("dexlake-changes")
+        .option("startingVersion", 1)  # ignored: checkpoint wins
+        .load(root)
+        .writeStream.foreachBatch(
+            lambda df, eid: out2.extend(_rows(df, cols=cols))
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(out2, key=repr) == _rows(t.changes(v1, v2), cols=cols)
+    assert sorted(out + out2, key=repr) == _rows(t.changes(1, v2), cols=cols)
+
+
+def test_stream_replays_to_final_state(registered, tmp_path):
+    """Replica pattern: tail the changelog stream into a second
+    LakeTable; the replica's final state equals the source's."""
+    spark = registered
+    root = str(tmp_path / "src")
+    rep_root = str(tmp_path / "rep")
+    ckpt = str(tmp_path / "ckpt")
+
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=4)
+    t.overwrite(_base(spark, 12))
+    t.merge(_ups(spark, [1, 2, 30]), delete_keys=_dels(spark, [0]), mode="mor")
+    t.merge(_ups(spark, [2, 5]), delete_keys=_dels(spark, [30]), mode="cow")
+
+    rep = LakeTable.create(spark, rep_root, sequences_schema(), num_buckets=4)
+
+    def apply_batch(df, eid):
+        df = df.localCheckpoint(eager=True)
+        for v in sorted(
+            r[0] for r in df.select("_commit_version").distinct().collect()
+        ):
+            b = df.filter(F.col("_commit_version") == v)
+            rep.merge(
+                b.filter(F.col("_change_type") == "upsert").select(
+                    "doc_id", "tokens", "n_tok", "source"
+                ),
+                delete_keys=b.filter(F.col("_change_type") == "delete").select(
+                    "doc_id"
+                ),
+                mode="mor",
+            )
+
+    q = (
+        spark.readStream.format("dexlake-changes")
+        .option("startingVersion", 1)
+        .load(root)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _rows(rep.read()) == _rows(t.read())
