@@ -327,3 +327,33 @@ def test_stream_replays_to_final_state(registered, tmp_path):
     )
     q.awaitTermination()
     assert _rows(rep.read()) == _rows(t.read())
+
+
+def test_sql_view_over_dexlake(registered, tmp_path):
+    """Pure-SQL consumers: CREATE TEMPORARY VIEW ... USING dexlake
+    gives the lake a zero-Python query surface (Spark DDL resolves
+    the registered Python data source by name)."""
+    spark = registered
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=2)
+    t.overwrite(_base(spark, 7))
+    t.merge(_ups(spark, [1]), delete_keys=_dels(spark, [2]), mode="mor")
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW lake_sql USING dexlake "
+        f"OPTIONS (path '{root}')"
+    )
+    n = spark.sql("SELECT count(*) AS n FROM lake_sql").collect()[0]["n"]
+    assert n == t.read().count() == 6
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW lake_ch USING `dexlake-changes` "
+        f"OPTIONS (path '{root}', fromVersion '2')"
+    )
+    got = spark.sql(
+        "SELECT _change_type, count(*) n FROM lake_ch GROUP BY 1 ORDER BY 1"
+    ).collect()
+    assert [(r["_change_type"], r["n"]) for r in got] == [
+        ("delete", 1),
+        ("upsert", 1),
+    ]
+    spark.catalog.dropTempView("lake_sql")
+    spark.catalog.dropTempView("lake_ch")
