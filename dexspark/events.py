@@ -123,6 +123,29 @@ def _finalize_structured(
 OUTBOX_SCHEMA_FILE = "_outbox_schema.json"
 
 
+def _all_nullable(dt: T.DataType) -> T.DataType:
+    """Recursively mark every field nullable. The binlog contract is
+    nullable-everything (anomalies surface as NULL envelope/payload
+    columns), but a producer's frame often carries non-nullable fields
+    (spark.range derivations, NOT NULL table schemas). A sidecar kept
+    verbatim would make ``_finalize_structured``'s cast target
+    non-nullable — an AnalysisException on a perfectly good log."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _all_nullable(f.dataType), True, f.metadata)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_all_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _all_nullable(dt.keyType), _all_nullable(dt.valueType), True
+        )
+    return dt
+
+
 def _sidecar_payload_schema(path: str) -> T.StructType | None:
     """Payload schema published NEXT TO a structured log (the
     schema-registry-beside-the-topic pattern; operators/outbox.py
@@ -138,7 +161,7 @@ def _sidecar_payload_schema(path: str) -> T.StructType | None:
     try:
         if os.path.exists(p):
             with open(p) as f:
-                return T.StructType.fromJson(json.load(f))
+                return _all_nullable(T.StructType.fromJson(json.load(f)))
     except (OSError, ValueError, KeyError):
         return None
     return None

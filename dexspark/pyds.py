@@ -60,7 +60,9 @@ from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
@@ -70,6 +72,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 
 from .lake import _TOMBSTONE, LakeTable
@@ -820,7 +823,246 @@ class DexLakeChangesDataSource(DataSource):
         return _ChangesStreamReader(self.options, schema)
 
 
+# --------------------------------------------------------------- binlog sink
+
+
+def _epoch_dirname(e) -> str:
+    return f"batch_epoch={int(e)}"
+
+
+class _BinlogWriterBase:
+    """Shared staging/commit machinery for the binlog sink.
+
+    Tasks write parquet files under ``<path>/_staging-<job>/
+    batch_epoch=E/`` (underscore prefix: invisible to every parquet
+    reader); the driver's commit() renames them into the live
+    ``batch_epoch=E/`` partition dirs and publishes the payload-schema
+    sidecar (events.OUTBOX_SCHEMA_FILE). A failed job never publishes
+    a file; a replayed STREAM batch overwrites its own deterministic
+    file names, so redelivery rewrites identical content in place —
+    and the engine's epoch markers + LWW dedup absorb duplicate
+    delivery anyway (the at-least-once contract every dexspark source
+    already meets)."""
+
+    def __init__(self, options, schema: T.StructType, job_token: str):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("dexlake-binlog: the 'path' option is required")
+        names = {f.name for f in schema.fields}
+        missing = {"doc_id", "payload", "batch_epoch"} - names
+        if missing:
+            raise ValueError(
+                f"dexlake-binlog: input must carry envelope columns "
+                f"(op, doc_id, payload struct, commit_ts, lsn, "
+                f"batch_epoch); missing {sorted(missing)}"
+            )
+        if not isinstance(schema["payload"].dataType, T.StructType):
+            raise ValueError("dexlake-binlog: 'payload' must be a struct")
+        self.schema_json = json.dumps(schema.jsonValue())
+        self.job_token = job_token
+
+    @property
+    def staging(self) -> str:
+        # a FIXED staging root (not token-suffixed): Spark may build
+        # separate writer instances for the driver (commit) and the
+        # serialized task side, so any per-instance path would
+        # desynchronize them. File NAMES carry the job token, so
+        # concurrent jobs never collide inside the shared dir, and the
+        # underscore prefix keeps every parquet reader away from it.
+        return os.path.join(self.path, "_staging")
+
+    def _write_task_files(self, iterator, file_token: str):
+        """Group the task's record batches by batch_epoch and write
+        one parquet file per epoch into the staging dir."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        per_epoch: dict[int, list] = {}
+        for batch in iterator:
+            tb = pa.Table.from_batches([batch])
+            epochs = tb.column("batch_epoch")
+            for e in pc.unique(epochs).to_pylist():
+                mask = (
+                    pc.is_null(epochs)
+                    if e is None
+                    else pc.equal(epochs, pa.scalar(e, epochs.type))
+                )
+                # NULL epochs are a producer bug the ENGINE classifies
+                # (quarantine fallback partition); the sink stores them
+                # in the -1 dir rather than silently dropping them
+                part = tb.filter(pc.fill_null(mask, False))
+                per_epoch.setdefault(-1 if e is None else int(e), []).append(
+                    part
+                )
+        written = []
+        for e, parts in per_epoch.items():
+            big = pa.concat_tables(parts, promote_options="none")
+            # hive layout: the partition column lives in the dir name
+            big = big.drop_columns(["batch_epoch"])
+            d = os.path.join(self.staging, _epoch_dirname(e))
+            os.makedirs(d, exist_ok=True)
+            fname = f"part-{file_token}.parquet"
+            tmp = os.path.join(d, fname + ".tmp")
+            pq.write_table(big, tmp)
+            os.replace(tmp, os.path.join(d, fname))
+            written.append((e, fname, big.num_rows))
+        return written
+
+    def _publish(self, messages) -> None:
+        for msg in messages:
+            for e, fname, _n in getattr(msg, "files", []) or []:
+                d = os.path.join(self.path, _epoch_dirname(e))
+                os.makedirs(d, exist_ok=True)
+                os.replace(
+                    os.path.join(self.staging, _epoch_dirname(e), fname),
+                    os.path.join(d, fname),
+                )
+        # payload-schema sidecar beside the log (idempotent rewrite;
+        # events.read_binlog_parquet picks it up automatically).
+        # Nullability is normalized away: the binlog contract is
+        # nullable-everything (a NOT NULL field from the producer's
+        # frame would poison the consumer's cast — caught end-to-end
+        # by the CLI drive, fixed on both write and read sides).
+        from .events import OUTBOX_SCHEMA_FILE, _all_nullable
+
+        schema = T.StructType.fromJson(json.loads(self.schema_json))
+        sidecar = os.path.join(self.path, OUTBOX_SCHEMA_FILE)
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(_all_nullable(schema["payload"].dataType).jsonValue(), f)
+        os.replace(tmp, sidecar)
+        self._sweep_staging()
+
+    def _cleanup(self, messages=None) -> None:
+        """Abort: drop THIS job's staged files (named by its token);
+        other jobs' staging is untouched. Orphans from tasks that died
+        before reporting a message are invisible to readers and are
+        age-swept by the next successful publish."""
+        for msg in messages or []:
+            for e, fname, _n in getattr(msg, "files", []) or []:
+                try:
+                    os.remove(os.path.join(self.staging, _epoch_dirname(e), fname))
+                except OSError:
+                    pass
+        self._sweep_staging()
+
+    def _sweep_staging(self, max_age_seconds: float = 3600.0) -> None:
+        """Remove empty staging epoch dirs and files older than
+        ``max_age_seconds`` (crashed writers' orphans — old enough
+        that no live job still references them)."""
+        import time
+
+        now = time.time()
+        try:
+            dirs = os.listdir(self.staging)
+        except OSError:
+            return
+        for d in dirs:
+            dp = os.path.join(self.staging, d)
+            try:
+                for f in os.listdir(dp):
+                    fp = os.path.join(dp, f)
+                    if now - os.path.getmtime(fp) > max_age_seconds:
+                        os.remove(fp)
+                os.rmdir(dp)  # only succeeds when empty
+            except OSError:
+                pass
+        try:
+            os.rmdir(self.staging)
+        except OSError:
+            pass
+
+
+@dataclass
+class _BinlogCommit(WriterCommitMessage):
+    files: list  # [(epoch, file name, rows)]
+
+
+class _BinlogBatchWriter(_BinlogWriterBase, DataSourceArrowWriter):
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        token = f"{self.job_token}-p{ctx.partitionId() if ctx else 0}"
+        return _BinlogCommit(files=self._write_task_files(iterator, token))
+
+    def commit(self, messages):
+        self._publish(messages)
+
+    def abort(self, messages):
+        self._cleanup(messages)
+
+
+class _BinlogStreamWriter(_BinlogWriterBase, DataSourceStreamArrowWriter):
+    """Streaming sink: the micro-batch id keys the staging dir and the
+    file names, so a crash-replayed batch overwrites its own files —
+    idempotent emission on top of the engine-side epoch-marker
+    absorption."""
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        # file names carry (job, micro-batch, partition): consecutive
+        # batches hitting the SAME epoch dir never collide, and a
+        # crash-replayed batch re-derives the same names and replaces
+        # its own files (os.replace) — idempotent redelivery. The
+        # batch id rides the task-local streaming property; if a Spark
+        # version stops publishing it, fall back to a unique token
+        # (duplicate files on replay are then absorbed by the engine's
+        # LWW dedup + epoch markers, the standard at-least-once path).
+        bid = None
+        if ctx is not None:
+            bid = ctx.getLocalProperty("streaming.sql.batchId")
+        if bid is None:
+            import uuid
+
+            bid = "u" + uuid.uuid4().hex[:10]
+        token = f"{self.job_token}-b{bid}-p{ctx.partitionId() if ctx else 0}"
+        return _BinlogCommit(files=self._write_task_files(iterator, token))
+
+    def commit(self, messages, batchId):
+        self._publish(messages)
+
+    def abort(self, messages, batchId):
+        self._cleanup(messages)
+
+
+class DexBinlogDataSource(DataSource):
+    """``df.write.format("dexlake-binlog").mode("append").save(path)``
+    and ``df.writeStream.format("dexlake-binlog")`` — produce change
+    events INTO a structured parquet binlog that
+    ``events.read_binlog_parquet`` / the CLI tail consume directly.
+
+    The append-only producer half of the loop: any Spark job (no
+    dexspark imports) emits envelope rows (op, doc_id, payload struct,
+    commit_ts, lsn, batch_epoch[, raw, fields]) and the engine tails
+    them with its usual exactly-once machinery. Overwrite mode is
+    refused — a change log is append-only by definition."""
+
+    @classmethod
+    def name(cls):
+        return "dexlake-binlog"
+
+    def _token(self) -> str:
+        import uuid
+
+        return uuid.uuid4().hex[:12]
+
+    def writer(self, schema, overwrite):
+        if overwrite:
+            raise ValueError(
+                "dexlake-binlog is append-only: use mode('append')"
+            )
+        return _BinlogBatchWriter(self.options, schema, self._token())
+
+    def streamWriter(self, schema, overwrite):
+        return _BinlogStreamWriter(self.options, schema, self._token())
+
+
 def register(spark: SparkSession) -> None:
-    """Register both formats on a session (idempotent)."""
+    """Register all dexspark formats on a session (idempotent)."""
     spark.dataSource.register(DexLakeDataSource)
     spark.dataSource.register(DexLakeChangesDataSource)
+    spark.dataSource.register(DexBinlogDataSource)

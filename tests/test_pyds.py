@@ -357,3 +357,182 @@ def test_sql_view_over_dexlake(registered, tmp_path):
     ]
     spark.catalog.dropTempView("lake_sql")
     spark.catalog.dropTempView("lake_ch")
+
+
+# ---------------------------------------------------------------- binlog sink
+
+
+def _envelopes(spark, rows):
+    """rows: (op, doc_id, [tokens], epoch) -> envelope frame."""
+    return spark.createDataFrame(
+        [
+            (
+                op,
+                d,
+                (toks, len(toks) if toks else 0, "web"),
+                ts,
+                i,
+                e,
+            )
+            for i, (op, d, toks, e, ts) in enumerate(rows)
+        ],
+        T.StructType(
+            [
+                T.StructField("op", T.StringType()),
+                T.StructField("doc_id", T.StringType()),
+                T.StructField(
+                    "payload",
+                    T.StructType(
+                        [
+                            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+                            T.StructField("n_tok", T.IntegerType()),
+                            T.StructField("source", T.StringType()),
+                        ]
+                    ),
+                ),
+                T.StructField("commit_ts", T.TimestampType()),
+                T.StructField("lsn", T.LongType()),
+                T.StructField("batch_epoch", T.LongType()),
+            ]
+        ),
+    )
+
+
+def test_binlog_sink_batch_roundtrip_and_engine_apply(registered, tmp_path):
+    """Produce a binlog purely through the sink, then consume it with
+    the standard structured reader AND the full CDC engine."""
+    import datetime as dt
+
+    from dexspark.config import EngineConfig
+    from dexspark.events import read_binlog_parquet
+    from dexspark.stream import CdcEngine
+
+    spark = registered
+    log = str(tmp_path / "binlog")
+    ts = dt.datetime(2026, 1, 1)
+    ev = _envelopes(
+        spark,
+        [
+            ("insert", "a", [1, 2], 0, ts),
+            ("insert", "b", [3], 0, ts),
+            ("update", "a", [9, 9], 1, ts + dt.timedelta(seconds=1)),
+            ("delete", "b", None, 1, ts + dt.timedelta(seconds=2)),
+        ],
+    )
+    ev.write.format("dexlake-binlog").mode("append").save(log)
+    # append-only contract
+    with pytest.raises(Exception):
+        ev.write.format("dexlake-binlog").mode("overwrite").save(log)
+    # second append accumulates (same layout, new files)
+    ev2 = _envelopes(
+        spark, [("insert", "c", [5, 5, 5], 2, ts + dt.timedelta(seconds=3))]
+    )
+    ev2.write.format("dexlake-binlog").mode("append").save(log)
+
+    back = read_binlog_parquet(spark, log)
+    assert back.count() == 5
+    assert back.filter("envelope_fail IS NOT NULL").count() == 0
+    # payload schema arrived via the sidecar (source column intact)
+    assert back.filter("payload.source = 'web'").count() == 5
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "tbl"), sequences_schema(), num_buckets=4
+    )
+    eng = CdcEngine(
+        spark, table, str(tmp_path / "wh"), EngineConfig(num_buckets=4)
+    )
+    eng.apply_binlog(log)
+    assert _rows(table.read()) == [
+        ("a", (9, 9), 2, "web"),
+        ("c", (5, 5, 5), 3, "web"),
+    ]
+    # replay: epochs already committed -> version unchanged
+    v = table.current_version()
+    eng.apply_binlog(log)
+    assert table.current_version() == v
+
+
+def test_binlog_sink_streaming(registered, tmp_path):
+    """writeStream.format('dexlake-binlog'): micro-batches land as
+    epoch partitions; a second availableNow run with the same
+    checkpoint appends only the new source files; batches of the SAME
+    epoch across triggers coexist (no file collisions)."""
+    import datetime as dt
+
+    from dexspark.events import read_binlog_parquet
+
+    spark = registered
+    src = str(tmp_path / "src")
+    log = str(tmp_path / "log")
+    ckpt = str(tmp_path / "ck")
+    ts = dt.datetime(2026, 1, 1)
+
+    def emit(rows):
+        _envelopes(spark, rows).coalesce(1).write.mode("append").parquet(src)
+
+    emit([("insert", "a", [1], 0, ts), ("insert", "b", [2], 0, ts)])
+
+    def run():
+        q = (
+            spark.readStream.schema(
+                _envelopes(spark, [("insert", "x", [1], 0, ts)]).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("dexlake-binlog")
+            .option("path", log)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    assert read_binlog_parquet(spark, log).count() == 2
+    # same epoch again in a later trigger + a new epoch
+    emit([("update", "a", [9], 0, ts + dt.timedelta(seconds=1))])
+    emit([("insert", "c", [3], 1, ts + dt.timedelta(seconds=2))])
+    run()
+    back = read_binlog_parquet(spark, log)
+    assert back.count() == 4
+    assert sorted(
+        (r["doc_id"], r["batch_epoch"]) for r in back.collect()
+    ) == [("a", 0), ("a", 0), ("b", 0), ("c", 1)]
+
+
+def test_binlog_sink_nonnullable_producer_schema(registered, tmp_path):
+    """A producer frame with NOT NULL struct fields (spark.range
+    derivations, NOT NULL table schemas) must yield a consumable log:
+    the sidecar is normalized to nullable-everything, or the stream
+    reader's cast to the envelope schema fails at analysis (caught by
+    the CLI drive, fixed on both the write and read side)."""
+    from dexspark.events import read_binlog_parquet, read_binlog_parquet_stream
+
+    spark = registered
+    log = str(tmp_path / "log")
+    df = spark.range(10).select(
+        F.lit("insert").alias("op"),
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.struct(
+            F.array(F.col("id").cast("int")).alias("tokens"),
+            F.lit(1).alias("n_tok"),
+            F.lit("web").alias("source"),
+        ).alias("payload"),
+        F.timestamp_micros(F.col("id")).alias("commit_ts"),
+        F.col("id").alias("lsn"),
+        F.lit(0).cast("long").alias("batch_epoch"),
+    )
+    assert not df.schema["payload"].dataType["n_tok"].nullable  # the trap
+    df.write.format("dexlake-binlog").mode("append").save(log)
+    assert read_binlog_parquet(spark, log).count() == 10
+    # the STREAM reader (the CLI tail path) must also analyze + run
+    got: list = []
+    q = (
+        read_binlog_parquet_stream(spark, log)
+        .writeStream.foreachBatch(lambda d, eid: got.append(d.count()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(got) == 10
