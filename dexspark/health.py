@@ -53,7 +53,14 @@ def _sink_rollup(spark: SparkSession, path: str, count_rows: bool = True):
         return None
     out = {"epochs": counts[0], "fallback_epochs": counts[1]}
     if count_rows:
-        out["rows"] = spark.read.parquet(path).count()
+        # a healthy run can leave the sink dir EMPTY (zero quarantined
+        # rows); spark.read.parquet on it cannot infer a schema and
+        # would crash the health check for the healthiest deployment
+        out["rows"] = (
+            0
+            if counts == (0, 0)
+            else spark.read.parquet(path).count()
+        )
     return out
 
 
@@ -96,7 +103,9 @@ def warehouse_health(
 
 def _quarantine_rollup(spark: SparkSession, q_path: str, top_reasons: int):
     q = _sink_rollup(spark, q_path)
-    if q is not None:
+    if q is not None and q.get("rows") == 0:
+        q["top_reasons"] = []
+    elif q is not None:
         reasons = (
             spark.read.parquet(q_path)
             .select(F.explode("fail_reasons").alias("reason"))
@@ -121,11 +130,17 @@ def binlog_lag(spark: SparkSession, table, binlog: str) -> dict:
     an explicit diagnostic, not a per-batch path; column pruning
     reaches the JSON parser (only ``batch_epoch`` is read).
     Unattributable events (NULL/negative epochs) are counted
-    separately — they will quarantine, not apply."""
-    from .events import read_binlog
+    separately — they will quarantine, not apply. The log's encoding
+    is auto-sniffed like every other consumer (``apply_binlog``,
+    the router): a structured parquet log read as JSON would count
+    every event unattributable."""
+    from .events import binlog_looks_parquet, read_binlog, read_binlog_parquet
 
+    reader = (
+        read_binlog_parquet if binlog_looks_parquet(binlog) else read_binlog
+    )
     w, tail = table.epoch_state()
-    ev = read_binlog(spark, binlog).select("batch_epoch")
+    ev = reader(spark, binlog).select("batch_epoch")
     e = F.col("batch_epoch")
     pending = e.isNotNull() & (e >= 0) & (e > w)
     if tail:  # committed out-of-order epochs above the watermark

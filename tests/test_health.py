@@ -174,3 +174,46 @@ def test_quarantine_drift_exact_and_cli(spark, tmp_warehouse, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == d
+
+
+def test_binlog_lag_parquet_encoding(spark, tmp_warehouse):
+    """A structured parquet binlog must sniff correctly: read as JSON
+    it would count every event unattributable (regression)."""
+    from dexspark.health import binlog_lag
+
+    binlog = os.path.join(tmp_warehouse, "plog")
+    gen.write_binlog_parquet(
+        gen.change_events(
+            spark, n_events=600, n_docs=100, n_epochs=3, max_len=8,
+            anomaly_pct=0,
+        ),
+        binlog,
+    )
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "t2"), sequences_schema(),
+        key="doc_id", num_buckets=4,
+    )
+    lag = binlog_lag(spark, table, binlog)
+    assert lag["total_events"] == 600
+    assert lag["unattributable_events"] == 0
+    assert lag["pending_epochs"] == 3
+
+
+def test_health_empty_quarantine_dir(spark, tmp_warehouse):
+    """A fully-healthy run can leave the quarantine dir EMPTY (created,
+    zero rows): health must report rows=0, not crash on parquet schema
+    inference (regression)."""
+    from dexspark.health import warehouse_health
+
+    table = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "t3"), sequences_schema(),
+        key="doc_id", num_buckets=2,
+    )
+    os.makedirs(os.path.join(tmp_warehouse, "quarantine"))
+    h = warehouse_health(spark, table, tmp_warehouse)
+    assert h["sinks"]["quarantine"] == {
+        "epochs": 0,
+        "fallback_epochs": 0,
+        "rows": 0,
+        "top_reasons": [],
+    }
