@@ -451,18 +451,36 @@ class DexLakeDataSource(DataSource):
     """``spark.read.format("dexlake").load(<table root>)``.
 
     Options: ``version`` (snapshot int or tag name), ``branch``,
-    ``buckets`` (comma-separated bucket ids)."""
+    ``buckets`` (comma-separated bucket ids), ``meta``
+    (``files`` | ``history`` | ``stats`` | ``tags`` | ``branches`` —
+    the Iceberg metadata-tables surface, manifest-only, zero data
+    I/O; ``version`` applies to ``files``/``stats``)."""
 
     @classmethod
     def name(cls):
         return "dexlake"
 
+    def _key_type(self) -> T.DataType:
+        t = _table(self.options)
+        m = t.manifest(_resolve_version(t, self.options))
+        return T.StructType.fromJson(m["schema"])[m["key"]].dataType
+
     def schema(self):
+        meta = self.options.get("meta")
+        if meta:
+            kt = (
+                self._key_type()
+                if meta in ("files",)
+                else T.StringType()
+            )
+            return _meta_schema(meta, kt)
         t = _table(self.options)
         m = t.manifest(_resolve_version(t, self.options))
         return T.StructType.fromJson(m["schema"])
 
     def reader(self, schema):
+        if self.options.get("meta"):
+            return _MetaReader(self.options, schema)
         return _reader_for(
             self.options, schema, _SnapshotReaderPush, _SnapshotReaderBase
         )
@@ -821,6 +839,161 @@ class DexLakeChangesDataSource(DataSource):
 
     def streamReader(self, schema):
         return _ChangesStreamReader(self.options, schema)
+
+
+# ------------------------------------------------------------ metadata views
+
+
+_META_VIEWS = ("files", "history", "stats", "tags", "branches")
+
+
+def _meta_schema(name: str, key_type: T.DataType) -> T.StructType:
+    if name == "files":  # mirrors LakeTable.files (lake.py:2412)
+        return T.StructType(
+            [
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("path", T.StringType()),
+                T.StructField("commit_version", T.IntegerType()),
+                T.StructField("min_key", key_type),
+                T.StructField("max_key", key_type),
+                T.StructField("row_count", T.LongType()),
+            ]
+        )
+    if name == "history":  # mirrors LakeTable.history (lake.py:2358)
+        return T.StructType(
+            [
+                T.StructField("version", T.IntegerType()),
+                T.StructField("parent", T.IntegerType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("epoch_watermark", T.LongType()),
+                T.StructField("epoch_tail", T.ArrayType(T.LongType())),
+                T.StructField("mor_depth", T.IntegerType()),
+                T.StructField("num_buckets", T.IntegerType()),
+            ]
+        )
+    if name == "stats":  # one row of LakeTable.stats (lake.py:2452)
+        return T.StructType(
+            [
+                T.StructField("version", T.IntegerType()),
+                T.StructField("row_count", T.LongType(), True),
+                T.StructField("file_rows", T.LongType()),
+                T.StructField("rows_complete", T.BooleanType()),
+                T.StructField("files", T.IntegerType()),
+                T.StructField("buckets", T.IntegerType()),
+                T.StructField("num_buckets", T.IntegerType()),
+                T.StructField("mor_buckets", T.IntegerType()),
+                T.StructField("exact", T.BooleanType()),
+            ]
+        )
+    if name == "tags":
+        return T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField("version", T.IntegerType()),
+            ]
+        )
+    if name == "branches":
+        return T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField("fork_version", T.IntegerType()),
+                T.StructField("head", T.IntegerType()),
+            ]
+        )
+    raise ValueError(
+        f"dexlake: unknown meta view {name!r} (one of {_META_VIEWS})"
+    )
+
+
+def _meta_rows(t: LakeTable, name: str, version: int | None) -> list[tuple]:
+    """Driver-side metadata rows — manifest/refs only, zero data I/O
+    (the Iceberg metadata-tables surface: ``table.files`` etc.)."""
+    if name == "files":
+        m = t.manifest(version)
+        fb, fr = m.get("file_bounds", {}), m.get("file_rows", {})
+        rows = []
+        for b, fl in sorted(m["buckets"].items(), key=lambda kv: int(kv[0])):
+            for rel in fl:
+                bounds = fb.get(rel) or (None, None)
+                rows.append(
+                    (
+                        int(b),
+                        rel,
+                        t._added_version(m, rel),
+                        bounds[0],
+                        bounds[1],
+                        fr.get(rel),
+                    )
+                )
+        return rows
+    if name == "history":
+        return [
+            (
+                h["version"],
+                int(h["parent"]),
+                h["operation"],
+                int(h["epoch_watermark"]),
+                [int(x) for x in h["epoch_tail"]],
+                h["mor_depth"],
+                h["num_buckets"],
+            )
+            for h in t.history()
+        ]
+    if name == "stats":
+        s = t.stats(version)
+        return [
+            (
+                s["version"],
+                s["row_count"],
+                s["file_rows"],
+                s["rows_complete"],
+                s["files"],
+                s["buckets"],
+                s["num_buckets"],
+                s["mor_buckets"],
+                s["exact"],
+            )
+        ]
+    if name == "tags":
+        return sorted(t.tags().items())
+    if name == "branches":
+        return [
+            (n, b["fork_version"], b["head"])
+            for n, b in sorted(t.branches().items())
+        ]
+    raise AssertionError(name)
+
+
+@dataclass
+class _MetaPart(InputPartition):
+    rows: list
+    schema_json: str
+
+
+class _MetaReader(DataSourceReader):
+    def __init__(self, options, schema: T.StructType):
+        t = _table(options)
+        name = options.get("meta")
+        version = None
+        if options.get("version") is not None and name in ("files", "stats"):
+            version = _resolve_version(t, options)
+        self._part = _MetaPart(
+            _meta_rows(t, name, version), json.dumps(schema.jsonValue())
+        )
+
+    def partitions(self):
+        return [self._part]
+
+    def read(self, part):
+        import pyarrow as pa
+
+        schema = T.StructType.fromJson(json.loads(part.schema_json))
+        target = _arrow_schema(schema)
+        cols = [
+            pa.array([r[i] for r in part.rows], f.type)
+            for i, f in enumerate(target)
+        ]
+        yield from pa.table(cols, schema=target).to_batches()
 
 
 # --------------------------------------------------------------- binlog sink

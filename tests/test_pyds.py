@@ -536,3 +536,50 @@ def test_binlog_sink_nonnullable_producer_schema(registered, tmp_path):
     )
     q.awaitTermination()
     assert sum(got) == 10
+
+
+def test_meta_views(registered, tmp_path):
+    """option('meta', ...) — the Iceberg metadata-tables surface:
+    files/history/stats/tags/branches from the manifest alone."""
+    spark = registered
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=2)
+    t.overwrite(_base(spark, 10))
+    t.merge(_ups(spark, [1, 2]), mode="mor")
+    t.tag("pin", t.current_version())
+    t.create_branch("wip")
+
+    def meta(name, **opts):
+        r = spark.read.format("dexlake").option("meta", name)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load(root)
+
+    files = meta("files")
+    want_files = t.files()
+    assert files.count() == want_files.count()
+    assert sorted(r["path"] for r in files.collect()) == sorted(
+        r["path"] for r in want_files.collect()
+    )
+    # zone-map bounds present and typed like the key
+    assert files.schema["min_key"].dataType == T.StringType()
+    assert files.filter("min_key IS NOT NULL").count() == files.count()
+
+    hist = meta("history").collect()
+    assert [r["operation"] for r in hist] == [
+        h["operation"] for h in t.history()
+    ]
+
+    stats = meta("stats").collect()[0].asDict()
+    assert stats == {**t.stats(), "exact": stats["exact"]}
+
+    assert [(r["name"], r["version"]) for r in meta("tags").collect()] == [
+        ("pin", t.current_version())
+    ]
+    b = meta("branches").collect()
+    assert [(r["name"], r["fork_version"], r["head"]) for r in b] == [
+        ("wip", t.current_version(), t.current_version())
+    ]
+    # time travel applies to files/stats
+    v0 = 2  # the overwrite commit
+    assert meta("files", version=v0).count() == t.files(version=v0).count()
