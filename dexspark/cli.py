@@ -608,6 +608,8 @@ def main(argv: list[str] | None = None) -> int:
         and args.distinct_over is None
         and args.compact_sketches is None
         and args.quarantine_drift is None
+        # log compaction reads/writes only the binlog — no table
+        and args.compact_binlog is None
     ):
         ap.error("--table is required (except in --route mode)")
     if args.drift is not None and not args.warehouse:
@@ -703,7 +705,21 @@ def main(argv: list[str] | None = None) -> int:
         lo_s, hi_s = (args.distinct_over.split(",") + [""])[:2]
         lo = int(lo_s) if lo_s else None
         hi = int(hi_s) if hi_s else None
-        sk = read_sketches(spark, _os.path.join(args.warehouse, "profile_sketch"))
+        sk_path = _os.path.join(args.warehouse, "profile_sketch")
+        if not _os.path.isdir(sk_path):
+            print(
+                json.dumps(
+                    {
+                        "error": "no sketch sink at "
+                        + sk_path
+                        + " — run the tail with --profile-epochs (or "
+                        "EngineConfig(profile=True)) to write per-epoch "
+                        "distinct sketches first"
+                    }
+                )
+            )
+            return 2
+        sk = read_sketches(spark, sk_path)
         rows = _distinct(sk, lo, hi).collect()
         print(
             json.dumps(

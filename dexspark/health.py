@@ -177,8 +177,20 @@ def quarantine_drift(
     2 = disjoint) — "did a producer start failing differently", the
     quarantine-side complement of :func:`~dexspark.operators.profile.
     drift`. One bounded job over two epoch partitions (partition
-    pruning reaches the scan)."""
-    q = spark.read.parquet(os.path.join(warehouse, "quarantine"))
+    pruning reaches the scan). A missing or EMPTY quarantine (the
+    healthy case) reports zero occurrences and zero drift instead of
+    failing schema inference."""
+    q_path = os.path.join(warehouse, "quarantine")
+    if _epoch_dirs(q_path) in (None, (0, 0)):
+        return {
+            "epoch_a": int(epoch_a),
+            "epoch_b": int(epoch_b),
+            "occurrences_a": 0,
+            "occurrences_b": 0,
+            "reasons": {},
+            "drift_l1": 0.0,
+        }
+    q = spark.read.parquet(q_path)
     e = F.col("batch_epoch")
     both = (
         q.filter(e.isin(int(epoch_a), int(epoch_b)))

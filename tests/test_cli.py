@@ -768,3 +768,45 @@ def test_cli_bootstrap_snapshot_then_tail(spark, tmp_warehouse, capsys):
     table = LakeTable(spark, root)
     want = oracle.replay(files)
     oracle.assert_equal_state(want.state, table.read().collect(), "cli bootstrap")
+
+
+def test_cli_diagnostics_graceful_on_healthy_deployment(
+    spark, tmp_warehouse, capsys
+):
+    """The diagnostics must not crash on the HEALTHIEST deployment:
+    --compact-binlog needs no --table at all (binlog-to-binlog),
+    --quarantine-drift over a missing/empty quarantine reports zero
+    drift, and --distinct-over without a sketch sink explains how to
+    enable it instead of raising PATH_NOT_FOUND (regressions, all
+    found by driving the CLI against a zero-anomaly run)."""
+    from dexspark import cli
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=100, n_docs=20, n_epochs=1, max_len=8,
+            anomaly_pct=0,
+        ),
+        binlog,
+    )
+    # 1. no --table for log compaction
+    rc = cli.main(
+        ["--binlog", binlog, "--compact-binlog", os.path.join(tmp_warehouse, "cb")]
+    )
+    assert rc == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # 2. drift over a quarantine that was never written / is empty
+    rc = cli.main(["--warehouse", tmp_warehouse, "--quarantine-drift", "0,1"])
+    assert rc == 0
+    d = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert d["occurrences_a"] == 0 and d["drift_l1"] == 0.0
+    os.makedirs(os.path.join(tmp_warehouse, "quarantine"))  # empty dir
+    rc = cli.main(["--warehouse", tmp_warehouse, "--quarantine-drift", "0,1"])
+    assert rc == 0
+
+    # 3. distinct-over without the sketch sink: clear guidance, rc != 0
+    rc = cli.main(["--warehouse", tmp_warehouse, "--distinct-over", "0,1"])
+    assert rc == 2
+    err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "profile" in err["error"]
