@@ -670,7 +670,22 @@ def main(argv: list[str] | None = None) -> int:
         from .operators.profile import drift as _drift
 
         e0, e1 = (int(x) for x in args.drift.split(","))
-        prof = spark.read.parquet(_os.path.join(args.warehouse, "profile"))
+        prof_path = _os.path.join(args.warehouse, "profile")
+        if not _os.path.isdir(prof_path):
+            print(
+                json.dumps(
+                    {
+                        "error": "no profile sink at "
+                        + prof_path
+                        + " — run the tail with --profile-epochs (or "
+                        "EngineConfig(profile=True)) first; note a fully "
+                        "caught-up rerun applies no batches and writes "
+                        "no profiles"
+                    }
+                )
+            )
+            return 2
+        prof = spark.read.parquet(prof_path)
         rows = _drift(prof, e0, e1).collect()
         print(
             json.dumps(
@@ -754,6 +769,18 @@ def main(argv: list[str] | None = None) -> int:
 
         from .operators.profile import compact_sketches as _compact_sk
 
+        if not _os.path.isdir(_os.path.join(args.warehouse, "profile_sketch")):
+            print(
+                json.dumps(
+                    {
+                        "error": "no sketch sink at "
+                        + _os.path.join(args.warehouse, "profile_sketch")
+                        + " — nothing to compact (--profile-epochs "
+                        "writes it while tailing)"
+                    }
+                )
+            )
+            return 2
         info = _compact_sk(
             spark,
             _os.path.join(args.warehouse, "profile_sketch"),

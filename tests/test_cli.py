@@ -810,3 +810,21 @@ def test_cli_diagnostics_graceful_on_healthy_deployment(
     assert rc == 2
     err = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "profile" in err["error"]
+
+
+def test_cli_profile_diagnostics_guards(spark, tmp_warehouse, capsys):
+    """--drift / --compact-sketches without their sinks explain how to
+    enable them instead of raising PATH_NOT_FOUND (same contract as
+    --distinct-over)."""
+    from dexspark import cli
+
+    rc = cli.main(["--warehouse", tmp_warehouse, "--drift", "0,1"])
+    assert rc == 2
+    assert "profile" in json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["error"]
+    rc = cli.main(["--warehouse", tmp_warehouse, "--compact-sketches", "1"])
+    assert rc == 2
+    assert "sketch" in json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["error"]
