@@ -177,10 +177,24 @@ def read_binlog_parquet(
     partition pruning reaches the scan, and the same classify /
     validate / dedup pipeline runs downstream unchanged. Rows the
     producer could not parse arrive with NULL envelope columns + the
-    raw line and classify as rejects, exactly like the ndjson path."""
+    raw line and classify as rejects, exactly like the ndjson path.
+
+    The scan uses an EXPLICIT read schema (envelope + payload + raw),
+    exactly like the streaming reader: the parquet reader null-fills
+    missing columns INCLUDING nested payload fields, so a log whose
+    files span a payload evolution (older files lack a column the
+    sidecar already carries) reads uniformly — an inferred-schema
+    read would pick one file's footer and the struct cast to the
+    union schema cannot widen."""
     if payload_schema is None:
         payload_schema = _sidecar_payload_schema(path)
-    return _finalize_structured(spark.read.parquet(path), payload_schema)
+    schema = T.StructType(
+        list(change_event_schema(payload_schema).fields)
+        + [T.StructField(RAW_COL, T.StringType(), True)]
+    )
+    return _finalize_structured(
+        spark.read.schema(schema).parquet(path), payload_schema
+    )
 
 
 def read_binlog_parquet_stream(

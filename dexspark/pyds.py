@@ -1097,13 +1097,29 @@ class _BinlogWriterBase:
         # nullable-everything (a NOT NULL field from the producer's
         # frame would poison the consumer's cast — caught end-to-end
         # by the CLI drive, fixed on both write and read sides).
+        # The published schema is RECONCILED with the existing sidecar
+        # (additive union + int widening): producers evolve at their
+        # own pace, and a STALE producer's append must not narrow the
+        # schema away from columns a newer producer already published
+        # — last-writer-wins on the file, monotone on the contents.
         from .events import OUTBOX_SCHEMA_FILE, _all_nullable
+        from .schema import reconcile
 
-        schema = T.StructType.fromJson(json.loads(self.schema_json))
+        payload = _all_nullable(
+            T.StructType.fromJson(json.loads(self.schema_json))[
+                "payload"
+            ].dataType
+        )
         sidecar = os.path.join(self.path, OUTBOX_SCHEMA_FILE)
+        try:
+            with open(sidecar) as f:
+                existing = _all_nullable(T.StructType.fromJson(json.load(f)))
+            payload = reconcile(existing, payload, {})
+        except (OSError, ValueError, KeyError):
+            pass  # first write, or an unreadable sidecar: publish ours
         tmp = sidecar + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(_all_nullable(schema["payload"].dataType).jsonValue(), f)
+            json.dump(payload.jsonValue(), f)
         os.replace(tmp, sidecar)
         self._sweep_staging()
 

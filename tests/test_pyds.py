@@ -583,3 +583,37 @@ def test_meta_views(registered, tmp_path):
     # time travel applies to files/stats
     v0 = 2  # the overwrite commit
     assert meta("files", version=v0).count() == t.files(version=v0).count()
+
+
+def test_binlog_sink_sidecar_schema_monotone(registered, tmp_path):
+    """Producers evolve independently: an evolved producer's extra
+    payload column survives in the sidecar even when a STALE producer
+    appends afterwards (reconcile-on-write, additive union)."""
+    import datetime as dt
+
+    from dexspark.events import _sidecar_payload_schema
+
+    spark = registered
+    log = str(tmp_path / "log")
+    ts = dt.datetime(2026, 1, 1)
+    old = _envelopes(spark, [("insert", "a", [1], 0, ts)])
+    evolved = old.withColumn(
+        "payload",
+        F.struct(
+            F.col("payload.tokens").alias("tokens"),
+            F.col("payload.n_tok").alias("n_tok"),
+            F.col("payload.source").alias("source"),
+            F.lit("en").alias("lang"),
+        ),
+    )
+    evolved.write.format("dexlake-binlog").mode("append").save(log)
+    assert "lang" in _sidecar_payload_schema(log).fieldNames()
+    # stale producer appends WITHOUT lang: sidecar keeps it
+    old.write.format("dexlake-binlog").mode("append").save(log)
+    side = _sidecar_payload_schema(log)
+    assert "lang" in side.fieldNames()
+    from dexspark.events import read_binlog_parquet
+
+    back = read_binlog_parquet(spark, log)
+    assert back.count() == 2
+    assert back.filter("payload.lang = 'en'").count() == 1
