@@ -485,6 +485,14 @@ class DexLakeDataSource(DataSource):
             self.options, schema, _SnapshotReaderPush, _SnapshotReaderBase
         )
 
+    # No writer through this format, deliberately: the Python
+    # DataSource write API commits in a SESSION-LESS Python worker
+    # (no JVM gateway), while LakeTable writes need the engine's JVM
+    # side (xxhash64 bucketing, MERGE, zone-map harvest) — measured,
+    # not assumed: SparkSession.getActiveSession() is None inside
+    # commit(). Use LakeTable.merge/overwrite, the CLI tail, or
+    # foreach_batch_merge (below) for streams.
+
 
 # ----------------------------------------------------------------- changes/CDF
 
@@ -1248,6 +1256,50 @@ class DexBinlogDataSource(DataSource):
 
     def streamWriter(self, schema, overwrite):
         return _BinlogStreamWriter(self.options, schema, self._token())
+
+
+# ----------------------------------------------------------------- lake sink
+
+
+def foreach_batch_merge(root: str, branch: str | None = None,
+                        epoch_offset: int = 0):
+    """Exactly-once streaming MERGE into a LakeTable, as the
+    ``foreachBatch`` function Spark's sink contract wants:
+
+    ``df.writeStream.foreachBatch(foreach_batch_merge(root))``
+
+    Each micro-batch is one :meth:`LakeTable.merge` whose epoch marker
+    is the micro-batch id (+ ``epoch_offset``) committed in the SAME
+    manifest publish — a crash-replayed batch is recognized
+    (``is_epoch_committed``) and skipped, so the merge is
+    exactly-once per checkpoint lineage, exactly Delta's
+    (txnAppId, txnVersion) idempotent-sink contract with the engine's
+    own epoch machinery as the ledger. Batch ids restart at 0 under a
+    FRESH checkpoint: pass ``epoch_offset`` greater than the table's
+    watermark to give a new pipeline fresh epoch space, or resume the
+    old checkpoint. Empty batches still advance the watermark
+    (manifest-only marker).
+
+    Why not ``writeStream.format("dexlake")``: the Python DataSource
+    write API commits in a SESSION-LESS worker process (no JVM
+    gateway — SparkSession.getActiveSession() is None there, measured
+    not assumed), while the lake write path needs the engine's JVM
+    side (xxhash64 bucketing, MERGE, zone-map harvest). foreachBatch
+    runs on the driver with the session, which is the shape Spark
+    itself prescribes for transactional sinks."""
+
+    def _apply(df, batch_id: int) -> None:
+        spark = df.sparkSession
+        t = LakeTable(spark, root, branch=branch)
+        epoch = int(batch_id) + int(epoch_offset)
+        if t.is_epoch_committed(epoch):
+            return
+        if df.isEmpty():
+            t.mark_epochs([epoch])
+        else:
+            t.merge(df, epochs=[epoch])
+
+    return _apply
 
 
 def register(spark: SparkSession) -> None:

@@ -617,3 +617,67 @@ def test_binlog_sink_sidecar_schema_monotone(registered, tmp_path):
     back = read_binlog_parquet(spark, log)
     assert back.count() == 2
     assert back.filter("payload.lang = 'en'").count() == 1
+
+
+
+# ------------------------------------------------------------------ lake sink
+
+
+def test_foreach_batch_merge_exactly_once(registered, tmp_path):
+    """pyds.foreach_batch_merge: per-micro-batch MERGE with the batch
+    id as epoch marker — checkpoint resume merges only new data, a
+    replayed batch id is a no-op, and epoch_offset gives a fresh
+    pipeline its own epoch space."""
+    spark = registered
+    root = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ck")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=4)
+    t.overwrite(_base(spark, 5))
+
+    def emit(ids, source):
+        _ups(spark, ids, source=source).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run(ck, offset=0):
+        q = (
+            spark.readStream.schema(sequences_schema())
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(
+                pyds.foreach_batch_merge(root, epoch_offset=offset)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    emit([1, 2], "s1")
+    run(ckpt)
+    t = LakeTable(spark, root)
+    got = dict((r[0], r[3]) for r in _rows(t.read()))
+    assert got["doc-001"] == "s1" and got["doc-002"] == "s1"
+    w0, _ = t.epoch_state()
+    assert w0 >= 0  # batch 0 marked
+    v0 = t.current_version()
+
+    # replayed batch id: direct call with an already-committed id
+    pyds.foreach_batch_merge(root)(_ups(spark, [9], source="dup"), 0)
+    t = LakeTable(spark, root)
+    assert t.current_version() == v0  # no-op
+    assert "doc-009" not in dict((r[0], r[3]) for r in _rows(t.read()))
+
+    # checkpoint resume: only the new file merges
+    emit([3], "s2")
+    run(ckpt)
+    t = LakeTable(spark, root)
+    assert dict((r[0], r[3]) for r in _rows(t.read()))["doc-003"] == "s2"
+
+    # fresh checkpoint, fresh epoch space
+    emit([4], "s3")
+    w1, _ = t.epoch_state()
+    run(str(tmp_path / "ck2"), offset=w1 + 1)
+    t = LakeTable(spark, root)
+    assert dict((r[0], r[3]) for r in _rows(t.read()))["doc-004"] == "s3"
