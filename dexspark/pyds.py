@@ -54,7 +54,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
@@ -146,7 +146,14 @@ class _DiffPart(InputPartition):
     ``old``/``new`` are [(path, file_version)]; either side may span
     several commits (carried-forward files keep their adding commit).
     ``old_mor``/``new_mor``: fold that side per-key before diffing
-    (the bucket carried MOR deltas at that snapshot)."""
+    (the bucket carried MOR deltas at that snapshot).
+
+    Memory bound: the diff materializes BOTH snapshots of one bucket
+    inside the Python worker — the COW slow path, same data volume
+    the COW write itself rewrote. At scale, CDC-out should run
+    against MOR tables, where every commit reads O(change) appended
+    files instead (the engine's own recommendation, lake.py
+    changes())."""
 
     commit_version: int
     schema_json: str

@@ -681,3 +681,37 @@ def test_foreach_batch_merge_exactly_once(registered, tmp_path):
     run(str(tmp_path / "ck2"), offset=w1 + 1)
     t = LakeTable(spark, root)
     assert dict((r[0], r[3]) for r in _rows(t.read()))["doc-004"] == "s3"
+
+
+def test_changes_format_over_gnarly_history(registered, tmp_path):
+    """The format's CDF planner must mirror LakeTable.changes across
+    the FULL operation zoo: MOR merge with deletes, COW merge,
+    physical-only rebucket, delete_where (tombstone MERGE), rollback
+    (manifest-copy restore) and rewrite_payload (in-place transform)
+    — including reading the range THROUGH the rebucket's bucket-space
+    change."""
+    spark = registered
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=2)
+    t.overwrite(_base(spark, 20))
+    v0 = t.current_version()
+    t.merge(_ups(spark, [1, 2, 30]), delete_keys=_dels(spark, [3]), mode="mor")
+    t.merge(_ups(spark, [4], source="src-c"), mode="cow")
+    t.rebucket(4)  # physical only: emits nothing
+    t.delete_where("source = 'src-c'")  # tombstone merge
+    bad_v = t.current_version()
+    t.merge(_ups(spark, [5, 6], source="bad-batch"), mode="mor")
+    t.rollback(bad_v)  # restore: bad batch rows retract
+    t.rewrite_payload({"n_tok": "n_tok + 100"})  # in-place transform
+    v1 = t.current_version()
+
+    cols = ("doc_id", "tokens", "n_tok", "source", "_change_type", "_commit_version")
+    got = (
+        spark.read.format("dexlake-changes")
+        .option("fromVersion", v0)
+        .option("toVersion", v1)
+        .load(root)
+    )
+    assert _rows(got, cols=cols) == _rows(t.changes(v0, v1), cols=cols)
+    # and the final snapshot read through the format survives it all
+    assert _rows(_snap(spark, root)) == _rows(t.read())
