@@ -73,6 +73,19 @@ def main(argv: list[str] | None = None) -> int:
         help="apply the whole log as one batch (no streaming checkpoint); auto-detects ndjson[.gz] vs structured parquet logs",
     )
     ap.add_argument(
+        "--expire-binlog",
+        metavar="KEEP_EPOCHS",
+        type=int,
+        default=None,
+        help="instead of tailing: delete fully-applied change-log "
+        "segments — epoch files/partitions at or below the table's "
+        "epoch watermark minus KEEP_EPOCHS (the replay window). "
+        "Needs --table (the watermark source; pass the MIN-watermark "
+        "table for fan-out logs) and --binlog; honors --dry-run. "
+        "Entries that don't encode an epoch are never touched; "
+        "bootstrap new consumers from --export-snapshot afterwards",
+    )
+    ap.add_argument(
         "--compact-binlog",
         metavar="OUT_DIR",
         help="instead of tailing: Kafka-style log compaction — write a "
@@ -567,6 +580,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.outbox is not None
         or args.scan_range is not None
         or args.compact_binlog is not None
+        or args.expire_binlog is not None
         or args.reprocess_quarantine
         or args.reprocess_unrouted
         or args.routes_status
@@ -637,6 +651,8 @@ def main(argv: list[str] | None = None) -> int:
             )
     if args.compact_binlog and not args.binlog:
         ap.error("--binlog is required with --compact-binlog")
+    if args.expire_binlog is not None and not (args.binlog and args.table):
+        ap.error("--binlog and --table are required with --expire-binlog")
     if args.reprocess_quarantine and not args.warehouse:
         ap.error("--warehouse is required with --reprocess-quarantine")
     if (
@@ -1097,6 +1113,17 @@ def main(argv: list[str] | None = None) -> int:
                 }
             )
         )
+        return 0
+
+    if args.expire_binlog is not None:
+        from .events import expire_binlog
+
+        t = LakeTable(spark, args.table, branch=args.branch)
+        w, _tail = t.epoch_state()
+        info = expire_binlog(
+            args.binlog, w, keep_epochs=args.expire_binlog, dry_run=args.dry_run
+        )
+        print(json.dumps({"epoch_watermark": w, **info}))
         return 0
 
     if args.compact_binlog is not None:

@@ -421,3 +421,75 @@ def classify(df: DataFrame, op_whitelist: tuple[str, ...] = ("insert", "update",
         .when(~F.col("op").isin(*op_whitelist), F.lit("skip"))
         .otherwise(F.lit("apply")),
     )
+
+
+# ----------------------------------------------------------- log retention
+
+
+def binlog_epoch_files(path: str) -> dict[int, list[str]]:
+    """epoch -> file/dir names for every log entry whose NAME encodes
+    its epoch: ``epoch-<E>-*`` files (gen.write_binlog) or
+    ``batch_epoch=<E>`` partition dirs (structured parquet logs, the
+    outbox, the dexlake-binlog sink). Entries that don't encode an
+    epoch are ignored — retention never touches what it cannot
+    attribute. Same recognizer as the router's epoch listing
+    (router._epochs_from_listing)."""
+    import re
+
+    out: dict[int, list[str]] = {}
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return out
+    for n in names:
+        m = re.match(r"epoch-(\d+)-", n) or re.match(r"batch_epoch=(\d+)$", n)
+        if m:
+            out.setdefault(int(m.group(1)), []).append(n)
+    return out
+
+
+def expire_binlog(
+    path: str,
+    watermark: int,
+    keep_epochs: int = 0,
+    dry_run: bool = False,
+) -> dict:
+    """Retire fully-applied change-log segments: delete epoch files /
+    partition dirs for epochs ``<= watermark - keep_epochs``.
+
+    The lifecycle completion of the tail: the engine's exactly-once
+    contract (epoch markers) makes applied epochs dead weight in the
+    log — but only BELOW the consumer's watermark (pass the MINIMUM
+    watermark across consumers for fan-out logs, e.g. the router's
+    routes). ``keep_epochs`` holds a replay window for late
+    consumers; a from-zero replay of expired epochs is gone by
+    design — bootstrap new consumers from ``export_snapshot``
+    instead (the same contract as ``LakeTable.vacuum`` vs
+    ``changes``). Epoch-less entries (sidecars, stray files,
+    fallback partitions, the corrupt-line channel) are never
+    touched."""
+    import shutil
+
+    through = int(watermark) - int(keep_epochs)
+    by_epoch = binlog_epoch_files(path)
+    doomed = sorted(e for e in by_epoch if e <= through)
+    removed_files = 0
+    for e in doomed:
+        for name in by_epoch[e]:
+            p = os.path.join(path, name)
+            if not dry_run:
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        continue
+            removed_files += 1
+    return {
+        "through_epoch": through,
+        "expired_epochs": doomed,
+        "removed_entries": removed_files,
+        "kept_epochs": sorted(e for e in by_epoch if e > through),
+        "dry_run": bool(dry_run),
+    }

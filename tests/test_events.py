@@ -193,3 +193,67 @@ def test_compact_binlog_non_monotone_key_kept_verbatim(spark, tmp_path):
     assert s_full == s_comp
     assert s_full["mono"]["tokens"] == [2]
     assert s_full["nm"]["tokens"] == [5]  # per-epoch replay: last epoch wins
+
+
+def test_expire_binlog_lifecycle(spark, tmp_path):
+    """expire_binlog removes exactly the applied epochs under the
+    watermark minus the keep window, in BOTH log layouts, never
+    touches epoch-less entries, and the engine's exactly-once state
+    keeps a post-expiry re-tail a no-op."""
+    import json as _json
+    import os
+
+    from dexspark import gen
+    from dexspark.config import EngineConfig
+    from dexspark.events import binlog_epoch_files, expire_binlog
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+    from dexspark.stream import CdcEngine
+
+    for fmt in ("ndjson", "parquet"):
+        binlog = str(tmp_path / f"log-{fmt}")
+        ev = gen.change_events(
+            spark, n_events=400, n_docs=80, n_epochs=4, max_len=8,
+            anomaly_pct=0,
+        )
+        if fmt == "ndjson":
+            gen.write_binlog(ev, binlog)
+        else:
+            gen.write_binlog_parquet(ev, binlog)
+        # an epoch-less sidecar must survive
+        with open(os.path.join(binlog, "_note.json"), "w") as f:
+            _json.dump({"x": 1}, f)
+
+        t = LakeTable.create(
+            spark, str(tmp_path / f"t-{fmt}"), sequences_schema(),
+            num_buckets=4,
+        )
+        eng = CdcEngine(
+            spark, t, str(tmp_path / f"wh-{fmt}"), EngineConfig(num_buckets=4)
+        )
+        eng.apply_binlog(binlog)
+        w, _ = t.epoch_state()
+        assert w == 3
+
+        dry = expire_binlog(binlog, w, keep_epochs=2, dry_run=True)
+        assert dry["expired_epochs"] == [0, 1] and dry["dry_run"]
+        assert set(binlog_epoch_files(binlog)) == {0, 1, 2, 3}  # untouched
+
+        info = expire_binlog(binlog, w, keep_epochs=2)
+        assert info["expired_epochs"] == [0, 1]
+        assert set(binlog_epoch_files(binlog)) == {2, 3}
+        assert os.path.exists(os.path.join(binlog, "_note.json"))
+
+        rows_before = sorted(
+            (r["doc_id"], tuple(r["tokens"] or [])) for r in t.read().collect()
+        )
+        # fresh checkpoint over the truncated log: everything left is
+        # already committed — state unchanged
+        v = t.current_version()
+        eng.apply_binlog(binlog)
+        t2 = LakeTable(spark, str(tmp_path / f"t-{fmt}"))
+        assert t2.current_version() == v
+        assert rows_before == sorted(
+            (r["doc_id"], tuple(r["tokens"] or []))
+            for r in t2.read().collect()
+        )
