@@ -607,7 +607,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.route:
         if not args.route_expr:
             ap.error("--route-expr is required with --route")
-        if not tailing and not (args.reprocess_unrouted or args.routes_status):
+        if not tailing and not (
+            args.reprocess_unrouted
+            or args.routes_status
+            or args.expire_binlog is not None
+        ):
             ap.error("--route only composes with the tailing modes")
         if (args.reprocess_unrouted or args.routes_status) and not args.warehouse:
             ap.error(
@@ -651,8 +655,13 @@ def main(argv: list[str] | None = None) -> int:
             )
     if args.compact_binlog and not args.binlog:
         ap.error("--binlog is required with --compact-binlog")
-    if args.expire_binlog is not None and not (args.binlog and args.table):
-        ap.error("--binlog and --table are required with --expire-binlog")
+    if args.expire_binlog is not None and not (
+        args.binlog and (args.table or args.route)
+    ):
+        ap.error(
+            "--binlog plus --table (or --route mode, which uses the "
+            "MIN route watermark) are required with --expire-binlog"
+        )
     if args.reprocess_quarantine and not args.warehouse:
         ap.error("--warehouse is required with --reprocess-quarantine")
     if (
@@ -1115,7 +1124,7 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
-    if args.expire_binlog is not None:
+    if args.expire_binlog is not None and not args.route:
         from .events import expire_binlog
 
         t = LakeTable(spark, args.table, branch=args.branch)
@@ -1167,6 +1176,20 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.warehouse, routes, args.route_expr,
             default=args.route_default,
         )
+        if args.expire_binlog is not None:
+            # fan-out retention: an epoch is dead only when EVERY
+            # route has applied it — expire under the MIN watermark
+            from .events import expire_binlog
+
+            w = min(e.table.epoch_state()[0] for e in routes.values())
+            info = expire_binlog(
+                args.binlog,
+                w,
+                keep_epochs=args.expire_binlog,
+                dry_run=args.dry_run,
+            )
+            print(json.dumps({"min_epoch_watermark": w, **info}))
+            return 0
         if args.routes_status:
             status = {}
             for name, eng in routes.items():

@@ -1021,11 +1021,15 @@ def _epoch_dirname(e) -> str:
 class _BinlogWriterBase:
     """Shared staging/commit machinery for the binlog sink.
 
-    Tasks write parquet files under ``<path>/_staging-<job>/
-    batch_epoch=E/`` (underscore prefix: invisible to every parquet
-    reader); the driver's commit() renames them into the live
-    ``batch_epoch=E/`` partition dirs and publishes the payload-schema
-    sidecar (events.OUTBOX_SCHEMA_FILE). A failed job never publishes
+    Tasks write parquet files under ``<path>/_staging/batch_epoch=E/``
+    (underscore prefix: invisible to every parquet reader); the
+    driver's commit() renames them into the live ``batch_epoch=E/``
+    partition dirs and publishes the payload-schema sidecar
+    (events.OUTBOX_SCHEMA_FILE). Staging + rename is local-FS, the
+    same seam as the manifest layer's LocalFileIO (lake.py:73): on an
+    object store the equivalent is direct uniquely-named puts with the
+    commit recording the published names — the sink would route
+    through the same FileIO abstraction. A failed job never publishes
     a file; a replayed STREAM batch overwrites its own deterministic
     file names, so redelivery rewrites identical content in place —
     and the engine's epoch markers + LWW dedup absorb duplicate

@@ -828,3 +828,46 @@ def test_cli_profile_diagnostics_guards(spark, tmp_warehouse, capsys):
     assert "sketch" in json.loads(
         capsys.readouterr().out.strip().splitlines()[-1]
     )["error"]
+
+
+def test_cli_expire_binlog_routed_min_watermark(spark, tmp_warehouse, capsys):
+    """--expire-binlog in --route mode uses the MINIMUM watermark
+    across routes: an epoch survives while ANY route still needs it."""
+    from dexspark import cli
+
+    binlog = os.path.join(tmp_warehouse, "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=300, n_docs=60, n_epochs=3, max_len=8,
+            anomaly_pct=0,
+        ),
+        binlog,
+    )
+    route_args = [
+        "--route", f"a={os.path.join(tmp_warehouse, 'ra')}",
+        "--route", f"b={os.path.join(tmp_warehouse, 'rb')}",
+        "--route-expr", "pmod(lsn, 2) = 0",
+        "--route-default", "b",
+        "--warehouse", tmp_warehouse,
+    ]
+    rc = cli.main(
+        route_args
+        + [
+            "--binlog", binlog,
+            "--checkpoint", os.path.join(tmp_warehouse, "ck"),
+            "--create", "--num-buckets", "4",
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    # hold route b back: roll it to its create version so its
+    # watermark rewinds below a's
+    tb = LakeTable(spark, os.path.join(tmp_warehouse, "rb"))
+    tb.rollback(1)
+    rc = cli.main(
+        route_args + ["--binlog", binlog, "--expire-binlog", "0", "--dry-run"]
+    )
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["min_epoch_watermark"] == -1  # b rewound to pre-ingest
+    assert info["expired_epochs"] == []  # nothing expires while b lags
