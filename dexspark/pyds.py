@@ -177,9 +177,33 @@ def _arrow_schema(st: T.StructType):
     return to_arrow_schema(st)
 
 
-def _read_parquet(path: str):
+def _read_parquet(path: str, key: str | None = None, interval=None):
+    """Read one data file; when a pushed key ``interval`` (lo, hi —
+    either side may be None) is known, hand it to pyarrow as a
+    row-group filter so parquet statistics skip row groups INSIDE the
+    file (the second pruning level under the manifest zone maps).
+    Safe under MOR for the same reason zone-map pruning is
+    (lake.py:664-673): dropping rows of OUT-of-range keys never
+    changes an in-range key's fold, and Spark re-applies the original
+    filters on top. Files that don't carry the key column (pre-rename
+    bytes resolved via aliases) fall back to an unfiltered read."""
     import pyarrow.parquet as pq
 
+    if key is not None and interval is not None:
+        import pyarrow.compute as pc
+
+        lo, hi = interval
+        expr = None
+        if lo is not None:
+            expr = pc.field(key) >= lo
+        if hi is not None:
+            e2 = pc.field(key) <= hi
+            expr = expr & e2 if expr is not None else e2
+        if expr is not None:
+            try:
+                return pq.read_table(path, filters=expr)
+            except Exception:
+                pass  # key column absent / type mismatch: full read
     return pq.read_table(path)
 
 
@@ -265,14 +289,15 @@ def _last_per_run(keys) -> "object":
     return pa.concat_arrays([neq, pa.array([True])])
 
 
-def _read_mor_bucket(files, target_plus_tomb, aliases, cmeta, key):
+def _read_mor_bucket(files, target_plus_tomb, aliases, cmeta, key,
+                     interval=None):
     """Read + fold one MOR bucket's files; returns an arrow table of
     ``target_plus_tomb`` (still carrying the tombstone column)."""
     import pyarrow as pa
 
     parts = []
     for path, fv in files:
-        raw = _read_parquet(path)
+        raw = _read_parquet(path, key=key, interval=interval)
         if _TOMBSTONE not in raw.schema.names:
             raw = _with_const(raw, _TOMBSTONE, False, pa.bool_())
         t = _align_arrow(raw, target_plus_tomb, aliases, cmeta, fv)
@@ -306,7 +331,8 @@ class _SnapshotReaderBase(DataSourceReader):
             if b_opt
             else None
         )
-        self._key_range = None  # set by pushFilters
+        self._key_range = None  # set by pushFilters (two-sided)
+        self._key_interval = None  # raw pushed (lo, hi), may be one-sided
 
     # -- planning (driver)
 
@@ -363,7 +389,9 @@ class _SnapshotReaderBase(DataSourceReader):
         if isinstance(part, _FilesPart):
             for path in part.paths:
                 t = _align_arrow(
-                    _read_parquet(path),
+                    _read_parquet(
+                        path, key=self.key, interval=self._key_interval
+                    ),
                     target,
                     self.aliases,
                     self.cmeta,
@@ -381,7 +409,8 @@ class _SnapshotReaderBase(DataSourceReader):
             )
         )
         folded = _read_mor_bucket(
-            part.files, tomb, self.aliases, self.cmeta, self.key
+            part.files, tomb, self.aliases, self.cmeta, self.key,
+            interval=self._key_interval,
         )
         yield from folded.drop_columns([_TOMBSTONE]).cast(target).to_batches()
 
@@ -421,6 +450,9 @@ class _SnapshotReaderPush(_SnapshotReaderBase):
             except TypeError:
                 continue
         if lo is not None or hi is not None:
+            # raw (possibly one-sided) interval: pushed into pyarrow
+            # as a row-group filter at read time
+            self._key_interval = (lo, hi)
             fb = self._manifest.get("file_bounds", {})
             # one-sided ranges: substitute the global extreme so the
             # interval test stays two-sided

@@ -185,6 +185,8 @@ def test_pushdown_prunes_planned_files(registered, tmp_path):
 
     rdr = pyds._SnapshotReaderPush({"path": root}, None)
     rdr.pushFilters([EqualTo(("doc_id",), "doc-205")])
+    # the raw interval also reaches pyarrow's row-group filter
+    assert rdr._key_interval == ("doc-205", "doc-205")
     pruned = rdr.partitions()
     planned_files = sum(
         len(p.files) if isinstance(p, pyds._MorBucketPart) else len(p.paths)
@@ -202,6 +204,16 @@ def test_pushdown_prunes_planned_files(registered, tmp_path):
         .count()
     )
     assert rng == 11
+    # one-sided range: zone maps need both bounds, but the row-group
+    # filter takes the raw one-sided interval
+    one = pyds._SnapshotReaderPush({"path": root}, None)
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    one.pushFilters([GreaterThanOrEqual(("doc_id",), "doc-300")])
+    assert one._key_interval == ("doc-300", None)
+    assert (
+        _snap(spark, root).filter(F.col("doc_id") >= "doc-300").count() == 20
+    )
 
 
 # ------------------------------------------------------------------- changes
