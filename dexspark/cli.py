@@ -1153,6 +1153,26 @@ def main(argv: list[str] | None = None) -> int:
 
         from dataclasses import replace as _replace
 
+        if args.expire_binlog is not None:
+            # fan-out retention: an epoch is dead only when EVERY
+            # route has applied it — expire under the MIN watermark.
+            # Needs only each route's epoch_state, so no engine (and
+            # no --warehouse) is required.
+            from .events import expire_binlog
+
+            w = min(
+                LakeTable(spark, spec.partition("=")[2]).epoch_state()[0]
+                for spec in args.route
+            )
+            info = expire_binlog(
+                args.binlog,
+                w,
+                keep_epochs=args.expire_binlog,
+                dry_run=args.dry_run,
+            )
+            print(json.dumps({"min_epoch_watermark": w, **info}))
+            return 0
+
         routes = {}
         for spec in args.route:
             name, _, path = spec.partition("=")
@@ -1176,20 +1196,6 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.warehouse, routes, args.route_expr,
             default=args.route_default,
         )
-        if args.expire_binlog is not None:
-            # fan-out retention: an epoch is dead only when EVERY
-            # route has applied it — expire under the MIN watermark
-            from .events import expire_binlog
-
-            w = min(e.table.epoch_state()[0] for e in routes.values())
-            info = expire_binlog(
-                args.binlog,
-                w,
-                keep_epochs=args.expire_binlog,
-                dry_run=args.dry_run,
-            )
-            print(json.dumps({"min_epoch_watermark": w, **info}))
-            return 0
         if args.routes_status:
             status = {}
             for name, eng in routes.items():

@@ -275,10 +275,10 @@ def _last_per_run(keys) -> "object":
     import pyarrow.compute as pc
 
     if hasattr(keys, "chunks"):
+        # combine_chunks handles 0-chunk arrays (concat_arrays raises)
         keys = (
-            pa.concat_arrays(keys.chunks)
-            if keys.num_chunks != 1
-            else keys.chunk(0)
+            keys.chunk(0) if keys.num_chunks == 1
+            else keys.combine_chunks()
         )
     n = len(keys)
     if n <= 1:
@@ -429,7 +429,8 @@ class _SnapshotReaderPush(_SnapshotReaderBase):
             if isinstance(f, (EqualTo, EqualNullSafe)):
                 c_lo = c_hi = f.value
             elif isinstance(f, In):
-                vals = [v for v in f.values if v is not None]
+                # pyspark 4.1 stores the tuple in ``value`` (singular)
+                vals = [v for v in f.value if v is not None]
                 if not vals:
                     continue
                 try:
@@ -1187,12 +1188,26 @@ class _BinlogWriterBase:
                     pass
         self._sweep_staging()
 
-    def _sweep_staging(self, max_age_seconds: float = 3600.0) -> None:
-        """Remove empty staging epoch dirs and files older than
-        ``max_age_seconds`` (crashed writers' orphans — old enough
-        that no live job still references them)."""
+    def _sweep_staging(self, max_age_seconds: float | None = None) -> None:
+        """Remove empty staging epoch dirs, THIS job's leftover staged
+        files (dead tasks' orphans — the job is finishing, so nothing
+        live references them), and OTHER jobs' files only when older
+        than ``max_age_seconds`` (default 24h, override with
+        ``DEXLAKE_STAGING_SWEEP_AGE``). The age bound on foreign files
+        is the documented ceiling on a concurrent writer's task-output
+        age between staging and driver commit: sweeping a live job's
+        files would fail its later os.replace, so the sweep never
+        touches young foreign files."""
         import time
 
+        if max_age_seconds is None:
+            try:
+                max_age_seconds = float(
+                    os.environ.get("DEXLAKE_STAGING_SWEEP_AGE", "86400")
+                )
+            except ValueError:
+                max_age_seconds = 86400.0
+        mine = f"-{self.job_token}-"
         now = time.time()
         try:
             dirs = os.listdir(self.staging)
@@ -1203,7 +1218,9 @@ class _BinlogWriterBase:
             try:
                 for f in os.listdir(dp):
                     fp = os.path.join(dp, f)
-                    if now - os.path.getmtime(fp) > max_age_seconds:
+                    if mine in f or f.startswith(f"part-{self.job_token}"):
+                        os.remove(fp)
+                    elif now - os.path.getmtime(fp) > max_age_seconds:
                         os.remove(fp)
                 os.rmdir(dp)  # only succeeds when empty
             except OSError:

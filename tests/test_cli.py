@@ -871,3 +871,12 @@ def test_cli_expire_binlog_routed_min_watermark(spark, tmp_warehouse, capsys):
     info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info["min_epoch_watermark"] == -1  # b rewound to pre-ingest
     assert info["expired_epochs"] == []  # nothing expires while b lags
+    # retention is pure binlog+epoch_state maintenance: it must work
+    # WITHOUT --warehouse (no engine construction on this path)
+    no_wh = [a for a in route_args if a != "--warehouse" and a != tmp_warehouse]
+    rc = cli.main(
+        no_wh + ["--binlog", binlog, "--expire-binlog", "0", "--dry-run"]
+    )
+    assert rc == 0
+    info2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info2["min_epoch_watermark"] == -1

@@ -214,6 +214,71 @@ def test_pushdown_prunes_planned_files(registered, tmp_path):
     assert (
         _snap(spark, root).filter(F.col("doc_id") >= "doc-300").count() == 20
     )
+    # IN-list predicate: pyspark 4.1 stores the tuple in In.value
+    from pyspark.sql.datasource import In
+
+    inr = pyds._SnapshotReaderPush({"path": root}, None)
+    inr.pushFilters([In(("doc_id",), ("doc-205", "doc-207", None))])
+    assert inr._key_interval == ("doc-205", "doc-207")
+    in_files = sum(
+        len(p.files) if isinstance(p, pyds._MorBucketPart) else len(p.paths)
+        for p in inr.partitions()
+        if not isinstance(p, pyds._NoopPart)
+    )
+    assert in_files < n_files
+    # end-to-end isin() through Spark (planning must not raise)
+    got_in = (
+        _snap(spark, root)
+        .filter(F.col("doc_id").isin("doc-205", "doc-301"))
+        .collect()
+    )
+    assert sorted(r["doc_id"] for r in got_in) == ["doc-205", "doc-301"]
+
+
+def test_last_per_run_zero_rows():
+    """0-chunk / 0-row key columns must not crash the MOR fold."""
+    import pyarrow as pa
+
+    empty = pa.chunked_array([], type=pa.string())
+    assert pyds._last_per_run(empty).to_pylist() == []
+    assert pyds._last_per_run(pa.array([], type=pa.string())).to_pylist() == []
+    multi = pa.chunked_array([pa.array(["a", "b"]), pa.array(["b"])])
+    assert pyds._last_per_run(multi).to_pylist() == [True, False, True]
+
+
+def test_sweep_staging_scoped_to_job_token(tmp_path):
+    """The post-commit sweep removes THIS job's orphans immediately but
+    leaves a concurrent job's young staged files alone (deleting them
+    would fail that job's later commit rename)."""
+    import time
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField(
+                "payload",
+                T.StructType([T.StructField("x", T.IntegerType())]),
+            ),
+            T.StructField("batch_epoch", T.LongType()),
+        ]
+    )
+    w = pyds._BinlogBatchWriter(
+        {"path": str(tmp_path)}, schema, job_token="job1"
+    )
+    d = os.path.join(w.staging, "batch_epoch=0")
+    os.makedirs(d)
+    mine = os.path.join(d, "part-job1-p0.parquet")
+    other_young = os.path.join(d, "part-job2-p0.parquet")
+    other_old = os.path.join(d, "part-job3-p0.parquet")
+    for p in (mine, other_young, other_old):
+        with open(p, "w") as f:
+            f.write("x")
+    past = time.time() - 200000  # older than the 24h default bound
+    os.utime(other_old, (past, past))
+    w._sweep_staging()
+    assert not os.path.exists(mine)  # own orphan: swept
+    assert os.path.exists(other_young)  # live foreign job: kept
+    assert not os.path.exists(other_old)  # ancient orphan: swept
 
 
 # ------------------------------------------------------------------- changes
