@@ -760,6 +760,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # become candidate pairs.
 _MINHASH_K = 8
 _MINHASH_BANDS = 4
+# Hot-band bound mirrored from the PRODUCTION near-dup index
+# (operators/dedup_index.py POSTING_CAP): a band bucket contributes at
+# most C(cap,2) candidate pairs, so a batch of near-identical docs can
+# never go quadratic — the same contract the CDC-synced posting lists
+# enforce. Kept numerically in sync by test_dedup (cap-equality
+# assertion); a literal here because the oracle SQL string is built at
+# import time.
+_LSH_BUCKET_CAP = 128
 
 
 def _mh_window_sql(k: int) -> str:
@@ -767,8 +775,11 @@ def _mh_window_sql(k: int) -> str:
 
 
 def _minhash_pairs_ctes() -> str:
-    """The shared CTE chain shingles -> signatures -> bands -> pairs,
-    reused by the banding rollup and the components clustering oracle."""
+    """The shared CTE chain shingles -> signatures -> bands ->
+    (bucket-capped) pairs, reused by the banding rollup and the
+    components clustering oracle. bands_c keeps the FIRST cap docs per
+    (band, key) in doc_id order — the deterministic witness set, same
+    rule as dedup_index's capped postings."""
     sig_cols = ",\n      ".join(
         f"min({_mh_window_sql(k)}) AS h{k}" for k in range(_MINHASH_K)
     )
@@ -783,9 +794,17 @@ def _minhash_pairs_ctes() -> str:
     return f"""sh AS ({_SHINGLES_SQL.format(m=3)}),
     sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
     bands AS ({band_selects}),
+    bands_c AS (
+      SELECT doc_id, band, key FROM (
+        SELECT doc_id, band, key,
+               row_number() OVER (PARTITION BY band, key ORDER BY doc_id)
+                 AS rn
+        FROM bands)
+      WHERE rn <= {_LSH_BUCKET_CAP}
+    ),
     pairs AS (
       SELECT DISTINCT a.band, a.doc_id AS da, b.doc_id AS db
-      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      FROM bands_c a JOIN bands_c b ON a.band = b.band AND a.key = b.key
        AND a.doc_id < b.doc_id
     )"""
 
@@ -797,41 +816,93 @@ def _minhash_sql() -> str:
     """
 
 
-def _minhash_candidate_pairs(spark, sf_dir) -> DataFrame:
-    """(band, da, db) distinct LSH candidate pairs — shared by the
-    banding query and the connected-components clustering query.
+def _minhash_capped_buckets(spark, sf_dir) -> DataFrame:
+    """(band, key, ds) — per band bucket, the sorted doc list capped at
+    _LSH_BUCKET_CAP witnesses (first cap docs in doc_id order, the
+    production POSTING_CAP rule from operators/dedup_index.py).
+
+    Shape: ONE exchange on (band, key). The row_number window is
+    spill-safe for arbitrarily hot buckets (external sorter), and the
+    groupBy that follows reuses the window's hash partitioning — no
+    second exchange. Every downstream list is <= cap elements, so
+    pair generation is O(cap^2/2) per bucket, never quadratic in the
+    corpus.
 
     Signature + band computation comes from the SHARED scheme in
     operators/dedup_index.py (the CDC-maintained dedup index), so the
     batch pipeline and the persisted index provably agree.
     keep_short=False: band buckets ignore null-signature docs, so the
     short-doc anti-join would be dead weight here."""
+    from pyspark.sql import Window
+
     from .operators.dedup_index import band_keys, minhash_signatures
 
-    # checkpoint: the signature frame (one row per doc) feeds 4 band
-    # projections x 2 join sides = 8 consumers; without it the whole
-    # shingle+minhash pipeline re-executes per consumer
     sig = minhash_signatures(
         _t(spark, sf_dir, "documents"), keep_short=False, scheme="md5"
-    ).localCheckpoint(eager=False)
+    )
     bands = band_keys(sig)
-    a, bb = bands.alias("a"), bands.alias("b")
+    w = Window.partitionBy("band", "key").orderBy("doc_id")
     return (
-        a.join(
-            bb,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.band").alias("band"), F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .distinct()
+        bands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _LSH_BUCKET_CAP)
+        .groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+    )
+
+
+def _minhash_candidate_pairs(spark, sf_dir) -> DataFrame:
+    """(band, da, db) LSH candidate pairs, bucket-capped — shared by
+    the banding query and the connected-components clustering query.
+    Pairs are generated JVM-side from the capped per-bucket lists
+    (nested array HOFs, same trick as dedup_ngram_jaccard) — no
+    self-join, no shuffle beyond the single (band, key) exchange.
+    Within a band each doc has exactly one key, so (band, da, db) is
+    already distinct."""
+    lists = _minhash_capped_buckets(spark, sf_dir)
+    ds = F.col("ds")
+    pair_arrays = F.transform(
+        ds,
+        lambda x, i: F.transform(
+            F.slice(ds, i + F.lit(2), F.size(ds)),
+            lambda y: F.struct(x.alias("da"), y.alias("db")),
+        ),
+    )
+    return (
+        lists.filter(F.size("ds") >= 2)
+        .select("band", F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("band", F.col("p.da").alias("da"), F.col("p.db").alias("db"))
     )
 
 
 @query("dedup_minhash_lsh", _minhash_sql())
 def dedup_minhash_lsh(spark, sf_dir):
-    pairs = _minhash_candidate_pairs(spark, sf_dir)
-    return pairs.groupBy("band").agg(F.count("*").alias("n_candidate_pairs"))
+    # Candidate-pair COUNT per band needs only CAPPED BUCKET SIZES:
+    # sum C(least(n, cap), 2). No lists, no window sort, no join —
+    # a plain count() per (band, key) with map-side partial
+    # aggregation (hot buckets collapse before the exchange), then a
+    # tiny per-band rollup. The capped witness SET (who survives the
+    # cap) is doc_id-order-deterministic, but the COUNT is the same
+    # regardless, so this is exactly the bands_c-join count the
+    # oracle computes.
+    from .operators.dedup_index import band_keys, minhash_signatures
+
+    sig = minhash_signatures(
+        _t(spark, sf_dir, "documents"), keep_short=False, scheme="md5"
+    )
+    sizes = (
+        band_keys(sig)
+        .groupBy("band", "key")
+        .agg(F.least(F.count("*"), F.lit(_LSH_BUCKET_CAP)).alias("n"))
+    )
+    return (
+        sizes.filter(F.col("n") >= 2)
+        .groupBy("band")
+        .agg(
+            F.sum(
+                (F.col("n").cast("long") * (F.col("n") - 1) / 2).cast("long")
+            ).alias("n_candidate_pairs")
+        )
+    )
 
 
 # ---- near-dup CLUSTERING: candidate pairs -> dedup groups ------------

@@ -69,6 +69,42 @@ def test_query_matches_oracle(spark, entrymod, duck, name):
     assert _rowset(s_cols, s_rows) == _rowset(d_cols, d_rows)
 
 
+def test_lsh_bucket_cap_matches_production_and_bounds_pairs(spark):
+    """The query-path LSH band buckets carry the SAME hot-bucket cap as
+    the production near-dup index (POSTING_CAP), and a batch of
+    near-identical docs yields at most C(cap, 2) candidate pairs per
+    band instead of going quadratic."""
+    import pyspark.sql.functions as F
+
+    from dexspark import queries as Q
+    from dexspark.operators.dedup_index import POSTING_CAP
+
+    assert Q._LSH_BUCKET_CAP == POSTING_CAP
+    n = POSTING_CAP + 40  # one bucket, over the cap
+    docs = spark.createDataFrame(
+        [(f"d{i:04d}", "the same exact text repeated for every document "
+          "alpha beta gamma delta epsilon zeta eta theta") for i in range(n)],
+        "doc_id string, text string",
+    )
+    orig_t = Q._t
+    Q._t = lambda s, d, name: docs
+    try:
+        per_band = {
+            r["band"]: r["n_candidate_pairs"]
+            for r in Q.dedup_minhash_lsh(spark, "ignored").collect()
+        }
+        pair_rows = Q._minhash_candidate_pairs(spark, "ignored")
+        got = pair_rows.groupBy("band").agg(
+            F.count("*").alias("n")
+        ).collect()
+    finally:
+        Q._t = orig_t
+    cap_pairs = POSTING_CAP * (POSTING_CAP - 1) // 2
+    assert per_band and all(v == cap_pairs for v in per_band.values())
+    # the materialized pair path agrees with the arithmetic count
+    assert {r["band"]: r["n"] for r in got} == per_band
+
+
 def test_entry_smoke(spark, entrymod):
     df = entrymod.entry(spark)
     assert df.count() > 0
