@@ -153,6 +153,36 @@ class LocalFileIO(FileIO):
         return os.path.isdir(path)
 
 
+def default_io() -> FileIO:
+    """FileIO used when a table is opened without an explicit ``io``.
+
+    Selected by ``DEXSPARK_FILEIO``:
+
+    - unset / ``local`` — :class:`LocalFileIO` (POSIX link(2) commit).
+    - ``condput`` — :class:`~dexspark.fileio.ConditionalPutFileIO`
+      over a filesystem-backed object client rooted at
+      ``DEXSPARK_FILEIO_ROOT`` (default ``/``): every manifest
+      operation goes through object-store semantics (GET/LIST/
+      conditional PUT, no renames). This is how the full lake test
+      suite runs against the object-store code path.
+    - ``s3://bucket[/prefix]`` — the boto3 adapter speaking S3
+      conditional PUT (requires boto3 at runtime).
+    """
+    spec = os.environ.get("DEXSPARK_FILEIO", "local")
+    if spec in ("", "local"):
+        return LocalFileIO()
+    from . import fileio as fio  # local import: fileio imports lake
+
+    if spec == "condput":
+        root = os.environ.get("DEXSPARK_FILEIO_ROOT", "/")
+        return fio.ConditionalPutFileIO(fio.FsObjectClient(root))
+    if spec.startswith("s3://"):
+        rest = spec[5:]
+        bucket, _, prefix = rest.partition("/")
+        return fio.ConditionalPutFileIO(fio.Boto3Client(bucket, prefix))
+    raise ValueError(f"unknown DEXSPARK_FILEIO: {spec!r}")
+
+
 class LakeTable:
     # Per-instance manifest text cache size. Snapshot manifests are
     # immutable once published (a version is written exactly once via
@@ -175,7 +205,7 @@ class LakeTable:
         branch writes each byte once and publishing is manifest-only."""
         self.spark = spark
         self.root = root
-        self.io = io or LocalFileIO()
+        self.io = io or default_io()
         self.branch = branch
         if branch is None:
             self._fork_version = 0

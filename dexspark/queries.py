@@ -1344,45 +1344,71 @@ _PACK_CTX = 256
     "pack_sequences",
     f"""
     WITH toks AS (
-      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+      SELECT doc_id, len(string_split(text, ' ')) + 1 AS n  -- +1 = EOS
       FROM documents
     ),
-    packed AS (
-      SELECT doc_id, source, n_tok,
-             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - n_tok AS start_off
+    cum AS (
+      SELECT doc_id, n,
+             sum(n) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS e
       FROM toks
-    )
-    SELECT source, CAST(floor(start_off / {_PACK_CTX}.0) AS BIGINT) AS seq_bin,
-           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
-    FROM packed GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(floor((e - n) / {_PACK_CTX}.0) AS BIGINT) AS p0,
+             CAST(floor((e - 1) / {_PACK_CTX}.0) AS BIGINT) AS p1
+      FROM cum
+    ),
+    expanded AS (
+      SELECT doc_id, unnest(range(p0, p1 + 1)) AS pack_seq FROM spans
+    ),
+    total AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM toks)
+    SELECT pack_seq,
+           count(*) AS n_docs,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc,
+           CAST(CASE WHEN pack_seq < (SELECT t FROM total) // {_PACK_CTX}
+                THEN {_PACK_CTX}
+                ELSE (SELECT t FROM total) % {_PACK_CTX} END AS INT)
+             AS n_real
+    FROM expanded GROUP BY pack_seq
     """,
 )
 def pack_sequences(spark, sf_dir):
-    from pyspark.sql import Window
+    """Drives the REAL packer (operators/packing.pack_sequences — the
+    mapInArrow concat-and-chunk engine op, bench'd at ~10M tokens/s)
+    and aggregates its OUTPUT rows to an oracle-checkable summary:
+    per pack, its sequence number, contributing-doc count, first/last
+    contributor and real-token fill. The DuckDB twin derives the same
+    numbers independently from the documents table by interval
+    arithmetic over the concatenated stream — so a packer bug (lost
+    remainder, wrong doc attribution, off-by-one at a chunk boundary)
+    breaks the hash match.
+
+    Determinism: the packer packs per partition; the query pins ONE
+    deterministic stream (coalesce(1) + sort by doc_id) so the oracle
+    is closed-form. The SCALE path packs per source/partition streams
+    independently — same operator, no coalesce (see
+    bench.measure_packing and tests/test_packing.py)."""
+    from .operators.packing import pack_sequences as pack_op
 
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
-        "doc_id", "source", F.size(F.split(F.col("text"), " ")).alias("n_tok")
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = toks.withColumn(
-        "start_off", F.sum("n_tok").over(w) - F.col("n_tok")
-    )
-    return (
-        packed.groupBy(
-            "source",
-            F.floor(F.col("start_off") / _PACK_CTX).cast("long").alias("seq_bin"),
-        )
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_tok").alias("total_tokens"),
-        )
+        "doc_id",
+        F.transform(
+            F.split(F.col("text"), " "), lambda w: F.length(w).cast("int")
+        ).alias("tokens"),
+    ).coalesce(1)
+    packed = pack_op(toks, seq_len=_PACK_CTX, eos_id=0)
+    return packed.select(
+        F.split(F.col("pack_id"), "-").getItem(1).cast("long").alias("pack_seq"),
+        F.size("docs").alias("n_docs"),
+        # the packer stringifies ids for pack lineage; the documents
+        # table's doc_id is numeric — cast back for the oracle compare
+        F.col("docs").getItem(0).cast("long").alias("first_doc"),
+        F.element_at(F.col("docs"), -1).cast("long").alias("last_doc"),
+        F.col("n_real"),
     )
 
 

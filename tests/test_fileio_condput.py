@@ -1,0 +1,243 @@
+"""ConditionalPutFileIO: the object-store manifest path.
+
+The race/crash matrix LocalFileIO passes must hold through the
+conditional-PUT protocol (dexspark/fileio.py), and manifest GET
+round-trips must stay O(1) per version (the LRU text cache) — on an
+object store every extra read_text is a billable, latency-bearing
+GET. The FULL lake suite also runs through this FileIO via
+``DEXSPARK_FILEIO=condput python -m pytest tests/test_lake.py``
+(see BENCH.md round-4 notes)."""
+
+import concurrent.futures
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dexspark.fileio import (
+    ConditionalPutFileIO,
+    FsObjectClient,
+    ObjectMissing,
+    PreconditionFailed,
+)
+from dexspark.lake import ConcurrentCommitError, LakeTable
+from dexspark.schema import sequences_schema
+
+
+def _io(tmp_path=None):
+    # root "/": absolute FileIO paths round-trip to the same real
+    # location Spark writes data to (the deployment shape — one
+    # bucket holds data written by Spark and manifests PUT by the io)
+    return ConditionalPutFileIO(FsObjectClient("/"))
+
+
+def _seq(spark, rows):
+    return spark.createDataFrame(rows, schema=sequences_schema())
+
+
+def _ids(table):
+    return {r["doc_id"] for r in table.read().collect()}
+
+
+# ------------------------------------------------------------ client level
+
+
+def test_client_conditional_put_single_winner(tmp_path):
+    """16 threads racing one key through the client: exactly one
+    winner, 15 PreconditionFailed, surviving body is the winner's."""
+    c = FsObjectClient(str(tmp_path))
+
+    def attempt(i):
+        try:
+            c.put_object("snap/k.json", b"w%d" % i, if_none_match=True)
+            return ("won", i)
+        except PreconditionFailed:
+            return ("lost", i)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=16) as pool:
+        results = list(pool.map(attempt, range(16)))
+    winners = [i for s, i in results if s == "won"]
+    assert len(winners) == 1, results
+    assert c.get_object("snap/k.json") == b"w%d" % winners[0]
+    # no temp litter
+    assert not [
+        k for k in c.list_keys("snap/") if os.path.basename(k).startswith(".put-")
+    ]
+
+
+def test_client_contract_missing_and_overwrite(tmp_path):
+    c = FsObjectClient(str(tmp_path))
+    with pytest.raises(ObjectMissing):
+        c.get_object("nope")
+    with pytest.raises(ObjectMissing):
+        c.delete_object("nope")
+    with pytest.raises(ObjectMissing):
+        c.head_object("nope")
+    c.put_object("a/b", b"1")
+    c.put_object("a/b", b"2")  # unconditional = last-writer-wins
+    assert c.get_object("a/b") == b"2"
+    with pytest.raises(PreconditionFailed):
+        c.put_object("a/b", b"3", if_none_match=True)
+    assert c.get_object("a/b") == b"2"  # loser wrote nothing
+    assert c.head_object("a/b")["last_modified"] > 0
+
+
+def test_fileio_dir_semantics(tmp_path):
+    io_ = _io(tmp_path)
+    io_.put_if_absent(str(tmp_path / "d" / "sub" / "x.json"), "1")
+    io_.put_if_absent(str(tmp_path / "d" / "y.json"), "2")
+    assert io_.list_dir(str(tmp_path / "d")) == ["sub", "y.json"]
+    assert io_.is_dir(str(tmp_path / "d" / "sub"))
+    assert not io_.is_dir(str(tmp_path / "d" / "none"))
+    io_.remove_tree(str(tmp_path / "d"))
+    assert io_.list_dir(str(tmp_path / "d")) == []
+    with pytest.raises(FileNotFoundError):
+        io_.read_text(str(tmp_path / "d" / "y.json"))
+    with pytest.raises(FileNotFoundError):
+        io_.delete(str(tmp_path / "d" / "y.json"))
+    with pytest.raises(FileNotFoundError):
+        io_.mtime(str(tmp_path / "d" / "y.json"))
+
+
+# ------------------------------------------------------------ table level
+
+
+def test_lifecycle_through_condput(spark, tmp_path):
+    """create/overwrite/merge/time-travel/branch/rollback/vacuum all
+    through the conditional-put FileIO."""
+    io_ = _io(tmp_path)
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=4, io=io_)
+    t.overwrite(_seq(spark, [("a", [1], 1, "web"), ("b", [2], 1, "books")]))
+    t.merge(_seq(spark, [("c", [3], 1, "code")]), epochs=[0], mode="mor")
+    assert _ids(t) == {"a", "b", "c"}
+    v = t.current_version()
+    assert {r["doc_id"] for r in t.read(version=v - 1).collect()} == {"a", "b"}
+    # losing commit through the seam
+    m = t.manifest()
+    t._commit({**m, "version": m["version"] + 1})
+    with pytest.raises(ConcurrentCommitError):
+        t._commit({**m, "version": m["version"] + 1})
+    # branch + publish (same io)
+    t2 = LakeTable(spark, root, io=io_)
+    t2.create_branch("wap")
+    br = LakeTable(spark, root, io=io_, branch="wap")
+    br.merge(_seq(spark, [("d", [4], 1, "web")]), epochs=[1], mode="mor")
+    assert "d" not in _ids(LakeTable(spark, root, io=io_))
+    LakeTable(spark, root, io=io_).publish_branch("wap")
+    assert "d" in _ids(LakeTable(spark, root, io=io_))
+    # rollback + vacuum through the seam
+    t3 = LakeTable(spark, root, io=io_)
+    head = t3.current_version()
+    t3.rollback(head - 1)
+    assert "d" not in _ids(t3)
+    t3.vacuum(keep_last=2, min_age_seconds=0)
+    assert "d" not in _ids(LakeTable(spark, root, io=io_))
+
+
+def test_epoch_bookkeeping_through_condput(spark, tmp_path):
+    """Epoch markers (the exactly-once predicate the engine consults
+    before re-applying a batch) survive the object-store manifest
+    path, including out-of-order tails and watermark compaction."""
+    io_ = _io(tmp_path)
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=2, io=io_)
+    t.merge(_seq(spark, [("a", [1], 1, "web")]), epochs=[0, 1, 5])
+    w, tail = t.epoch_state()
+    assert (w, tail) == (1, [5])
+    assert t.is_epoch_committed(5) and not t.is_epoch_committed(2)
+    t.merge(_seq(spark, []), epochs=[2, 3, 4])
+    assert LakeTable(spark, root, io=_io()).epoch_state() == (5, [])
+    assert t.read().filter(F.col("doc_id") == "a").count() == 1
+
+
+def test_merge_rebases_over_raced_commit_condput(spark, tmp_path):
+    """RaceOnce matrix through the object client: a commit landing
+    mid-merge forces a rebase, not an abort (mirrors
+    test_lake.test_merge_rebases_over_alter_properties)."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        spark, root, sequences_schema(), num_buckets=4, io=_io(tmp_path)
+    )
+    t.overwrite(_seq(spark, [("a", [1], 1, "web")]))
+
+    class RaceOnceIO(ConditionalPutFileIO):
+        def __init__(self, client, race):
+            super().__init__(client)
+            self._race, self._armed = race, True
+
+        def put_if_absent(self, path, data):
+            if self._armed and os.sep + "snap-" in path:
+                self._armed = False
+                self._race()
+            return super().put_if_absent(path, data)
+
+    other = LakeTable(spark, root, io=_io(tmp_path))
+    racer = LakeTable(
+        spark,
+        root,
+        io=RaceOnceIO(
+            FsObjectClient("/"),
+            lambda: other.alter_properties({"note": "raced"}),
+        ),
+    )
+    racer.merge(_seq(spark, [("r", [7], 1, "web")]), epochs=[5])
+    t2 = LakeTable(spark, root, io=_io(tmp_path))
+    assert t2.manifest()["properties"]["note"] == "raced"
+    assert "r" in _ids(t2)
+
+
+def test_crash_before_commit_invisible_condput(spark, tmp_path):
+    """Data written but commit never PUT: readers see nothing (mirrors
+    test_crash_between_data_write_and_commit_is_invisible)."""
+    root = str(tmp_path / "t")
+    io_ = _io(tmp_path)
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=2, io=io_)
+    t.overwrite(_seq(spark, [("a", [1], 1, "web")]))
+
+    class CrashIO(ConditionalPutFileIO):
+        def put_if_absent(self, path, data):
+            if os.sep + "snap-" in path:
+                raise RuntimeError("crashed before commit")
+            return super().put_if_absent(path, data)
+
+    crasher = LakeTable(
+        spark, root, io=CrashIO(FsObjectClient("/"))
+    )
+    with pytest.raises(RuntimeError, match="crashed"):
+        crasher.merge(_seq(spark, [("z", [9], 1, "web")]), epochs=[3])
+    t2 = LakeTable(spark, root, io=io_)
+    assert _ids(t2) == {"a"}
+    assert t2.current_version() == t.current_version()
+
+
+def test_manifest_get_roundtrips_bounded(spark, tmp_path):
+    """Manifest GETs through the client stay O(1) per version per
+    LakeTable instance (the text cache) — the object-store cost
+    contract from lake.py MANIFEST_CACHE."""
+
+    class CountingClient(FsObjectClient):
+        def __init__(self, root):
+            super().__init__(root)
+            self.gets = 0
+
+        def get_object(self, key):
+            if "/snap-" in key or key.startswith("snap-"):
+                self.gets += 1
+            return super().get_object(key)
+
+    c = CountingClient("/")
+    io_ = ConditionalPutFileIO(c)
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=2, io=io_)
+    t.overwrite(_seq(spark, [("a", [1], 1, "web")]))
+    t.merge(_seq(spark, [("b", [2], 1, "books")]), epochs=[0])
+    versions = t.current_version()
+    c.gets = 0
+    for _ in range(10):
+        t.manifest()  # hot path: repeated manifest access, one version
+    assert c.gets <= 1
+    c.gets = 0
+    for _ in range(5):
+        t.read().count()
+    assert c.gets <= versions  # at most one GET per distinct version
