@@ -43,6 +43,22 @@ class RuleSet:
     int_fields: tuple[str, ...] = ()
     version_literal: tuple[tuple[str, str], ...] = ()  # (col, literal)
     op_whitelist: tuple[str, ...] = ("insert", "update", "delete")
+    # Per-rule operator-facing message templates (the reference pairs
+    # each XLSX rule with an "Error message in Portal" column —
+    # COVID_19_File_and_Row_Level_Validation.xlsx sheet V2020-07-30).
+    # Keys are rule kinds ("required", "conditional", "version",
+    # "max_length", "header_duplicate", "file_empty", ...); values are
+    # str.format templates over {col}/{cols}/{detail}/{literal}/{n}/
+    # {file}/{names} plus the dynamic {value} (interpolated row-side
+    # as a Column). Rules without a template keep the engine's
+    # structured "rule:col:detail" strings.
+    messages: tuple[tuple[str, str], ...] = ()
+
+    def template(self, kind: str) -> str | None:
+        for k, v in self.messages:
+            if k == kind:
+                return v
+        return None
 
     @classmethod
     def from_dict(cls, d: dict) -> "RuleSet":
@@ -60,6 +76,7 @@ class RuleSet:
             int_fields=tuple(d.get("int_fields", ())),
             version_literal=tt(d.get("version_literal", ())),
             op_whitelist=tuple(d.get("op_whitelist", ("insert", "update", "delete"))),
+            messages=tuple(sorted(d.get("messages", {}).items())),
         )
 
     @classmethod

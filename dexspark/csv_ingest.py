@@ -112,12 +112,26 @@ def ingest_csv(
     rules = rules or RuleSet()
     res = CsvIngestResult(clean=None, quarantine=None)
 
+    def _file_msg(kind: str, default: str, **extra) -> str:
+        # portal template when the rule-set carries one (XLSX
+        # "Error message in Portal", orders 1-14), engine default
+        # otherwise
+        t = rules.template(kind)
+        if t is None:
+            return default
+        try:
+            return t.format(file=os.path.basename(path), **extra)
+        except (KeyError, IndexError):
+            return default
+
     header_line, has_data, probe_error = _read_header_probe(spark, path)
     if probe_error is not None:
         res.file_errors.append(f"header:{probe_error}")
         return res
     if header_line is None or header_line.strip() == "":
-        res.file_errors.append("file_empty:no header row")  # V1 / XLSX order-3
+        res.file_errors.append(  # V1 / XLSX order-3
+            _file_msg("file_empty", "file_empty:no header row")
+        )
         return res
     # one line, driver-side: proper RFC 4180 header split. Strip a
     # UTF-8 BOM first (Excel's "CSV UTF-8" export): U+FEFF survives
@@ -134,7 +148,9 @@ def ingest_csv(
             allow_unknown=allow_unknown,
         )
     except HeaderError as e:
-        res.file_errors.append(f"header:{e}")
+        res.file_errors.append(  # V4/V5/V6, XLSX orders 8-10
+            _file_msg(e.kind, f"header:{e}", names=", ".join(e.names))
+        )
         return res
 
     schema = T.StructType(
@@ -163,9 +179,19 @@ def ingest_csv(
             F.array(
                 F.when(
                     F.col(_CORRUPT).isNotNull(),
-                    F.lit("parse:row:malformed CSV record"),  # V2/V8
+                    F.lit(  # V2/V8, XLSX order 13
+                        _file_msg(
+                            "parse", "parse:row:malformed CSV record",
+                            n=len(header),
+                        )
+                    ),
                 ),
-                F.when(blank, F.lit("blank_row:row:all fields empty")),
+                F.when(
+                    blank,
+                    F.lit(  # V9, XLSX order 14
+                        _file_msg("blank_row", "blank_row:row:all fields empty")
+                    ),
+                ),
             ),
         )
     )
@@ -176,7 +202,9 @@ def ingest_csv(
     if has_data is None:
         has_data = tagged.limit(1).count() > 0
     if not has_data:
-        res.file_errors.append("file_empty:no data rows")  # V1 / XLSX order-4
+        res.file_errors.append(  # V1 / XLSX order-5
+            _file_msg("file_header_only", "file_empty:no data rows")
+        )
         return res
     res.clean = tagged.filter(F.size(FAIL_COL) == 0).drop(FAIL_COL, _CORRUPT)
     res.quarantine = tagged.filter(F.size(FAIL_COL) > 0)

@@ -187,7 +187,19 @@ def evolution_actions(
 
 
 class HeaderError(ValueError):
-    pass
+    """Header gate violation. ``kind``/``names`` carry the structured
+    cause so callers can re-render with a portal message template
+    (csv_ingest: RuleSet.messages)."""
+
+    kind: str = "header"
+    names: tuple = ()
+
+    @classmethod
+    def of(cls, kind: str, names, message: str) -> "HeaderError":
+        e = cls(message)
+        e.kind = kind
+        e.names = tuple(names)
+        return e
 
 
 def normalize_columns(df):
@@ -216,13 +228,20 @@ def check_headers(
             dups.append(c)
         seen.add(c)
     if dups:
-        raise HeaderError(f"duplicate headers: {sorted(set(dups))}")  # V5
+        raise HeaderError.of(  # V5
+            "header_duplicate", sorted(set(dups)),
+            f"duplicate headers: {sorted(set(dups))}",
+        )
     missing = [r for r in required if r.lower() not in seen]
     if missing:
-        raise HeaderError(f"missing required headers: {missing}")  # V4
+        raise HeaderError.of(  # V4
+            "header_missing", missing, f"missing required headers: {missing}"
+        )
     unknown = []
     if known is not None:
         unknown = [c for c in norm if c not in {k.lower() for k in known}]
         if unknown and not allow_unknown:
-            raise HeaderError(f"unknown headers: {unknown}")  # V6 strict
+            raise HeaderError.of(  # V6 strict
+                "header_unknown", unknown, f"unknown headers: {unknown}"
+            )
     return unknown

@@ -37,11 +37,39 @@ FAIL_COL = "fail_reasons"
 
 
 # --------------------------------------------------------------- messages
-# Message templates follow the reference's portal error-message style
-# (one template per rule, XLSX sheet V2020-04-18).
+# Default messages are structured "rule:col:detail" strings. A rule-set
+# may carry per-rule portal templates (RuleSet.messages, mirroring the
+# XLSX "Error message in Portal" column, sheet V2020-07-30 validation
+# order 1-13) — then the operator-facing text is the portal's, with
+# {value} interpolated row-side as a Column expression.
 
-def _msg(rule: str, col: str, detail: str) -> str:
-    return f"{rule}:{col}:{detail}"
+def _msg(rule: str, col: str, detail: str, rules=None, **extra) -> str:
+    t = rules.template(rule) if rules is not None else None
+    if t is None:
+        return f"{rule}:{col}:{detail}"
+    try:
+        return t.format(col=col, detail=detail, value="", **extra)
+    except (KeyError, IndexError):  # malformed template: fall back
+        return f"{rule}:{col}:{detail}"
+
+
+def _msg_col(rule: str, col: str, detail: str, rules, value_col=None, **extra):
+    """Message as a Column when the template interpolates the RECEIVED
+    value ("Received: [Data in Row]"); a plain literal otherwise."""
+    t = rules.template(rule) if rules is not None else None
+    if t is None or value_col is None or "{value}" not in t:
+        return F.lit(_msg(rule, col, detail, rules, **extra))
+    head, _, tail = t.partition("{value}")
+    try:
+        head = head.format(col=col, detail=detail, **extra)
+        tail = tail.format(col=col, detail=detail, **extra)
+    except (KeyError, IndexError):
+        return F.lit(f"{rule}:{col}:{detail}")
+    return F.concat(
+        F.lit(head),
+        F.coalesce(value_col.cast("string"), F.lit("")),
+        F.lit(tail),
+    )
 
 
 # ----------------------------------------------------- column-expr compiler
@@ -75,7 +103,7 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
     for col in rules.required:  # V11
         if col in dtypes:
             checks.append(
-                (_is_blank(quote_col(col), dtypes[col]), _msg("required", col, "must not be empty"))
+                (_is_blank(quote_col(col), dtypes[col]), _msg("required", col, "must not be empty", rules))
             )
 
     for group in rules.conditional_groups:  # V12: fail iff numSet == 0
@@ -85,7 +113,7 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
                 lambda a, b: a & b, [_is_blank(quote_col(g), dtypes[g]) for g in present]
             )
             checks.append(
-                (all_blank, _msg("conditional", "|".join(group), "at least one must be set"))
+                (all_blank, _msg("conditional", "|".join(group), "at least one must be set", rules, cols=", ".join(group)))
             )
 
     for col, values in rules.allowed_values:  # V13
@@ -93,7 +121,7 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
             checks.append(
                 (
                     quote_col(col).isNotNull() & ~quote_col(col).isin(*values),
-                    _msg("allowed_values", col, f"must be one of {sorted(values)}"),
+                    _msg("allowed_values", col, f"must be one of {sorted(values)}", rules, values=", ".join(str(v) for v in sorted(values))),
                 )
             )
 
@@ -102,7 +130,7 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
             checks.append(
                 (
                     quote_col(col).isNotNull() & ~quote_col(col).rlike(pattern),
-                    _msg("regex", col, f"must match {pattern}"),
+                    _msg("regex", col, f"must match {pattern}", rules, pattern=pattern),
                 )
             )
 
@@ -111,7 +139,11 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
             checks.append(
                 (
                     quote_col(col).isNotNull() & (F.length(quote_col(col)) > n),
-                    _msg("max_length", col, f"exceeds {n} chars"),
+                    _msg_col(
+                        "max_length", col, f"exceeds {n} chars", rules,
+                        value_col=F.length(quote_col(col)),
+                        n=n, col_num=list(dtypes).index(col) + 1,
+                    ),
                 )
             )
 
@@ -123,7 +155,7 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
             checks.append(
                 (
                     quote_col(col).isNotNull() & bad,
-                    _msg("token_range", col, f"token outside [{lo},{hi})"),
+                    _msg("token_range", col, f"token outside [{lo},{hi})", rules, lo=lo, hi=hi),
                 )
             )
 
@@ -134,14 +166,14 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
                 & quote_col(len_col).isNotNull()
                 & (F.size(quote_col(arr_col)) == quote_col(len_col))
             )
-            checks.append((~ok, _msg("length_equals", len_col, f"!= size({arr_col})")))
+            checks.append((~ok, _msg("length_equals", len_col, f"!= size({arr_col})", rules, arr_col=arr_col)))
 
     for col in rules.int_fields:  # V15
         if col in dtypes and isinstance(dtypes[col], T.StringType):
             checks.append(
                 (
                     quote_col(col).isNotNull() & quote_col(col).try_cast("long").isNull(),
-                    _msg("int_field", col, "not an integer"),
+                    _msg("int_field", col, "not an integer", rules),
                 )
             )
 
@@ -153,14 +185,25 @@ def fail_reasons_column(rules: RuleSet, schema: T.StructType) -> Column:
                     # check just like a wrong one (a plain != returns
                     # NULL for NULL cells, silently passing them)
                     ~quote_col(col).eqNullSafe(F.lit(literal)),
-                    _msg("version", col, f"must equal {literal}"),
+                    _msg_col(
+                        "version", col, f"must equal {literal}", rules,
+                        value_col=quote_col(col), literal=literal,
+                    ),
                 )
             )
 
     if not checks:
         return F.array().cast("array<string>")
     return F.array_compact(
-        F.array(*[F.when(violated, F.lit(message)) for violated, message in checks])
+        F.array(
+            *[
+                F.when(
+                    violated,
+                    message if isinstance(message, Column) else F.lit(message),
+                )
+                for violated, message in checks
+            ]
+        )
     )
 
 
@@ -292,14 +335,14 @@ def arrow_validate(df: DataFrame, rules: RuleSet) -> DataFrame:
             token_fails.append(
                 F.when(
                     F.col(f"_len_bad_{idx}"),
-                    F.lit(_msg("length_equals", len_col, f"!= size({arr_col})")),
+                    F.lit(_msg("length_equals", len_col, f"!= size({arr_col})", rules, arr_col=arr_col)),
                 )
             )
         if lo is not None:
             token_fails.append(
                 F.when(
                     F.col(f"_rng_bad_{idx}"),
-                    F.lit(_msg("token_range", arr_col, f"token outside [{lo},{hi})")),
+                    F.lit(_msg("token_range", arr_col, f"token outside [{lo},{hi})", rules, lo=lo, hi=hi)),
                 )
             )
     out = masked.withColumn(

@@ -73,20 +73,72 @@ def test_nested_quotes_parse_clean(spark, elr):
 def test_empty_file_fails_file_level(spark, elr):
     res = _ingest(spark, elr, "AT_COVID_Empty File_CSV File_V2020-07-30_V2.csv")
     assert not res.ok
-    assert any("header" in e or "file_empty" in e for e in res.file_errors)
+    assert any(
+        "header" in e.lower() or "file_empty" in e or "is empty" in e
+        for e in res.file_errors
+    )
 
 
 def test_missing_headers_fails_file_level(spark, elr):
     res = _ingest(spark, elr, "AT_COVID_Missing Headers_CSV File_V2020-07-30_V2.csv")
     assert not res.ok
-    assert any("header" in e for e in res.file_errors)
+    assert any("header" in e.lower() for e in res.file_errors)
 
 
 def test_incorrect_version_upload_fails(spark, elr):
     # old template: duplicate Instrument_instance_ID header (V5) and
-    # V2020-04-18 version rows — rejected at the header gate
+    # V2020-04-18 version rows — rejected at the header gate, with the
+    # PORTAL error text (XLSX sheet V2020-07-30, validation order 9)
     res = _ingest(spark, elr, "CSVUpload_incorrect version.csv")
     assert not res.ok
+    assert any(
+        e.startswith("Invalid Header: Duplicate column(s) present in the file:")
+        for e in res.file_errors
+    ), res.file_errors
+
+
+def test_wrong_version_rows_get_portal_file_error(spark, elr, tmp_path):
+    """A file with a VALID V2020-07-30 header whose rows carry the old
+    version literal quarantines every row with the portal FILE_ERROR
+    text, the received value interpolated (XLSX order 7)."""
+    rules, header = elr
+    known = header["known_columns"]
+    body = ",".join(known)
+    row = {c: "" for c in known}
+    row.update(
+        csv_file_version_no="V2020-04-18",
+        specimen_collection_date_time="20200601",
+        testing_lab_specimen_id="S1",
+        test_date="20200601",
+        ordering_provider_last_name="X",
+        patient_state="NY",
+        reporting_facility_name="F",
+        specimen_type_free_text="swab",
+        test_performed_description="PCR",
+        test_result_number="1",
+        testing_lab_name="L",
+    )
+    p = tmp_path / "wrong_version.csv"
+    p.write_text(body + "\n" + ",".join(row[c] for c in known) + "\n")
+    res = ingest_csv(spark, str(p), rules, **header)
+    assert res.ok
+    q = res.quarantine.collect()
+    assert len(q) == 1
+    assert (
+        "FILE_ERROR - Invalid CSV file version - Received: [V2020-04-18] - "
+        "Expected one of: V2020-07-30" in q[0]["fail_reasons"]
+    ), q[0]["fail_reasons"]
+
+
+def test_empty_file_portal_text(spark, elr, tmp_path):
+    # a truly byte-empty file (the golden "Empty File" actually
+    # carries a commas-only header and trips the duplicate gate)
+    rules, header = elr
+    p = tmp_path / "empty.csv"
+    p.write_text("")
+    res = ingest_csv(spark, str(p), rules, **header)
+    assert not res.ok
+    assert res.file_errors == ["File empty.csv is empty"], res.file_errors
 
 
 def test_scenario_1a_old_template_duplicate_header_fails(spark, elr):
@@ -136,11 +188,15 @@ def test_scenario_4_both_blank_quarantines_every_row(spark, elr):
     assert res.clean.count() == 0
     q = res.quarantine.collect()
     assert len(q) == 4
+    # the PORTAL message text from the XLSX ("Error message in
+    # Portal", conditionally-required group), not the engine's
+    # structured rule:col:detail form
     for r in q:
         assert any(
-            "conditional:testing_lab_accession_number|testing_lab_specimen_id" in x
+            x == "One of these fields must be populated with data: "
+            "testing_lab_accession_number, testing_lab_specimen_id"
             for x in r["fail_reasons"]
-        )
+        ), r["fail_reasons"]
 
 
 # ---------------------------------------------------------------- GenV2
