@@ -510,51 +510,23 @@ class CdcEngine:
         if self._nd_band is not None:
             latest = self._gate_near_dups(latest, payload_cols)
         try:
-            # job 1 (builds the cache): collect the tiny lineage rollup
-            lin_groups = [
-                r
-                for r in agg.filter(F.col("_qkey").isNull())
+            # ONE collect retrieves BOTH the lineage rollup (set-2
+            # rows) and the batch stats (a global agg over the deduped
+            # set-1 rows): two driver round-trips per trigger were pure
+            # fixed cost — both sides read the same checkpointed
+            # blocks, so the union collapses them into a single job.
+            lin_frame = (
+                agg.filter(F.col("_qkey").isNull())
                 .select("_epoch", "_pid", "_src", "_class", "_n_events")
-                .collect()
-            ]
-            # markers live in the non-negative epoch space only: NULL
-            # epochs (malformed lines) and negative epochs (producer
-            # bug, rejected at classify) are never committed as markers
-            new_epochs = sorted(
-                {
-                    int(r["_epoch"])
-                    for r in lin_groups
-                    if r["_epoch"] is not None and int(r["_epoch"]) >= 0
-                }
-                | self._already_committed_filtered(extra_epochs)
+                .withColumn("_row_kind", F.lit("lin"))
             )
-            by_class: dict[str, int] = {}
-            for r in lin_groups:
-                by_class[r["_class"]] = by_class.get(r["_class"], 0) + r["_n_events"]
-            if not lin_groups:  # empty binlog or every epoch already committed
-                # the router may still owe this route markers for
-                # epochs that routed zero events here (manifest-only)
-                marked = self._marks_for(new_epochs, defer_boundary)
-                if marked:
-                    self.table.mark_epochs(marked)
-                return BatchMetrics(
-                    epochs=marked, wall_ms=int((time.monotonic() - t0) * 1000)
-                )
-            to_mark = self._marks_for(new_epochs, defer_boundary)
-
             is_good = ~F.col("_is_q") & (F.col("event_class") == "apply")
-            upserts = latest.filter(is_good & (F.col("op") != "delete")).select(
-                "doc_id", *payload_cols
-            )
-            delete_keys = latest.filter(is_good & (F.col("op") == "delete")).select(
-                "doc_id"
-            )
-            # job 2 (over the cache, cheap): merged-row count, the
+            # batch stats over the deduped rows: merged-row count, the
             # affected-bucket set (passed into merge so it skips its own
             # distinct+collect job), and the quarantined-event count
             # (exact even for collapsed duplicate groups, via _n_events).
             nb = self.table.num_buckets
-            stats = latest.agg(
+            stats_frame = latest.agg(
                 F.sum(is_good.cast("long")).alias("rows_merged"),
                 F.collect_set(
                     F.when(
@@ -585,7 +557,44 @@ class CdcEngine:
                         F.col("_n_events"),
                     ).otherwise(F.lit(0))
                 ).alias("q_null_n"),
-            ).collect()[0]
+            ).withColumn("_row_kind", F.lit("stats"))
+            all_rows = lin_frame.unionByName(
+                stats_frame, allowMissingColumns=True
+            ).collect()
+            lin_groups = [r for r in all_rows if r["_row_kind"] == "lin"]
+            stats = next(r for r in all_rows if r["_row_kind"] == "stats")
+
+            # markers live in the non-negative epoch space only: NULL
+            # epochs (malformed lines) and negative epochs (producer
+            # bug, rejected at classify) are never committed as markers
+            new_epochs = sorted(
+                {
+                    int(r["_epoch"])
+                    for r in lin_groups
+                    if r["_epoch"] is not None and int(r["_epoch"]) >= 0
+                }
+                | self._already_committed_filtered(extra_epochs)
+            )
+            by_class: dict[str, int] = {}
+            for r in lin_groups:
+                by_class[r["_class"]] = by_class.get(r["_class"], 0) + r["_n_events"]
+            if not lin_groups:  # empty binlog or every epoch already committed
+                # the router may still owe this route markers for
+                # epochs that routed zero events here (manifest-only)
+                marked = self._marks_for(new_epochs, defer_boundary)
+                if marked:
+                    self.table.mark_epochs(marked)
+                return BatchMetrics(
+                    epochs=marked, wall_ms=int((time.monotonic() - t0) * 1000)
+                )
+            to_mark = self._marks_for(new_epochs, defer_boundary)
+
+            upserts = latest.filter(is_good & (F.col("op") != "delete")).select(
+                "doc_id", *payload_cols
+            )
+            delete_keys = latest.filter(is_good & (F.col("op") == "delete")).select(
+                "doc_id"
+            )
             rows_merged = int(stats["rows_merged"] or 0)
             affected_buckets = sorted(stats["buckets"])
             n_quarantined = int(stats["q_events"] or 0)
@@ -644,8 +653,17 @@ class CdcEngine:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=3) as pool:
-                f_quar = pool.submit(
-                    write_quarantine, quarantined, self.quarantine_path
+                # a batch that quarantined nothing skips the write job
+                # outright — the stats row already proved the frame
+                # empty, so launching a job to re-discover that is pure
+                # per-trigger overhead (safe: dynamic overwrite of an
+                # empty frame writes no partitions anyway)
+                f_quar = (
+                    pool.submit(
+                        write_quarantine, quarantined, self.quarantine_path
+                    )
+                    if n_quarantined
+                    else None
                 )
                 f_applied = f_prof = None
                 if self.config.applied_lineage and new_epochs:
@@ -683,8 +701,7 @@ class CdcEngine:
                             sketch_events(applied_good, group_col="source")
                         )
                     _write_epoch_partitioned(sk, self.sketch_path)
-                f_quar.result()
-                for f in (f_applied, f_prof):
+                for f in (f_quar, f_applied, f_prof):
                     if f is not None:
                         f.result()
             # merge only when there are fresh epochs — a pure
@@ -1352,8 +1369,12 @@ class CdcEngine:
         if not self._deferred_epochs:
             return []
         epochs = sorted(self._deferred_epochs)
-        empty = self.spark.createDataFrame([], self.table.schema)
-        self.table.merge(empty, epochs=epochs, mode=self.config.merge_mode)
+        # manifest-only marker commit: the epochs' DATA is already
+        # merged (deferral only withheld the markers), so this is a
+        # merge-noop snapshot — no Spark job, no empty-frame merge
+        # (which was measured to cost seconds of job scheduling at the
+        # end of every availableNow run)
+        self.table.mark_epochs(epochs)
         self._deferred_epochs = set()
         # keep the continuous outbox cursor at the head: the flush
         # commit itself is manifest-only (emits zero events), but a
