@@ -411,6 +411,67 @@ def parse_kafka_values(
     return parse_envelopes(raw, payload_schema)
 
 
+def read_binlog_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    subscribe: str,
+    payload_schema: T.StructType | None = None,
+    starting_offsets: str = "earliest",
+    fail_on_data_loss: bool = False,
+    max_offsets_per_trigger: int | None = None,
+    options: dict | None = None,
+) -> DataFrame:
+    """Tail the change log from Kafka: the ``format("kafka")`` wiring
+    around :func:`parse_kafka_values`.
+
+    One JSON envelope per record value (reference transport: one Event
+    Hub message per blob event, cardinality ONE —
+    FnDecompressorEntry.kt:41-51). Offsets checkpoint through the
+    streaming query's checkpointLocation exactly like the file source;
+    the engine's epoch markers make redelivery converge to
+    exactly-once either way.
+
+    Option mapping (all overridable via ``options``):
+
+    - ``startingOffsets`` — ``earliest`` (default: a new consumer
+      replays the retained log; epoch markers absorb what the table
+      already applied), ``latest``, or a JSON offsets literal for
+      precise resume.
+    - ``failOnDataLoss`` — default ``false``: a compacted/expired
+      range is the binlog-retention contract (events.expire_binlog on
+      the file source); the engine treats missing epochs as already
+      applied rather than crashing the stream.
+    - ``maxOffsetsPerTrigger`` — trigger sizing, the Kafka analogue of
+      ``maxFilesPerTrigger`` (see BENCH.md: size triggers well above
+      the per-trigger fixed cost).
+    - ``includeHeaders`` — on, so producer headers stay available to a
+      caller-side projection before the parse.
+    - ``kafka.*`` passthrough (security.protocol, sasl.*, group.id
+      prefix) via ``options``.
+
+    Requires the ``spark-sql-kafka-0-10`` jars on the classpath (ship
+    with ``spark-submit --packages org.apache.spark:spark-sql-kafka-
+    0-10_2.13:<spark-version>``); tests/test_stream.py gates on their
+    presence and falls back to the value-column shape test, which
+    exercises the identical parse/classify path.
+    """
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", subscribe)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", str(bool(fail_on_data_loss)).lower())
+        .option("includeHeaders", "true")
+    )
+    if max_offsets_per_trigger is not None:
+        reader = reader.option(
+            "maxOffsetsPerTrigger", str(int(max_offsets_per_trigger))
+        )
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return parse_kafka_values(reader.load(), payload_schema)
+
+
 def classify(df: DataFrame, op_whitelist: tuple[str, ...] = ("insert", "update", "delete")) -> DataFrame:
     """Tag each event: 'apply' | 'skip' (blank line / unknown op) |
     'reject' (malformed / missing envelope fields)."""

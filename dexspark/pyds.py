@@ -31,10 +31,12 @@ Scale shape (mirrors the engine's own read path, lake.py:634-762):
   against the manifest zone maps (``file_bounds``) at planning time:
   a point read plans only the files whose [min,max] admit the key.
   Every filter is also handed back to Spark for re-evaluation, so
-  pruning can only drop files, never change results. Bucket pruning
-  by key hash is NOT inferred from filters (it would need a Python
-  reimplementation of xxhash64, which lake.py deliberately refuses);
-  pass the ``buckets`` option when the bucket set is known.
+  pruning can only drop files, never change results. Point predicates
+  (``==`` / ``isin``) additionally prune to the BUCKETS their keys
+  hash to, via the pure-Python Spark-parity xxhash64 (xxh64.py) — a
+  point read through the DataSource plans at most one bucket's files
+  automatically; the ``buckets`` option remains as a manual override
+  for range workloads where the caller knows the bucket set.
 
 The JVM cannot call back into the driver's LakeTable object, so the
 reader re-derives everything from the manifest chain through the same
@@ -333,6 +335,16 @@ class _SnapshotReaderBase(DataSourceReader):
         )
         self._key_range = None  # set by pushFilters (two-sided)
         self._key_interval = None  # raw pushed (lo, hi), may be one-sided
+        self._auto_buckets = None  # set by pushFilters (point predicates)
+        self._num_buckets = int(m.get("num_buckets") or 0)
+        self._key_dtype = next(
+            (
+                f.get("type")
+                for f in m["schema"].get("fields", [])
+                if f.get("name") == self.key and isinstance(f.get("type"), str)
+            ),
+            None,
+        )
 
     # -- planning (driver)
 
@@ -347,6 +359,8 @@ class _SnapshotReaderBase(DataSourceReader):
         out = []
         for b, files in m["buckets"].items():
             if self.bucket_filter is not None and b not in self.bucket_filter:
+                continue
+            if self._auto_buckets is not None and b not in self._auto_buckets:
                 continue
             for rel in files:
                 if self._key_range and not LakeTable._may_contain(
@@ -422,17 +436,21 @@ class _SnapshotReaderPush(_SnapshotReaderBase):
 
     def pushFilters(self, filters):
         lo = hi = None
+        point_sets: list[set] = []  # one value-set per point predicate
         for f in filters:
             attr = getattr(f, "attribute", None)
             if attr is None or len(attr) != 1 or attr[0] != self.key:
                 continue
             if isinstance(f, (EqualTo, EqualNullSafe)):
                 c_lo = c_hi = f.value
+                if f.value is not None:
+                    point_sets.append({f.value})
             elif isinstance(f, In):
                 # pyspark 4.1 stores the tuple in ``value`` (singular)
                 vals = [v for v in f.value if v is not None]
                 if not vals:
                     continue
+                point_sets.append(set(vals))
                 try:
                     c_lo, c_hi = min(vals), max(vals)
                 except TypeError:
@@ -450,6 +468,28 @@ class _SnapshotReaderPush(_SnapshotReaderBase):
                     hi = c_hi
             except TypeError:
                 continue
+        # AUTOMATIC bucket pruning from point predicates: the engine's
+        # bucket assignment pmod(xxhash64(key), nb) is reproduced
+        # driver-side by the pure-Python xxh64 (Spark-parity pinned by
+        # test), so doc_id == k / isin(...) plans only the buckets
+        # those keys hash to — no manual `buckets` option. Conjunction
+        # of point predicates intersects the bucket sets (it can only
+        # narrow). Range-only predicates give no buckets: hashing
+        # destroys key order.
+        if point_sets and self._num_buckets and self._key_dtype:
+            from .xxh64 import bucket_of
+
+            try:
+                sets = [
+                    {
+                        str(bucket_of(v, self._num_buckets, self._key_dtype))
+                        for v in s
+                    }
+                    for s in point_sets
+                ]
+                self._auto_buckets = set.intersection(*sets)
+            except ValueError:
+                pass  # unsupported key dtype: fall back to full scan
         if lo is not None or hi is not None:
             # raw (possibly one-sided) interval: pushed into pyarrow
             # as a row-group filter at read time

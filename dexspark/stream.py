@@ -1357,6 +1357,45 @@ class CdcEngine:
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
 
+    def run_stream_kafka(
+        self,
+        bootstrap_servers: str,
+        topic: str,
+        checkpoint_path: str,
+        starting_offsets: str = "earliest",
+        max_offsets_per_trigger: int | None = None,
+        processing_time: str = "5 seconds",
+        kafka_options: dict | None = None,
+    ):
+        """Tail the change log from Kafka instead of a file/bucket log.
+
+        Same exactly-once contract as :meth:`run_stream` — Kafka
+        offsets checkpoint under ``checkpoint_path``, epoch markers in
+        the table manifest absorb redelivery — with trigger sizing via
+        ``maxOffsetsPerTrigger``. Requires the spark-sql-kafka jars
+        (see events.read_binlog_kafka)."""
+        from .events import read_binlog_kafka
+
+        parsed = read_binlog_kafka(
+            self.spark,
+            bootstrap_servers,
+            topic,
+            self.payload_schema,
+            starting_offsets=starting_offsets,
+            max_offsets_per_trigger=max_offsets_per_trigger,
+            options=kafka_options,
+        )
+
+        def _process(batch_df: DataFrame, epoch_id: int) -> None:
+            self.apply_batch(batch_df, defer_boundary=True)
+
+        return (
+            parsed.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(processingTime=processing_time)
+            .start()
+        )
+
     def flush_epoch_markers(self) -> list[int]:
         """Marker-commit the epochs still deferred at end of stream.
 

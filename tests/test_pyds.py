@@ -235,6 +235,86 @@ def test_pushdown_prunes_planned_files(registered, tmp_path):
     assert sorted(r["doc_id"] for r in got_in) == ["doc-205", "doc-301"]
 
 
+def test_python_xxh64_matches_spark(spark):
+    """The pure-Python xxh64 (bucket pruning's foundation) is
+    bit-equal to Spark's xxhash64 for every key dtype the engine
+    buckets on — strings (incl. empty, unicode, >32-byte), longs
+    (incl. negative / extremes) and ints."""
+    from dexspark.xxh64 import bucket_of, xxhash64
+
+    strings = [
+        "", "a", "doc-1", "q#42", "x" * 7, "y" * 8, "z" * 31, "w" * 32,
+        "long-key-" + "0123456789" * 10, "ünïcødé-κλειδί-鍵",
+    ]
+    rows = spark.createDataFrame(
+        [(s,) for s in strings], "k string"
+    ).select("k", F.xxhash64("k").alias("h")).collect()
+    for r in rows:
+        assert xxhash64(r["k"], "string") == r["h"], r["k"]
+
+    longs = [0, 1, -1, 42, 2**31, -(2**31) - 1, 2**63 - 1, -(2**63)]
+    rows = spark.createDataFrame(
+        [(v,) for v in longs], "k long"
+    ).select("k", F.xxhash64("k").alias("h")).collect()
+    for r in rows:
+        assert xxhash64(r["k"], "long") == r["h"], r["k"]
+
+    ints = [0, 1, -1, 1234567, -(2**31), 2**31 - 1]
+    rows = spark.createDataFrame(
+        [(v,) for v in ints], "k int"
+    ).select("k", F.xxhash64("k").alias("h")).collect()
+    for r in rows:
+        assert xxhash64(r["k"], "int") == r["h"], r["k"]
+
+    # bucket_of == pmod(xxhash64, nb) — the engine's bucket expr
+    got = spark.createDataFrame([(s,) for s in strings], "k string").select(
+        "k", F.pmod(F.xxhash64("k"), F.lit(16)).cast("int").alias("b")
+    ).collect()
+    for r in got:
+        assert bucket_of(r["k"], 16, "string") == r["b"]
+
+
+def test_point_read_plans_single_bucket(registered, tmp_path):
+    """Automatic bucket pruning: a point predicate through the
+    DataSource plans at most ONE bucket's files — no manual `buckets`
+    option (plan-asserted via reader partitions)."""
+    spark = registered
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=8)
+    t.overwrite(_base(spark, n=64))
+    m = t.manifest()
+    n_buckets_with_files = len([b for b, fs in m["buckets"].items() if fs])
+    assert n_buckets_with_files > 1
+
+    from pyspark.sql.datasource import EqualTo, In
+
+    rdr = pyds._SnapshotReaderPush({"path": root}, None)
+    rdr.pushFilters([EqualTo(("doc_id",), "doc-007")])
+    assert rdr._auto_buckets is not None and len(rdr._auto_buckets) == 1
+    # every planned (bucket, file) pair belongs to the ONE bucket
+    # doc-7 hashes to
+    from dexspark.xxh64 import bucket_of
+
+    want_bucket = str(bucket_of("doc-007", m["num_buckets"], "string"))
+    planned_buckets = {b for b, rel, fv, is_mor in rdr._files()}
+    assert planned_buckets <= {want_bucket}
+    assert planned_buckets  # the key's bucket has files
+    # end-to-end: the read returns exactly the right row
+    got = _snap(spark, root).filter(F.col("doc_id") == "doc-007").collect()
+    assert [r["doc_id"] for r in got] == ["doc-007"]
+    # isin across two buckets plans exactly those buckets
+    rdr2 = pyds._SnapshotReaderPush({"path": root}, None)
+    rdr2.pushFilters([In(("doc_id",), ("doc-007", "doc-009"))])
+    want = {
+        str(bucket_of(k, m["num_buckets"], "string")) for k in ("doc-007", "doc-009")
+    }
+    assert rdr2._auto_buckets == want
+    got2 = _snap(spark, root).filter(
+        F.col("doc_id").isin("doc-007", "doc-009")
+    ).collect()
+    assert sorted(r["doc_id"] for r in got2) == ["doc-007", "doc-009"]
+
+
 def test_last_per_run_zero_rows():
     """0-chunk / 0-row key columns must not crash the MOR fold."""
     import pyarrow as pa
