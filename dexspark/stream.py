@@ -344,6 +344,7 @@ class CdcEngine:
         parsed: DataFrame,
         defer_boundary: bool = False,
         extra_epochs: list[int] | None = None,
+        fresh_filter: F.Column | None = None,
     ) -> BatchMetrics:
         """Apply one micro-batch of parsed change events exactly-once.
 
@@ -372,7 +373,26 @@ class CdcEngine:
         same MERGE result), at-least-once only for that epoch's
         lineage counts. Batch mode (``defer_boundary=False``) keeps
         mark-everything semantics: the whole log is one batch, every
-        epoch in it is complete by construction."""
+        epoch in it is complete by construction.
+
+        ``fresh_filter``: a PINNED already-committed filter computed
+        once at stream start (see run_stream). The live filter embeds
+        the advancing watermark as plan literals, so every trigger
+        generates different whole-stage code and recompiles the scan
+        stage; pinning keeps the per-trigger plans byte-identical —
+        codegen cache hits instead of compiles. Safe because (a) the
+        pin absorbs everything committed BEFORE the stream started
+        (the crash-restart replay case — a restart re-pins at its own
+        start), and (b) within a run the only events a live filter
+        would additionally drop are a same-batch retry's — whose
+        re-application is content-idempotent under LWW (identical
+        winners, identical MERGE), the same trade already accepted
+        for the deferred boundary epoch. A producer violating
+        epoch-monotone delivery (late file for an epoch marked
+        mid-run) gets its events applied rather than silently
+        swallowed — arguably the safer failure mode. NOT used by the
+        patch path: patches COMPOSE, so re-application there is not
+        idempotent and the live filter stays load-bearing."""
         if self.config.patch_events:
             return self._apply_batch_patch(parsed, defer_boundary, extra_epochs)
         t0 = time.monotonic()
@@ -407,7 +427,10 @@ class CdcEngine:
         # tail. A flat isin over every epoch ever committed would grow
         # the predicate/plan linearly with stream lifetime (10^5-10^6
         # literals after a year of micro-batches).
-        live = ev.filter(self._fresh_epoch_filter())
+        live = ev.filter(
+            fresh_filter if fresh_filter is not None
+            else self._fresh_epoch_filter()
+        )
 
         flat = live.select(
             "raw",
@@ -1340,13 +1363,19 @@ class CdcEngine:
                 advance_col="_advance",
             ).drop("_advance")
 
+        # pinned once per run: keeps every trigger's plan literals
+        # identical (codegen cache hits — see apply_batch docstring);
+        # a restart re-pins at its own start, absorbing everything
+        # committed before it
+        pinned = None if self.config.patch_events else self._fresh_epoch_filter()
+
         def _process(batch_df: DataFrame, epoch_id: int) -> None:
             # defer_boundary: a micro-batch may hold only the FIRST
             # files of its max epoch (maxFilesPerTrigger), so that
             # epoch's marker is deferred until a later batch or the
             # end-of-run flush — marking it now would swallow the
             # epoch's remaining events in the next trigger
-            self.apply_batch(batch_df, defer_boundary=True)
+            self.apply_batch(batch_df, defer_boundary=True, fresh_filter=pinned)
 
         writer = parsed.writeStream.foreachBatch(_process).option(
             "checkpointLocation", checkpoint_path
@@ -1386,8 +1415,10 @@ class CdcEngine:
             options=kafka_options,
         )
 
+        pinned = None if self.config.patch_events else self._fresh_epoch_filter()
+
         def _process(batch_df: DataFrame, epoch_id: int) -> None:
-            self.apply_batch(batch_df, defer_boundary=True)
+            self.apply_batch(batch_df, defer_boundary=True, fresh_filter=pinned)
 
         return (
             parsed.writeStream.foreachBatch(_process)
