@@ -942,7 +942,10 @@ class CdcEngine:
                 if "source" in data_cols
                 else F.lit(None).cast("string")
             )
-            lin_groups = (
+            # ONE collect for the lineage rollup AND the
+            # unattributable-reject XOR (both over the checkpointed
+            # batch) — same round-trip fusion as apply_batch
+            lin_frame = (
                 flat.groupBy(
                     F.col("batch_epoch").alias("_epoch"),
                     F.col("_pid"),
@@ -950,8 +953,24 @@ class CdcEngine:
                     F.col("event_class").alias("_class"),
                 )
                 .agg(F.count(F.lit(1)).alias("_n_events"))
-                .collect()
+                .withColumn("_row_kind", F.lit("lin"))
             )
+            qxor_frame = (
+                flat.filter(
+                    (F.col("event_class") == "reject")
+                    & (F.col("batch_epoch").isNull() | (F.col("batch_epoch") < 0))
+                )
+                .agg(
+                    F.bit_xor(F.xxhash64("raw")).alias("x"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .withColumn("_row_kind", F.lit("qxor"))
+            )
+            all_rows = lin_frame.unionByName(
+                qxor_frame, allowMissingColumns=True
+            ).collect()
+            lin_groups = [r for r in all_rows if r["_row_kind"] == "lin"]
+            qs = next(r for r in all_rows if r["_row_kind"] == "qxor")
             if not lin_groups:
                 marked = self._marks_for(
                     sorted(self._already_committed_filtered(extra_epochs)),
@@ -985,12 +1004,6 @@ class CdcEngine:
                 F.array("envelope_fail").alias(FAIL_COL),
                 "batch_epoch",
             )
-            qs = rejects.filter(
-                F.col("batch_epoch").isNull() | (F.col("batch_epoch") < 0)
-            ).agg(
-                F.bit_xor(F.xxhash64("raw")).alias("x"),
-                F.count(F.lit(1)).alias("n"),
-            ).collect()[0]
             if qs["x"] is not None:
                 combined = (
                     int(qs["x"]) * 0x9E3779B97F4A7C15 + int(qs["n"])
@@ -1038,16 +1051,37 @@ class CdcEngine:
                 # negatives are envelope-rejected)
                 "batch_epoch",
             )
-            cnt = v.agg(
-                F.sum((~is_bad).cast("long")).alias("n_good"),
-                F.sum(is_bad.cast("long")).alias("n_bad"),
-            ).collect()[0]
+            # fused: post-image pass/fail counts + the delete-key count
+            # in one driver round-trip
+            cnt_rows = (
+                v.agg(
+                    F.sum((~is_bad).cast("long")).alias("n_good"),
+                    F.sum(is_bad.cast("long")).alias("n_bad"),
+                )
+                .withColumn("_row_kind", F.lit("cnt"))
+                .unionByName(
+                    r["dels"]
+                    .agg(F.count(F.lit(1)).alias("n_dels"))
+                    .withColumn("_row_kind", F.lit("dels")),
+                    allowMissingColumns=True,
+                )
+                .collect()
+            )
+            cnt = next(x for x in cnt_rows if x["_row_kind"] == "cnt")
+            n_dels = int(
+                next(x for x in cnt_rows if x["_row_kind"] == "dels")["n_dels"]
+                or 0
+            )
             n_good, n_bad = int(cnt["n_good"] or 0), int(cnt["n_bad"] or 0)
             td = _mark("compose_resolve_validate", t0)
 
             # sinks BEFORE the marker-committing merge (crash ordering
-            # — see apply_batch)
-            write_quarantine(rejects.unionByName(bad_q), self.quarantine_path)
+            # — see apply_batch); skipped when provably empty (reject
+            # count from the rollup, post-image fails from cnt)
+            if by_class.get("reject", 0) or n_bad:
+                write_quarantine(
+                    rejects.unionByName(bad_q), self.quarantine_path
+                )
             if self.config.profile and new_epochs:
                 # per-epoch profile of the resolved POST-IMAGES (the
                 # rows about to merge) — same sink semantics as the
@@ -1063,7 +1097,6 @@ class CdcEngine:
                 _write_epoch_partitioned(
                     sketch_events(_post, columns=(key,)), self.sketch_path
                 )
-            n_dels = r["dels"].count()
             if new_epochs:
                 merge_info = self.table.merge(
                     good,

@@ -175,6 +175,53 @@ def test_kafka_shaped_value_stream_matches_file_source(spark, tmp_warehouse, bin
     assert sum(m.events_seen for m in batches) == m_file.events_seen
 
 
+def test_pinned_filter_replay_is_content_idempotent(spark, tmp_warehouse, binlog_files):
+    """The plan-stability pin (run_stream computes the fresh-epoch
+    filter once per run): a same-batch retry re-applies its events
+    through the PINNED filter instead of being dropped by a live one
+    — final table state must be identical (LWW re-application is
+    content-idempotent), and a RESTART's re-pin must absorb the
+    replay entirely (early return, no new commit)."""
+    live = os.path.join(tmp_warehouse, "live-pin")
+    os.makedirs(live)
+    for f in binlog_files:
+        shutil.copy(f, live)
+    from dexspark.events import read_binlog
+
+    engine = _mk_engine(spark, tmp_warehouse, "pin")
+    parsed = read_binlog(spark, live, engine.payload_schema)
+    pinned = engine._fresh_epoch_filter()  # pinned BEFORE any commit
+    m1 = engine.apply_batch(parsed, fresh_filter=pinned)
+    state1 = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in engine.table.read().collect()
+    }
+    v1 = engine.table.current_version()
+    # same-batch retry through the SAME pin: events flow again
+    m2 = engine.apply_batch(parsed, fresh_filter=pinned)
+    assert m2.events_seen == m1.events_seen  # not filtered
+    state2 = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in engine.table.read().collect()
+    }
+    assert state2 == state1  # content-idempotent
+    # restart: a fresh pin absorbs the replay — nothing applied,
+    # no rows merged, no new table version (only the ever-live
+    # NULL-epoch malformed lines re-flow to their idempotent
+    # quarantine rewrite)
+    repinned = engine._fresh_epoch_filter()
+    v_before = engine.table.current_version()
+    m3 = engine.apply_batch(parsed, fresh_filter=repinned)
+    assert m3.events_applied == 0 and m3.rows_merged == 0
+    assert m3.events_seen < m1.events_seen
+    assert engine.table.current_version() == v_before
+    assert {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in engine.table.read().collect()
+    } == state1
+    assert v1 >= 2  # sanity: the first apply really committed
+
+
 def _kafka_jars_available(spark) -> bool:
     """True iff the spark-sql-kafka data source resolves on this
     classpath (plan-time probe; no broker contact — the Kafka source
