@@ -59,6 +59,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--binlog", help="change-event log dir (ndjson)")
     ap.add_argument("--checkpoint", help="streaming checkpoint dir")
     ap.add_argument("--warehouse", help="quarantine/lineage root")
+    ap.add_argument(
+        "--fileio",
+        help="manifest FileIO backend: local (default) | condput | "
+        "s3://bucket/prefix — same values as DEXSPARK_FILEIO (the "
+        "flag just sets it for this run)",
+    )
     ap.add_argument("--create", action="store_true", help="create table if absent")
     ap.add_argument("--num-buckets", type=int, default=64)
     ap.add_argument("--rules", help="JSON rule-set file (default: sequences rules)")
@@ -550,6 +556,10 @@ def main(argv: list[str] | None = None) -> int:
         "(default: current)",
     )
     args = ap.parse_args(argv)
+    if args.fileio:
+        import os as _os_fio
+
+        _os_fio.environ["DEXSPARK_FILEIO"] = args.fileio
     maintenance = (
         args.compact
         or args.vacuum

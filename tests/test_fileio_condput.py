@@ -211,6 +211,22 @@ def test_crash_before_commit_invisible_condput(spark, tmp_path):
     assert t2.current_version() == t.current_version()
 
 
+def test_default_io_env_selection(monkeypatch):
+    from dexspark import lake
+
+    monkeypatch.delenv("DEXSPARK_FILEIO", raising=False)
+    assert isinstance(lake.default_io(), lake.LocalFileIO)
+    monkeypatch.setenv("DEXSPARK_FILEIO", "local")
+    assert isinstance(lake.default_io(), lake.LocalFileIO)
+    monkeypatch.setenv("DEXSPARK_FILEIO", "condput")
+    io_ = lake.default_io()
+    assert isinstance(io_, ConditionalPutFileIO)
+    assert isinstance(io_.client, FsObjectClient)
+    monkeypatch.setenv("DEXSPARK_FILEIO", "bogus")
+    with pytest.raises(ValueError, match="bogus"):
+        lake.default_io()
+
+
 def test_manifest_get_roundtrips_bounded(spark, tmp_path):
     """Manifest GETs through the client stay O(1) per version per
     LakeTable instance (the text cache) — the object-store cost
