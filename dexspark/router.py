@@ -111,6 +111,7 @@ class RoutedEngine:
         defer_boundary: bool = False,
         extra_epochs: list[int] | None = None,
         share_scan: bool = True,
+        fresh_filters: dict | None = None,
     ) -> dict[str, BatchMetrics]:
         """Apply one micro-batch through every route exactly-once.
 
@@ -154,6 +155,7 @@ class RoutedEngine:
                 batch.filter(pred),
                 defer_boundary=defer_boundary,
                 extra_epochs=epochs,
+                fresh_filter=(fresh_filters or {}).get(name),
             )
 
         out: dict[str, BatchMetrics] = {}
@@ -444,8 +446,16 @@ class RoutedEngine:
             max_files_per_trigger=max_files_per_trigger,
         )
 
+        # per-route pinned fresh-epoch filters: plan literals stay
+        # identical across triggers (see CdcEngine.apply_batch)
+        pinned = {
+            name: eng._fresh_epoch_filter()
+            for name, eng in self.routes.items()
+            if not eng.config.patch_events
+        }
+
         def _process(batch_df: DataFrame, epoch_id: int) -> None:
-            self.apply_batch(batch_df, defer_boundary=True)
+            self.apply_batch(batch_df, defer_boundary=True, fresh_filters=pinned)
 
         writer = parsed.writeStream.foreachBatch(_process).option(
             "checkpointLocation", checkpoint_path
