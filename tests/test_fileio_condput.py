@@ -211,6 +211,91 @@ def test_crash_before_commit_invisible_condput(spark, tmp_path):
     assert t2.current_version() == t.current_version()
 
 
+class _FakeS3:
+    """In-memory stand-in speaking the slice of the boto3 S3 client
+    surface Boto3Client uses — including the IfNoneMatch=\"*\"
+    conditional-put refusal (412) and list_objects_v2 pagination."""
+
+    class _NoSuchKey(Exception):
+        pass
+
+    def __init__(self):
+        self.store: dict[str, bytes] = {}
+        self.exceptions = type("E", (), {"NoSuchKey": self._NoSuchKey})
+
+    def get_object(self, Bucket, Key):
+        import io as _io
+
+        if Key not in self.store:
+            raise self._NoSuchKey(Key)
+        return {"Body": _io.BytesIO(self.store[Key])}
+
+    def put_object(self, Bucket, Key, Body, IfNoneMatch=None):
+        if IfNoneMatch == "*" and Key in self.store:
+            e = RuntimeError("precondition")
+            e.response = {"Error": {"Code": "PreconditionFailed"}}
+            raise e
+        self.store[Key] = Body
+
+    def head_object(self, Bucket, Key):
+        import datetime
+
+        if Key not in self.store:
+            raise self._NoSuchKey(Key)
+        return {
+            "LastModified": datetime.datetime.now(datetime.timezone.utc)
+        }
+
+    def delete_object(self, Bucket, Key):
+        self.store.pop(Key, None)
+
+    def list_objects_v2(self, Bucket, Prefix, ContinuationToken=None):
+        keys = sorted(k for k in self.store if k.startswith(Prefix))
+        page = 2  # tiny page size: force the pagination loop
+        start = int(ContinuationToken or 0)
+        chunk = keys[start : start + page]
+        out = {"Contents": [{"Key": k} for k in chunk]}
+        if start + page < len(keys):
+            out["IsTruncated"] = True
+            out["NextContinuationToken"] = str(start + page)
+        return out
+
+
+def test_boto3client_mapping_against_fake_s3():
+    """Boto3Client's option mapping over an injected fake client:
+    conditional put -> PreconditionFailed -> ConcurrentCommitError,
+    prefix handling, pagination, missing-key contract."""
+    from dexspark.fileio import Boto3Client
+    from dexspark.lake import ConcurrentCommitError
+
+    fake = _FakeS3()
+    c = Boto3Client("bucket", prefix="lake/meta", client=fake)
+    io_ = ConditionalPutFileIO(c)
+    io_.put_if_absent("/t/_snapshots/snap-00000001.json", '{"v": 1}')
+    assert io_.read_text("/t/_snapshots/snap-00000001.json") == '{"v": 1}'
+    # the bucket key carries the prefix
+    assert "lake/meta/t/_snapshots/snap-00000001.json" in fake.store
+    with pytest.raises(ConcurrentCommitError):
+        io_.put_if_absent("/t/_snapshots/snap-00000001.json", '{"v": 9}')
+    assert io_.read_text("/t/_snapshots/snap-00000001.json") == '{"v": 1}'
+    # pagination: 5 keys with page size 2 forces 3 LIST round-trips
+    for i in range(2, 7):
+        io_.put_if_absent(f"/t/_snapshots/snap-{i:08d}.json", "{}")
+    assert io_.list_dir("/t/_snapshots") == [
+        f"snap-{i:08d}.json" for i in range(1, 7)
+    ]
+    assert io_.is_dir("/t/_snapshots")
+    assert io_.mtime("/t/_snapshots/snap-00000001.json") > 0
+    io_.delete("/t/_snapshots/snap-00000001.json")
+    with pytest.raises(FileNotFoundError):
+        io_.read_text("/t/_snapshots/snap-00000001.json")
+    with pytest.raises(FileNotFoundError):
+        io_.delete("/t/_snapshots/snap-00000001.json")
+    io_.remove_tree("/t/_snapshots")
+    assert io_.list_dir("/t/_snapshots") == []
+    assert not io_.is_dir("/t/_snapshots")
+
+
 def test_default_io_env_selection(monkeypatch):
     from dexspark import lake
 
