@@ -42,10 +42,17 @@ def connected_components(
     Raises RuntimeError if ``max_iter`` rounds don't converge (a
     path-graph worst case needs O(diameter) rounds; similarity
     graphs converge in a handful)."""
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # checkpoint the symmetrized edge frame ONCE: every round joins
+    # against it, and without this the upstream pair-producing
+    # pipeline (e.g. the full shingle->minhash->band->pair chain) is
+    # re-executed per round per consumer — measured 22 s -> ~6 s for
+    # the sf0.1 minhash clustering query
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("a").alias("v"))
