@@ -118,7 +118,26 @@ def test_jvm_validator_has_no_python_nodes(spark):
     assert "required:doc_id" in plan  # rules compiled into the projection
 
 
-def test_every_registered_query_is_python_free(spark):
+def test_minhash_banding_plan_is_join_free_with_partial_agg(spark):
+    """The capped LSH banding rollup's scale shape, asserted: NO join
+    anywhere (the r3 band self-join is gone), and the (band, key)
+    bucket count keeps a map-side partial aggregate below its
+    exchange so hot buckets collapse before the shuffle."""
+    import os
+
+    import pytest
+
+    sf_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("driver testdata not present")
+    from dexspark.queries import dedup_minhash_lsh
+
+    plan = _plan(dedup_minhash_lsh(spark, sf_dir))
+    assert "Join" not in plan, plan
+    # partial aggregate sits BELOW the first exchange (deeper in the
+    # printed tree = later in the string), i.e. map-side combine
+    assert "partial_count" in plan
+    assert plan.index("Exchange") < plan.index("partial_count")
     """Blanket invariant over the ENTIRE 50-query driver surface: no
     plan contains row-at-a-time Python (BatchEvalPython). Arrow-
     vectorized nodes (MapInPandas / ArrowEvalPython / MapInArrow) are
