@@ -359,6 +359,34 @@ def main(argv: list[str] | None = None) -> int:
         "--pad-id", type=int, default=0, help="--pack-corpus pad token id"
     )
     ap.add_argument(
+        "--prepare-corpus",
+        metavar="OUT_DIR",
+        default=None,
+        help="full training-corpus pipeline over --corpus-src "
+        "documents parquet: quality gate -> exact dedup -> near-dup "
+        "components -> decontamination (--corpus-eval, repeatable) "
+        "-> split assignment (--corpus-splits) -> tokenize -> pack; "
+        "writes packed shards under OUT_DIR/split=<name> and prints "
+        "the stage-by-stage report (operators/corpus)",
+    )
+    ap.add_argument(
+        "--corpus-src",
+        default=None,
+        help="documents parquet (doc_id, text[, tokens]) for "
+        "--prepare-corpus",
+    )
+    ap.add_argument(
+        "--corpus-eval",
+        action="append",
+        default=None,
+        help="eval-set parquet to decontaminate against (repeatable)",
+    )
+    ap.add_argument(
+        "--corpus-splits",
+        default="train=0.98,val=0.01,test=0.01",
+        help="NAME=WEIGHT,... split bands for --prepare-corpus",
+    )
+    ap.add_argument(
         "--health",
         action="store_true",
         help="instead of tailing: one-shot health rollup as JSON — "
@@ -607,6 +635,7 @@ def main(argv: list[str] | None = None) -> int:
         or maintenance
         or args.export_snapshot is not None
         or args.pack_corpus is not None
+        or args.prepare_corpus is not None
         # a bare bootstrap exits after the load; with binlog/checkpoint
         # /warehouse it continues into the tail, whose own args are
         # checked at engine construction
@@ -638,8 +667,12 @@ def main(argv: list[str] | None = None) -> int:
         and args.quarantine_drift is None
         # log compaction reads/writes only the binlog — no table
         and args.compact_binlog is None
+        # corpus preparation reads --corpus-src parquet — no table
+        and args.prepare_corpus is None
     ):
         ap.error("--table is required (except in --route mode)")
+    if args.prepare_corpus is not None and not args.corpus_src:
+        ap.error("--corpus-src is required with --prepare-corpus")
     if args.drift is not None and not args.warehouse:
         ap.error("--warehouse is required with --drift")
     if args.distinct_over is not None and not args.warehouse:
@@ -696,6 +729,31 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName("dexspark-cdc").getOrCreate()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    if args.prepare_corpus is not None:
+        # table-less: documents parquet in, packed training shards out
+        from .operators.corpus import CorpusConfig, prepare_corpus
+
+        splits = {}
+        for part in args.corpus_splits.split(","):
+            name, _, w = part.partition("=")
+            splits[name.strip()] = float(w)
+        cfg = CorpusConfig(
+            seq_len=args.seq_len,
+            eos_id=args.eos_id,
+            pad_id=args.pad_id,
+            splits=splits,
+        )
+        evals = [spark.read.parquet(p) for p in (args.corpus_eval or [])]
+        report = prepare_corpus(
+            spark,
+            spark.read.parquet(args.corpus_src),
+            args.prepare_corpus,
+            eval_sets=evals,
+            config=cfg,
+        )
+        print(json.dumps(report))
+        return 0
 
     if args.drift is not None:
         # table-less read-only mode: compare two epochs of the profile

@@ -1,0 +1,214 @@
+"""End-to-end training-corpus preparation: one call from raw documents
+to packed, split, deduplicated training shards plus a stage-by-stage
+accounting report.
+
+The composite a training-data team actually runs, assembled from the
+engine's individually-verified operators in the canonical order:
+
+    quality gate      (textquality.filter_quality — Gopher-style rules)
+    exact dedup       (md5(text) groupBy, keep min doc_id)
+    near-dup dedup    (minhash signatures -> capped LSH band buckets ->
+                       connected components -> keep representative)
+    decontamination   (decontaminate.decontaminate vs eval-set frames)
+    split assignment  (sampling.assign_split — deterministic hash bands)
+    tokenize          (deterministic word-hash tokens, pure JVM HOF; or
+                       pass-through when the corpus already carries a
+                       token-array column)
+    pack              (packing.pack_sequences — mapInArrow
+                       concat-and-chunk into exact seq_len rows)
+
+Scale shape: every stage is the already-benchmarked distributed form —
+no stage introduces a new join/shuffle class beyond what its operator
+documents. Stage counts are collected once per stage boundary (one
+tiny agg each); the packed output is written per split with Spark's
+parquet writer. Deterministic end to end given (input, seed).
+
+Reference parity note: the reference validates and quarantines; this
+composite is the "beyond the reference" LLM-pipeline mandate
+(SURVEY.md §2.10) assembled into the deliverable artifact — packed
+training shards.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .components import connected_components
+from .decontaminate import decontaminate
+from .dedup_index import band_keys, minhash_signatures
+from .packing import pack_sequences
+from .sampling import assign_split
+from .textquality import QualityThresholds, filter_quality
+
+# hot-bucket witness bound shared with the near-dup machinery
+# (dedup_index.POSTING_CAP; see queries._LSH_BUCKET_CAP)
+from .dedup_index import POSTING_CAP as _BUCKET_CAP
+
+
+@dataclass
+class CorpusConfig:
+    seq_len: int = 2048
+    eos_id: int = 0
+    pad_id: int = 0
+    vocab_size: int = 50_257
+    seed: int = 0
+    quality: bool = True
+    thresholds: QualityThresholds | None = None
+    exact_dedup: bool = True
+    near_dup: bool = True
+    decontaminate_ngram: int = 8
+    decontaminate_min_hits: int = 1
+    splits: dict = field(
+        default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
+    )
+
+
+def hash_tokenize(
+    docs: DataFrame, text: str = "text", vocab_size: int = 50_257
+) -> DataFrame:
+    """Deterministic word-hash tokenizer: token = pmod(xxhash64(word),
+    vocab_size). Pure JVM HOF (map-only); a stand-in with the real
+    tokenizer's SHAPE (text -> array<int> bounded by vocab) so the
+    packing/splitting plumbing downstream is the production path. A
+    real BPE runs as a pandas UDF in the same position."""
+    toks = F.transform(
+        F.split(F.col(text), " "),
+        lambda w: F.pmod(F.xxhash64(w), F.lit(vocab_size)).cast("int"),
+    )
+    return docs.withColumn("tokens", toks)
+
+
+def near_dup_representatives(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Docs minus non-representative near-duplicates.
+
+    minhash signatures (engine default xxhash64 scheme) -> capped LSH
+    band buckets (first _BUCKET_CAP ids per (band, key), the
+    production witness rule) -> candidate pairs generated JVM-side
+    from the capped lists -> connected components -> keep each
+    component's minimum id. Docs outside any component pass through.
+    """
+    from pyspark.sql import Window
+
+    sig = minhash_signatures(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text).alias("text")),
+        keep_short=False,
+    )
+    bands = band_keys(sig)
+    w = Window.partitionBy("band", "key").orderBy("doc_id")
+    lists = (
+        bands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= _BUCKET_CAP)
+        .groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    ds = F.col("ds")
+    pair_arrays = F.transform(
+        ds,
+        lambda x, i: F.transform(
+            F.slice(ds, i + F.lit(2), F.size(ds)),
+            lambda y: F.struct(x.alias("da"), y.alias("db")),
+        ),
+    )
+    pairs = (
+        lists.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
+        .distinct()
+    )
+    comp = connected_components(pairs, src="da", dst="db")
+    drop = comp.filter(F.col("component") != F.col("v")).select(
+        F.col("v").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")
+
+
+def prepare_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    eval_sets: list[DataFrame] | None = None,
+    config: CorpusConfig | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> dict:
+    """Run the full preparation pipeline; write packed shards under
+    ``out_dir/split=<name>/`` and return the accounting report.
+
+    ``docs`` needs (id_col, text[, source]); if it already carries a
+    ``tokens array<int>`` column the tokenizer stage is skipped.
+    Stage boundaries are counted exactly once each (a count per
+    surviving frame — the frames are lazily chained, so Spark fuses
+    the filters; the counts are the only materializations besides the
+    final writes)."""
+    cfg = config or CorpusConfig()
+    report: dict = {"stages": {}, "splits": {}}
+    cur = docs
+    report["stages"]["input"] = cur.count()
+
+    if cfg.quality:
+        cur = filter_quality(cur, cfg.thresholds, text=text, id_col=id_col)
+        report["stages"]["after_quality"] = cur.count()
+
+    if cfg.exact_dedup:
+        keep = (
+            cur.groupBy(F.md5(F.col(text).cast("binary")).alias("_h"))
+            .agg(F.min(id_col).alias(id_col))
+            .drop("_h")
+        )
+        cur = cur.join(keep, id_col, "left_semi")
+        report["stages"]["after_exact_dedup"] = cur.count()
+
+    if cfg.near_dup:
+        # checkpoint: the survivor frame feeds signature building AND
+        # the final anti-join; without it the upstream stages rerun
+        cur = cur.localCheckpoint(eager=False)
+        cur = near_dup_representatives(cur, text=text, id_col=id_col)
+        report["stages"]["after_near_dup"] = cur.count()
+
+    for ev in eval_sets or []:
+        cur = decontaminate(
+            cur,
+            ev,
+            n=cfg.decontaminate_ngram,
+            min_hits=cfg.decontaminate_min_hits,
+            text=text,
+            id_col=id_col,
+        )
+    if eval_sets:
+        report["stages"]["after_decontamination"] = cur.count()
+
+    cur = assign_split(cur, cfg.splits, key=id_col, seed=cfg.seed)
+    if "tokens" not in cur.columns:
+        cur = hash_tokenize(cur, text=text, vocab_size=cfg.vocab_size)
+    cur = cur.localCheckpoint(eager=False)  # feeds one pack per split
+
+    for name in sorted(cfg.splits):
+        part = cur.filter(F.col("split") == name).select(id_col, "tokens")
+        packed = pack_sequences(
+            part,
+            seq_len=cfg.seq_len,
+            eos_id=cfg.eos_id,
+            pad_id=cfg.pad_id,
+            id_col=id_col,
+        )
+        dest = os.path.join(out_dir, f"split={name}")
+        packed.write.mode("overwrite").parquet(dest)
+        out = spark.read.parquet(dest)
+        row = out.agg(
+            F.count("*").alias("n_packs"),
+            F.sum("n_real").alias("real_tokens"),
+            F.sum(F.size(F.col("docs"))).alias("doc_slots"),
+        ).collect()[0]
+        report["splits"][name] = {
+            "n_packs": int(row["n_packs"] or 0),
+            "real_tokens": int(row["real_tokens"] or 0),
+            "doc_slots": int(row["doc_slots"] or 0),
+            "path": dest,
+        }
+    report["seq_len"] = cfg.seq_len
+    return report

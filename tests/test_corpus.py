@@ -1,0 +1,154 @@
+"""End-to-end corpus preparation (operators/corpus.py + CLI).
+
+The composite pipeline over a crafted corpus exercising every stage:
+quality gate, exact dedup, near-dup components, decontamination,
+split assignment, tokenize, pack — with token conservation and
+stage accounting asserted against hand-computed expectations."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dexspark.operators.corpus import (
+    CorpusConfig,
+    hash_tokenize,
+    near_dup_representatives,
+    prepare_corpus,
+)
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu one two three four five "
+    "six seven eight nine ten eleven twelve thirteen fourteen fifteen "
+    "sixteen seventeen eighteen nineteen twenty alpha2 bravo2 charlie2 "
+    "delta2 echo2 foxtrot2 golf2 hotel2 india2 juliet2 kilo2 lima2 "
+    "mike2 november2 oscar2"
+)
+
+
+def _docs(spark):
+    base = _WORDS  # 65 words: passes the quality gate
+    rows = [
+        ("d01", base),
+        ("d02", base),  # exact dup of d01 -> dropped (keep min id)
+        ("d03", base + " extraword"),  # near-dup of d01 (superset shingles)
+        ("d04", "too few words"),  # quality fail (min_words)
+        ("d05", base.replace("alpha ", "omega ")),  # near-dup, 1 word changed
+        ("d06", "completely different content " + " ".join(
+            f"w{i}x unique{i}y token{i}z" for i in range(30)
+        )),
+        ("d07", "the secret eval answer sequence " + " ".join(
+            f"leak{i} benchmark{i}" for i in range(20)
+        )),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _eval_set(spark):
+    # shares an 8-gram window with d07
+    return spark.createDataFrame(
+        [("e1", "xx the secret eval answer sequence leak0 benchmark0 "
+          "leak1 benchmark1 yy")],
+        "doc_id string, text string",
+    )
+
+
+def test_near_dup_representatives_drops_non_reps(spark):
+    d = _docs(spark).filter(F.col("doc_id").isin("d01", "d03", "d05", "d06"))
+    kept = {r["doc_id"] for r in near_dup_representatives(d).collect()}
+    # d01 is the component minimum; d03/d05 are its near-dups
+    assert "d01" in kept and "d06" in kept
+    assert kept == {"d01", "d06"}, kept
+
+
+def test_prepare_corpus_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "corpus")
+    cfg = CorpusConfig(seq_len=64, eos_id=0, splits={"train": 0.8, "val": 0.2})
+    report = prepare_corpus(
+        spark,
+        _docs(spark),
+        out,
+        eval_sets=[_eval_set(spark)],
+        config=cfg,
+    )
+    st = report["stages"]
+    assert st["input"] == 7
+    assert st["after_quality"] == 6  # d04 out
+    assert st["after_exact_dedup"] == 5  # d02 out
+    assert st["after_near_dup"] == 3  # d03, d05 out (d01 representative)
+    assert st["after_decontamination"] == 2  # d07 out
+    # survivors: d01, d06 — split + packed
+    survivors = {"d01", "d06"}
+    toks = {
+        r["doc_id"]: len(r["text"].split(" "))
+        for r in _docs(spark).collect()
+        if r["doc_id"] in survivors
+    }
+    total_expected = sum(n + 1 for n in toks.values())  # +1 EOS per doc
+    total_real = sum(s["real_tokens"] for s in report["splits"].values())
+    assert total_real == total_expected
+    # every pack row is exactly seq_len wide; shards readable
+    for name, info in report["splits"].items():
+        if info["n_packs"] == 0:
+            continue
+        rows = spark.read.parquet(info["path"]).collect()
+        assert all(len(r["tokens"]) == 64 for r in rows)
+        assert sum(r["n_real"] for r in rows) == info["real_tokens"]
+    # deterministic: same input + seed -> same report
+    report2 = prepare_corpus(
+        spark,
+        _docs(spark),
+        str(tmp_path / "corpus2"),
+        eval_sets=[_eval_set(spark)],
+        config=cfg,
+    )
+    assert report2["stages"] == report["stages"]
+    assert {
+        k: {x: y for x, y in v.items() if x != "path"}
+        for k, v in report2["splits"].items()
+    } == {
+        k: {x: y for x, y in v.items() if x != "path"}
+        for k, v in report["splits"].items()
+    }
+
+
+def test_prepare_corpus_tokens_passthrough(spark, tmp_path):
+    """A corpus that already carries token arrays skips the tokenizer
+    and packs the given tokens verbatim."""
+    d = spark.createDataFrame(
+        [("a", "x " * 40, list(range(10))), ("b", "y " * 40, list(range(5)))],
+        "doc_id string, text string, tokens array<int>",
+    )
+    cfg = CorpusConfig(
+        seq_len=8, quality=False, near_dup=False, exact_dedup=False,
+        splits={"train": 1.0},
+    )
+    report = prepare_corpus(spark, d, str(tmp_path / "o"), config=cfg)
+    assert report["splits"]["train"]["real_tokens"] == 10 + 5 + 2  # +EOS each
+
+
+def test_cli_prepare_corpus(spark, tmp_path, capsys):
+    from dexspark import cli
+
+    src = str(tmp_path / "docs")
+    _docs(spark).write.parquet(src)
+    ev = str(tmp_path / "ev")
+    _eval_set(spark).write.parquet(ev)
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        [
+            "--prepare-corpus", out,
+            "--corpus-src", src,
+            "--corpus-eval", ev,
+            "--corpus-splits", "train=0.9,val=0.1",
+            "--seq-len", "64",
+            "--eos-id", "0",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["stages"]["after_decontamination"] == 2
+    assert os.path.isdir(out)
