@@ -1228,8 +1228,17 @@ def main(argv: list[str] | None = None) -> int:
             # no --warehouse) is required.
             from .events import expire_binlog
 
+            def _route_watermark(path: str) -> int:
+                t = LakeTable(spark, path)
+                if t.current_version() == 0:
+                    # not-yet-created route (e.g. --create on a fresh
+                    # warehouse): it has applied nothing, so its
+                    # watermark is the pre-ingest -1 — nothing expires
+                    return -1
+                return t.epoch_state()[0]
+
             w = min(
-                LakeTable(spark, spec.partition("=")[2]).epoch_state()[0]
+                _route_watermark(spec.partition("=")[2])
                 for spec in args.route
             )
             info = expire_binlog(

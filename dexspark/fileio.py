@@ -72,7 +72,14 @@ class PreconditionFailed(RuntimeError):
 
 def _key(path: str) -> str:
     """FileIO paths arrive os.path-joined; object keys are /-separated
-    with no leading slash."""
+    with no leading slash. Relative paths are absolutized first so a
+    table opened as ``warehouse/t`` maps to the same objects as the
+    absolute path Spark's committers resolve it to (without this, a
+    CWD-relative root would silently re-root manifests under the
+    client's root while data lands under $CWD). URI-style roots pass
+    through untouched — the client owns their interpretation."""
+    if "://" not in path and not os.path.isabs(path):
+        path = os.path.abspath(path)
     return path.replace(os.sep, "/").lstrip("/")
 
 
@@ -230,6 +237,20 @@ class Boto3Client:
     def _k(self, key: str) -> str:
         return f"{self.prefix}/{key}" if self.prefix else key
 
+    @staticmethod
+    def _code(e) -> str:
+        return str(
+            getattr(e, "response", {}).get("Error", {}).get("Code", "")
+        )
+
+    def _is_missing(self, e) -> bool:
+        # ONLY genuine not-found maps to ObjectMissing; throttles,
+        # auth and network errors must propagate (a 503 treated as
+        # "missing" would make retention skip live snapshots)
+        if isinstance(e, self.s3.exceptions.NoSuchKey):
+            return True
+        return self._code(e) in ("404", "NoSuchKey", "NotFound")
+
     def get_object(self, key: str) -> bytes:
         try:
             return self.s3.get_object(Bucket=self.bucket, Key=self._k(key))[
@@ -246,9 +267,18 @@ class Boto3Client:
             kw["IfNoneMatch"] = "*"
         try:
             self.s3.put_object(**kw)
-        except Exception as e:  # botocore ClientError: 412
-            code = getattr(e, "response", {}).get("Error", {}).get("Code")
-            if code in ("PreconditionFailed", "412"):
+        except Exception as e:  # botocore ClientError
+            # 412 = the key exists (clean loss). 409
+            # ConditionalRequestConflict = another conditional write
+            # on the same key is in flight — also a concurrency loss:
+            # the caller rebases and retries against the then-current
+            # head, which is correct whether the racer won or aborted.
+            if self._code(e) in (
+                "PreconditionFailed",
+                "412",
+                "ConditionalRequestConflict",
+                "409",
+            ):
                 raise PreconditionFailed(key) from None
             raise
 
@@ -257,8 +287,10 @@ class Boto3Client:
         # FileIO contract (missing -> FileNotFoundError) holds
         try:
             self.s3.head_object(Bucket=self.bucket, Key=self._k(key))
-        except Exception:
-            raise ObjectMissing(key) from None
+        except Exception as e:
+            if self._is_missing(e):
+                raise ObjectMissing(key) from None
+            raise
         self.s3.delete_object(Bucket=self.bucket, Key=self._k(key))
 
     def list_keys(self, prefix: str) -> list[str]:
@@ -281,8 +313,10 @@ class Boto3Client:
     def head_object(self, key: str) -> dict:
         try:
             h = self.s3.head_object(Bucket=self.bucket, Key=self._k(key))
-        except Exception:
-            raise ObjectMissing(key) from None
+        except Exception as e:
+            if self._is_missing(e):
+                raise ObjectMissing(key) from None
+            raise
         lm = h.get("LastModified")
         return {
             "last_modified": lm.timestamp() if lm is not None else time.time()

@@ -43,10 +43,6 @@ from .packing import pack_sequences
 from .sampling import assign_split
 from .textquality import QualityThresholds, filter_quality
 
-# hot-bucket witness bound shared with the near-dup machinery
-# (dedup_index.POSTING_CAP; see queries._LSH_BUCKET_CAP)
-from .dedup_index import POSTING_CAP as _BUCKET_CAP
-
 
 @dataclass
 class CorpusConfig:
@@ -87,37 +83,21 @@ def near_dup_representatives(
     """Docs minus non-representative near-duplicates.
 
     minhash signatures (engine default xxhash64 scheme) -> capped LSH
-    band buckets (first _BUCKET_CAP ids per (band, key), the
-    production witness rule) -> candidate pairs generated JVM-side
-    from the capped lists -> connected components -> keep each
-    component's minimum id. Docs outside any component pass through.
+    band buckets (dedup_index.capped_band_lists — the production
+    POSTING_CAP witness rule) -> candidate pairs
+    (dedup_index.band_candidate_pairs, JVM-side from the capped
+    lists) -> connected components -> keep each component's minimum
+    id. Docs outside any component pass through.
     """
-    from pyspark.sql import Window
+    from .dedup_index import band_candidate_pairs, capped_band_lists
 
     sig = minhash_signatures(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text).alias("text")),
         keep_short=False,
     )
-    bands = band_keys(sig)
-    w = Window.partitionBy("band", "key").orderBy("doc_id")
-    lists = (
-        bands.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= _BUCKET_CAP)
-        .groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") >= 2)
-    )
-    ds = F.col("ds")
-    pair_arrays = F.transform(
-        ds,
-        lambda x, i: F.transform(
-            F.slice(ds, i + F.lit(2), F.size(ds)),
-            lambda y: F.struct(x.alias("da"), y.alias("db")),
-        ),
-    )
     pairs = (
-        lists.select(F.explode(F.flatten(pair_arrays)).alias("p"))
-        .select(F.col("p.da").alias("da"), F.col("p.db").alias("db"))
+        band_candidate_pairs(capped_band_lists(band_keys(sig)))
+        .select("da", "db")
         .distinct()
     )
     comp = connected_components(pairs, src="da", dst="db")
@@ -141,17 +121,20 @@ def prepare_corpus(
 
     ``docs`` needs (id_col, text[, source]); if it already carries a
     ``tokens array<int>`` column the tokenizer stage is skipped.
-    Stage boundaries are counted exactly once each (a count per
-    surviving frame — the frames are lazily chained, so Spark fuses
-    the filters; the counts are the only materializations besides the
-    final writes)."""
+    Each counted stage is lazily checkpointed before its count, so
+    the count materializes that stage ONCE and every later stage reads
+    the materialized blocks — without this the per-stage counts would
+    re-execute the whole upstream chain once per boundary (quadratic
+    in stage count on a large corpus)."""
     cfg = config or CorpusConfig()
     report: dict = {"stages": {}, "splits": {}}
     cur = docs
     report["stages"]["input"] = cur.count()
 
     if cfg.quality:
-        cur = filter_quality(cur, cfg.thresholds, text=text, id_col=id_col)
+        cur = filter_quality(
+            cur, cfg.thresholds, text=text, id_col=id_col
+        ).localCheckpoint(eager=False)
         report["stages"]["after_quality"] = cur.count()
 
     if cfg.exact_dedup:
@@ -160,14 +143,15 @@ def prepare_corpus(
             .agg(F.min(id_col).alias(id_col))
             .drop("_h")
         )
-        cur = cur.join(keep, id_col, "left_semi")
+        cur = cur.join(keep, id_col, "left_semi").localCheckpoint(
+            eager=False
+        )
         report["stages"]["after_exact_dedup"] = cur.count()
 
     if cfg.near_dup:
-        # checkpoint: the survivor frame feeds signature building AND
-        # the final anti-join; without it the upstream stages rerun
-        cur = cur.localCheckpoint(eager=False)
-        cur = near_dup_representatives(cur, text=text, id_col=id_col)
+        cur = near_dup_representatives(
+            cur, text=text, id_col=id_col
+        ).localCheckpoint(eager=False)
         report["stages"]["after_near_dup"] = cur.count()
 
     for ev in eval_sets or []:
@@ -180,6 +164,7 @@ def prepare_corpus(
             id_col=id_col,
         )
     if eval_sets:
+        cur = cur.localCheckpoint(eager=False)
         report["stages"]["after_decontamination"] = cur.count()
 
     cur = assign_split(cur, cfg.splits, key=id_col, seed=cfg.seed)

@@ -189,6 +189,48 @@ def band_keys(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def capped_band_lists(
+    bands: DataFrame, cap: int | None = None, id_col: str = "doc_id"
+) -> DataFrame:
+    """(band, key, ds) — per band bucket, the sorted first-``cap``
+    ids in ``id_col`` order (default cap: POSTING_CAP, the production
+    witness rule). ONE exchange on (band, key); the row_number window
+    is spill-safe for arbitrarily hot buckets and the groupBy reuses
+    its hash partitioning. Shared by the oracle-checked banding
+    queries and the corpus near-dup pipeline so the cap rule can
+    never diverge between them."""
+    from pyspark.sql import Window
+
+    cap = POSTING_CAP if cap is None else cap
+    w = Window.partitionBy("band", "key").orderBy(id_col)
+    return (
+        bands.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ds"))
+    )
+
+
+def band_candidate_pairs(lists: DataFrame) -> DataFrame:
+    """(band, da, db) candidate pairs from capped per-bucket lists,
+    generated JVM-side with nested array HOFs — O(cap^2/2) per bucket,
+    no self-join. ``da < db`` by the lists' sort order; within a band
+    each id has one key, so (band, da, db) is already distinct."""
+    ds = F.col("ds")
+    pair_arrays = F.transform(
+        ds,
+        lambda x, i: F.transform(
+            F.slice(ds, i + F.lit(2), F.size(ds)),
+            lambda y: F.struct(x.alias("da"), y.alias("db")),
+        ),
+    )
+    return (
+        lists.filter(F.size("ds") >= 2)
+        .select("band", F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("band", F.col("p.da").alias("da"), F.col("p.db").alias("db"))
+    )
+
+
 def index_schema(id_type=None):
     """Persisted index row: doc key + the 8 signature hashes."""
     from pyspark.sql import types as T

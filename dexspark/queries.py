@@ -833,45 +833,26 @@ def _minhash_capped_buckets(spark, sf_dir) -> DataFrame:
     batch pipeline and the persisted index provably agree.
     keep_short=False: band buckets ignore null-signature docs, so the
     short-doc anti-join would be dead weight here."""
-    from pyspark.sql import Window
-
-    from .operators.dedup_index import band_keys, minhash_signatures
+    from .operators.dedup_index import (
+        band_keys,
+        capped_band_lists,
+        minhash_signatures,
+    )
 
     sig = minhash_signatures(
         _t(spark, sf_dir, "documents"), keep_short=False, scheme="md5"
     )
-    bands = band_keys(sig)
-    w = Window.partitionBy("band", "key").orderBy("doc_id")
-    return (
-        bands.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= _LSH_BUCKET_CAP)
-        .groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
-    )
+    return capped_band_lists(band_keys(sig), cap=_LSH_BUCKET_CAP)
 
 
 def _minhash_candidate_pairs(spark, sf_dir) -> DataFrame:
     """(band, da, db) LSH candidate pairs, bucket-capped — shared by
-    the banding query and the connected-components clustering query.
-    Pairs are generated JVM-side from the capped per-bucket lists
-    (nested array HOFs, same trick as dedup_ngram_jaccard) — no
-    self-join, no shuffle beyond the single (band, key) exchange.
-    Within a band each doc has exactly one key, so (band, da, db) is
-    already distinct."""
-    lists = _minhash_capped_buckets(spark, sf_dir)
-    ds = F.col("ds")
-    pair_arrays = F.transform(
-        ds,
-        lambda x, i: F.transform(
-            F.slice(ds, i + F.lit(2), F.size(ds)),
-            lambda y: F.struct(x.alias("da"), y.alias("db")),
-        ),
-    )
-    return (
-        lists.filter(F.size("ds") >= 2)
-        .select("band", F.explode(F.flatten(pair_arrays)).alias("p"))
-        .select("band", F.col("p.da").alias("da"), F.col("p.db").alias("db"))
-    )
+    the banding query and the connected-components clustering query;
+    pair generation is the SHARED dedup_index.band_candidate_pairs
+    (JVM-side nested HOFs from capped lists — no self-join)."""
+    from .operators.dedup_index import band_candidate_pairs
+
+    return band_candidate_pairs(_minhash_capped_buckets(spark, sf_dir))
 
 
 @query("dedup_minhash_lsh", _minhash_sql())

@@ -1396,18 +1396,30 @@ class CdcEngine:
                 advance_col="_advance",
             ).drop("_advance")
 
-        # pinned once per run: keeps every trigger's plan literals
-        # identical (codegen cache hits — see apply_batch docstring);
-        # a restart re-pins at its own start, absorbing everything
-        # committed before it
-        pinned = None if self.config.patch_events else self._fresh_epoch_filter()
+        return self._start_tail(
+            parsed, checkpoint_path, available_now, processing_time
+        )
+
+    def _start_tail(
+        self,
+        parsed: DataFrame,
+        checkpoint_path: str,
+        available_now: bool,
+        processing_time: str,
+    ):
+        """Shared foreachBatch wiring for every transport (file,
+        parquet, Kafka): per-run pinned fresh-epoch filter (plan
+        literals stay identical across triggers — see apply_batch;
+        patch mode keeps the live filter) and deferred boundary
+        marking (a micro-batch may hold only the FIRST files of its
+        max epoch, so that epoch's marker waits for a later batch or
+        the end-of-run flush — marking it early would swallow the
+        epoch's remaining events in the next trigger)."""
+        pinned = (
+            None if self.config.patch_events else self._fresh_epoch_filter()
+        )
 
         def _process(batch_df: DataFrame, epoch_id: int) -> None:
-            # defer_boundary: a micro-batch may hold only the FIRST
-            # files of its max epoch (maxFilesPerTrigger), so that
-            # epoch's marker is deferred until a later batch or the
-            # end-of-run flush — marking it now would swallow the
-            # epoch's remaining events in the next trigger
             self.apply_batch(batch_df, defer_boundary=True, fresh_filter=pinned)
 
         writer = parsed.writeStream.foreachBatch(_process).option(
@@ -1448,16 +1460,8 @@ class CdcEngine:
             options=kafka_options,
         )
 
-        pinned = None if self.config.patch_events else self._fresh_epoch_filter()
-
-        def _process(batch_df: DataFrame, epoch_id: int) -> None:
-            self.apply_batch(batch_df, defer_boundary=True, fresh_filter=pinned)
-
-        return (
-            parsed.writeStream.foreachBatch(_process)
-            .option("checkpointLocation", checkpoint_path)
-            .trigger(processingTime=processing_time)
-            .start()
+        return self._start_tail(
+            parsed, checkpoint_path, False, processing_time
         )
 
     def flush_epoch_markers(self) -> list[int]:

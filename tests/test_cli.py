@@ -880,3 +880,18 @@ def test_cli_expire_binlog_routed_min_watermark(spark, tmp_warehouse, capsys):
     assert rc == 0
     info2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert info2["min_epoch_watermark"] == -1
+    # a route whose table does not exist yet (fresh warehouse +
+    # --create) must not crash the expire: its watermark is the
+    # pre-ingest -1, so nothing expires
+    rc = cli.main(
+        [
+            "--route", f"x={os.path.join(tmp_warehouse, 'fresh-x')}",
+            "--route-expr", "pmod(lsn, 2) = 0",
+            "--create",
+            "--binlog", binlog, "--expire-binlog", "0", "--dry-run",
+        ]
+    )
+    assert rc == 0
+    info3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info3["min_epoch_watermark"] == -1
+    assert info3["expired_epochs"] == []

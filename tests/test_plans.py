@@ -138,6 +138,9 @@ def test_minhash_banding_plan_is_join_free_with_partial_agg(spark):
     # printed tree = later in the string), i.e. map-side combine
     assert "partial_count" in plan
     assert plan.index("Exchange") < plan.index("partial_count")
+
+
+def test_every_registered_query_is_python_free(spark):
     """Blanket invariant over the ENTIRE 50-query driver surface: no
     plan contains row-at-a-time Python (BatchEvalPython). Arrow-
     vectorized nodes (MapInPandas / ArrowEvalPython / MapInArrow) are
