@@ -124,12 +124,15 @@ def decode_bmp(payload: bytes) -> dict:
     h = abs(h)
     row = w * 3
     stride = row + ((-row) % 4)
-    px = np.zeros((h, w, 3), dtype=np.uint8)
-    for r in range(h):
-        src = off + r * stride
-        line = np.frombuffer(payload, dtype=np.uint8, count=row, offset=src)
-        px[h - 1 - r if flip else r] = line.reshape(w, 3)[:, ::-1]  # BGR->RGB
-    return {"width": w, "height": h, "bpp": bpp, "pixels": px}
+    # one vectorized reshape over the whole padded pixel block (no
+    # per-row Python): rows x stride -> strip padding -> BGR->RGB
+    block = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=off
+    ).reshape(h, stride)
+    px = block[:, :row].reshape(h, w, 3)[:, :, ::-1]
+    if flip:  # BMP stores bottom-up when height is positive
+        px = px[::-1]
+    return {"width": w, "height": h, "bpp": bpp, "pixels": np.ascontiguousarray(px)}
 
 
 def resize_nearest(pixels: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
