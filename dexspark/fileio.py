@@ -72,14 +72,21 @@ class PreconditionFailed(RuntimeError):
 
 def _key(path: str) -> str:
     """FileIO paths arrive os.path-joined; object keys are /-separated
-    with no leading slash. Relative paths are absolutized first so a
-    table opened as ``warehouse/t`` maps to the same objects as the
-    absolute path Spark's committers resolve it to (without this, a
-    CWD-relative root would silently re-root manifests under the
-    client's root while data lands under $CWD). URI-style roots pass
-    through untouched — the client owns their interpretation."""
+    with no leading slash.
+
+    Relative paths are REJECTED rather than absolutized: a CWD-derived
+    key would bake the process's working directory into object names
+    (two processes with different CWDs — or one that chdir's — would
+    split a table's history across prefixes with no error), while
+    silently keying the relative string would detach manifests from
+    the data Spark resolves against the CWD. Absolute paths and
+    URI-style roots are unambiguous; use those."""
     if "://" not in path and not os.path.isabs(path):
-        path = os.path.abspath(path)
+        raise ValueError(
+            f"ConditionalPutFileIO requires an absolute table path "
+            f"(got {path!r}): relative roots would key objects by the "
+            f"process CWD"
+        )
     return path.replace(os.sep, "/").lstrip("/")
 
 

@@ -73,9 +73,9 @@ def audio_embedding(samples: "np.ndarray", dim: int = 8) -> list[float]:
     """Windowed-energy embedding over real PCM: the signal is cut into
     ``dim`` equal windows; each coordinate is that window's RMS. Unit
     normalized — the array<float> shape the ANN operators take."""
-    mono = np.asarray(samples, dtype="float64").reshape(len(samples), -1).mean(axis=1)
-    if mono.size == 0:
+    if len(samples) == 0:
         return [0.0] * dim
+    mono = np.asarray(samples, dtype="float64").reshape(len(samples), -1).mean(axis=1)
     pad = (-len(mono)) % dim
     mono = np.pad(mono, (0, pad))
     win = mono.reshape(dim, -1)
@@ -95,11 +95,12 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
     px = np.asarray(pixels, dtype=np.uint8)
     h, w, _ = px.shape
     row = w * 3
-    pad = (-row) % 4
-    # BMP stores rows bottom-up in BGR order
-    body = bytearray()
-    for r in range(h - 1, -1, -1):
-        body += px[r, :, ::-1].tobytes() + b"\x00" * pad
+    stride = row + ((-row) % 4)
+    # BMP stores rows bottom-up in BGR order — one vectorized
+    # construction of the whole padded block, no per-row Python
+    block = np.zeros((h, stride), dtype=np.uint8)
+    block[:, :row] = px[::-1, :, ::-1].reshape(h, row)
+    body = block.tobytes()
     dib = _DIB_HEADER.pack(40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
     off = _BMP_HEADER.size + len(dib)
     head = _BMP_HEADER.pack(b"BM", off + len(body), 0, 0, off)
@@ -120,6 +121,8 @@ def decode_bmp(payload: bytes) -> dict:
     )
     if hdr < 40 or bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP variant (bpp={bpp}, comp={comp})")
+    if w <= 0 or h == 0:
+        raise ValueError(f"degenerate BMP dimensions ({w}x{h})")
     flip = h > 0
     h = abs(h)
     row = w * 3
@@ -143,11 +146,16 @@ def resize_nearest(pixels: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray"
     return pixels[ys][:, xs]
 
 
-def image_embedding(pixels: "np.ndarray", grid: int = 2) -> list[float]:
+def image_embedding(
+    pixels: "np.ndarray", grid: int = 2, dim: int | None = None
+) -> list[float]:
     """Grid-pooled mean-RGB embedding over real pixels: the image is
     cut into a ``grid``x``grid`` raster; each cell contributes its
-    per-channel mean — dim = 3*grid^2 + 2 (plus normalized w, h).
-    Unit normalized."""
+    per-channel mean, plus normalized (w, h). When ``dim`` is given
+    the pooled vector is resampled (linear interpolation over index
+    space) to exactly ``dim`` coordinates so image and audio
+    embeddings share one width — an ANN column must be
+    uniform-dimensional. Unit normalized."""
     h, w = pixels.shape[:2]
     cells = []
     for gy in range(grid):
@@ -158,8 +166,47 @@ def image_embedding(pixels: "np.ndarray", grid: int = 2) -> list[float]:
             ]
             cells.extend(cell.reshape(-1, 3).mean(axis=0).tolist())
     v = np.array(cells + [w / 4096.0, h / 4096.0], dtype="float64")
+    if dim is not None and dim != len(v):
+        v = np.interp(
+            np.linspace(0, len(v) - 1, dim), np.arange(len(v)), v
+        )
     n = np.linalg.norm(v)
     return (v / n if n else v).astype("float32").tolist()
+
+
+def probe(payload: bytes) -> dict | None:
+    """Header-only metadata probe — no sample/pixel materialization.
+
+    Returns {kind, width, height, n_frames, sample_rate?} for
+    WAV/BMP payloads, None for anything else. This is what a
+    metadata-only scan (decode_media) should use: reading headers is
+    O(1) per payload, while a full decode is O(payload bytes) of
+    wasted work when the data is discarded."""
+    try:
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                return {
+                    "kind": "audio",
+                    "width": None,
+                    "height": None,
+                    "n_frames": w.getnframes(),
+                    "sample_rate": w.getframerate(),
+                }
+        if payload[:2] == b"BM":
+            (_hdr, w_, h_, _planes, bpp, comp, *_r) = _DIB_HEADER.unpack_from(
+                payload, _BMP_HEADER.size
+            )
+            if bpp != 24 or comp != 0 or w_ <= 0 or h_ == 0:
+                return None
+            return {
+                "kind": "image",
+                "width": w_,
+                "height": abs(h_),
+                "n_frames": 1,
+            }
+    except Exception:
+        return None
+    return None
 
 
 # ----------------------------------------------- deterministic synthesis
@@ -168,7 +215,7 @@ def image_embedding(pixels: "np.ndarray", grid: int = 2) -> list[float]:
 def synth_wav(seed: int, max_frames: int = 4_000) -> bytes:
     """Deterministic synthetic audio: a seeded sine mix, 16 kHz mono
     int16 — REAL WAV bytes, length/frequency derived from the seed."""
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(int(seed) & ((1 << 63) - 1))
     n = int(rng.integers(400, max_frames))
     freq = float(rng.uniform(80, 2000))
     t = np.arange(n) / 16_000.0
@@ -181,7 +228,7 @@ def synth_wav(seed: int, max_frames: int = 4_000) -> bytes:
 def synth_bmp(seed: int, max_side: int = 48) -> bytes:
     """Deterministic synthetic image: seeded gradient + noise, REAL
     24-bit BMP bytes, dimensions derived from the seed."""
-    rng = np.random.default_rng(seed)
+    rng = np.random.default_rng(int(seed) & ((1 << 63) - 1))
     w = int(rng.integers(8, max_side))
     h = int(rng.integers(8, max_side))
     yy, xx = np.mgrid[0:h, 0:w]

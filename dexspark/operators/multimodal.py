@@ -4,12 +4,18 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through per-row Python.
 
-The actual codec step is STUBBED (no image/audio libraries in this
-container): ``decode_image_stub`` derives deterministic fake
-width/height/n_frames from the payload hash, and the real-codec hook
-raises NotImplementedError where PIL/ffmpeg would plug in. Everything
-Spark-side — schema, batch shape, partition behavior — is real and
-tested (tests/test_multimodal.py).
+Codecs (round 4): REAL for the dependency-free formats — WAV via the
+stdlib wave module, 24-bit uncompressed BMP via struct parsing
+(operators/media_codecs; bit-exact round-trips, real resize over
+actual pixels, embeddings over actual samples). ``real_decode``
+dispatches by magic bytes; JPEG/PNG/MP4 still raise
+NotImplementedError at the plug point (they need PIL/ffmpeg, not in
+this container) — swapping external codecs in touches only that
+dispatch. The original hash-derived stub path (``decode_media_stub``)
+is kept for the oracle-pinned driver query and as the
+format-agnostic stand-in. Everything Spark-side — schema, batch
+shape, partition behavior, per-item error isolation — is tested
+(tests/test_multimodal.py, tests/test_media_codecs.py).
 """
 
 from __future__ import annotations
@@ -122,19 +128,19 @@ def decode_media(df: DataFrame) -> DataFrame:
         for pdf in it:
             pdf = pdf.copy()
             n_bytes, widths, heights, frames, shas = [], [], [], [], []
+            from . import media_codecs as mc
+
             for p in pdf["payload"]:
-                b = p or b""
+                b = bytes(p or b"")
                 n_bytes.append(len(b))
                 shas.append(hashlib.sha256(b).hexdigest()[:16])
-                try:
-                    d = real_decode(bytes(b), "")
-                    widths.append(d.get("width"))
-                    heights.append(d.get("height"))
-                    frames.append(d.get("n_frames"))
-                except Exception:  # undecodable: NULL dims, keep the row
-                    widths.append(None)
-                    heights.append(None)
-                    frames.append(None)
+                # header-only probe: O(1) per payload — a full decode
+                # would materialize every sample/pixel only to read
+                # width/height/n_frames off the fixed headers
+                d = mc.probe(b)
+                widths.append(d.get("width") if d else None)
+                heights.append(d.get("height") if d else None)
+                frames.append(d.get("n_frames") if d else None)
             pdf["n_bytes"] = pd.array(n_bytes, dtype="int32")
             pdf["width"] = pd.array(widths, dtype="Int32")
             pdf["height"] = pd.array(heights, dtype="Int32")
@@ -167,15 +173,20 @@ def media_features(df: DataFrame, dim: int = 8) -> DataFrame:
             for p in pdf["payload"]:
                 b = bytes(p or b"")
                 try:
-                    if b[:4] == b"RIFF":
+                    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                         vecs.append(
                             mc.audio_embedding(mc.decode_wav(b)["samples"], dim)
                         )
                     elif b[:2] == b"BM":
-                        vecs.append(mc.image_embedding(mc.decode_bmp(b)["pixels"]))
+                        # dim-resampled so image and audio vectors
+                        # share ONE width (an ANN column must be
+                        # uniform-dimensional)
+                        vecs.append(
+                            mc.image_embedding(mc.decode_bmp(b)["pixels"], dim=dim)
+                        )
                     else:
                         vecs.append(None)
-                except (ValueError, EOFError):
+                except Exception:  # malformed payload: NULL, keep row
                     vecs.append(None)
             yield pd.DataFrame(
                 {
@@ -213,19 +224,20 @@ def resize_images(
             ows, ohs, outs = [], [], []
             for p in pdf["payload"]:
                 b = bytes(p or b"")
-                if b[:2] != b"BM":
-                    ows.append(None), ohs.append(None), outs.append(None)
-                    continue
                 try:
+                    if b[:2] != b"BM":
+                        raise ValueError("not an image payload")
                     d = mc.decode_bmp(b)
-                except ValueError:
+                    if d["width"] <= 0 or d["height"] <= 0:
+                        raise ValueError("degenerate dimensions")
+                    scale = min(max_w / d["width"], max_h / d["height"], 1.0)
+                    ow = max(1, int(d["width"] * scale))
+                    oh = max(1, int(d["height"] * scale))
+                    px = mc.resize_nearest(d["pixels"], ow, oh)
+                    ows.append(ow), ohs.append(oh)
+                    outs.append(mc.encode_bmp(px))
+                except Exception:  # non-image / malformed: pass through
                     ows.append(None), ohs.append(None), outs.append(None)
-                    continue
-                scale = min(max_w / d["width"], max_h / d["height"], 1.0)
-                ow = max(1, int(d["width"] * scale))
-                oh = max(1, int(d["height"] * scale))
-                px = mc.resize_nearest(d["pixels"], ow, oh)
-                ows.append(ow), ohs.append(oh), outs.append(mc.encode_bmp(px))
             pdf["out_w"] = pd.array(ows, dtype="Int32")
             pdf["out_h"] = pd.array(ohs, dtype="Int32")
             pdf["resized_payload"] = outs

@@ -82,6 +82,17 @@ def test_client_contract_missing_and_overwrite(tmp_path):
     assert c.head_object("a/b")["last_modified"] > 0
 
 
+def test_relative_paths_rejected(tmp_path):
+    """A relative table root would key objects by the process CWD —
+    refused loudly rather than silently splitting a table's history
+    across prefixes."""
+    io_ = _io(tmp_path)
+    with pytest.raises(ValueError, match="absolute"):
+        io_.read_text("warehouse/t/snap.json")
+    with pytest.raises(ValueError, match="absolute"):
+        io_.put_if_absent("warehouse/t/snap.json", "{}")
+
+
 def test_fileio_dir_semantics(tmp_path):
     io_ = _io(tmp_path)
     io_.put_if_absent(str(tmp_path / "d" / "sub" / "x.json"), "1")

@@ -140,12 +140,57 @@ def test_resize_images_real(spark, media):
 
 
 def test_undecodable_payload_isolated(spark):
+    # every malformed shape that previously could kill the task:
+    # PNG (no codec), RIFF-but-not-WAVE (wave.Error), truncated BM
+    # (struct.error), zero-width BMP (degenerate dims)
+    bad_bmp = mc.synth_bmp(3)[:10]
+    zero_w = bytearray(mc.synth_bmp(4))
+    struct_w_off = 18  # BITMAPINFOHEADER width field
+    zero_w[struct_w_off : struct_w_off + 4] = (0).to_bytes(4, "little")
+    rows = [
+        (1, "image", bytearray(b"\x89PNGnotreallydecodable"), None),
+        (2, "audio", bytearray(b"RIFF\x00\x00\x00\x00AVI LIST"), None),
+        (3, "image", bytearray(bad_bmp), None),
+        (4, "image", zero_w, None),
+    ]
     df = spark.createDataFrame(
-        [(1, "image", bytearray(b"\x89PNGnotreallydecodable"), None)],
-        "media_id long, kind string, payload binary, meta string",
+        rows, "media_id long, kind string, payload binary, meta string"
     )
-    r = decode_media(df).collect()[0]
-    assert r["width"] is None and r["n_frames"] is None
-    assert r["n_bytes"] == 22
-    f = media_features(df).collect()[0]
-    assert f["embedding"] is None
+    got = {r["media_id"]: r for r in decode_media(df).collect()}
+    assert len(got) == 4  # no task death: every row survives
+    assert got[1]["width"] is None and got[1]["n_frames"] is None
+    assert got[1]["n_bytes"] == 22
+    assert got[2]["n_frames"] is None  # RIFF-non-WAVE isolated
+    assert got[3]["width"] is None  # truncated header isolated
+    feats = {r["media_id"]: r["embedding"] for r in media_features(df).collect()}
+    assert all(v is None for v in feats.values())
+    rz = {r["media_id"]: r for r in resize_images(decode_media(df)).collect()}
+    assert all(r["out_w"] is None for r in rz.values())
+
+
+def test_embedding_dims_uniform_across_kinds(spark, media):
+    """One ANN column = one vector width: image and audio embeddings
+    must share the requested dim."""
+    dims = {
+        len(r["embedding"]) for r in media_features(media, dim=8).collect()
+    }
+    assert dims == {8}
+
+
+def test_edge_cases_pure():
+    # zero-frame WAV: embedding is the zero vector, not a crash
+    empty = mc.encode_wav(np.array([], dtype="<i2"))
+    d = mc.decode_wav(empty)
+    assert d["n_frames"] == 0 and d["rms"] == 0.0
+    assert mc.audio_embedding(d["samples"], dim=4) == [0.0] * 4
+    # negative doc_id seeds synthesize fine (seed masking)
+    assert mc.synth_wav(-3)[:4] == b"RIFF"
+    assert mc.synth_bmp(-3)[:2] == b"BM"
+    # header-only probe agrees with the full decode
+    wav, bmp = mc.synth_wav(9), mc.synth_bmp(9)
+    assert mc.probe(wav)["n_frames"] == mc.decode_wav(wav)["n_frames"]
+    pb = mc.probe(bmp)
+    db = mc.decode_bmp(bmp)
+    assert (pb["width"], pb["height"]) == (db["width"], db["height"])
+    assert mc.probe(b"RIFF\x00\x00\x00\x00AVI ") is None
+    assert mc.probe(b"BMxx") is None
