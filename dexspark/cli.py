@@ -387,6 +387,14 @@ def main(argv: list[str] | None = None) -> int:
         help="NAME=WEIGHT,... split bands for --prepare-corpus",
     )
     ap.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=0,
+        help="--prepare-corpus: learn this many byte-level BPE merges "
+        "from the post-dedup corpus and tokenize with them "
+        "(operators/bpe); 0 = deterministic hash tokenizer",
+    )
+    ap.add_argument(
         "--health",
         action="store_true",
         help="instead of tailing: one-shot health rollup as JSON — "
@@ -743,6 +751,7 @@ def main(argv: list[str] | None = None) -> int:
             eos_id=args.eos_id,
             pad_id=args.pad_id,
             splits=splits,
+            bpe_learn_merges=args.bpe_merges,
         )
         evals = [spark.read.parquet(p) for p in (args.corpus_eval or [])]
         report = prepare_corpus(

@@ -1,0 +1,317 @@
+"""Byte-level BPE tokenization, Spark-first (no external tokenizer lib).
+
+The engine's payload is pre-tokenized sequences; upstream of it sits a
+tokenizer. ``hash_tokenize`` (operators/corpus.py) is a shape stand-in;
+this module is the real thing: GPT-2-style byte-level byte-pair
+encoding — learn merge rules, encode text to ``array<int>``, decode
+back — with every corpus-scale stage shaped for 100 TB:
+
+* :func:`word_counts` — corpus -> (word, count) via split + explode +
+  groupBy: ONE exchange, map-side combined, and the frame it returns
+  is O(distinct words), not O(corpus).
+* :func:`learn_bpe` — the merge-learning loop is inherently sequential
+  (each merge changes the next pair statistics), so it runs
+  driver-side over the word-frequency table — the standard industrial
+  shape (SentencePiece/HF train on word histograms, not the raw
+  corpus). Driver memory is bounded by ``max_words`` (top-K by count,
+  deterministic tie-break), NOT by corpus size; the distributed part
+  ends at the histogram.
+* :func:`bpe_encode` — encodes DISTINCT words once (mapInArrow over
+  the deduplicated word frame — Arrow-batched Python, per *distinct
+  word* not per token occurrence), then joins ids back to the
+  posexploded docs and reassembles in order. Cost: O(distinct words)
+  Python + two bounded exchanges (word dedup+join, doc reassembly) —
+  at web scale the distinct-word table is millions of rows while the
+  corpus is billions, so the Python stage is ~1000× off the hot path.
+  A same-corpus re-encode hits only changed words.
+
+Token-id space: ids 0..255 are raw bytes; merge ``r`` (0-based rank)
+owns id ``256 + r``. :func:`bpe_decode` inverts exactly:
+``decode(encode(text)) == " ".join(text.split())`` for any unicode
+input (whitespace pre-tokenization is canonical-space, the usual
+word-level contract).
+
+Reference anchor: the reference ends at validated CSV rows
+(csvValidationFunction_Generic.kt:87-109); tokenization is part of this
+engine's training-data extension (SURVEY §2.10), the producer of the
+``tokens`` payload the north-star table carries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+BYTE_VOCAB = 256
+
+__all__ = [
+    "word_counts",
+    "learn_bpe",
+    "encode_word",
+    "bpe_encode",
+    "bpe_decode",
+    "merges_to_vocab",
+]
+
+
+# ---------------------------------------------------------------- learn
+
+
+def word_counts(
+    docs: DataFrame, text: str = "text", max_words: int | None = None
+) -> DataFrame:
+    """(word, count) histogram of whitespace-separated words.
+
+    One exchange (groupBy word, map-side partial counts). With
+    ``max_words`` the result is the top-K by (count desc, word asc) —
+    the deterministic cap that bounds the driver-side learn."""
+    wc = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.col(text), r"\s+"), lambda w: w != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+    if max_words is not None:
+        wc = wc.orderBy(F.col("count").desc(), F.col("word")).limit(max_words)
+    return wc
+
+
+def learn_bpe(
+    docs_or_counts: DataFrame,
+    num_merges: int,
+    text: str = "text",
+    max_words: int = 1_000_000,
+) -> list[tuple[int, int]]:
+    """Learn ``num_merges`` byte-pair merges from a corpus (or from a
+    precomputed (word, count) frame).
+
+    Returns the ordered merge list: ``merges[r] = (left_id, right_id)``
+    producing token ``256 + r``. Ties in pair frequency break on the
+    smaller (left, right) pair — fully deterministic.
+
+    The histogram collect is capped at ``max_words`` rows (top-K by
+    frequency); everything after it is driver-local — the sequential
+    dependency between merges makes this the right split point (the
+    cap is the explicit contract; words below it contribute no pair
+    statistics, the standard trainer trade)."""
+    cols = set(docs_or_counts.columns)
+    wc = (
+        docs_or_counts
+        if {"word", "count"} <= cols
+        else word_counts(docs_or_counts, text=text)
+    )
+    rows = (
+        wc.orderBy(F.col("count").desc(), F.col("word"))
+        .limit(max_words)
+        .collect()
+    )
+    # word -> (mutable symbol list, frequency)
+    words: list[tuple[list[int], int]] = [
+        (list(r["word"].encode("utf-8")), int(r["count"])) for r in rows
+    ]
+    merges: list[tuple[int, int]] = []
+    for _ in range(num_merges):
+        pair_counts: dict[tuple[int, int], int] = {}
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + freq
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        new_id = BYTE_VOCAB + len(merges)
+        merges.append(best)
+        for syms, _freq in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == best[0] and syms[i + 1] == best[1]:
+                    syms[i : i + 2] = [new_id]
+                else:
+                    i += 1
+    return merges
+
+
+# --------------------------------------------------------------- encode
+
+
+def _ranks(merges: list[tuple[int, int]]) -> dict[tuple[int, int], int]:
+    ranks = {}
+    for r, pair in enumerate(merges):
+        p = (int(pair[0]), int(pair[1]))
+        if p in ranks:
+            raise ValueError(f"duplicate merge pair {p} at ranks {ranks[p]} and {r}")
+        ranks[p] = r
+    return ranks
+
+
+def encode_word(word: str, ranks: dict[tuple[int, int], int]) -> list[int]:
+    """Encode ONE word: UTF-8 bytes, then repeatedly merge the
+    lowest-rank adjacent pair (leftmost on rank ties) — the exact
+    GPT-2 application order, so learn->encode round-trips the
+    training corpus' own words to their fully-merged forms."""
+    syms = list(word.encode("utf-8"))
+    while len(syms) >= 2:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i : best_i + 2] = [BYTE_VOCAB + best_rank]
+    return syms
+
+
+def _encoded_words(
+    spark_words: DataFrame, merges: list[tuple[int, int]]
+) -> DataFrame:
+    """(word) -> (word, ids array<int>) via mapInArrow: Arrow-batched
+    Python over DISTINCT words only. The merge table rides the closure
+    (it is vocab-sized: <= ~100k pairs, a few MB)."""
+    import pyarrow as pa
+
+    ranks = _ranks(merges)
+    out_schema = T.StructType(
+        [
+            T.StructField("word", T.StringType(), False),
+            T.StructField("ids", T.ArrayType(T.IntegerType(), False), False),
+        ]
+    )
+
+    def enc(batches: Iterator) -> Iterator:
+        arrow = pa.schema(
+            [("word", pa.string()), ("ids", pa.list_(pa.int32()))]
+        )
+        for batch in batches:
+            ws = batch.column(0).to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ws, type=pa.string()),
+                    pa.array([encode_word(w, ranks) for w in ws], type=pa.list_(pa.int32())),
+                ],
+                schema=arrow,
+            )
+
+    return spark_words.select("word").mapInArrow(enc, out_schema)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[int, int]],
+    text: str = "text",
+    tokens_col: str = "tokens",
+    n_tok_col: str | None = "n_tok",
+    broadcast_words: bool | None = None,
+) -> DataFrame:
+    """Corpus-scale encode: adds ``tokens array<int>`` (and ``n_tok``)
+    to ``docs``.
+
+    Plan shape (the point of this function):
+      1. distinct words            — one exchange, O(distinct words)
+      2. mapInArrow encode         — Python pays per DISTINCT word
+      3. posexplode docs ⋈ words   — broadcast when the distinct-word
+         frame is small (default: let AQE decide via a plain join;
+         force with ``broadcast_words=True``), else shuffle join on
+         word — never a Python call per occurrence
+      4. groupBy doc reassembly    — one exchange; ``sort_array`` on
+         (pos, ids) rebuilds document order JVM-side, then flatten.
+
+    Empty/NULL text encodes to an empty array. All non-text columns
+    pass through; the reassembly groups by them, so ``docs`` must be
+    row-unique on its non-text columns (a ``doc_id`` satisfies this —
+    fully-identical rows would collapse)."""
+    if not merges:
+        raise ValueError("empty merge list — learn_bpe first")
+    id_cols = [c for c in docs.columns if c != text]
+    exploded = docs.select(
+        *id_cols,
+        F.posexplode_outer(
+            F.filter(F.split(F.col(text), r"\s+"), lambda w: w != "")
+        ).alias("_pos", "word"),
+    )
+    words = exploded.select("word").where(F.col("word").isNotNull()).distinct()
+    enc = _encoded_words(words, merges)
+    if broadcast_words:
+        enc = F.broadcast(enc)
+    joined = exploded.join(enc, "word", "left")
+    # sort_array over struct(pos, ids) restores word order; flatten
+    # concatenates word ids. NULL-pos rows (empty docs, from the
+    # _outer explode) are dropped via the when() — collect_list skips
+    # NULL elements but would keep a struct(NULL, NULL) — so an empty
+    # doc aggregates an empty list -> flatten -> empty token array.
+    reassembled = (
+        joined.groupBy(*id_cols)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_pos").isNotNull(),
+                                F.struct(F.col("_pos"), F.col("ids")),
+                            )
+                        )
+                    ),
+                    lambda s: s["ids"],
+                )
+            ).alias(tokens_col)
+        )
+    )
+    out = reassembled
+    if n_tok_col:
+        out = out.withColumn(n_tok_col, F.size(F.col(tokens_col)))
+    return out
+
+
+# --------------------------------------------------------------- decode
+
+
+def merges_to_vocab(merges: list[tuple[int, int]]) -> dict[int, bytes]:
+    """token id -> byte string (ids 0..255 are raw bytes; merge ids
+    expand recursively — ranks only reference earlier ids, so one
+    forward pass resolves)."""
+    vocab = {i: bytes([i]) for i in range(BYTE_VOCAB)}
+    for r, (a, b) in enumerate(merges):
+        tid = BYTE_VOCAB + r
+        if a >= tid or b >= tid:
+            raise ValueError(f"merge {r} references a later id ({a}, {b})")
+        vocab[tid] = vocab[a] + vocab[b]
+    return vocab
+
+
+def bpe_decode(
+    df: DataFrame,
+    merges: list[tuple[int, int]],
+    tokens_col: str = "tokens",
+    out_col: str = "text_decoded",
+) -> DataFrame:
+    """Decode ``tokens`` back to text, pure JVM: one dense id->piece
+    array literal (vocab-sized, same trick as vocabmap's dense LUT),
+    ``transform`` + ``concat_ws`` — map-only, no Python.
+
+    Byte-level pieces can split multibyte UTF-8 characters, so the LUT
+    carries each piece under the bijective latin-1 byte<->char map
+    (every byte -> U+00..U+FF — always a valid JVM string; the GPT-2
+    trick, minus the printable-remap). ASCII text round-trips
+    verbatim; for arbitrary unicode, ``out.encode("latin-1")
+    .decode("utf-8")`` recovers the exact bytes — pinned by the
+    round-trip test. Word boundaries are not recoverable from ids
+    under whitespace pre-tokenization, so pieces concatenate with no
+    separator."""
+    vocab = merges_to_vocab(merges)
+    lut = F.lit([vocab[i].decode("latin-1") for i in range(len(vocab))])
+    pieces = F.transform(
+        F.col(tokens_col), lambda t: F.try_element_at(lut, t + 1)
+    )
+    return df.withColumn(out_col, F.concat_ws("", pieces))
+
+
+def decode_tokens_py(ids: list[int], merges: list[tuple[int, int]]) -> str:
+    """Driver-side exact decode (tests): ids -> UTF-8 text."""
+    vocab = merges_to_vocab(merges)
+    return b"".join(vocab[i] for i in ids).decode("utf-8")

@@ -11,9 +11,10 @@ engine's individually-verified operators in the canonical order:
                        connected components -> keep representative)
     decontamination   (decontaminate.decontaminate vs eval-set frames)
     split assignment  (sampling.assign_split — deterministic hash bands)
-    tokenize          (deterministic word-hash tokens, pure JVM HOF; or
-                       pass-through when the corpus already carries a
-                       token-array column)
+    tokenize          (real byte-level BPE — operators/bpe.py — when
+                       the config carries/learns merges; deterministic
+                       word-hash tokens otherwise; pass-through when
+                       the corpus already carries a token-array column)
     pack              (packing.pack_sequences — mapInArrow
                        concat-and-chunk into exact seq_len rows)
 
@@ -60,6 +61,14 @@ class CorpusConfig:
     splits: dict = field(
         default_factory=lambda: {"train": 0.98, "val": 0.01, "test": 0.01}
     )
+    # Tokenizer: explicit merge rules -> byte-level BPE encode
+    # (operators/bpe.py); bpe_learn_merges > 0 with no rules -> learn
+    # that many merges from the post-dedup corpus first (one
+    # word-histogram agg + capped driver learn), then encode; neither
+    # -> the hash stand-in.
+    bpe_merges: list | None = None
+    bpe_learn_merges: int = 0
+    bpe_max_words: int = 1_000_000
 
 
 def hash_tokenize(
@@ -169,7 +178,22 @@ def prepare_corpus(
 
     cur = assign_split(cur, cfg.splits, key=id_col, seed=cfg.seed)
     if "tokens" not in cur.columns:
-        cur = hash_tokenize(cur, text=text, vocab_size=cfg.vocab_size)
+        merges = cfg.bpe_merges
+        if merges is None and cfg.bpe_learn_merges > 0:
+            # learn AFTER dedup/decontamination: merge statistics come
+            # from the corpus that will actually be encoded
+            from .bpe import learn_bpe
+
+            merges = learn_bpe(
+                cur, cfg.bpe_learn_merges, text=text, max_words=cfg.bpe_max_words
+            )
+            report["bpe_merges_learned"] = len(merges)
+        if merges:
+            from .bpe import bpe_encode
+
+            cur = bpe_encode(cur, merges, text=text)
+        else:
+            cur = hash_tokenize(cur, text=text, vocab_size=cfg.vocab_size)
     cur = cur.localCheckpoint(eager=False)  # feeds one pack per split
 
     for name in sorted(cfg.splits):

@@ -1,0 +1,135 @@
+"""Byte-level BPE: learn / encode / decode (operators/bpe.py).
+
+Scale contract under test: the corpus encode pays Python only per
+DISTINCT word (mapInArrow), reassembly is JVM-side, and the result
+equals a driver-side reference encode word-for-word.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from dexspark.operators.bpe import (
+    BYTE_VOCAB,
+    bpe_decode,
+    bpe_encode,
+    decode_tokens_py,
+    encode_word,
+    learn_bpe,
+    merges_to_vocab,
+    word_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d1", "low low low lower lower lowest"),
+        ("d2", "new newer newest low"),
+        ("d3", ""),
+        ("d4", None),
+        ("d5", "  low\t\tnewer  "),  # ragged whitespace
+        ("d6", "héllo wörld héllo"),  # multibyte UTF-8
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+@pytest.fixture(scope="module")
+def merges(docs):
+    return learn_bpe(docs, num_merges=30)
+
+
+def test_learn_merges_classic_corpus(merges):
+    # "low" repeats most: its byte pairs must be learned early, and the
+    # fully-merged word must encode to a single token.
+    ranks = {p: r for r, p in enumerate(merges)}
+    assert len(merges) <= 30
+    assert all(a < BYTE_VOCAB + r and b < BYTE_VOCAB + r for r, (a, b) in enumerate(merges))
+    assert len(encode_word("low", ranks)) == 1
+
+
+def test_learn_deterministic(docs):
+    assert learn_bpe(docs, 12) == learn_bpe(docs, 12)
+    # prefix property: more merges only append
+    assert learn_bpe(docs, 20)[:12] == learn_bpe(docs, 12)
+
+
+def test_word_counts_shape(docs):
+    wc = {r["word"]: r["count"] for r in word_counts(docs).collect()}
+    assert wc["low"] == 5  # d1 x3, d2 x1, d5 x1
+    assert "" not in wc and None not in wc
+    top2 = word_counts(docs, max_words=2).collect()
+    assert [r["word"] for r in top2] == ["low", "héllo"]  # count desc, word asc
+
+
+def test_encode_word_round_trip(merges):
+    for w in ["low", "lowest", "héllo", "wörld", "x", "née"]:
+        ids = encode_word(w, {p: r for r, p in enumerate(merges)})
+        assert decode_tokens_py(ids, merges) == w
+        assert all(0 <= t < BYTE_VOCAB + len(merges) for t in ids)
+
+
+def test_encode_word_unseen_falls_back_to_bytes(merges):
+    ranks = {p: r for r, p in enumerate(merges)}
+    ids = encode_word("zzz~q", ranks)
+    assert decode_tokens_py(ids, merges) == "zzz~q"
+
+
+def test_bpe_encode_matches_reference(spark, docs, merges):
+    out = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tok"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    ranks = {p: r for r, p in enumerate(merges)}
+    for row in docs.collect():
+        words = (row["text"] or "").split()
+        want = [t for w in words for t in encode_word(w, ranks)]
+        got, n = out[row["doc_id"]]
+        assert got == want, row["doc_id"]
+        assert n == len(want)
+    # empty + NULL text -> empty array, not NULL
+    assert out["d3"] == ([], 0)
+    assert out["d4"] == ([], 0)
+
+
+def test_bpe_encode_extra_columns_pass_through(spark, merges):
+    df = spark.createDataFrame(
+        [("a", "s1", "low low")], "doc_id string, source string, text string"
+    )
+    row = bpe_encode(df, merges).collect()[0]
+    assert row["source"] == "s1" and row["doc_id"] == "a"
+    assert len(row["tokens"]) >= 1
+
+
+def test_bpe_decode_jvm_round_trip(spark, docs, merges):
+    enc = bpe_encode(docs, merges)
+    dec = bpe_decode(enc, merges).collect()
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in dec:
+        want = "".join((originals[r["doc_id"]] or "").split())
+        # latin-1 carrier string -> exact original bytes (docstring contract)
+        got = r["text_decoded"].encode("latin-1").decode("utf-8")
+        assert got == want, r["doc_id"]
+
+
+def test_plan_no_per_row_python(spark, docs, merges):
+    plan = bpe_encode(docs, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
+    # Python appears exactly as the Arrow-batched distinct-word encode
+    assert plan.count("MapInArrow") == 1
+
+
+def test_broadcast_words_hint(spark, docs, merges):
+    out = bpe_encode(docs, merges, broadcast_words=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert out.count() == docs.count()
+
+
+def test_merges_to_vocab_rejects_forward_refs():
+    with pytest.raises(ValueError):
+        merges_to_vocab([(300, 65)])  # references an id not yet minted
+
+
+def test_empty_merges_rejected(spark, docs):
+    with pytest.raises(ValueError):
+        bpe_encode(docs, [])

@@ -152,3 +152,49 @@ def test_cli_prepare_corpus(spark, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["stages"]["after_decontamination"] == 2
     assert os.path.isdir(out)
+
+
+def test_prepare_corpus_bpe_tokenizer(spark, tmp_path):
+    """bpe_learn_merges switches the tokenize stage to the real BPE:
+    merges learned on the post-dedup corpus, token totals equal the
+    driver-side reference encode of the survivors."""
+    from dexspark.operators.bpe import encode_word, learn_bpe
+
+    cfg = CorpusConfig(
+        seq_len=64,
+        splits={"train": 1.0},
+        bpe_learn_merges=40,
+    )
+    report = prepare_corpus(
+        spark,
+        _docs(spark),
+        str(tmp_path / "bpe"),
+        eval_sets=[_eval_set(spark)],
+        config=cfg,
+    )
+    assert report["bpe_merges_learned"] > 0
+    # reference: survivors are d01, d06 (same funnel as the e2e test);
+    # learn on exactly that 2-doc corpus mirrors the pipeline's order
+    survivors = _docs(spark).filter(F.col("doc_id").isin("d01", "d06"))
+    merges = learn_bpe(survivors, 40)
+    ranks = {p: r for r, p in enumerate(merges)}
+    expected = sum(
+        len(encode_word(w, ranks))
+        for r in survivors.collect()
+        for w in r["text"].split()
+    ) + 2  # +1 EOS per doc
+    assert report["splits"]["train"]["real_tokens"] == expected
+
+
+def test_prepare_corpus_bpe_explicit_merges(spark, tmp_path):
+    """Pre-learned merges skip the learn stage and drive the encode."""
+    from dexspark.operators.bpe import learn_bpe
+
+    merges = learn_bpe(_docs(spark), 20)
+    cfg = CorpusConfig(
+        seq_len=32, quality=False, near_dup=False, exact_dedup=False,
+        splits={"train": 1.0}, bpe_merges=merges,
+    )
+    report = prepare_corpus(spark, _docs(spark), str(tmp_path / "m"), config=cfg)
+    assert "bpe_merges_learned" not in report
+    assert report["splits"]["train"]["real_tokens"] > 0
