@@ -18,12 +18,24 @@ back — with every corpus-scale stage shaped for 100 TB:
   ends at the histogram.
 * :func:`bpe_encode` — encodes DISTINCT words once (mapInArrow over
   the deduplicated word frame — Arrow-batched Python, per *distinct
-  word* not per token occurrence), then joins ids back to the
-  posexploded docs and reassembles in order. Cost: O(distinct words)
-  Python + two bounded exchanges (word dedup+join, doc reassembly) —
-  at web scale the distinct-word table is millions of rows while the
-  corpus is billions, so the Python stage is ~1000× off the hot path.
-  A same-corpus re-encode hits only changed words.
+  word* not per token occurrence), then stitches ids back into
+  documents by one of two plans (the vocabmap dense/join duality):
+
+  - **partition path** (default): ONE ``mapInArrow`` over the
+    documents themselves, with a bounded word->ids cache in the
+    closure — Python pays per distinct word PER PARTITION (natural
+    language is zipfian, so hit rates are ~99%), and the plan has
+    ZERO shuffles: no explode, no join, no reassembly exchange. This
+    is how production tokenizers run, and it composes with the
+    equally shuffle-free ``pack_sequences`` into a fully map-only
+    tokenize->pack stage. (A constant-folded map literal was
+    measured and REJECTED: Catalyst map literals have no hash index
+    — ``element_at`` linear-scans the keys, O(vocab) per word.)
+  - **join path**: posexplode docs ⋈ the distinct-word frame encoded
+    once globally (AQE/broadcastable), reassemble in order with
+    ``sort_array``+``flatten`` — two bounded exchanges, Python per
+    GLOBAL distinct word. Right when per-word Python is the
+    bottleneck (huge merge tables, tiny partition reuse).
 
 Token-id space: ids 0..255 are raw bytes; merge ``r`` (0-based rank)
 owns id ``256 + r``. :func:`bpe_decode` inverts exactly:
@@ -207,26 +219,31 @@ def bpe_encode(
     tokens_col: str = "tokens",
     n_tok_col: str | None = "n_tok",
     broadcast_words: bool | None = None,
+    strategy: str = "partition",
+    cache_words: int = 1 << 20,
 ) -> DataFrame:
     """Corpus-scale encode: adds ``tokens array<int>`` (and ``n_tok``)
     to ``docs``.
 
-    Plan shape (the point of this function):
-      1. distinct words            — one exchange, O(distinct words)
-      2. mapInArrow encode         — Python pays per DISTINCT word
-      3. posexplode docs ⋈ words   — broadcast when the distinct-word
-         frame is small (default: let AQE decide via a plain join;
-         force with ``broadcast_words=True``), else shuffle join on
-         word — never a Python call per occurrence
-      4. groupBy doc reassembly    — one exchange; ``sort_array`` on
-         (pos, ids) rebuilds document order JVM-side, then flatten.
+    ``strategy``: ``"partition"`` (default) — zero-shuffle cached
+    mapInArrow over the documents (see module docstring;
+    ``cache_words`` bounds the per-task word cache); ``"join"`` —
+    distributed explode/join/reassemble paying Python only per global
+    distinct word.
 
-    Empty/NULL text encodes to an empty array. All non-text columns
-    pass through; the reassembly groups by them, so ``docs`` must be
-    row-unique on its non-text columns (a ``doc_id`` satisfies this —
-    fully-identical rows would collapse)."""
+    Empty/NULL text encodes to an empty array. The join path groups by
+    the non-text columns to reassemble, so under it ``docs`` must be
+    row-unique on those (a ``doc_id`` satisfies this); the partition
+    path is a pure map with no such requirement — both paths drop
+    ``text`` and produce identical schemas."""
     if not merges:
         raise ValueError("empty merge list — learn_bpe first")
+    if strategy not in ("partition", "join"):
+        raise ValueError(f"strategy {strategy!r} (expected partition|join)")
+    if strategy == "partition":
+        return _bpe_encode_partition(
+            docs, merges, text, tokens_col, n_tok_col, cache_words
+        )
     id_cols = [c for c in docs.columns if c != text]
     exploded = docs.select(
         *id_cols,
@@ -263,6 +280,66 @@ def bpe_encode(
         )
     )
     out = reassembled
+    if n_tok_col:
+        out = out.withColumn(n_tok_col, F.size(F.col(tokens_col)))
+    return out
+
+
+def _bpe_encode_partition(
+    docs: DataFrame,
+    merges: list[tuple[int, int]],
+    text: str,
+    tokens_col: str,
+    n_tok_col: str | None,
+    cache_words: int,
+) -> DataFrame:
+    """Zero-shuffle encode: one Arrow-batched pass over the documents,
+    word->ids cached per task (cleared when it exceeds
+    ``cache_words`` — a hard memory bound; zipfian text keeps the hit
+    rate high regardless). Words split on exactly Java's ``\\s`` class
+    ([ \\t\\n\\x0b\\f\\r] — NOT Python's unicode-aware ``str.split``,
+    which also breaks on NBSP etc.), so the word stream is
+    byte-identical to the join path's ``F.split(\\s+)`` for any
+    input."""
+    import re
+
+    import pyarrow as pa
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    ranks = _ranks(merges)
+    keep = [f for f in docs.schema.fields if f.name != text]
+    out_schema = T.StructType(
+        keep + [T.StructField(tokens_col, T.ArrayType(T.IntegerType(), False), False)]
+    )
+
+    def enc(batches: Iterator) -> Iterator:
+        cache: dict[str, list[int]] = {}
+        for batch in batches:
+            texts = batch.column(batch.schema.names.index(text)).to_pylist()
+            ids_col = []
+            for t in texts:
+                out: list[int] = []
+                for w in ws.split(t or ""):
+                    if not w:
+                        continue
+                    got = cache.get(w)
+                    if got is None:
+                        if len(cache) >= cache_words:
+                            cache.clear()
+                        got = encode_word(w, ranks)
+                        cache[w] = got
+                    out.extend(got)
+                ids_col.append(out)
+            cols = [
+                batch.column(batch.schema.names.index(f.name)) for f in keep
+            ]
+            cols.append(pa.array(ids_col, type=pa.list_(pa.int32())))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=[f.name for f in keep] + [tokens_col]
+            )
+
+    out = docs.mapInArrow(enc, out_schema)
     if n_tok_col:
         out = out.withColumn(n_tok_col, F.size(F.col(tokens_col)))
     return out

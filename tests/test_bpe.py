@@ -74,21 +74,44 @@ def test_encode_word_unseen_falls_back_to_bytes(merges):
     assert decode_tokens_py(ids, merges) == "zzz~q"
 
 
-def test_bpe_encode_matches_reference(spark, docs, merges):
+@pytest.mark.parametrize("strategy", ["partition", "join"])
+def test_bpe_encode_matches_reference(spark, docs, merges, strategy):
     out = {
         r["doc_id"]: (list(r["tokens"]), r["n_tok"])
-        for r in bpe_encode(docs, merges).collect()
+        for r in bpe_encode(docs, merges, strategy=strategy).collect()
     }
     ranks = {p: r for r, p in enumerate(merges)}
     for row in docs.collect():
         words = (row["text"] or "").split()
         want = [t for w in words for t in encode_word(w, ranks)]
         got, n = out[row["doc_id"]]
-        assert got == want, row["doc_id"]
+        assert got == want, (strategy, row["doc_id"])
         assert n == len(want)
     # empty + NULL text -> empty array, not NULL
     assert out["d3"] == ([], 0)
     assert out["d4"] == ([], 0)
+
+
+def test_bpe_encode_paths_agree_on_exotic_whitespace(spark, merges):
+    """NBSP is NOT a word break (Java \\s semantics pinned in the
+    partition path); both paths agree, columns identical."""
+    d = spark.createDataFrame(
+        [("a", "low low low"), ("b", "low low")],
+        "doc_id string, text string",
+    )
+    p = bpe_encode(d, merges, strategy="partition")
+    j = bpe_encode(d, merges, strategy="join")
+    assert p.columns == j.columns
+    key = lambda rows: {r["doc_id"]: list(r["tokens"]) for r in rows}  # noqa: E731
+    assert key(p.collect()) == key(j.collect())
+
+
+def test_bpe_encode_cache_bound_exact(spark, docs, merges):
+    """A tiny cache bound (forcing constant clears) changes nothing."""
+    out = bpe_encode(docs, merges, strategy="partition", cache_words=2)
+    ref = bpe_encode(docs, merges, strategy="join")
+    key = lambda rows: {r["doc_id"]: list(r["tokens"]) for r in rows}  # noqa: E731
+    assert key(out.collect()) == key(ref.collect())
 
 
 def test_bpe_encode_extra_columns_pass_through(spark, merges):
@@ -111,15 +134,34 @@ def test_bpe_decode_jvm_round_trip(spark, docs, merges):
         assert got == want, r["doc_id"]
 
 
-def test_plan_no_per_row_python(spark, docs, merges):
-    plan = bpe_encode(docs, merges)._jdf.queryExecution().executedPlan().toString()
+def test_plan_join_path_no_per_row_python(spark, docs, merges):
+    plan = (
+        bpe_encode(docs, merges, strategy="join")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
     # Python appears exactly as the Arrow-batched distinct-word encode
     assert plan.count("MapInArrow") == 1
 
 
+def test_plan_partition_path_zero_shuffle(spark, docs, merges):
+    """The default path is ONE Arrow-batched map over the documents —
+    no join, no Exchange, no row-at-a-time Python anywhere."""
+    plan = (
+        bpe_encode(docs, merges, strategy="partition")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("MapInArrow") == 1
+    for node in ("BatchEvalPython", "Exchange", "Join"):
+        assert node not in plan, node
+
+
 def test_broadcast_words_hint(spark, docs, merges):
-    out = bpe_encode(docs, merges, broadcast_words=True)
+    out = bpe_encode(docs, merges, strategy="join", broadcast_words=True)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert out.count() == docs.count()
