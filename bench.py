@@ -309,6 +309,55 @@ def measure_packing(spark, n_docs: int = 200_000, seq_len: int = 2048) -> dict:
     }
 
 
+def measure_bpe(spark, n_docs: int = 200_000, words_per_doc: int = 120) -> dict:
+    """Words/sec through the default (partition-path) BPE encode over
+    a deterministic zipf-ish corpus; merges learned first (reported
+    separately). Best of 2, input localCheckpointed — the timed slice
+    is the encode."""
+    from pyspark.sql import functions as F
+
+    from dexspark.operators.bpe import bpe_encode, learn_bpe
+
+    docs = (
+        spark.range(n_docs)
+        .select(
+            F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(words_per_doc)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        F.pmod(
+                            F.xxhash64(F.col("id") * 1000 + i),
+                            F.lit(1) + F.pmod(F.xxhash64(i), F.lit(5000)),
+                        ),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        .localCheckpoint()
+    )
+    n_words = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    t0 = time.monotonic()
+    merges = learn_bpe(docs, num_merges=500, max_words=200_000)
+    learn_sec = time.monotonic() - t0
+    best = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        bpe_encode(docs, merges).write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        best = dt if best is None or dt < best else best
+    return {
+        "docs": n_docs,
+        "words": int(n_words),
+        "merges": len(merges),
+        "learn_sec": round(learn_sec, 3),
+        "encode_sec": round(best, 3),
+        "words_per_sec": round(n_words / best, 1),
+    }
+
+
 def main_default(sf_dir: str, cpus: int) -> None:
     """The driver-contract bench. ``value`` is the sum of the measured
     operations the metric names — each headline query once, plus the
@@ -363,6 +412,8 @@ def main_default(sf_dir: str, cpus: int) -> None:
     # deterministic 200k-doc token corpus into 2048-token rows —
     # zero-shuffle mapInArrow (operators/packing.pack_sequences)
     pack = measure_packing(spark)
+    # BPE tokenizer throughput — same side-metric contract as `pack`
+    bpe = measure_bpe(spark)
     # host probe AFTER the timed window so it doesn't inflate `value`
     host = host_calibration(spark)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -386,6 +437,7 @@ def main_default(sf_dir: str, cpus: int) -> None:
                 "cdc_phase_ms": cdc["phase_ms"],
                 "merge_mode": MERGE_MODE,
                 "pack": pack,
+                "bpe": bpe,
                 "host": host,
             }
         )
