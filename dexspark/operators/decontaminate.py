@@ -45,11 +45,19 @@ def ngrams(
         words = F.col(text).cast("array<string>")
     else:
         words = F.split(F.col(text), " ")
+    # words staged into its OWN projection: left inline, the split
+    # re-evaluates inside the transform lambda for every shingle
+    # (lambda bodies are excluded from codegen subexpression
+    # elimination) — O(words²) per doc, measured 12x at 480-word docs.
+    # The multi-reference to the non-cheap alias also blocks
+    # CollapseProject from re-inlining it.
+    staged = df.select(id_col, words.alias("_w"))
+    w = F.col("_w")
     idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
+        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
-    return df.select(id_col, F.explode(grams).alias("gram"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    return staged.select(id_col, F.explode(grams).alias("gram"))
 
 
 def contamination_hits(

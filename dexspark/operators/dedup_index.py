@@ -110,13 +110,34 @@ def minhash_signatures(
     """
     n = SHINGLE_N
     if scheme == "xxhash64":
-        words, idx = _shingle_parts(docs, text, as_strings=False)
+        words, _ = _shingle_parts(docs, text, as_strings=False)
+        # words staged into its OWN projection: a split left inline
+        # would re-evaluate inside the shingle lambda per shingle —
+        # O(words²) per doc on string text (measured 12x at 480-word
+        # docs; harmless rename when text is already array-typed).
+        # The ≥3 references to the non-cheap alias also stop
+        # CollapseProject from re-inlining it.
+        staged = docs.select(id_col, words.alias("_w"))
+        if not keep_short:
+            # drop short docs HERE, on the cheap size predicate —
+            # filtering the final sig on h0.isNotNull() gets pushed
+            # below the projections and re-inlines the whole shingle-
+            # hash chain into the predicate (plan-probed: 4 split
+            # evaluations + a second full base computation per row)
+            staged = staged.filter(F.size(F.col("_w")) >= n)
+        w = F.col("_w")
+        idx = F.when(
+            F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
         # base hash per shingle straight off the token slice; the 8
         # band hashes derive via xxhash64(k, base). Signed-long minima
         # are an arbitrary-but-fixed total order on the hash space
         # (all consumers are equality-based); %016x keeps the stored
         # index schema string-typed and width-fixed for both schemes.
-        base = F.transform(idx, lambda i: F.xxhash64(F.slice(words, i, n)))
+        # base gets its OWN projection too: referenced by all 8 minima,
+        # inline it would hash every shingle 8x (the _ms lesson below).
+        base = F.transform(idx, lambda i: F.xxhash64(F.slice(w, i, n)))
+        based = staged.select(id_col, base.alias("_base"))
 
         # single-arg lambda factory: a second lambda parameter would
         # make transform() bind it to the ARRAY INDEX, silently
@@ -129,14 +150,26 @@ def minhash_signatures(
         # java.util.Formatter re-parses the spec per call and measured
         # ~2s/batch of pure formatting overhead
         hashes = [
-            F.hex(F.array_min(F.transform(base, _band_hash(k)))).alias(f"h{k}")
+            F.hex(F.array_min(F.transform(F.col("_base"), _band_hash(k)))).alias(
+                f"h{k}"
+            )
             for k in range(MINHASH_K)
         ]
-        sig = docs.select(id_col, *hashes)
+        sig = based.select(id_col, *hashes)
     elif scheme == "md5":
-        words, idx = _shingle_parts(docs, text)
+        words, _ = _shingle_parts(docs, text)
+        # same staging as the xxhash64 branch (split-in-lambda is
+        # quadratic); grams then feed the already-staged _ms below
+        stagedw = docs.select(id_col, words.alias("_w"))
+        if not keep_short:
+            # same early short-doc drop as the xxhash64 branch
+            stagedw = stagedw.filter(F.size(F.col("_w")) >= n)
+        w = F.col("_w")
+        idx = F.when(
+            F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
+        ).otherwise(F.array().cast("array<int>"))
         grams = F.transform(
-            idx, lambda i: F.array_join(F.slice(words, i, n), " ")
+            idx, lambda i: F.array_join(F.slice(w, i, n), " ")
         )
         ms = F.transform(
             grams,
@@ -147,7 +180,7 @@ def minhash_signatures(
         )
         # _ms in its own projection => the md5 pair computes once per
         # shingle; the 8 minima slice cheap substrings of the result
-        staged = docs.select(id_col, ms.alias("_ms"))
+        staged = stagedw.select(id_col, ms.alias("_ms"))
 
         def _slice(k):
             lo = 1 + 32 * (k // 4) + 8 * (k % 4)
@@ -160,9 +193,10 @@ def minhash_signatures(
         sig = staged.select(id_col, *hashes)
     else:
         raise ValueError(f"unknown minhash scheme: {scheme!r}")
-    if keep_short:
-        return sig
-    return sig.filter(F.col("h0").isNotNull())
+    # keep_short=False was already applied at the words stage (cheap
+    # size predicate — see the staging comments); NULL-text docs have
+    # NULL size, which the >= n predicate also drops
+    return sig
 
 
 def band_keys(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:

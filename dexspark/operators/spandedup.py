@@ -98,9 +98,13 @@ def duplicate_spans(
     k = int(min_len)
     if k < 2:
         raise ValueError("min_len must be >= 2")
-    words = _words(docs, text, scheme)
-    grams = docs.select(
-        F.col(id_col), F.posexplode(_gram_hashes(words, k, scheme)).alias("pos", "g")
+    # the word array staged into its own projection: a split left
+    # inline re-evaluates inside _gram_hashes' lambda per gram —
+    # O(words²) per doc on string text (harmless rename for arrays)
+    staged = docs.select(F.col(id_col), _words(docs, text, scheme).alias("_w"))
+    grams = staged.select(
+        F.col(id_col),
+        F.posexplode(_gram_hashes(F.col("_w"), k, scheme)).alias("pos", "g"),
     )
     # phase A: global gram counts (map-side partials collapse
     # within-partition repeats — banner grams collapse early)

@@ -83,8 +83,18 @@ def repetition_stats(
       frac_alpha_words   fraction of words containing a letter
       symbol_word_ratio  '#' or '...' occurrences per word
     """
-    words = F.split(F.col(text), " ")
-    lines = F.split(F.col(text), "\n")
+    # word/line arrays staged into their own projection: a split left
+    # inline would re-evaluate inside _word_ngrams' transform lambda
+    # for every bigram/trigram position — O(words²) per doc (lambda
+    # bodies are excluded from codegen subexpression elimination; the
+    # many references to the non-cheap aliases also block
+    # CollapseProject from re-inlining them). _w/_lines are dropped
+    # before returning, so the output schema is unchanged.
+    df = df.withColumns(
+        {"_w": F.split(F.col(text), " "), "_lines": F.split(F.col(text), "\n")}
+    )
+    words = F.col("_w")
+    lines = F.col("_lines")
     n_words = F.size(words)
     nz = F.greatest(n_words, F.lit(1)).cast("double")
 
@@ -135,7 +145,7 @@ def repetition_stats(
                 / nz
             ),
         }
-    )
+    ).drop("_w", "_lines")
 
 
 @dataclass(frozen=True)

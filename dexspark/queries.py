@@ -1277,7 +1277,11 @@ def text_token_count(spark, sf_dir):
     from .operators.textquality import _max_run_count, _word_ngrams
 
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    # split staged into its own projection — inside _word_ngrams'
+    # lambda it would re-evaluate per bigram (O(words²) per doc, the
+    # textquality.repetition_stats fix)
+    d = d.withColumn("_w", F.split(F.col("text"), " "))
+    words = F.col("_w")
     stop_ratio = F.size(
         F.filter(words, lambda w: w.isin(*_STOPWORDS))
     ).cast("double") / F.size(words)
