@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -754,9 +755,20 @@ def main(argv: list[str] | None = None) -> int:
             bpe_learn_merges=args.bpe_merges,
         )
         evals = [spark.read.parquet(p) for p in (args.corpus_eval or [])]
+        # --corpus-src may be a plain documents parquet OR a dexlake
+        # table root (sniffed by its _snapshots dir): the latter closes
+        # the loop CDC-maintained table -> training shards — the table
+        # already carries tokens, so prepare_corpus skips the
+        # tokenizer and packs the CDC-merged payload directly.
+        if os.path.isdir(os.path.join(args.corpus_src, "_snapshots")):
+            from .lake import LakeTable
+
+            src = LakeTable(spark, args.corpus_src).read()
+        else:
+            src = spark.read.parquet(args.corpus_src)
         report = prepare_corpus(
             spark,
-            spark.read.parquet(args.corpus_src),
+            src,
             args.prepare_corpus,
             eval_sets=evals,
             config=cfg,

@@ -128,8 +128,16 @@ def prepare_corpus(
     """Run the full preparation pipeline; write packed shards under
     ``out_dir/split=<name>/`` and return the accounting report.
 
-    ``docs`` needs (id_col, text[, source]); if it already carries a
-    ``tokens array<int>`` column the tokenizer stage is skipped.
+    ``docs`` needs (id_col, text[, source]) — OR, for the
+    CDC-maintained north-star table, (id_col, tokens) with NO text:
+    every gate then runs over the TOKEN sequence (minhash shingles and
+    decontamination n-grams hash token-id windows — the array paths
+    those operators already define; exact dedup keys a double-seeded
+    xxhash64 of the array), the word-based quality gate is skipped
+    (reported as ``"skipped (no text column)"``), and eval sets must
+    carry the same ``tokens`` column. If ``docs`` carries tokens, the
+    tokenizer stage is skipped either way.
+
     Each counted stage is lazily checkpointed before its count, so
     the count materializes that stage ONCE and every later stage reads
     the materialized blocks — without this the per-stage counts would
@@ -137,18 +145,39 @@ def prepare_corpus(
     in stage count on a large corpus)."""
     cfg = config or CorpusConfig()
     report: dict = {"stages": {}, "splits": {}}
+    has_text = text in docs.columns
+    if not has_text and "tokens" not in docs.columns:
+        raise ValueError(
+            f"docs needs a {text!r} column or a pre-tokenized 'tokens' column"
+        )
+    # the unit sequence every content gate operates on: words (text)
+    # or token ids (the north-star payload) — minhash/ngrams switch on
+    # the column dtype, so downstream code is identical
+    unit = text if has_text else "tokens"
     cur = docs
     report["stages"]["input"] = cur.count()
 
     if cfg.quality:
-        cur = filter_quality(
-            cur, cfg.thresholds, text=text, id_col=id_col
-        ).localCheckpoint(eager=False)
-        report["stages"]["after_quality"] = cur.count()
+        if has_text:
+            cur = filter_quality(
+                cur, cfg.thresholds, text=text, id_col=id_col
+            ).localCheckpoint(eager=False)
+            report["stages"]["after_quality"] = cur.count()
+        else:
+            report["stages"]["after_quality"] = "skipped (no text column)"
 
     if cfg.exact_dedup:
+        if has_text:
+            key = F.md5(F.col(text).cast("binary"))
+        else:
+            # 128 bits from two seeded xxhash64 passes over the raw
+            # array — no string materialization of 10^3-token rows
+            key = F.concat(
+                F.hex(F.xxhash64(F.lit(0), F.col("tokens"))),
+                F.hex(F.xxhash64(F.lit(1), F.col("tokens"))),
+            )
         keep = (
-            cur.groupBy(F.md5(F.col(text).cast("binary")).alias("_h"))
+            cur.groupBy(key.alias("_h"))
             .agg(F.min(id_col).alias(id_col))
             .drop("_h")
         )
@@ -159,7 +188,7 @@ def prepare_corpus(
 
     if cfg.near_dup:
         cur = near_dup_representatives(
-            cur, text=text, id_col=id_col
+            cur, text=unit, id_col=id_col
         ).localCheckpoint(eager=False)
         report["stages"]["after_near_dup"] = cur.count()
 
@@ -169,7 +198,7 @@ def prepare_corpus(
             ev,
             n=cfg.decontaminate_ngram,
             min_hits=cfg.decontaminate_min_hits,
-            text=text,
+            text=unit,
             id_col=id_col,
         )
     if eval_sets:

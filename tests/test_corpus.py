@@ -198,3 +198,79 @@ def test_prepare_corpus_bpe_explicit_merges(spark, tmp_path):
     report = prepare_corpus(spark, _docs(spark), str(tmp_path / "m"), config=cfg)
     assert "bpe_merges_learned" not in report
     assert report["splits"]["train"]["real_tokens"] > 0
+
+
+def test_prepare_corpus_tokens_only(spark, tmp_path):
+    """The north-star shape: (doc_id, tokens) with NO text column.
+    Gates run over token sequences — exact dedup keys the array,
+    near-dup shingles token-id windows, decontamination n-grams match
+    token windows; quality is reported skipped."""
+    from pyspark.sql import functions as F
+
+    base = list(range(40))
+    rows = [
+        ("a", base),
+        ("b", base),                        # exact dup of a
+        ("c", base[:39] + [99]),            # near-dup of a (shares shingles)
+        ("d", [1000 + i for i in range(40)]),  # distinct
+        ("e", [7, 7, 7]),                   # short but kept (no quality gate)
+        ("f", [2000 + i for i in range(40)]),  # will be decontaminated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    ev = spark.createDataFrame(
+        [("e1", [2005 + i for i in range(10)])], "doc_id string, tokens array<int>"
+    )
+    cfg = CorpusConfig(seq_len=32, splits={"train": 1.0})
+    report = prepare_corpus(
+        spark, docs, str(tmp_path / "tk"), eval_sets=[ev], config=cfg
+    )
+    st = report["stages"]
+    assert st["input"] == 6
+    assert st["after_quality"] == "skipped (no text column)"
+    assert st["after_exact_dedup"] == 5          # b out
+    assert st["after_near_dup"] == 4             # c out (a representative)
+    assert st["after_decontamination"] == 3      # f out
+    # survivors a, d, e -> 40+40+3 real tokens + 3 EOS
+    assert report["splits"]["train"]["real_tokens"] == 40 + 40 + 3 + 3
+    out = spark.read.parquet(report["splits"]["train"]["path"])
+    assert all(len(r["tokens"]) == 32 for r in out.collect())
+
+
+def test_cli_prepare_corpus_from_dexlake_table(spark, tmp_path, capsys):
+    """--corpus-src pointing at a dexlake table root (sniffed by
+    _snapshots) packs the CDC-maintained table's tokens directly."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from dexspark import cli
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+
+    root = str(tmp_path / "seqtable")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=4)
+    df = spark.range(30).select(
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+        F.sequence(F.col("id").cast("int") * 100, F.col("id").cast("int") * 100 + 9)
+        .cast("array<int>")
+        .alias("tokens"),
+        F.lit(10).alias("n_tok"),
+        F.lit("s").alias("source"),
+    )
+    t.overwrite(df)
+    out = str(tmp_path / "shards")
+    rc = cli.main(
+        [
+            "--prepare-corpus", out,
+            "--corpus-src", root,
+            "--corpus-splits", "train=1.0",
+            "--seq-len", "16",
+            "--eos-id", "0",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["stages"]["input"] == 30
+    # 30 docs x (10 tokens + EOS) = 330 real tokens
+    assert report["splits"]["train"]["real_tokens"] == 330
+    assert _os.path.isdir(_os.path.join(out, "split=train"))
