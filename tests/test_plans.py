@@ -161,3 +161,36 @@ def test_every_registered_query_is_python_free(spark):
         if "BatchEvalPython" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_shingle_paths_split_once(spark):
+    """Regression guard for the quadratic split-in-lambda bug: a
+    string-text frame's shingle consumers must evaluate F.split a
+    BOUNDED number of times per row — the word array is staged in its
+    own projection, never inlined into the per-shingle lambda (where
+    codegen subexpression elimination cannot reach it). Counted on the
+    OPTIMIZED plan, so a future CollapseProject re-inline fails here."""
+    from dexspark.operators.decontaminate import ngrams
+    from dexspark.operators.dedup_index import minhash_signatures
+    from dexspark.operators.spandedup import duplicate_spans
+    from dexspark.operators.textquality import repetition_stats
+
+    d = spark.range(5).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.repeat(F.concat(F.lit("w"), F.col("id"), F.lit(" ")), 30).alias("text"),
+    )
+
+    def n_splits(df) -> int:
+        return df._jdf.queryExecution().optimizedPlan().toString().count("split(")
+
+    # one split in the staging projection; keep_short=False adds one
+    # more inside the pushed-down cheap size predicate
+    for scheme in ("xxhash64", "md5"):
+        assert n_splits(minhash_signatures(d, scheme=scheme)) == 1, scheme
+        assert n_splits(minhash_signatures(d, scheme=scheme, keep_short=False)) == 2, scheme
+    assert n_splits(ngrams(d, n=3)) == 1
+    # repetition_stats stages _w and _lines: exactly two splits
+    assert n_splits(repetition_stats(d)) == 2
+    # duplicate_spans runs two consumers over the staged gram frame;
+    # bound it rather than pin the plan shape exactly
+    assert n_splits(duplicate_spans(d, min_len=3)) <= 4
