@@ -707,7 +707,26 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # (join shape) -> 3.6-4.1 s, identical output. The list frame is
     # checkpointed once: it feeds both the pair explosion and the
     # per-doc size aggregate.
-    sh0 = _shingles_spark(_t(spark, sf_dir, "documents"), n=4)
+    #
+    # r4b: shingles flow as 8-byte xxhash64 LONGS, not gram strings —
+    # per-doc set semantics come from a MAP-SIDE array_distinct over
+    # the per-row gram-hash array (the distinct() exchange of the
+    # exploded string frame is gone entirely), and every downstream
+    # exchange/sort/probe handles fixed-width longs instead of ~40-char
+    # strings. Invisible to the DuckDB oracle: the output is the
+    # jaccard-bucket histogram, identical unless two distinct grams
+    # collide in 64 bits (~10⁻⁷ at sf0.1 volumes). Same trick as the
+    # engine's spandedup/minhash gram hashing.
+    from .operators.spandedup import _gram_hashes
+
+    d0 = _t(spark, sf_dir, "documents")
+    staged = d0.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+    sh0 = staged.select(
+        "doc_id",
+        F.explode(F.array_distinct(_gram_hashes(F.col("_w"), 4, "xxhash64"))).alias(
+            "shingle"
+        ),
+    )
     w = Window.partitionBy("shingle")
     lists = (
         sh0.withColumn("_df", F.count("*").over(w))
