@@ -625,25 +625,6 @@ def dedup_exact(spark, sf_dir):
 
 # ---- shared shingle helpers ----------------------------------------
 
-def _shingles_spark(d: DataFrame, n: int = 4, distinct: bool = True) -> DataFrame:
-    """doc_id, shingle (word n-grams). JVM-side only.
-
-    ``distinct=True`` gives SET semantics (one row per (doc, shingle))
-    at the cost of a full shuffle of the exploded frame — required
-    where counts matter (Jaccard intersections/sizes). Consumers that
-    only feed duplicate-insensitive aggregates (minhash = min() over
-    shingles) pass ``distinct=False`` and skip that shuffle entirely;
-    the map-side partial aggregation collapses duplicates for free.
-
-    One gram definition for the whole engine: delegates to
-    operators.decontaminate.ngrams so dedup shingles and benchmark
-    decontamination can never drift apart."""
-    from dexspark.operators.decontaminate import ngrams
-
-    out = ngrams(d, n=n).withColumnRenamed("gram", "shingle")
-    return out.distinct() if distinct else out
-
-
 _SHINGLES_SQL = """
       SELECT DISTINCT doc_id, unnest(
         [array_to_string(w[i:i+{m}], ' ')
