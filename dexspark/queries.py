@@ -1432,8 +1432,11 @@ def _marker_hits(words: F.Column, markers: tuple[str, ...]) -> F.Column:
 @query("text_langid", _langid_sql())
 def text_langid(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    scored = d.select(
+    # split staged once: the three marker counters each reference the
+    # word array (linear, but 3 splits/row left inline)
+    staged = d.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+    words = F.col("_w")
+    scored = staged.select(
         "doc_id",
         *[_marker_hits(words, m).alias(k) for k, m in _LANG_MARKERS.items()],
     )
