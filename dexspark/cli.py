@@ -759,10 +759,15 @@ def main(argv: list[str] | None = None) -> int:
         # table root (sniffed by its _snapshots dir): the latter closes
         # the loop CDC-maintained table -> training shards — the table
         # already carries tokens, so prepare_corpus skips the
-        # tokenizer and packs the CDC-merged payload directly.
-        if os.path.isdir(os.path.join(args.corpus_src, "_snapshots")):
-            from .lake import LakeTable
+        # tokenizer and packs the CDC-merged payload directly. The
+        # sniff goes through the FileIO seam (default_io), not a bare
+        # os.path probe: under DEXSPARK_FILEIO=condput/s3 the
+        # snapshots live in the object store, and misreading a table
+        # root as plain parquet would bypass snapshot isolation and
+        # MOR tombstones.
+        from .lake import LakeTable, default_io
 
+        if default_io().is_dir(os.path.join(args.corpus_src, "_snapshots")):
             src = LakeTable(spark, args.corpus_src).read()
         else:
             src = spark.read.parquet(args.corpus_src)

@@ -38,10 +38,11 @@ back — with every corpus-scale stage shaped for 100 TB:
     bottleneck (huge merge tables, tiny partition reuse).
 
 Token-id space: ids 0..255 are raw bytes; merge ``r`` (0-based rank)
-owns id ``256 + r``. :func:`bpe_decode` inverts exactly:
-``decode(encode(text)) == " ".join(text.split())`` for any unicode
-input (whitespace pre-tokenization is canonical-space, the usual
-word-level contract).
+owns id ``256 + r``. :func:`bpe_decode` inverts to the
+whitespace-stripped byte stream: ``decode(encode(text)) ==
+"".join(text.split())`` — word boundaries are not representable in
+the id space under whitespace pre-tokenization, so pieces
+concatenate with no separator (pinned by the round-trip test).
 
 Reference anchor: the reference ends at validated CSV rows
 (csvValidationFunction_Generic.kt:87-109); tokenization is part of this
@@ -125,25 +126,58 @@ def learn_bpe(
     words: list[tuple[list[int], int]] = [
         (list(r["word"].encode("utf-8")), int(r["count"])) for r in rows
     ]
+    # Incremental trainer (the standard inverted-index shape): pair
+    # counts and a pair -> {word idx} index are built ONCE; each merge
+    # then touches only the words that contain the merged pair —
+    # O(total_symbols + num_merges * touched) instead of the naive
+    # O(num_merges * total_symbols) full-rescan (pytest pins
+    # equality against the naive reference on randomized corpora).
+    pair_counts: dict[tuple[int, int], int] = {}
+    where: dict[tuple[int, int], set[int]] = {}
+    for wi, (syms, freq) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + freq
+            where.setdefault(p, set()).add(wi)
+
+    def _sub(p: tuple[int, int], freq: int, wi: int) -> None:
+        c = pair_counts.get(p)
+        if c is None:
+            return
+        c -= freq
+        if c <= 0:
+            pair_counts.pop(p, None)
+            where.pop(p, None)
+        else:
+            pair_counts[p] = c
+
     merges: list[tuple[int, int]] = []
     for _ in range(num_merges):
-        pair_counts: dict[tuple[int, int], int] = {}
-        for syms, freq in words:
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pair_counts[p] = pair_counts.get(p, 0) + freq
         if not pair_counts:
             break
         best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
         new_id = BYTE_VOCAB + len(merges)
         merges.append(best)
-        for syms, _freq in words:
+        touched = where.pop(best, set())
+        pair_counts.pop(best, None)
+        for wi in touched:
+            syms, freq = words[wi]
+            # remove the word's old pair contributions, apply the
+            # merge, add the new ones — only changed neighborhoods
+            # shift, but re-walking this word keeps the bookkeeping
+            # simple and exact (words are short)
+            for i in range(len(syms) - 1):
+                _sub((syms[i], syms[i + 1]), freq, wi)
             i = 0
             while i < len(syms) - 1:
                 if syms[i] == best[0] and syms[i + 1] == best[1]:
                     syms[i : i + 2] = [new_id]
                 else:
                     i += 1
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + freq
+                where.setdefault(p, set()).add(wi)
     return merges
 
 
@@ -379,11 +413,17 @@ def bpe_decode(
     .decode("utf-8")`` recovers the exact bytes — pinned by the
     round-trip test. Word boundaries are not recoverable from ids
     under whitespace pre-tokenization, so pieces concatenate with no
-    separator."""
+    separator. Out-of-vocab ids (negative, or beyond the merge table)
+    decode to nothing — ``concat_ws`` skips the NULL pieces — rather
+    than crashing the job or aliasing into end-of-LUT pieces."""
     vocab = merges_to_vocab(merges)
     lut = F.lit([vocab[i].decode("latin-1") for i in range(len(vocab))])
+    # negative ids guarded like vocabmap's dense LUT: try_element_at
+    # raises on index 0 (ANSI) and indexes from the END for negatives
+    # — a corrupt -2 would silently decode to the last merge piece
     pieces = F.transform(
-        F.col(tokens_col), lambda t: F.try_element_at(lut, t + 1)
+        F.col(tokens_col),
+        lambda t: F.when(t >= 0, F.try_element_at(lut, t + 1)),
     )
     return df.withColumn(out_col, F.concat_ws("", pieces))
 

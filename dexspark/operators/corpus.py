@@ -193,6 +193,14 @@ def prepare_corpus(
         report["stages"]["after_near_dup"] = cur.count()
 
     for ev in eval_sets or []:
+        if unit not in ev.columns:
+            # fail fast at the entry point (the deep alternative is an
+            # unresolved-column AnalysisException mid-pipeline, after
+            # the dedup stages already ran)
+            raise ValueError(
+                f"eval set lacks the {unit!r} column the corpus gates "
+                f"run on (token-only corpora need token-typed eval sets)"
+            )
         cur = decontaminate(
             cur,
             ev,

@@ -20,8 +20,9 @@ corpus is the 100 TB side), which makes the plan broadcast-friendly:
    the contaminated-id set is bounded by the benchmark's reach).
 
 No all-pairs, no corpus self-join, nothing driver-side. The gram
-explosion reuses the same JVM-only sequence/slice/array_join shape as
-the dedup shingles (queries._shingles_spark).
+definition is the engine-wide one (operators/grams.py), shared with
+the dedup shingles and the span-dedup anchors so they can never
+drift apart.
 """
 
 from __future__ import annotations
@@ -52,12 +53,11 @@ def ngrams(
     # The multi-reference to the non-cheap alias also blocks
     # CollapseProject from re-inlining it.
     staged = df.select(id_col, words.alias("_w"))
-    w = F.col("_w")
-    idx = F.when(
-        F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
-    return staged.select(id_col, F.explode(grams).alias("gram"))
+    from .grams import gram_strings
+
+    return staged.select(
+        id_col, F.explode(gram_strings(F.col("_w"), n)).alias("gram")
+    )
 
 
 def contamination_hits(

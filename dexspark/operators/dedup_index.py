@@ -42,6 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .grams import word_index
+
 MINHASH_K = 8
 MINHASH_BANDS = 4
 _ROWS_PER_BAND = MINHASH_K // MINHASH_BANDS
@@ -65,10 +67,7 @@ def _shingle_parts(docs: DataFrame, text: str, as_strings: bool = True):
     else:
         words = F.col(text)
     n = SHINGLE_N
-    idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return words, idx
+    return words, word_index(words, n)
 
 
 def minhash_signatures(
@@ -126,9 +125,7 @@ def minhash_signatures(
             # evaluations + a second full base computation per row)
             staged = staged.filter(F.size(F.col("_w")) >= n)
         w = F.col("_w")
-        idx = F.when(
-            F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
-        ).otherwise(F.array().cast("array<int>"))
+        idx = word_index(w, n)
         # base hash per shingle straight off the token slice; the 8
         # band hashes derive via xxhash64(k, base). Signed-long minima
         # are an arbitrary-but-fixed total order on the hash space
@@ -165,9 +162,7 @@ def minhash_signatures(
             # same early short-doc drop as the xxhash64 branch
             stagedw = stagedw.filter(F.size(F.col("_w")) >= n)
         w = F.col("_w")
-        idx = F.when(
-            F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - (n - 1))
-        ).otherwise(F.array().cast("array<int>"))
+        idx = word_index(w, n)
         grams = F.transform(
             idx, lambda i: F.array_join(F.slice(w, i, n), " ")
         )

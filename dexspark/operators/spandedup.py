@@ -52,6 +52,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql import types as T
 
+# the engine-wide gram definition (operators/grams.py); the old
+# private name is kept for existing import sites
+from .grams import gram_hashes as _gram_hashes
+
 SPAN_MIN_LEN = 8
 
 
@@ -66,19 +70,6 @@ def _words(docs: DataFrame, text: str, scheme: str):
     if scheme == "md5":
         return F.col(text).cast("array<string>")
     return F.col(text)
-
-
-def _gram_hashes(words, k: int, scheme: str):
-    """Array of k-gram hashes; index i (0-based) anchors tokens
-    [i, i+k). Empty for docs shorter than k tokens."""
-    idx = F.when(
-        F.size(words) >= k, F.sequence(F.lit(1), F.size(words) - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    if scheme == "md5":
-        return F.transform(
-            idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, F.lit(k))))
-        )
-    return F.transform(idx, lambda i: F.xxhash64(F.slice(words, i, F.lit(k))))
 
 
 def duplicate_spans(

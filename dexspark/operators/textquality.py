@@ -33,11 +33,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _word_ngrams(words: Column, n: int) -> Column:
-    """Array of word n-grams (JVM HOFs, same shape as decontaminate.ngrams)."""
-    idx = F.when(
-        F.size(words) >= n, F.sequence(F.lit(1), F.size(words) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    """Array of word n-grams — the engine-wide gram definition
+    (operators/grams.py), kept under the local name for callers."""
+    from .grams import gram_strings
+
+    return gram_strings(words, n)
 
 
 def _max_run_count(arr: Column) -> Column:
@@ -88,13 +88,19 @@ def repetition_stats(
     # for every bigram/trigram position — O(words²) per doc (lambda
     # bodies are excluded from codegen subexpression elimination; the
     # many references to the non-cheap aliases also block
-    # CollapseProject from re-inlining them). _w/_lines are dropped
-    # before returning, so the output schema is unchanged.
+    # CollapseProject from re-inlining them). Temp names are chosen
+    # fresh against the input schema (a caller column literally named
+    # _w must survive untouched), and dropped before returning.
+    wname, lname = "_w", "_lines"
+    while wname in df.columns:
+        wname += "_"
+    while lname in df.columns:
+        lname += "_"
     df = df.withColumns(
-        {"_w": F.split(F.col(text), " "), "_lines": F.split(F.col(text), "\n")}
+        {wname: F.split(F.col(text), " "), lname: F.split(F.col(text), "\n")}
     )
-    words = F.col("_w")
-    lines = F.col("_lines")
+    words = F.col(wname)
+    lines = F.col(lname)
     n_words = F.size(words)
     nz = F.greatest(n_words, F.lit(1)).cast("double")
 
@@ -145,7 +151,7 @@ def repetition_stats(
                 / nz
             ),
         }
-    ).drop("_w", "_lines")
+    ).drop(wname, lname)
 
 
 @dataclass(frozen=True)

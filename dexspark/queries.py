@@ -696,15 +696,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # exchange/sort/probe handles fixed-width longs instead of ~40-char
     # strings. Invisible to the DuckDB oracle: the output is the
     # jaccard-bucket histogram, identical unless two distinct grams
-    # collide in 64 bits (~10⁻⁷ at sf0.1 volumes). Same trick as the
-    # engine's spandedup/minhash gram hashing.
-    from .operators.spandedup import _gram_hashes
+    # collide in 64 bits (~10⁻⁷ at sf0.1 volumes). The gram definition
+    # is the engine-wide shared one (operators/grams.py), so this
+    # query, the span-dedup anchors and the decontamination grams can
+    # never drift apart.
+    from .operators.grams import gram_hashes
 
     d0 = _t(spark, sf_dir, "documents")
     staged = d0.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
     sh0 = staged.select(
         "doc_id",
-        F.explode(F.array_distinct(_gram_hashes(F.col("_w"), 4, "xxhash64"))).alias(
+        F.explode(F.array_distinct(gram_hashes(F.col("_w"), 4, "xxhash64"))).alias(
             "shingle"
         ),
     )

@@ -175,3 +175,53 @@ def test_merges_to_vocab_rejects_forward_refs():
 def test_empty_merges_rejected(spark, docs):
     with pytest.raises(ValueError):
         bpe_encode(docs, [])
+
+
+def _naive_learn(word_freqs, num_merges):
+    """Independent reference: full pair-count rescan per merge."""
+    words = [(list(w.encode("utf-8")), c) for w, c in word_freqs]
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        new_id = 256 + len(merges)
+        merges.append(best)
+        for syms, _ in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == best[0] and syms[i + 1] == best[1]:
+                    syms[i : i + 2] = [new_id]
+                else:
+                    i += 1
+    return merges
+
+
+def test_incremental_learn_equals_naive(spark):
+    """The inverted-index trainer must pick the EXACT same merges as a
+    full-rescan reference — counts, tie-breaks and all — on randomized
+    zipfian corpora including repeated-symbol words."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefg"
+    for trial in range(4):
+        vocab = [
+            "".join(rng.choice(alpha) for _ in range(rng.randint(1, 9)))
+            for _ in range(60)
+        ]
+        vocab += ["aaa", "aaaa", "abab", "aabaa"]  # overlap/repeat stress
+        freqs = [(w, rng.randint(1, 50)) for w in set(vocab)]
+        docs = spark.createDataFrame(
+            [("d", " ".join(w for w, c in freqs for _ in range(c)))],
+            "doc_id string, text string",
+        )
+        got = learn_bpe(docs, 40)
+        # learn_bpe's histogram == freqs by construction
+        want = _naive_learn(sorted(freqs), 40)
+        assert got == want, trial
