@@ -71,6 +71,20 @@ class CorpusConfig:
     bpe_max_words: int = 1_000_000
 
 
+def content_hash_expr(col: str, is_text: bool) -> F.Column:
+    """The exact-dedup content key, shared by the batch pipeline and
+    the incremental one (corpus_sync) so both gate on identical
+    hashes: md5 of the text bytes, or 128 bits from two seeded
+    xxhash64 passes over the raw token array (no string
+    materialization of 10^3-token rows)."""
+    if is_text:
+        return F.md5(F.col(col).cast("binary"))
+    return F.concat(
+        F.hex(F.xxhash64(F.lit(0), F.col(col))),
+        F.hex(F.xxhash64(F.lit(1), F.col(col))),
+    )
+
+
 def hash_tokenize(
     docs: DataFrame, text: str = "text", vocab_size: int = 50_257
 ) -> DataFrame:
@@ -167,15 +181,7 @@ def prepare_corpus(
             report["stages"]["after_quality"] = "skipped (no text column)"
 
     if cfg.exact_dedup:
-        if has_text:
-            key = F.md5(F.col(text).cast("binary"))
-        else:
-            # 128 bits from two seeded xxhash64 passes over the raw
-            # array — no string materialization of 10^3-token rows
-            key = F.concat(
-                F.hex(F.xxhash64(F.lit(0), F.col("tokens"))),
-                F.hex(F.xxhash64(F.lit(1), F.col("tokens"))),
-            )
+        key = content_hash_expr(text if has_text else "tokens", has_text)
         keep = (
             cur.groupBy(key.alias("_h"))
             .agg(F.min(id_col).alias(id_col))

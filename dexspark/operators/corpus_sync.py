@@ -1,0 +1,614 @@
+"""Incremental (changelog-driven) corpus preparation.
+
+``prepare_corpus`` (operators/corpus.py) is the batch composite; this
+module is its continuous-ingest form — the shape the north star
+actually implies: the tokenized-sequence table keeps changing under
+CDC, and the training corpus derived from it must follow WITHOUT
+re-running the pipeline over 100 TB per refresh. ``CorpusPipeline``
+tails the source LakeTable's changelog and folds each commit window
+through the SAME gates as the batch pipeline, against persisted
+state, appending packed shards per window:
+
+    quality gate       map-only over the window's docs (text corpora)
+    exact dedup        content hash vs the persisted ``_hashes`` index
+                       (bucket-pruned probe, O(window))
+    near-dup dedup     the CDC-maintained minhash signature + LSH
+                       posting-list indexes (operators/dedup_index) —
+                       probe cost O(window band keys), never O(corpus)
+    decontamination    broadcast eval-set gram join (O(window))
+    split assignment   deterministic hash bands (stable: adding docs
+                       never moves existing ones)
+    tokenize           the tokenizer is FROZEN at the first window
+                       (learned merges persisted to ``_tokenizer.json``)
+                       — retraining per window would silently change
+                       every previously-packed token id
+    pack               mapInArrow concat-and-chunk, one shard dir per
+                       (split, window); shards are append-only
+
+Per-window cost is O(change): no stage reads, shuffles or re-signs
+the existing corpus. That is the whole point — the batch pipeline at
+10^10 docs is a full-corpus job per refresh; this one is a micro-batch.
+
+State layout under ``out_dir`` (every table a LakeTable whose epoch
+markers carry the source-version cursor — the construction shared
+with the engine's binlog epochs, ann.sync_index and mview):
+
+    _members/      key doc_id: (_h, status, split, n_tok) for every
+                   exact-stage survivor; status is 'accepted' (packed),
+                   'near_dup' (shadowed by an indexed doc) or
+                   'decontaminated'. Commits LAST — its watermark IS
+                   the pipeline cursor, so a crash anywhere replays
+                   the window deterministically.
+    _hashes/       key _h: content-hash -> owning doc_id (the
+                   exact-dedup universe; a hash is freed when its
+                   owner's content leaves the corpus).
+    _sig/ _band/   the minhash signature + band posting-list indexes
+                   over the near-dup universe (accepted +
+                   decontaminated members).
+    _retractions/  key doc_id: (reason, src_version). Packed shards
+                   are immutable; a member that is later deleted or
+                   updated is recorded here and consumers filter packs
+                   by provenance (:meth:`CorpusPipeline.read_packs`
+                   ``filter_retracted=True``) — the standard
+                   data-deletion answer at training-shard scale.
+    _tokenizer.json  frozen BPE merges (written once).
+    split=<s>/w<lo>-<hi>/  packed parquet shards for the window.
+
+Replay safety: every gate decision is a deterministic function of
+(window-start state, window changes). State tables that committed
+before a crash are skipped on re-run (their epoch watermark already
+covers the window); the probes they serve stay correct because a
+batch doc matching its OWN just-committed hash/signature rows is
+self-exempt. Shard dirs are whole-window overwrites.
+
+Semantics notes (deliberate, documented divergences from batch):
+
+* Rejection is final per content version — a doc rejected as a
+  near-dup is NOT revived when its shadowing representative is later
+  deleted (earliest-wins streaming-dedup semantics). Re-upserting the
+  doc re-gates it.
+* An update to a member retracts its old contribution and re-gates
+  the new content in the same window — even if the content is
+  unchanged (consumers using retractions see the doc move to the new
+  window's shards; token state never goes stale).
+* Docs rejected at quality/exact stages are untracked; an update to
+  one simply arrives as a fresh doc.
+
+Reference anchors: the reference validates files one upload at a time
+against persisted config (fns-csv-pipeline Kotlin functions); this is
+that per-arrival gate generalized to corpus membership, with the
+lake's exactly-once machinery replacing Azure Function retries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..lake import LakeTable
+from .corpus import CorpusConfig, content_hash_expr, hash_tokenize
+from .decontaminate import decontaminate
+from .dedup_index import (
+    band_index_schema,
+    index_schema,
+    intra_batch_candidates,
+    minhash_signatures,
+    near_dup_candidates_indexed,
+    sync_band_index,
+    sync_dedup_index,
+)
+from .packing import pack_sequences
+from .sampling import assign_split
+from .textquality import filter_quality
+
+_ST_ACCEPTED = "accepted"
+_ST_NEAR_DUP = "near_dup"
+_ST_DECON = "decontaminated"
+
+
+def _members_schema(key_type) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("doc_id", key_type, False),
+            T.StructField("_h", T.StringType(), True),
+            T.StructField("status", T.StringType(), True),
+            T.StructField("split", T.StringType(), True),
+            T.StructField("n_tok", T.LongType(), True),
+        ]
+    )
+
+
+def _hashes_schema(key_type) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("_h", T.StringType(), False),
+            T.StructField("owner", key_type, True),
+        ]
+    )
+
+
+def _retractions_schema(key_type) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("doc_id", key_type, False),
+            T.StructField("reason", T.StringType(), True),
+            T.StructField("src_version", T.LongType(), True),
+        ]
+    )
+
+
+class CorpusPipeline:
+    """Continuous corpus preparation over a source LakeTable.
+
+    ``source`` needs (key, <text>) — or, for the north-star
+    tokenized-sequence table, (key, tokens) with no text: gates then
+    run over the token arrays exactly as in the batch pipeline, the
+    word-based quality gate is skipped, and eval sets must carry
+    ``tokens``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        source: LakeTable,
+        out_dir: str,
+        eval_sets: list[DataFrame] | None = None,
+        config: CorpusConfig | None = None,
+        text: str = "text",
+        io=None,
+    ):
+        self.spark = spark
+        self.source = source
+        self.out_dir = out_dir
+        self.cfg = config or CorpusConfig()
+        self.eval_sets = list(eval_sets or [])
+        src_cols = [f.name for f in source.schema.fields]
+        self.has_text = text in src_cols
+        self.text = text
+        if not self.has_text and "tokens" not in src_cols:
+            raise ValueError(
+                f"source needs a {text!r} column or a pre-tokenized "
+                "'tokens' column"
+            )
+        self.unit = text if self.has_text else "tokens"
+        for ev in self.eval_sets:
+            if self.unit not in ev.columns:
+                raise ValueError(
+                    f"eval set lacks the {self.unit!r} column the corpus "
+                    "gates run on"
+                )
+        self.key_type = next(
+            f.dataType for f in source.schema.fields if f.name == source.key
+        )
+        nb = source.num_buckets
+        self.members = self._open(
+            "_members", _members_schema(self.key_type), "doc_id", nb, io
+        )
+        self.hashes = self._open(
+            "_hashes", _hashes_schema(self.key_type), "_h", nb, io
+        )
+        self.sig = self._open(
+            "_sig", index_schema(self.key_type), "doc_id", nb, io
+        )
+        self.band = self._open(
+            "_band", band_index_schema(self.key_type), "bkey", nb, io
+        )
+        self.retractions = self._open(
+            "_retractions", _retractions_schema(self.key_type), "doc_id", nb, io
+        )
+
+    def _open(self, name, schema, key, num_buckets, io) -> LakeTable:
+        root = os.path.join(self.out_dir, name)
+        t = LakeTable(self.spark, root, io=io)
+        if t.current_version() == 0:
+            t = LakeTable.create(
+                self.spark, root, schema, key=key,
+                num_buckets=num_buckets, io=io,
+            )
+        return t
+
+    # -- frozen tokenizer -------------------------------------------
+    @property
+    def _tok_path(self) -> str:
+        return os.path.join(self.out_dir, "_tokenizer.json")
+
+    def _frozen_merges(self, accepted: DataFrame, report: dict):
+        """Load the persisted merge rules, or freeze them now (first
+        window): explicit ``cfg.bpe_merges`` wins, else learn
+        ``cfg.bpe_learn_merges`` merges from this window's accepted
+        docs — the same post-gate position the batch pipeline learns
+        at. Returns None for the hash stand-in tokenizer."""
+        if os.path.exists(self._tok_path):
+            with open(self._tok_path) as f:
+                return [tuple(m) for m in json.load(f)["merges"]]
+        merges = self.cfg.bpe_merges
+        if merges is None and self.cfg.bpe_learn_merges > 0:
+            from .bpe import learn_bpe
+
+            merges = learn_bpe(
+                accepted,
+                self.cfg.bpe_learn_merges,
+                text=self.text,
+                max_words=self.cfg.bpe_max_words,
+            )
+            report["bpe_merges_learned"] = len(merges)
+        if not merges:
+            return None
+        os.makedirs(self.out_dir, exist_ok=True)
+        tmp = self._tok_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"merges": [list(m) for m in merges]}, f)
+        os.replace(tmp, self._tok_path)
+        return merges
+
+    # -- the fold ---------------------------------------------------
+    def sync(self) -> dict:
+        """Fold every source commit in ``(synced, current]`` into the
+        corpus; returns the accounting report. No-op when current."""
+        cfg = self.cfg
+        synced = max(self.members.epoch_state()[0], 0)
+        cur = self.source.current_version()
+        if cur <= synced:
+            return {"synced_through": synced, "applied": False}
+        epochs = list(range(synced + 1, cur + 1))
+        report: dict = {
+            "window": [synced, cur],
+            "synced_through": cur,
+            "applied": True,
+            "stages": {},
+            "splits": {},
+        }
+        key, unit = self.source.key, self.unit
+
+        # window collapsed to each key's final state (the
+        # _window_latest construction, but keyed on the source's key
+        # name and materialized once for the whole fold)
+        ch = self.source.changes(synced, cur)
+        latest = (
+            ch.groupBy(key)
+            .agg(
+                F.max_by(
+                    F.struct(unit, "_change_type"),
+                    F.struct(
+                        F.col("_commit_version"),
+                        F.col("_change_type") != F.lit("delete"),
+                    ),
+                ).alias("_c")
+            )
+            .select(
+                F.col(key).alias("doc_id"),
+                F.col(f"_c.{unit}").alias(unit),
+                F.col("_c._change_type").alias("_change_type"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        report["stages"]["window_docs"] = latest.count()
+
+        # members whose doc changed: their old contribution leaves the
+        # corpus (probe sees the WINDOW-START state — members commits
+        # last, so this is replay-stable)
+        leaving = (
+            self.members.probe(latest.select("doc_id"))
+            .join(latest.select("doc_id", "_change_type"), "doc_id")
+            .localCheckpoint(eager=True)
+        )
+        report["stages"]["retracted"] = leaving.count()
+        retract_ids = leaving.select("doc_id")
+
+        incoming = latest.filter(F.col("_change_type") != "delete").select(
+            "doc_id", unit
+        )
+        report["stages"]["incoming"] = incoming.count()
+
+        # 1) quality (text corpora)
+        cur_df = incoming
+        if cfg.quality and self.has_text:
+            cur_df = filter_quality(
+                cur_df, cfg.thresholds, text=unit, id_col="doc_id"
+            ).localCheckpoint(eager=False)
+            report["stages"]["after_quality"] = cur_df.count()
+        elif cfg.quality:
+            report["stages"]["after_quality"] = "skipped (no text column)"
+
+        # 2) exact dedup: intra-window keep-min, then probe the
+        # persisted hash index. A match is void when the matched hash
+        # is owned by this doc itself (replay after a committed hash
+        # merge) or by a doc whose content is leaving this window.
+        hashed = cur_df.withColumn(
+            "_h", content_hash_expr(unit, self.has_text)
+        )
+        if cfg.exact_dedup:
+            win_keep = hashed.groupBy("_h").agg(
+                F.min("doc_id").alias("doc_id")
+            )
+            hashed = hashed.join(win_keep, ["_h", "doc_id"], "left_semi")
+            taken = (
+                self.hashes.probe(hashed.select("_h"))
+                .withColumnRenamed("owner", "_owner")
+                .join(retract_ids.withColumn("_gone", F.lit(True)),
+                      F.col("_owner") == F.col("doc_id"), "left")
+                .filter(F.col("_gone").isNull())
+                .select("_h", "_owner")
+            )
+            hashed = hashed.join(taken, "_h", "left").filter(
+                F.col("_owner").isNull() | (F.col("_owner") == F.col("doc_id"))
+            ).drop("_owner")
+        exact = hashed.select("doc_id", unit, "_h").localCheckpoint(
+            eager=True
+        )
+        report["stages"]["after_exact_dedup"] = exact.count()
+
+        # 3) near-dup gate: sign once; corpus candidates from the
+        # bucket-pruned posting probe (minus leaving docs' outgoing
+        # content), intra-window candidates from the capped witness
+        # self-join ordered by doc_id (arrival order == id order
+        # within a window, matching the batch min-id representative).
+        if cfg.near_dup:
+            sigs = minhash_signatures(
+                exact.select("doc_id", unit), text=unit, keep_short=False
+            ).localCheckpoint(eager=True)
+            # exclude (a) leaving docs' outgoing content and (b) any
+            # same-window doc — on replay after a committed index sync
+            # the probe would otherwise return this window's own docs,
+            # gating docs the first run accepted (intra-window pairs
+            # are the witness-ordered self-join's job, which stays
+            # deterministic)
+            corpus_pairs = (
+                near_dup_candidates_indexed(
+                    self.band, exact, text=unit, signatures=sigs
+                )
+                .join(
+                    retract_ids.withColumnRenamed("doc_id", "corpus_doc_id"),
+                    "corpus_doc_id",
+                    "left_anti",
+                )
+                .join(
+                    exact.select(F.col("doc_id").alias("corpus_doc_id")),
+                    "corpus_doc_id",
+                    "left_anti",
+                )
+            )
+            intra = intra_batch_candidates(
+                exact.withColumn("_nd_ord", F.col("doc_id")),
+                text=unit,
+                order_col="_nd_ord",
+                signatures=sigs,
+            )
+            gated = (
+                corpus_pairs.select("batch_doc_id")
+                .unionByName(intra.select("batch_doc_id"))
+                .distinct()
+                .withColumnRenamed("batch_doc_id", "doc_id")
+            )
+            survivors = exact.join(
+                F.broadcast(gated), "doc_id", "left_anti"
+            ).localCheckpoint(eager=True)
+        else:
+            sigs = minhash_signatures(
+                exact.select("doc_id", unit), text=unit, keep_short=False
+            ).localCheckpoint(eager=True)
+            survivors = exact
+        report["stages"]["after_near_dup"] = survivors.count()
+
+        # 4) decontamination (broadcast eval grams, O(window))
+        accepted = survivors
+        for ev in self.eval_sets:
+            accepted = decontaminate(
+                accepted,
+                ev,
+                n=cfg.decontaminate_ngram,
+                min_hits=cfg.decontaminate_min_hits,
+                text=unit,
+                id_col="doc_id",
+            )
+        accepted = accepted.localCheckpoint(eager=True)
+        n_accepted = accepted.count()
+        report["stages"]["accepted"] = n_accepted
+
+        # 5) split + tokenize (frozen) + per-window pack per split
+        accepted = assign_split(
+            accepted, cfg.splits, key="doc_id", seed=cfg.seed
+        )
+        if unit != "tokens":
+            merges = self._frozen_merges(accepted, report)
+            if merges:
+                from .bpe import bpe_encode
+
+                accepted = bpe_encode(accepted, merges, text=unit)
+            else:
+                accepted = hash_tokenize(
+                    accepted, text=unit, vocab_size=cfg.vocab_size
+                )
+        accepted = accepted.withColumn(
+            "n_tok", F.size("tokens").cast("long")
+        ).localCheckpoint(eager=True)
+
+        wtag = f"w{synced + 1:08d}-{cur:08d}"
+        if n_accepted:
+            # deterministic partitioning -> deterministic packs on
+            # replay (the window dir is overwritten whole either way);
+            # partition count sized to the window so tiny windows
+            # don't pay one padded tail pack per idle partition
+            nparts = max(1, min(
+                self.spark.sparkContext.defaultParallelism,
+                n_accepted // 256 + 1,
+            ))
+            for name in sorted(cfg.splits):
+                part = accepted.filter(F.col("split") == name).select(
+                    "doc_id", "tokens"
+                )
+                packed = pack_sequences(
+                    part.repartition(nparts, F.col("doc_id")),
+                    seq_len=cfg.seq_len,
+                    eos_id=cfg.eos_id,
+                    pad_id=cfg.pad_id,
+                )
+                dest = os.path.join(self.out_dir, f"split={name}", wtag)
+                packed.write.mode("overwrite").parquet(dest)
+                row = (
+                    self.spark.read.parquet(dest)
+                    .agg(
+                        F.count("*").alias("n_packs"),
+                        F.sum("n_real").alias("real_tokens"),
+                    )
+                    .collect()[0]
+                )
+                report["splits"][name] = {
+                    "n_packs": int(row["n_packs"] or 0),
+                    "real_tokens": int(row["real_tokens"] or 0),
+                    "path": dest,
+                }
+
+        # 6) state commits, sinks before the cursor, each idempotent
+        # under its own epoch watermark (the crash-safe multi-table
+        # order proven by the dedup-index sidecars)
+        retr_rows = (
+            leaving.filter(F.col("status") == _ST_ACCEPTED)
+            .select(
+                "doc_id",
+                F.when(F.col("_change_type") == "delete", F.lit("deleted"))
+                .otherwise(F.lit("updated"))
+                .alias("reason"),
+                F.lit(cur).cast("long").alias("src_version"),
+            )
+        )
+        if max(self.retractions.epoch_state()[0], 0) < cur:
+            if report["stages"]["retracted"]:
+                self.retractions.merge(retr_rows, mode="mor", epochs=epochs)
+            else:
+                self.retractions.mark_epochs(epochs)
+
+        if max(self.hashes.epoch_state()[0], 0) < cur:
+            ups = exact.select("_h", F.col("doc_id").alias("owner"))
+            if not cfg.exact_dedup:
+                # without the gate several docs may share a hash; the
+                # merge contract is one row per key
+                ups = ups.groupBy("_h").agg(F.min("owner").alias("owner"))
+            dels = leaving.select("_h").filter(F.col("_h").isNotNull())
+            if report["stages"]["after_exact_dedup"] or report["stages"]["retracted"]:
+                self.hashes.merge(
+                    ups, delete_keys=dels, mode="mor", epochs=epochs
+                )
+            else:
+                self.hashes.mark_epochs(epochs)
+
+        # near-dup universe delta: survivors + decontaminated members
+        # enter; leaving members that were indexed leave. Synthesized
+        # as a changes frame for the shared index folds (band BEFORE
+        # sig — the band fold reads window-start signatures).
+        index_dels = leaving.filter(
+            F.col("status") != _ST_NEAR_DUP
+        ).select("doc_id")
+        unit_type = next(
+            f.dataType for f in self.source.schema.fields if f.name == unit
+        )
+        synth = (
+            survivors.select(
+                "doc_id", unit, F.lit("upsert").alias("_change_type")
+            )
+            .unionByName(
+                index_dels
+                .join(survivors.select("doc_id"), "doc_id", "left_anti")
+                .select(
+                    "doc_id",
+                    F.lit(None).cast(unit_type).alias(unit),
+                    F.lit("delete").alias("_change_type"),
+                )
+            )
+            # consumed by both index folds several times; one row per
+            # key by construction (updated members re-entering appear
+            # only as upserts)
+            .localCheckpoint(eager=True)
+        )
+        if max(self.band.epoch_state()[0], 0) < cur:
+            sync_band_index(
+                self.band, self.sig, synth, text=unit,
+                epochs=epochs, sigs=sigs, latest=synth,
+            )
+        if max(self.sig.epoch_state()[0], 0) < cur:
+            sync_dedup_index(
+                self.sig, synth, text=unit,
+                epochs=epochs, sigs=sigs, latest=synth,
+            )
+
+        # the cursor: one merge recording every exact-stage survivor's
+        # verdict, deleting members that left without re-entering
+        acc_ids = accepted.select("doc_id", "split", "n_tok")
+        decon_ids = (
+            survivors.select("doc_id")
+            .join(accepted.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("_st", F.lit(_ST_DECON))
+        )
+        nd_ids = (
+            exact.select("doc_id")
+            .join(survivors.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("_st", F.lit(_ST_NEAR_DUP))
+        )
+        verdicts = (
+            exact.select("doc_id", "_h")
+            .join(acc_ids, "doc_id", "left")
+            .join(decon_ids.unionByName(nd_ids), "doc_id", "left")
+            .select(
+                "doc_id",
+                "_h",
+                F.coalesce(F.col("_st"), F.lit(_ST_ACCEPTED)).alias("status"),
+                "split",
+                "n_tok",
+            )
+        )
+        member_dels = retract_ids.join(
+            exact.select("doc_id"), "doc_id", "left_anti"
+        )
+        if report["stages"]["after_exact_dedup"] or report["stages"]["retracted"]:
+            self.members.merge(
+                verdicts, delete_keys=member_dels, mode="mor", epochs=epochs
+            )
+        else:
+            self.members.mark_epochs(epochs)
+        return report
+
+    # -- consumer surface -------------------------------------------
+    def read_packs(
+        self, split: str, filter_retracted: bool = False
+    ) -> DataFrame:
+        """All packed shards of ``split`` across windows. With
+        ``filter_retracted``, packs from windows STRICTLY BEFORE a
+        contained doc's retraction are dropped (conservative
+        whole-pack filtering over the ``docs`` provenance column — at
+        2048-token packs a retraction costs at most a few packs); a
+        doc re-accepted after an update keeps its new windows' packs,
+        because the retraction's ``src_version`` equals the window
+        that re-packed the new content."""
+        pat = os.path.join(self.out_dir, f"split={split}", "w*")
+        # window_hi (the window's upper source version) rides the dir
+        # name; derived HERE because input_file_name() only resolves
+        # on a single-source plan
+        df = self.spark.read.parquet(pat).withColumn(
+            "window_hi",
+            F.regexp_extract(
+                F.input_file_name(), r"w\d{8}-(\d{8})", 1
+            ).cast("long"),
+        )
+        if not filter_retracted:
+            return df
+        retr = self.retractions.read().select(
+            F.col("doc_id").cast("string").alias("_rid"),
+            F.col("src_version").alias("_rv"),
+        )
+        # pack identity = source file + pack_id (unique within a
+        # window's write)
+        keyed = df.withColumn(
+            "_pid", F.concat(F.input_file_name(), F.col("pack_id"))
+        )
+        hit = (
+            keyed.select(
+                "_pid", "window_hi", F.explode("docs").alias("_rid")
+            )
+            .join(retr, "_rid")
+            .filter(F.col("window_hi") < F.col("_rv"))
+            .select("_pid")
+            .distinct()
+        )
+        return keyed.join(hit, "_pid", "left_anti").drop("_pid")

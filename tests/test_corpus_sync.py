@@ -1,0 +1,374 @@
+"""Incremental corpus preparation (operators/corpus_sync.py).
+
+Contract under test: CorpusPipeline.sync() folds each source-commit
+window through the SAME gates as the batch prepare_corpus, against
+persisted state (content-hash index, CDC-maintained minhash/band
+indexes, members/retractions tables), with the members table's epoch
+markers as the exactly-once cursor:
+
+* the bootstrap window reproduces the batch pipeline's verdicts and
+  token accounting on the same snapshot;
+* later windows gate O(window) against the persisted corpus state
+  (exact dup vs index, near-dup vs posting lists, decontamination);
+* updates/deletes retract members (packs are immutable — consumers
+  filter by the retraction table), free their content hash and band
+  postings, and re-gate new content;
+* a crash between the state-table commits replays to the identical
+  final state (deterministic window fold + per-table epoch cursors);
+* re-running sync with no new source commits is a no-op.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dexspark.lake import LakeTable
+from dexspark.operators.corpus import CorpusConfig, prepare_corpus
+from dexspark.operators.corpus_sync import CorpusPipeline
+
+_WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango "
+    "uniform victor whiskey xray yankee zulu one two three four five "
+    "six seven eight nine ten eleven twelve thirteen fourteen fifteen "
+    "sixteen seventeen eighteen nineteen twenty alpha2 bravo2 charlie2 "
+    "delta2 echo2 foxtrot2 golf2 hotel2 india2 juliet2 kilo2 lima2 "
+    "mike2 november2 oscar2"
+)
+
+_FRESH = "completely different content " + " ".join(
+    f"w{i}x unique{i}y token{i}z" for i in range(30)
+)
+_LEAKY = "the secret eval answer sequence " + " ".join(
+    f"leak{i} benchmark{i}" for i in range(20)
+)
+
+
+def _base_rows():
+    return [
+        ("d01", _WORDS),
+        ("d02", _WORDS),                      # exact dup of d01
+        ("d03", _WORDS + " extraword"),       # near-dup of d01
+        ("d04", "too few words"),             # quality fail
+        ("d05", _WORDS.replace("alpha ", "omega ")),  # near-dup
+        ("d06", _FRESH),
+        ("d07", _LEAKY),                      # decontaminated
+    ]
+
+
+def _docs_table(spark, tmp_path, rows):
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "src"), schema, key="doc_id", num_buckets=4
+    )
+    t.merge(spark.createDataFrame(rows, schema))
+    return t
+
+
+def _eval_set(spark):
+    return spark.createDataFrame(
+        [("e1", "xx the secret eval answer sequence leak0 benchmark0 "
+          "leak1 benchmark1 yy")],
+        "doc_id string, text string",
+    )
+
+
+def _cfg():
+    return CorpusConfig(seq_len=64, eos_id=0, splits={"train": 0.8, "val": 0.2})
+
+
+def _statuses(pipe):
+    return {
+        r["doc_id"]: r["status"] for r in pipe.members.read().collect()
+    }
+
+
+def _pack_tokens(pipe):
+    total = 0
+    for split in pipe.cfg.splits:
+        try:
+            df = pipe.read_packs(split)
+        except Exception:
+            continue
+        row = df.agg(F.sum("n_real").alias("t")).collect()[0]
+        total += int(row["t"] or 0)
+    return total
+
+
+@pytest.fixture()
+def pipeline(spark, tmp_path):
+    src = _docs_table(spark, tmp_path, _base_rows())
+    out = str(tmp_path / "corpus")
+    return CorpusPipeline(
+        spark, src, out, eval_sets=[_eval_set(spark)], config=_cfg()
+    )
+
+
+def test_bootstrap_matches_batch(spark, tmp_path, pipeline):
+    report = pipeline.sync()
+    st = report["stages"]
+    assert st["window_docs"] == 7 and st["retracted"] == 0
+    assert st["after_quality"] == 6          # d04 out
+    assert st["after_exact_dedup"] == 5      # d02 out
+    assert st["after_near_dup"] == 3         # d03, d05 out
+    assert st["accepted"] == 2               # d07 decontaminated
+
+    assert _statuses(pipeline) == {
+        "d01": "accepted", "d06": "accepted", "d07": "decontaminated",
+        "d03": "near_dup", "d05": "near_dup",
+    }
+    # cursor == source head; immediate re-sync is a no-op
+    assert report["synced_through"] == pipeline.source.current_version()
+    again = pipeline.sync()
+    assert again["applied"] is False
+
+    # token accounting equals the batch pipeline on the same snapshot
+    batch_out = str(tmp_path / "batch")
+    batch = prepare_corpus(
+        spark,
+        pipeline.source.read().select("doc_id", "text"),
+        batch_out,
+        eval_sets=[_eval_set(spark)],
+        config=_cfg(),
+    )
+    batch_tokens = sum(s["real_tokens"] for s in batch["splits"].values())
+    assert _pack_tokens(pipeline) == batch_tokens
+
+    # provenance: packed docs == batch accepted set
+    packed_docs = set()
+    for split in ("train", "val"):
+        try:
+            for r in pipeline.read_packs(split).select(
+                F.explode("docs").alias("d")
+            ).collect():
+                packed_docs.add(r["d"])
+        except Exception:
+            pass
+    assert packed_docs == {"d01", "d06"}
+
+
+def test_incremental_window_gates_against_state(spark, pipeline):
+    pipeline.sync()
+    v1 = pipeline.source.current_version()
+    pipeline.source.merge(spark.createDataFrame(
+        [
+            ("d08", _WORDS),                        # exact dup of member d01
+            ("d09", _WORDS + " another tailword"),  # near-dup of indexed d01
+            ("d10", " ".join(f"novel{i}a item{i}b thing{i}c"
+                             for i in range(25))),  # fresh -> accepted
+            ("d11", _LEAKY),                        # exact dup of MEMBER d07
+        ],
+        "doc_id string, text string",
+    ))
+    report = pipeline.sync()
+    st = report["stages"]
+    assert st["window_docs"] == 4 and st["retracted"] == 0
+    # d08 out (hash index), d11 out (hash of decontaminated member d07
+    # is still taken — its content IS in the corpus universe)
+    assert st["after_exact_dedup"] == 2
+    assert st["after_near_dup"] == 1          # d09 gated by indexed d01
+    assert st["accepted"] == 1                # d10
+    s = _statuses(pipeline)
+    assert s["d10"] == "accepted" and "d08" not in s and "d09" in s
+    assert s["d09"] == "near_dup"
+    # the window wrote its own shard dirs only
+    wdirs = [
+        d for split in ("train", "val")
+        for d in (os.listdir(os.path.join(pipeline.out_dir, f"split={split}"))
+                  if os.path.isdir(os.path.join(pipeline.out_dir, f"split={split}"))
+                  else [])
+    ]
+    assert any(d.startswith(f"w{v1 + 1:08d}") for d in wdirs)
+    assert pipeline.sync()["applied"] is False
+
+
+def test_update_delete_retract_and_hash_free(spark, pipeline):
+    pipeline.sync()
+    # update accepted d01 to fresh content; delete accepted d06
+    pipeline.source.merge(
+        spark.createDataFrame(
+            [("d01", " ".join(f"re{i}written content{i}x piece{i}y"
+                              for i in range(25)))],
+            "doc_id string, text string",
+        ),
+        delete_keys=spark.createDataFrame([("d06",)], "doc_id string"),
+    )
+    r = pipeline.sync()
+    assert r["stages"]["retracted"] == 2
+    assert r["stages"]["accepted"] == 1       # d01's new content re-accepted
+    retr = {
+        row["doc_id"]: row["reason"]
+        for row in pipeline.retractions.read().collect()
+    }
+    assert retr == {"d01": "updated", "d06": "deleted"}
+    s = _statuses(pipeline)
+    assert s["d01"] == "accepted" and "d06" not in s
+
+    # freed state: d06's exact content and d01's OLD content are both
+    # re-insertable under new ids (hash freed, band postings freed)
+    pipeline.source.merge(spark.createDataFrame(
+        [("d13", _FRESH), ("d14", _WORDS)],
+        "doc_id string, text string",
+    ))
+    r2 = pipeline.sync()
+    assert r2["stages"]["after_exact_dedup"] == 2
+    assert r2["stages"]["accepted"] == 2
+    s = _statuses(pipeline)
+    assert s["d13"] == "accepted" and s["d14"] == "accepted"
+
+    # retraction-aware pack reads: d06 (deleted) disappears entirely;
+    # d01 keeps ONLY the packs of its re-accepted content's window
+    # (the retraction src_version == the re-packing window)
+    retract_v = {
+        row["doc_id"]: row["src_version"]
+        for row in pipeline.retractions.read().collect()
+    }
+    seen_d01 = seen_d06 = 0
+    for split in ("train", "val"):
+        try:
+            kept = pipeline.read_packs(split, filter_retracted=True)
+        except Exception:
+            continue
+        seen_d06 += kept.select(F.explode("docs").alias("d")).filter(
+            F.col("d") == "d06"
+        ).count()
+        d01_packs = kept.filter(F.array_contains("docs", "d01"))
+        seen_d01 += d01_packs.count()
+        assert d01_packs.filter(
+            F.col("window_hi") < retract_v["d01"]
+        ).count() == 0
+    assert seen_d06 == 0
+    assert seen_d01 >= 1  # the re-accepted window's packs survive
+
+
+def test_crash_between_state_commits_replays_identically(
+    spark, tmp_path, monkeypatch
+):
+    def build(name):
+        root = tmp_path / name
+        root.mkdir()
+        src = _docs_table(spark, root, _base_rows())
+        return CorpusPipeline(
+            spark, src, str(root / "corpus"),
+            eval_sets=[_eval_set(spark)], config=_cfg(),
+        )
+
+    crash, clean = build("a"), build("b")
+    clean.sync()
+
+    real_merge = crash.members.merge
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before the cursor commit")
+
+    monkeypatch.setattr(crash.members, "merge", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        crash.sync()
+    # indexes/hashes/retractions committed, cursor did not advance
+    assert max(crash.members.epoch_state()[0], 0) == 0
+    assert crash.band.epoch_state()[0] > 0
+
+    monkeypatch.setattr(crash.members, "merge", real_merge)
+    report = crash.sync()  # replay of the same window
+    assert report["applied"] is True
+    assert _statuses(crash) == _statuses(clean)
+    assert _pack_tokens(crash) == _pack_tokens(clean)
+    hashes = lambda p: {  # noqa: E731
+        (r["_h"], r["owner"]) for r in p.hashes.read().collect()
+    }
+    assert hashes(crash) == hashes(clean)
+    assert crash.sync()["applied"] is False
+
+
+def test_token_only_corpus(spark, tmp_path):
+    from dexspark.schema import sequences_schema
+
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), sequences_schema(), num_buckets=4
+    )
+    rows = [
+        (f"t{i:02d}", [j % 97 for j in range(i * 7, i * 7 + 120)], 120, "a")
+        for i in range(6)
+    ]
+    rows.append(("t90", rows[0][1], 120, "a"))  # exact dup of t00
+    src.merge(spark.createDataFrame(rows, schema=sequences_schema()))
+    pipe = CorpusPipeline(
+        spark, src, str(tmp_path / "corpus"),
+        config=CorpusConfig(seq_len=64, eos_id=0, splits={"train": 1.0}),
+        text="text",  # absent -> token mode
+    )
+    r = pipe.sync()
+    st = r["stages"]
+    assert st["after_quality"] == "skipped (no text column)"
+    assert st["after_exact_dedup"] == 6      # t90 out
+    assert st["accepted"] >= 1
+    # every accepted doc's tokens pass through unchanged into packs
+    assert _pack_tokens(pipe) == sum(
+        120 + 1 for _ in range(st["accepted"])
+    )  # +1 EOS each
+
+    src.merge(
+        spark.createDataFrame([], schema=sequences_schema()),
+        delete_keys=spark.createDataFrame([("t01",)], "doc_id string"),
+    )
+    r2 = pipe.sync()
+    assert r2["stages"]["retracted"] == 1
+    assert "t01" not in _statuses(pipe)
+
+
+def test_frozen_tokenizer_across_windows(spark, tmp_path):
+    src = _docs_table(
+        spark, tmp_path, [("d01", _WORDS), ("d06", _FRESH)]
+    )
+    cfg = CorpusConfig(
+        seq_len=64, eos_id=0, splits={"train": 1.0}, bpe_learn_merges=24
+    )
+    pipe = CorpusPipeline(spark, src, str(tmp_path / "corpus"), config=cfg)
+    r1 = pipe.sync()
+    assert r1.get("bpe_merges_learned", 0) > 0
+    tok = os.path.join(str(tmp_path / "corpus"), "_tokenizer.json")
+    with open(tok) as f:
+        frozen = json.load(f)["merges"]
+
+    src.merge(spark.createDataFrame(
+        [("d10", " ".join(f"novel{i}a item{i}b" for i in range(25)))],
+        "doc_id string, text string",
+    ))
+    r2 = pipe.sync()
+    assert "bpe_merges_learned" not in r2  # not re-learned
+    with open(tok) as f:
+        assert json.load(f)["merges"] == frozen
+
+    # the window-2 doc was encoded with the FROZEN merges: the
+    # window's pack stream (d10 alone -> one partition) is exactly
+    # d10's frozen-merge tokens + the EOS boundary
+    from dexspark.operators.bpe import bpe_encode
+
+    want = [
+        t["t"]
+        for t in bpe_encode(
+            spark.createDataFrame(
+                [("d10", " ".join(f"novel{i}a item{i}b" for i in range(25)))],
+                "doc_id string, text string",
+            ),
+            [tuple(m) for m in frozen],
+            text="text",
+        ).select(F.explode("tokens").alias("t")).collect()
+    ] + [cfg.eos_id]
+    packs = sorted(
+        pipe.read_packs("train")
+        .filter(F.array_contains("docs", "d10"))
+        .collect(),
+        key=lambda r: r["pack_id"],
+    )
+    got = [t for p in packs for t in p["tokens"][: p["n_real"]]]
+    assert got == want
