@@ -371,10 +371,22 @@ def main(argv: list[str] | None = None) -> int:
         "the stage-by-stage report (operators/corpus)",
     )
     ap.add_argument(
+        "--sync-corpus",
+        metavar="OUT_DIR",
+        default=None,
+        help="incremental form of --prepare-corpus: fold the source "
+        "TABLE's changelog since the last sync through the same gates "
+        "against persisted state under OUT_DIR, appending per-window "
+        "packed shards (operators/corpus_sync). --corpus-src must be "
+        "a dexlake table root; re-running with no new commits is a "
+        "no-op. Prints the window report",
+    )
+    ap.add_argument(
         "--corpus-src",
         default=None,
         help="documents parquet (doc_id, text[, tokens]) for "
-        "--prepare-corpus",
+        "--prepare-corpus, or a dexlake table root (required for "
+        "--sync-corpus)",
     )
     ap.add_argument(
         "--corpus-eval",
@@ -645,6 +657,7 @@ def main(argv: list[str] | None = None) -> int:
         or args.export_snapshot is not None
         or args.pack_corpus is not None
         or args.prepare_corpus is not None
+        or args.sync_corpus is not None
         # a bare bootstrap exits after the load; with binlog/checkpoint
         # /warehouse it continues into the tail, whose own args are
         # checked at engine construction
@@ -678,10 +691,13 @@ def main(argv: list[str] | None = None) -> int:
         and args.compact_binlog is None
         # corpus preparation reads --corpus-src parquet — no table
         and args.prepare_corpus is None
+        and args.sync_corpus is None
     ):
         ap.error("--table is required (except in --route mode)")
     if args.prepare_corpus is not None and not args.corpus_src:
         ap.error("--corpus-src is required with --prepare-corpus")
+    if args.sync_corpus is not None and not args.corpus_src:
+        ap.error("--corpus-src is required with --sync-corpus")
     if args.drift is not None and not args.warehouse:
         ap.error("--warehouse is required with --drift")
     if args.distinct_over is not None and not args.warehouse:
@@ -738,6 +754,49 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = SparkSession.builder.appName("dexspark-cdc").getOrCreate()
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    if args.sync_corpus is not None:
+        # incremental corpus prep: changelog window in, appended
+        # window shards + state-table fold out (operators/corpus_sync)
+        from .lake import LakeTable, default_io
+        from .operators.corpus import CorpusConfig
+        from .operators.corpus_sync import CorpusPipeline
+
+        if not default_io().is_dir(
+            os.path.join(args.corpus_src, "_snapshots")
+        ):
+            print(
+                json.dumps(
+                    {
+                        "error": "--sync-corpus needs --corpus-src to be a "
+                        "dexlake table root — the table's changelog drives "
+                        "the incremental fold (use --prepare-corpus for "
+                        "plain parquet)"
+                    }
+                )
+            )
+            return 2
+        splits = {}
+        for part in args.corpus_splits.split(","):
+            name, _, w = part.partition("=")
+            splits[name.strip()] = float(w)
+        cfg = CorpusConfig(
+            seq_len=args.seq_len,
+            eos_id=args.eos_id,
+            pad_id=args.pad_id,
+            splits=splits,
+            bpe_learn_merges=args.bpe_merges,
+        )
+        evals = [spark.read.parquet(p) for p in (args.corpus_eval or [])]
+        pipe = CorpusPipeline(
+            spark,
+            LakeTable(spark, args.corpus_src),
+            args.sync_corpus,
+            eval_sets=evals,
+            config=cfg,
+        )
+        print(json.dumps(pipe.sync()))
+        return 0
 
     if args.prepare_corpus is not None:
         # table-less: documents parquet in, packed training shards out

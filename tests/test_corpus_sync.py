@@ -325,6 +325,38 @@ def test_token_only_corpus(spark, tmp_path):
     assert "t01" not in _statuses(pipe)
 
 
+def test_cli_sync_corpus(spark, tmp_path, capsys):
+    from dexspark import cli
+
+    src = _docs_table(spark, tmp_path, _base_rows())
+    ev = str(tmp_path / "ev")
+    _eval_set(spark).write.parquet(ev)
+    out = str(tmp_path / "corpus")
+    argv = [
+        "--sync-corpus", out,
+        "--corpus-src", src.root,
+        "--corpus-eval", ev,
+        "--corpus-splits", "train=0.8,val=0.2",
+        "--seq-len", "64",
+        "--eos-id", "0",
+    ]
+    assert cli.main(argv) == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["applied"] and report["stages"]["accepted"] == 2
+
+    # no new commits -> no-op window
+    assert cli.main(argv) == 0
+    report2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report2["applied"] is False
+
+    # plain parquet src is refused (the changelog drives the fold)
+    plain = str(tmp_path / "plaindocs")
+    spark.createDataFrame(
+        _base_rows(), "doc_id string, text string"
+    ).write.parquet(plain)
+    assert cli.main(["--sync-corpus", out, "--corpus-src", plain]) == 2
+
+
 def test_frozen_tokenizer_across_windows(spark, tmp_path):
     src = _docs_table(
         spark, tmp_path, [("d01", _WORDS), ("d06", _FRESH)]
