@@ -712,9 +712,114 @@ def main_weak_scaling(levels=(2, 8), cooldown: int = 240) -> None:
     )
 
 
+def main_corpus_sync(sf_dir: str, cpus: int) -> None:
+    """Incremental-vs-batch corpus-prep proof point.
+
+    For each corpus size (the sf documents table replicated with a
+    per-replica word suffix, so replicas are content-DISTINCT and the
+    dedup gates do real work): bootstrap CorpusPipeline (full window —
+    the one-time cost), then apply a ~1%% change window and time
+    sync(), against a full batch prepare_corpus re-run over the same
+    final corpus. The claim under measurement: window cost is
+    O(change) while batch cost is O(corpus) — the gap IS the 100-TB
+    argument for the changelog-driven pipeline."""
+    import pyspark.sql.functions as F
+    import pyspark.sql.types as T
+
+    from dexspark.lake import LakeTable
+    from dexspark.operators.corpus import CorpusConfig, prepare_corpus
+    from dexspark.operators.corpus_sync import CorpusPipeline
+
+    spark = _mk_spark(cpus)
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    )
+
+    def replicate(n: int):
+        """n content-distinct copies: every word carries the replica
+        tag, so shingles/hashes never collide across replicas."""
+        reps = spark.range(n).select(F.col("id").alias("rep"))
+        return docs.crossJoin(reps).select(
+            F.concat_ws("-", "doc_id", "rep").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split("text", " "),
+                    lambda w: F.concat(w, F.lit("_"), F.col("rep")),
+                ),
+            ).alias("text"),
+        )
+
+    cfg = CorpusConfig(seq_len=2048, eos_id=0, splits={"train": 1.0})
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    out = {"sf_dir": sf_dir, "cpus": cpus, "sizes": {}}
+    for mult in (32, 128):
+        root = f"{SCRATCH}/dexspark-bench-corpus/m{mult}"
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        src = LakeTable.create(
+            # bucket count sized so a probe's touched buckets stay
+            # small vs the corpus (the production contract: probe cost
+            # = touched buckets' data, so buckets must outnumber the
+            # hot working set; 16 buckets at 640k docs would make
+            # every probe read ~1/16th of the corpus)
+            spark, f"{root}/src", schema, key="doc_id", num_buckets=64
+        )
+        src.merge(replicate(mult))
+        n_docs = src.read().count()
+        pipe = CorpusPipeline(spark, src, f"{root}/corpus", config=cfg)
+        t0 = time.monotonic()
+        pipe.sync()
+        boot_sec = time.monotonic() - t0
+
+        # ~1% change window of genuinely NOVEL docs: every word gets a
+        # window-distinct tag, so the new docs share no shingles with
+        # the bootstrap corpus and flow through all gates as accepts
+        window = docs.filter(F.xxhash64("doc_id") % 100 == 0).select(
+            F.concat_ws("-", "doc_id", F.lit("w2")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split("text", " "),
+                    lambda w: F.concat(w, F.lit("_w2")),
+                ),
+            ).alias("text"),
+        )
+        src.merge(window, mode="mor")  # the production tail shape: O(change) commits
+        n_window = window.count()
+        t0 = time.monotonic()
+        rep = pipe.sync()
+        sync_sec = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        prepare_corpus(
+            spark, src.read().select("doc_id", "text"),
+            f"{root}/batch", config=cfg,
+        )
+        batch_sec = time.monotonic() - t0
+        out["sizes"][str(n_docs)] = {
+            "bootstrap_sec": round(boot_sec, 2),
+            "window_docs": n_window,
+            "window_accepted": rep["stages"]["accepted"],
+            "window_sync_sec": round(sync_sec, 2),
+            "window_phases": rep.get("phase_sec", {}),
+            "batch_full_sec": round(batch_sec, 2),
+            "batch_over_window": round(batch_sec / max(sync_sec, 1e-9), 2),
+        }
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--corpus-sync", action="store_true")
     ap.add_argument("--weak-scaling", action="store_true")
     ap.add_argument("--stream-cdc", action="store_true")
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
@@ -732,6 +837,8 @@ if __name__ == "__main__":
         main_worker_cdc(args.cpus, args.shared_binlog, args.warmup)
     elif args.routed:
         main_routed(args.cpus, rounds=args.rounds)
+    elif args.corpus_sync:
+        main_corpus_sync(args.sf_dir, args.cpus)
     elif args.stream_cdc:
         main_stream_cdc(args.cpus, args.max_files_per_trigger)
     elif args.weak_scaling:

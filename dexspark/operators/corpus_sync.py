@@ -84,6 +84,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
@@ -158,11 +159,20 @@ class CorpusPipeline:
         config: CorpusConfig | None = None,
         text: str = "text",
         io=None,
+        compact_every: int = 8,
+        vacuum_keep_last: int = 20,
     ):
         self.spark = spark
         self.source = source
         self.out_dir = out_dir
         self.cfg = config or CorpusConfig()
+        # state-table maintenance, mirroring the engine's sidecar
+        # policy (EngineConfig.compact_every): each window is one MOR
+        # merge per state table — without periodic compaction a
+        # long-lived pipeline's probes pay growing per-bucket fold
+        # depth, and without vacuum the snapshot history leaks
+        self.compact_every = compact_every
+        self.vacuum_keep_last = vacuum_keep_last
         self.eval_sets = list(eval_sets or [])
         src_cols = [f.name for f in source.schema.fields]
         self.has_text = text in src_cols
@@ -259,7 +269,15 @@ class CorpusPipeline:
             "applied": True,
             "stages": {},
             "splits": {},
+            "phase_sec": {},
         }
+        _t = [time.monotonic()]
+
+        def _mark(name: str) -> None:
+            now = time.monotonic()
+            report["phase_sec"][name] = round(now - _t[0], 3)
+            _t[0] = now
+
         key, unit = self.source.key, self.unit
 
         # window collapsed to each key's final state (the
@@ -301,6 +319,7 @@ class CorpusPipeline:
             "doc_id", unit
         )
         report["stages"]["incoming"] = incoming.count()
+        _mark("window_read")
 
         # 1) quality (text corpora)
         cur_df = incoming
@@ -339,6 +358,7 @@ class CorpusPipeline:
             eager=True
         )
         report["stages"]["after_exact_dedup"] = exact.count()
+        _mark("quality_exact")
 
         # 3) near-dup gate: sign once; corpus candidates from the
         # bucket-pruned posting probe (minus leaving docs' outgoing
@@ -391,6 +411,7 @@ class CorpusPipeline:
             ).localCheckpoint(eager=True)
             survivors = exact
         report["stages"]["after_near_dup"] = survivors.count()
+        _mark("near_dup")
 
         # 4) decontamination (broadcast eval grams, O(window))
         accepted = survivors
@@ -424,6 +445,7 @@ class CorpusPipeline:
         accepted = accepted.withColumn(
             "n_tok", F.size("tokens").cast("long")
         ).localCheckpoint(eager=True)
+        _mark("decon_split_tokenize")
 
         wtag = f"w{synced + 1:08d}-{cur:08d}"
         if n_accepted:
@@ -460,6 +482,8 @@ class CorpusPipeline:
                     "real_tokens": int(row["real_tokens"] or 0),
                     "path": dest,
                 }
+
+        _mark("pack_write")
 
         # 6) state commits, sinks before the cursor, each idempotent
         # under its own epoch watermark (the crash-safe multi-table
@@ -567,7 +591,28 @@ class CorpusPipeline:
             )
         else:
             self.members.mark_epochs(epochs)
+        _mark("state_commits")
+        self._maintain()
+        _mark("maintenance")
         return report
+
+    def _maintain(self) -> None:
+        """Bound the state tables' MOR depth + snapshot history (every
+        table is single-row-per-key, so compact's per-key-winner
+        rewrite is exact — the engine sidecars' argument)."""
+        if self.compact_every <= 0 and self.vacuum_keep_last <= 0:
+            return
+        for t in (
+            self.members, self.hashes, self.sig, self.band,
+            self.retractions,
+        ):
+            if (
+                self.compact_every > 0
+                and int(t.manifest().get("mor_depth", 0)) >= self.compact_every
+            ):
+                t.compact(min_depth=self.compact_every)
+            if self.vacuum_keep_last > 0:
+                t.vacuum(keep_last=self.vacuum_keep_last)
 
     # -- consumer surface -------------------------------------------
     def read_packs(

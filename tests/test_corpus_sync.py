@@ -325,6 +325,38 @@ def test_token_only_corpus(spark, tmp_path):
     assert "t01" not in _statuses(pipe)
 
 
+def test_state_table_maintenance_bounds_mor_depth(spark, tmp_path):
+    """Long-lived pipelines: each window is one MOR merge per state
+    table; auto-compaction keeps the fold depth bounded without
+    changing any verdict."""
+    src = _docs_table(spark, tmp_path, [("d01", _WORDS), ("d06", _FRESH)])
+    pipe = CorpusPipeline(
+        spark, src, str(tmp_path / "corpus"), config=_cfg(),
+        compact_every=2, vacuum_keep_last=4,
+    )
+    pipe.sync()
+    for i in range(4):
+        src.merge(spark.createDataFrame(
+            [(f"n{i:02d}", " ".join(
+                f"gen{i}word{j}a tail{i}x{j}b" for j in range(25)))],
+            "doc_id string, text string",
+        ))
+        pipe.sync()
+    for t in (pipe.members, pipe.hashes, pipe.sig, pipe.band):
+        assert int(t.manifest().get("mor_depth", 0)) < 2 + 1
+    s = _statuses(pipe)
+    assert {f"n{i:02d}" for i in range(4)} <= set(s)
+    assert all(v == "accepted" for v in s.values())
+    # state still probes correctly after compaction: an exact dup of a
+    # window-1 doc is rejected
+    src.merge(spark.createDataFrame(
+        [("z99", _WORDS)], "doc_id string, text string",
+    ))
+    r = pipe.sync()
+    assert r["stages"]["after_exact_dedup"] == 0
+    assert "z99" not in _statuses(pipe)
+
+
 def test_cli_sync_corpus(spark, tmp_path, capsys):
     from dexspark import cli
 
