@@ -616,7 +616,10 @@ class CorpusPipeline:
 
     # -- consumer surface -------------------------------------------
     def read_packs(
-        self, split: str, filter_retracted: bool = False
+        self,
+        split: str,
+        filter_retracted: bool = False,
+        shuffle_seed: int | None = None,
     ) -> DataFrame:
         """All packed shards of ``split`` across windows. With
         ``filter_retracted``, packs from windows STRICTLY BEFORE a
@@ -625,7 +628,12 @@ class CorpusPipeline:
         2048-token packs a retraction costs at most a few packs); a
         doc re-accepted after an update keeps its new windows' packs,
         because the retraction's ``src_version`` equals the window
-        that re-packed the new content."""
+        that re-packed the new content.
+
+        ``shuffle_seed``: deterministic global shuffle of the packs
+        (training-epoch order randomization): one range-sort on
+        ``xxhash64(seed, window_hi, pack_id)`` — a seeded, stable,
+        distributed permutation; vary the seed per epoch."""
         pat = os.path.join(self.out_dir, f"split={split}", "w*")
         # window_hi (the window's upper source version) rides the dir
         # name; derived HERE because input_file_name() only resolves
@@ -636,8 +644,20 @@ class CorpusPipeline:
                 F.input_file_name(), r"w\d{8}-(\d{8})", 1
             ).cast("long"),
         )
+        def _shuffled(out: DataFrame) -> DataFrame:
+            if shuffle_seed is None:
+                return out
+            # (window_hi, pack_id) is unique within a split, so the
+            # hash gives a total order; sorted LAST so no later join
+            # can disturb it
+            return out.orderBy(
+                F.xxhash64(
+                    F.lit(int(shuffle_seed)), "window_hi", "pack_id"
+                )
+            )
+
         if not filter_retracted:
-            return df
+            return _shuffled(df)
         retr = self.retractions.read().select(
             F.col("doc_id").cast("string").alias("_rid"),
             F.col("src_version").alias("_rv"),
@@ -656,4 +676,4 @@ class CorpusPipeline:
             .select("_pid")
             .distinct()
         )
-        return keyed.join(hit, "_pid", "left_anti").drop("_pid")
+        return _shuffled(keyed.join(hit, "_pid", "left_anti").drop("_pid"))

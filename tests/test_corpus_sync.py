@@ -325,6 +325,90 @@ def test_token_only_corpus(spark, tmp_path):
     assert "t01" not in _statuses(pipe)
 
 
+def test_random_insert_stream_matches_batch(spark, tmp_path):
+    """Property-style equivalence: a seeded random insert-only change
+    stream applied across FOUR sync windows (arrival order == id
+    order) reaches the same accepted set and token accounting as one
+    batch prepare_corpus over the final corpus.
+
+    Dup derivations only target docs that will be ACCEPTED or
+    DECONTAMINATED (both live in the near-dup index), keeping chains
+    depth-1 — the regime where batch component-dedup and streaming
+    earliest-wins provably coincide. (Chains THROUGH a rejected doc
+    across windows are the documented divergence and excluded.)"""
+    import random
+
+    rng = random.Random(7)
+    rows, dup_sources = [], []
+    for i in range(40):
+        did = f"d{i:03d}"
+        kind = rng.random()
+        if kind < 0.15 and dup_sources:          # exact dup
+            rows.append((did, rows[rng.choice(dup_sources)][1]))
+        elif kind < 0.35 and dup_sources:        # near dup (1 word off)
+            base = rows[rng.choice(dup_sources)][1].split(" ")
+            base[rng.randrange(len(base))] = f"sub{i}z"
+            rows.append((did, " ".join(base)))
+        elif kind < 0.45:                        # quality fail
+            rows.append((did, "too short"))
+        else:                                    # fresh
+            rows.append(
+                (did, " ".join(
+                    f"w{rng.randrange(500)}q{i}t{j}" for j in range(60)
+                ))
+            )
+            dup_sources.append(i)
+    cfg = _cfg()
+    src = _docs_table(spark, tmp_path, rows[:10])
+    pipe = CorpusPipeline(spark, src, str(tmp_path / "inc"), config=cfg)
+    pipe.sync()
+    for w in range(1, 4):
+        src.merge(spark.createDataFrame(
+            rows[w * 10:(w + 1) * 10], "doc_id string, text string"
+        ))
+        pipe.sync()
+
+    batch = prepare_corpus(
+        spark,
+        src.read().select("doc_id", "text"),
+        str(tmp_path / "batch"),
+        config=cfg,
+    )
+    inc_accepted = {
+        d for d, s in _statuses(pipe).items() if s == "accepted"
+    }
+    batch_docs = set()
+    for name in cfg.splits:
+        dest = batch["splits"][name]["path"]
+        for r in (
+            spark.read.parquet(dest)
+            .select(F.explode("docs").alias("d")).collect()
+        ):
+            batch_docs.add(r["d"])
+    assert inc_accepted == batch_docs
+    batch_tokens = sum(s["real_tokens"] for s in batch["splits"].values())
+    assert _pack_tokens(pipe) == batch_tokens
+
+
+def test_pack_shuffle_is_seeded_permutation(spark, tmp_path):
+    """read_packs(shuffle_seed=...) is a deterministic permutation:
+    same seed -> same order, different seed -> same multiset."""
+    src = _docs_table(spark, tmp_path, _base_rows())
+    pipe = CorpusPipeline(
+        spark, src, str(tmp_path / "corpus"),
+        config=CorpusConfig(seq_len=64, eos_id=0, splits={"train": 1.0}),
+    )
+    pipe.sync()
+    ids = lambda seed: [  # noqa: E731
+        (r["window_hi"], r["pack_id"])
+        for r in pipe.read_packs("train", shuffle_seed=seed).collect()
+    ]
+    a1, a2, b = ids(1), ids(1), ids(2)
+    assert a1 == a2                       # deterministic
+    assert sorted(a1) == sorted(b)        # permutation of the same packs
+    assert len(a1) == len(set(a1))        # identity key is unique
+
+
 def test_state_table_maintenance_bounds_mor_depth(spark, tmp_path):
     """Long-lived pipelines: each window is one MOR merge per state
     table; auto-compaction keeps the fold depth bounded without
