@@ -302,6 +302,17 @@ def main(argv: list[str] | None = None) -> int:
         "replication chain; see operators.outbox)",
     )
     ap.add_argument(
+        "--corpus-out",
+        metavar="OUT_DIR",
+        help="while tailing: after each batch, fold the table's new "
+        "commits through the incremental training-corpus pipeline "
+        "rooted at OUT_DIR (gates vs persisted dedup indexes + "
+        "decontamination vs --corpus-eval, per-window packed shards; "
+        "operators.corpus_sync) — binlog -> table -> training shards "
+        "in one tail. Honors --corpus-splits/--seq-len/--eos-id/"
+        "--pad-id",
+    )
+    ap.add_argument(
         "--outbox",
         metavar="OUT_DIR",
         help="instead of tailing: emit every table commit since the "
@@ -1011,6 +1022,22 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["sink_retention_epochs"] = args.sink_retention_epochs
     if args.emit_outbox is not None:
         cfg_kwargs["outbox_dir"] = args.emit_outbox
+    if args.corpus_out is not None:
+        from .operators.corpus import CorpusConfig as _CorpusConfig
+
+        _splits = {}
+        for part in args.corpus_splits.split(","):
+            name, _, w = part.partition("=")
+            _splits[name.strip()] = float(w)
+        cfg_kwargs["corpus_dir"] = args.corpus_out
+        cfg_kwargs["corpus_config"] = _CorpusConfig(
+            seq_len=args.seq_len,
+            eos_id=args.eos_id,
+            pad_id=args.pad_id,
+            splits=_splits,
+            bpe_learn_merges=args.bpe_merges,
+        )
+        cfg_kwargs["corpus_eval_paths"] = args.corpus_eval
     cfg = EngineConfig(**cfg_kwargs)
 
     if args.pack_corpus is not None:
@@ -1350,6 +1377,12 @@ def main(argv: list[str] | None = None) -> int:
             if cfg.outbox_dir:
                 rcfg = _replace(
                     cfg, outbox_dir=_os.path.join(cfg.outbox_dir, name)
+                )
+            # same isolation rule for the corpus pipeline: its state
+            # tables carry ONE source table's version cursor
+            if cfg.corpus_dir:
+                rcfg = _replace(
+                    rcfg, corpus_dir=_os.path.join(cfg.corpus_dir, name)
                 )
             routes[name] = CdcEngine(
                 spark, rt, _os.path.join(args.warehouse, name), rcfg

@@ -154,6 +154,20 @@ class EngineConfig:
     # crash-safe: a batch whose emission failed is folded into the
     # next batch's emission. None = emit manually (CLI --outbox).
     outbox_dir: str | None = None
+    # Continuous training-corpus maintenance (operators/corpus_sync):
+    # when set, after each batch's merge + sinks the engine folds the
+    # table's new commits through the incremental corpus pipeline
+    # rooted at this directory — gates (exact/near-dup vs persisted
+    # indexes, decontamination) + per-window packed shards — closing
+    # the loop binlog -> table -> training shards in one tail process.
+    # Cursor-based and crash-safe like the outbox: the pipeline's own
+    # epoch markers fold a missed window into the next batch. None =
+    # run the pipeline out-of-band (CLI --sync-corpus).
+    corpus_dir: str | None = None
+    # operators.corpus.CorpusConfig for the pipeline (None = defaults)
+    # and eval-set parquet paths decontamination gates against.
+    corpus_config: object | None = None
+    corpus_eval_paths: list | None = None
     # Sink retention: when > 0, after each batch the engine expires
     # quarantine / lineage / applied-lineage epoch partitions older
     # than the last N epochs under the committed watermark

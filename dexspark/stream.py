@@ -106,6 +106,20 @@ class CdcEngine:
         # epochs applied but not yet marker-committed (streaming
         # defer_boundary mode; see apply_batch)
         self._deferred_epochs: set[int] = set()
+        self._corpus = None
+        if self.config.corpus_dir:
+            from .operators.corpus_sync import CorpusPipeline
+
+            self._corpus = CorpusPipeline(
+                spark,
+                self.table,
+                self.config.corpus_dir,
+                eval_sets=[
+                    spark.read.parquet(p)
+                    for p in (self.config.corpus_eval_paths or [])
+                ],
+                config=self.config.corpus_config,
+            )
         self._nd_sig = self._nd_band = None
         if self.config.near_dup_gate:
             if self.config.patch_events:
@@ -812,6 +826,7 @@ class CdcEngine:
             write_lineage_rows(lin_rows, self.lineage_path)
             self._expire_sinks()
             self._emit_outbox()
+            self._sync_corpus()
             _mark("sinks", tm)
             metrics.phase_ms = phases
             return metrics
@@ -837,6 +852,23 @@ class CdcEngine:
         from .operators.outbox import emit_changes
 
         emit_changes(self.table, self.config.outbox_dir)
+
+    def _sync_corpus(self) -> None:
+        """Continuous corpus maintenance (EngineConfig.corpus_dir):
+        fold the commits this batch produced through the incremental
+        corpus pipeline. Runs AFTER markers commit, like the outbox —
+        a crash between merge and fold leaves the pipeline cursor
+        behind, and the next batch's fold covers both windows
+        (the pipeline's own epoch markers are its exactly-once
+        cursor, so engine replay re-folds nothing)."""
+        if self._corpus is None:
+            return
+        # branch tails: staged commits are unpublished — do not derive
+        # training shards from state main's readers never saw (the
+        # outbox rule, same rationale)
+        if self.table.branch is not None:
+            return
+        self._corpus.sync()
 
     def _expire_sinks(self) -> None:
         """Sink retention (EngineConfig.sink_retention_epochs): keep
@@ -1154,6 +1186,7 @@ class CdcEngine:
             write_lineage_rows(lin_rows, self.lineage_path)
             self._expire_sinks()
             self._emit_outbox()
+            self._sync_corpus()
             _mark("sinks", tm)
             metrics.phase_ms = phases
             return metrics
@@ -1487,6 +1520,7 @@ class CdcEngine:
         # commit itself is manifest-only (emits zero events), but a
         # lagging cursor would re-walk it on every later emission
         self._emit_outbox()
+        self._sync_corpus()
         return epochs
 
     def run_until_caught_up(

@@ -473,6 +473,62 @@ def test_cli_sync_corpus(spark, tmp_path, capsys):
     assert cli.main(["--sync-corpus", out, "--corpus-src", plain]) == 2
 
 
+def test_engine_continuous_corpus(spark, tmp_path, capsys):
+    """EngineConfig.corpus_dir / CLI --corpus-out: tailing a binlog
+    maintains the training corpus continuously — one process from
+    change events to packed shards. The engine-maintained corpus
+    equals a fresh pipeline run over the final table, and a re-tail
+    with a fresh checkpoint leaves the corpus untouched."""
+    from dexspark import cli, gen
+
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=2000, n_docs=200, n_epochs=3, max_len=24,
+            anomaly_pct=0,
+        ),
+        binlog,
+    )
+    out = str(tmp_path / "corpus")
+    argv = [
+        "--table", str(tmp_path / "table"),
+        "--binlog", binlog,
+        "--checkpoint", str(tmp_path / "ck"),
+        "--warehouse", str(tmp_path / "wh"),
+        "--create", "--num-buckets", "8",
+        "--corpus-out", out,
+        "--corpus-splits", "train=1.0",
+        "--seq-len", "64", "--eos-id", "0",
+    ]
+    assert cli.main(argv) == 0
+    capsys.readouterr()
+
+    table = LakeTable(spark, str(tmp_path / "table"))
+    cfg = CorpusConfig(seq_len=64, eos_id=0, splits={"train": 1.0})
+    # reopening the engine's pipeline state: cursor is at the head
+    pipe = CorpusPipeline(spark, table, out, config=cfg)
+    assert pipe.sync()["applied"] is False
+    accepted = {d for d, s in _statuses(pipe).items() if s == "accepted"}
+    assert accepted  # the tail produced a corpus
+    total = _pack_tokens(pipe)
+    assert total > 0
+
+    # equals a fresh pipeline over the same final table
+    fresh = CorpusPipeline(
+        spark, table, str(tmp_path / "corpus2"), config=cfg
+    )
+    fresh.sync()
+    assert _statuses(fresh) == _statuses(pipe)
+    assert _pack_tokens(fresh) == total
+
+    # replay: fresh checkpoint re-tail must not move the corpus
+    argv[5] = str(tmp_path / "ck2")
+    assert cli.main([a for a in argv if a != "--create"]) == 0
+    capsys.readouterr()
+    assert pipe.sync()["applied"] is False
+    assert _pack_tokens(pipe) == total
+
+
 def test_frozen_tokenizer_across_windows(spark, tmp_path):
     src = _docs_table(
         spark, tmp_path, [("d01", _WORDS), ("d06", _FRESH)]
