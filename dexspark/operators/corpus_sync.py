@@ -402,8 +402,11 @@ class CorpusPipeline:
                 .distinct()
                 .withColumnRenamed("batch_doc_id", "doc_id")
             )
+            # no broadcast hint: on a bootstrap window `gated` is
+            # O(corpus duplicates) — unbounded for the driver; AQE
+            # broadcasts it when it is actually small
             survivors = exact.join(
-                F.broadcast(gated), "doc_id", "left_anti"
+                gated, "doc_id", "left_anti"
             ).localCheckpoint(eager=True)
         else:
             sigs = minhash_signatures(
