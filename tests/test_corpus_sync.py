@@ -602,6 +602,55 @@ def test_engine_continuous_corpus(spark, tmp_path, capsys):
     assert _pack_tokens(pipe) == total
 
 
+def test_routed_corpus_out_isolated_per_route(spark, tmp_path, capsys):
+    """--corpus-out in --route mode fans out per-route state dirs:
+    each route's pipeline carries ITS table's version cursor and packs
+    only that route's docs."""
+    from dexspark import cli, gen
+
+    binlog = str(tmp_path / "binlog")
+    gen.write_binlog(
+        gen.change_events(
+            spark, n_events=1500, n_docs=150, n_epochs=2, max_len=24,
+            anomaly_pct=0,
+        ),
+        binlog,
+    )
+    out = str(tmp_path / "corpus")
+    rc = cli.main([
+        "--route", f"a={tmp_path / 'ra'}",
+        "--route", f"b={tmp_path / 'rb'}",
+        "--route-expr", "if(pmod(abs(xxhash64(doc_id)), 2) = 0, 'a', 'b')",
+        "--route-default", "b",
+        "--binlog", binlog,
+        "--checkpoint", str(tmp_path / "ck"),
+        "--warehouse", str(tmp_path / "wh"),
+        "--create", "--num-buckets", "8",
+        "--corpus-out", out,
+        "--corpus-splits", "train=1.0",
+        "--seq-len", "64", "--eos-id", "0",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    cfg = CorpusConfig(seq_len=64, eos_id=0, splits={"train": 1.0})
+    totals = {}
+    for name in ("a", "b"):
+        table = LakeTable(spark, str(tmp_path / f"r{name}"))
+        pipe = CorpusPipeline(
+            spark, table, os.path.join(out, name), config=cfg
+        )
+        assert pipe.sync()["applied"] is False  # cursor at route head
+        accepted = {
+            d for d, s in _statuses(pipe).items() if s == "accepted"
+        }
+        assert accepted
+        # every member doc exists in THIS route's table (isolation)
+        tbl_ids = {r["doc_id"] for r in table.read().select("doc_id").collect()}
+        assert accepted <= tbl_ids
+        totals[name] = accepted
+    assert totals["a"].isdisjoint(totals["b"])
+
+
 def test_frozen_tokenizer_across_windows(spark, tmp_path):
     src = _docs_table(
         spark, tmp_path, [("d01", _WORDS), ("d06", _FRESH)]
