@@ -69,6 +69,41 @@ class CorpusConfig:
     bpe_merges: list | None = None
     bpe_learn_merges: int = 0
     bpe_max_words: int = 1_000_000
+    # Fill-in-the-middle mix (operators/fim.py): fraction of documents
+    # rewritten PSM/SPM after tokenize, before packing (0 = off). The
+    # gate/cuts hash (seed, doc_id), so batch and incremental
+    # pipelines transform identically. Sentinel ids are required when
+    # fim_rate > 0 and should live outside the content vocabulary.
+    fim_rate: float = 0.0
+    fim_mode: str = "psm"
+    fim_pre_id: int | None = None
+    fim_mid_id: int | None = None
+    fim_suf_id: int | None = None
+
+    def validate_fim(self) -> None:
+        if self.fim_rate > 0 and None in (
+            self.fim_pre_id, self.fim_mid_id, self.fim_suf_id
+        ):
+            raise ValueError(
+                "fim_rate > 0 needs fim_pre_id/fim_mid_id/fim_suf_id"
+            )
+
+    def apply_fim(self, df, id_col: str):
+        """The shared post-tokenize FIM stage (no-op at rate 0)."""
+        if self.fim_rate <= 0:
+            return df
+        from .fim import fim_transform
+
+        return fim_transform(
+            df,
+            self.fim_pre_id,
+            self.fim_mid_id,
+            self.fim_suf_id,
+            rate=self.fim_rate,
+            seed=self.seed,
+            mode=self.fim_mode,
+            id_col=id_col,
+        ).drop("fim_applied")
 
 
 def content_hash_expr(col: str, is_text: bool) -> F.Column:
@@ -158,6 +193,7 @@ def prepare_corpus(
     re-execute the whole upstream chain once per boundary (quadratic
     in stage count on a large corpus)."""
     cfg = config or CorpusConfig()
+    cfg.validate_fim()
     report: dict = {"stages": {}, "splits": {}}
     has_text = text in docs.columns
     if not has_text and "tokens" not in docs.columns:
@@ -237,6 +273,7 @@ def prepare_corpus(
             cur = bpe_encode(cur, merges, text=text)
         else:
             cur = hash_tokenize(cur, text=text, vocab_size=cfg.vocab_size)
+    cur = cfg.apply_fim(cur, id_col)
     cur = cur.localCheckpoint(eager=False)  # feeds one pack per split
 
     for name in sorted(cfg.splits):

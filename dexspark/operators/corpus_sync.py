@@ -166,6 +166,7 @@ class CorpusPipeline:
         self.source = source
         self.out_dir = out_dir
         self.cfg = config or CorpusConfig()
+        self.cfg.validate_fim()
         # state-table maintenance, mirroring the engine's sidecar
         # policy (EngineConfig.compact_every): each window is one MOR
         # merge per state table — without periodic compaction a
@@ -445,6 +446,9 @@ class CorpusPipeline:
                 accepted = hash_tokenize(
                     accepted, text=unit, vocab_size=cfg.vocab_size
                 )
+        # shared post-tokenize FIM stage (hash-deterministic, so the
+        # batch pipeline transforms the same docs identically)
+        accepted = cfg.apply_fim(accepted, "doc_id")
         accepted = accepted.withColumn(
             "n_tok", F.size("tokens").cast("long")
         ).localCheckpoint(eager=True)

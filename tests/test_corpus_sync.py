@@ -463,6 +463,46 @@ def test_random_update_delete_stream_invariants(spark, tmp_path):
     assert all(isinstance(d, str) for d in retr)
 
 
+def test_fim_stage_batch_incremental_agree(spark, tmp_path):
+    """CorpusConfig.fim_rate: the post-tokenize FIM stage is
+    hash-deterministic, so batch and incremental pipelines transform
+    identically — token totals agree and every accepted doc carries
+    exactly one PRE sentinel at rate 1."""
+    cfg = CorpusConfig(
+        seq_len=64, eos_id=0, splits={"train": 1.0},
+        fim_rate=1.0, fim_pre_id=50300, fim_mid_id=50301,
+        fim_suf_id=50302,
+    )
+    src = _docs_table(spark, tmp_path, _base_rows())
+    pipe = CorpusPipeline(spark, src, str(tmp_path / "inc"), config=cfg)
+    rep = pipe.sync()
+    n_accepted = rep["stages"]["accepted"]
+    assert n_accepted >= 2
+
+    batch = prepare_corpus(
+        spark,
+        src.read().select("doc_id", "text"),
+        str(tmp_path / "batch"),
+        config=cfg,
+    )
+    batch_tokens = sum(s["real_tokens"] for s in batch["splits"].values())
+    assert _pack_tokens(pipe) == batch_tokens
+
+    pre_count = (
+        pipe.read_packs("train")
+        .select(F.explode(F.slice("tokens", 1, F.col("n_real"))).alias("t"))
+        .filter(F.col("t") == 50300)
+        .count()
+    )
+    assert pre_count == n_accepted
+
+    with pytest.raises(ValueError, match="fim_pre_id"):
+        CorpusPipeline(
+            spark, src, str(tmp_path / "bad"),
+            config=CorpusConfig(fim_rate=0.5),
+        )
+
+
 def test_pack_shuffle_is_seeded_permutation(spark, tmp_path):
     """read_packs(shuffle_seed=...) is a deterministic permutation:
     same seed -> same order, different seed -> same multiset."""
