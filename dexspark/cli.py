@@ -30,6 +30,34 @@ import os
 import sys
 
 
+
+def _corpus_cfg(args):
+    """CorpusConfig from the shared corpus flag family (used by
+    --prepare-corpus, --sync-corpus and --corpus-out)."""
+    from .operators.corpus import CorpusConfig
+
+    splits = {}
+    for part in args.corpus_splits.split(","):
+        name, _, w = part.partition("=")
+        splits[name.strip()] = float(w)
+    kw = dict(
+        seq_len=args.seq_len,
+        eos_id=args.eos_id,
+        pad_id=args.pad_id,
+        splits=splits,
+        bpe_learn_merges=args.bpe_merges,
+    )
+    if args.fim_rate > 0:
+        if not args.fim_ids:
+            raise SystemExit("--fim-rate needs --fim-ids PRE,MID,SUF")
+        pre, mid, suf = (int(x) for x in args.fim_ids.split(","))
+        kw.update(
+            fim_rate=args.fim_rate, fim_mode=args.fim_mode,
+            fim_pre_id=pre, fim_mid_id=mid, fim_suf_id=suf,
+        )
+    return CorpusConfig(**kw)
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="dexspark", description=__doc__)
     ap.add_argument(
@@ -419,6 +447,26 @@ def main(argv: list[str] | None = None) -> int:
         "(operators/bpe); 0 = deterministic hash tokenizer",
     )
     ap.add_argument(
+        "--fim-rate",
+        type=float,
+        default=0.0,
+        help="corpus modes: fraction of documents rewritten "
+        "fill-in-the-middle after tokenize, before packing "
+        "(operators/fim; deterministic per doc_id). Needs --fim-ids",
+    )
+    ap.add_argument(
+        "--fim-ids",
+        default=None,
+        help="PRE,MID,SUF sentinel token ids for --fim-rate",
+    )
+    ap.add_argument(
+        "--fim-mode",
+        choices=["psm", "spm"],
+        default="psm",
+        help="FIM layout: prefix-suffix-middle (default) or the "
+        "joint suffix-prefix-middle variant",
+    )
+    ap.add_argument(
         "--health",
         action="store_true",
         help="instead of tailing: one-shot health rollup as JSON — "
@@ -787,17 +835,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             return 2
-        splits = {}
-        for part in args.corpus_splits.split(","):
-            name, _, w = part.partition("=")
-            splits[name.strip()] = float(w)
-        cfg = CorpusConfig(
-            seq_len=args.seq_len,
-            eos_id=args.eos_id,
-            pad_id=args.pad_id,
-            splits=splits,
-            bpe_learn_merges=args.bpe_merges,
-        )
+        cfg = _corpus_cfg(args)
         evals = [spark.read.parquet(p) for p in (args.corpus_eval or [])]
         pipe = CorpusPipeline(
             spark,
@@ -813,17 +851,7 @@ def main(argv: list[str] | None = None) -> int:
         # table-less: documents parquet in, packed training shards out
         from .operators.corpus import CorpusConfig, prepare_corpus
 
-        splits = {}
-        for part in args.corpus_splits.split(","):
-            name, _, w = part.partition("=")
-            splits[name.strip()] = float(w)
-        cfg = CorpusConfig(
-            seq_len=args.seq_len,
-            eos_id=args.eos_id,
-            pad_id=args.pad_id,
-            splits=splits,
-            bpe_learn_merges=args.bpe_merges,
-        )
+        cfg = _corpus_cfg(args)
         evals = [spark.read.parquet(p) for p in (args.corpus_eval or [])]
         # --corpus-src may be a plain documents parquet OR a dexlake
         # table root (sniffed by its _snapshots dir): the latter closes
@@ -1023,20 +1051,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.emit_outbox is not None:
         cfg_kwargs["outbox_dir"] = args.emit_outbox
     if args.corpus_out is not None:
-        from .operators.corpus import CorpusConfig as _CorpusConfig
-
-        _splits = {}
-        for part in args.corpus_splits.split(","):
-            name, _, w = part.partition("=")
-            _splits[name.strip()] = float(w)
         cfg_kwargs["corpus_dir"] = args.corpus_out
-        cfg_kwargs["corpus_config"] = _CorpusConfig(
-            seq_len=args.seq_len,
-            eos_id=args.eos_id,
-            pad_id=args.pad_id,
-            splits=_splits,
-            bpe_learn_merges=args.bpe_merges,
-        )
+        cfg_kwargs["corpus_config"] = _corpus_cfg(args)
         cfg_kwargs["corpus_eval_paths"] = args.corpus_eval
     cfg = EngineConfig(**cfg_kwargs)
 

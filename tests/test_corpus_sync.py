@@ -585,6 +585,14 @@ def test_cli_sync_corpus(spark, tmp_path, capsys):
     ).write.parquet(plain)
     assert cli.main(["--sync-corpus", out, "--corpus-src", plain]) == 2
 
+    # FIM flags: rate without sentinel ids is rejected up front
+    with pytest.raises(SystemExit, match="fim-ids"):
+        cli.main(argv + ["--fim-rate", "0.5"])
+    # with ids: accepted (no new commits -> still a no-op window)
+    assert cli.main(
+        argv + ["--fim-rate", "0.5", "--fim-ids", "50300,50301,50302"]
+    ) == 0
+
 
 def test_engine_continuous_corpus(spark, tmp_path, capsys):
     """EngineConfig.corpus_dir / CLI --corpus-out: tailing a binlog
