@@ -50,7 +50,13 @@ def _corpus_cfg(args):
     if args.fim_rate > 0:
         if not args.fim_ids:
             raise SystemExit("--fim-rate needs --fim-ids PRE,MID,SUF")
-        pre, mid, suf = (int(x) for x in args.fim_ids.split(","))
+        try:
+            pre, mid, suf = (int(x) for x in args.fim_ids.split(","))
+        except ValueError:
+            raise SystemExit(
+                f"--fim-ids must be three comma-separated integers "
+                f"PRE,MID,SUF (got {args.fim_ids!r})"
+            ) from None
         kw.update(
             fim_rate=args.fim_rate, fim_mode=args.fim_mode,
             fim_pre_id=pre, fim_mid_id=mid, fim_suf_id=suf,

@@ -84,11 +84,12 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..lake import LakeTable
+from ..lake import ConcurrentCommitError, LakeTable
 from .corpus import CorpusConfig, content_hash_expr, hash_tokenize
 from .decontaminate import decontaminate
 from .dedup_index import (
@@ -165,6 +166,13 @@ class CorpusPipeline:
         self.spark = spark
         self.source = source
         self.out_dir = out_dir
+        # FileIO seam: default to the SOURCE table's io so every piece
+        # of pipeline state (state tables AND the frozen tokenizer)
+        # lives on the same store as the table it derives from — a
+        # CdcEngine-opened pipeline on an object-store table must not
+        # silently fall back to local-FS state.
+        self.io = io if io is not None else getattr(source, "io", None)
+        io = self.io
         self.cfg = config or CorpusConfig()
         self.cfg.validate_fim()
         # state-table maintenance, mirroring the engine's sidecar
@@ -225,15 +233,29 @@ class CorpusPipeline:
     def _tok_path(self) -> str:
         return os.path.join(self.out_dir, "_tokenizer.json")
 
+    def _read_frozen(self):
+        try:
+            doc = json.loads(self.io.read_text(self._tok_path))
+        except FileNotFoundError:
+            return None
+        return [tuple(m) for m in doc["merges"]]
+
     def _frozen_merges(self, accepted: DataFrame, report: dict):
         """Load the persisted merge rules, or freeze them now (first
         window): explicit ``cfg.bpe_merges`` wins, else learn
         ``cfg.bpe_learn_merges`` merges from this window's accepted
         docs — the same post-gate position the batch pipeline learns
-        at. Returns None for the hash stand-in tokenizer."""
-        if os.path.exists(self._tok_path):
-            with open(self._tok_path) as f:
-                return [tuple(m) for m in json.load(f)["merges"]]
+        at. Returns None for the hash stand-in tokenizer.
+
+        Persistence goes through the FileIO seam (same store as the
+        state tables — on an object-store io a raw ``os.path`` check
+        would always miss and silently re-learn merges every window,
+        drifting token ids). ``put_if_absent`` is the write-once
+        freeze: a racing writer loses the conditional PUT and adopts
+        the winner's merges."""
+        frozen = self._read_frozen()
+        if frozen is not None:
+            return frozen
         merges = self.cfg.bpe_merges
         if merges is None and self.cfg.bpe_learn_merges > 0:
             from .bpe import learn_bpe
@@ -247,11 +269,14 @@ class CorpusPipeline:
             report["bpe_merges_learned"] = len(merges)
         if not merges:
             return None
-        os.makedirs(self.out_dir, exist_ok=True)
-        tmp = self._tok_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"merges": [list(m) for m in merges]}, f)
-        os.replace(tmp, self._tok_path)
+        try:
+            self.io.put_if_absent(
+                self._tok_path,
+                json.dumps({"merges": [list(m) for m in merges]}),
+            )
+        except ConcurrentCommitError:
+            report.pop("bpe_merges_learned", None)
+            return self._read_frozen()  # raced: the frozen rules win
         return merges
 
     # -- the fold ---------------------------------------------------
@@ -455,6 +480,21 @@ class CorpusPipeline:
         _mark("decon_split_tokenize")
 
         wtag = f"w{synced + 1:08d}-{cur:08d}"
+        # Crash-replay safety for the shard dirs: packs are written
+        # BEFORE any state commit, and the cursor (members) commits
+        # last — so a crash after the pack write replays the window.
+        # If the source gained commits before the retry, the retry
+        # folds a WIDENED window (same lo, larger hi) under a
+        # different wtag; the crashed run's narrower dirs would never
+        # be overwritten and read_packs would serve every doc of the
+        # crashed window twice. Any sibling dir sharing this window's
+        # lo is by construction such a superseded partial window —
+        # remove it unconditionally (even when this window packs
+        # nothing: the superseded dir may hold docs since deleted).
+        for name in sorted(cfg.splits):
+            for wlo, whi, path in self._window_dirs(name):
+                if wlo == synced + 1 and whi != cur:
+                    self._delete_dir(path)
         if n_accepted:
             # deterministic partitioning -> deterministic packs on
             # replay (the window dir is overwritten whole either way);
@@ -517,7 +557,19 @@ class CorpusPipeline:
                 # without the gate several docs may share a hash; the
                 # merge contract is one row per key
                 ups = ups.groupBy("_h").agg(F.min("owner").alias("owner"))
-            dels = leaving.select("_h").filter(F.col("_h").isNotNull())
+            # free only hashes the leaving doc actually OWNS: with
+            # exact_dedup off several members share a hash, and the
+            # index row may record a different, still-live owner —
+            # deleting on _h alone would orphan that doc's entry. One
+            # extra bucket-pruned probe, O(leaving).
+            leave_h = leaving.select(
+                F.col("doc_id").alias("owner"), "_h"
+            ).filter(F.col("_h").isNotNull())
+            dels = (
+                self.hashes.probe(leave_h.select("_h"))
+                .join(leave_h, ["_h", "owner"], "left_semi")
+                .select("_h")
+            )
             if report["stages"]["after_exact_dedup"] or report["stages"]["retracted"]:
                 self.hashes.merge(
                     ups, delete_keys=dels, mode="mor", epochs=epochs
@@ -621,6 +673,38 @@ class CorpusPipeline:
             if self.vacuum_keep_last > 0:
                 t.vacuum(keep_last=self.vacuum_keep_last)
 
+    # -- shard-dir bookkeeping --------------------------------------
+    # Pack shards are DATA files written by Spark's own committers, so
+    # (per the FileIO contract — only manifests flow through the io
+    # seam) they are listed/deleted through the Hadoop FileSystem of
+    # their own path: the same filesystem Spark wrote them with, on
+    # whatever scheme out_dir uses.
+    _WDIR = re.compile(r"w(\d{8})-(\d{8})$")
+
+    def _hadoop_fs(self, path: str):
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(self.spark._jsc.hadoopConfiguration()), jpath
+
+    def _window_dirs(self, split: str) -> list[tuple[int, int, str]]:
+        """``(lo, hi, path)`` for every window shard dir of a split."""
+        base = os.path.join(self.out_dir, f"split={split}")
+        fs, jpath = self._hadoop_fs(base)
+        if not fs.exists(jpath):
+            return []
+        out = []
+        for st in fs.listStatus(jpath):
+            m = self._WDIR.match(st.getPath().getName())
+            if m and st.isDirectory():
+                out.append(
+                    (int(m.group(1)), int(m.group(2)),
+                     st.getPath().toString())
+                )
+        return sorted(out)
+
+    def _delete_dir(self, path: str) -> None:
+        fs, jpath = self._hadoop_fs(path)
+        fs.delete(jpath, True)
+
     # -- consumer surface -------------------------------------------
     def read_packs(
         self,
@@ -640,12 +724,31 @@ class CorpusPipeline:
         ``shuffle_seed``: deterministic global shuffle of the packs
         (training-epoch order randomization): one range-sort on
         ``xxhash64(seed, window_hi, pack_id)`` — a seeded, stable,
-        distributed permutation; vary the seed per epoch."""
-        pat = os.path.join(self.out_dir, f"split={split}", "w*")
+        distributed permutation; vary the seed per epoch.
+
+        A split with no shard dirs yet (engine tail before the first
+        non-empty window) returns an EMPTY frame with the pack
+        schema, not an AnalysisException. Defense in depth against a
+        crashed narrower window whose dir survived a cleanup race:
+        only the max-``hi`` dir per window ``lo`` is read — sibling
+        dirs sharing a ``lo`` are superseded partials."""
+        best: dict[int, tuple[int, str]] = {}
+        for lo, hi, path in self._window_dirs(split):
+            if lo not in best or hi > best[lo][0]:
+                best[lo] = (hi, path)
+        paths = [p for _, p in sorted(best.values())]
+        if not paths:
+            from .packing import pack_schema
+
+            schema = T.StructType(
+                list(pack_schema().fields)
+                + [T.StructField("window_hi", T.LongType(), True)]
+            )
+            return self.spark.createDataFrame([], schema)
         # window_hi (the window's upper source version) rides the dir
         # name; derived HERE because input_file_name() only resolves
         # on a single-source plan
-        df = self.spark.read.parquet(pat).withColumn(
+        df = self.spark.read.parquet(*paths).withColumn(
             "window_hi",
             F.regexp_extract(
                 F.input_file_name(), r"w\d{8}-(\d{8})", 1

@@ -746,3 +746,251 @@ def test_frozen_tokenizer_across_windows(spark, tmp_path):
     )
     got = [t for p in packs for t in p["tokens"][: p["n_real"]]]
     assert got == want
+
+
+def test_crash_replay_widened_window_no_duplicate_packs(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r4 (high): a crash AFTER the pack write but before the
+    cursor commit, followed by NEW source commits before the retry,
+    folds a widened window under a different wtag. The crashed run's
+    narrower shard dirs (same lo, smaller hi) must be superseded —
+    removed at the retry's pack step and excluded by read_packs —
+    or every doc of the crashed window is served twice."""
+    fresh = lambda i: " ".join(  # noqa: E731
+        f"cw{i}a{j} item{i}b{j} uniq{i}c{j}" for j in range(25)
+    )
+    src = _docs_table(
+        spark, tmp_path, [(f"d{i:02d}", fresh(i)) for i in range(4)]
+    )
+    cfg = CorpusConfig(seq_len=64, eos_id=0, splits={"train": 1.0})
+    pipe = CorpusPipeline(spark, src, str(tmp_path / "corpus"), config=cfg)
+    pipe.sync()  # window 1 clean
+    v1 = src.current_version()
+
+    src.merge(spark.createDataFrame(
+        [("d10", fresh(10)), ("d11", fresh(11))],
+        "doc_id string, text string",
+    ))
+    v2 = src.current_version()
+    real_merge = pipe.members.merge
+    monkeypatch.setattr(
+        pipe.members, "merge",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        pipe.sync()  # packs for (v1, v2] written, cursor not advanced
+    assert (v1 + 1, v2) in {
+        (lo, hi) for lo, hi, _ in pipe._window_dirs("train")
+    }
+
+    # the source gains ANOTHER commit before the retry
+    src.merge(spark.createDataFrame(
+        [("d12", fresh(12))], "doc_id string, text string",
+    ))
+    v3 = src.current_version()
+    monkeypatch.setattr(pipe.members, "merge", real_merge)
+    report = pipe.sync()  # widened window (v1, v3]
+    assert report["window"] == [v1, v3]
+
+    # stale narrower dir removed; no two dirs share a window lo
+    wdirs = pipe._window_dirs("train")
+    los = [lo for lo, _, _ in wdirs]
+    assert len(los) == len(set(los))
+    assert (v1 + 1, v2) not in {(lo, hi) for lo, hi, _ in wdirs}
+    assert (v1 + 1, v3) in {(lo, hi) for lo, hi, _ in wdirs}
+
+    # every doc packed exactly once; totals equal a crash-free
+    # pipeline over the same final source (gating is deterministic)
+    clean = CorpusPipeline(
+        spark, src, str(tmp_path / "corpus_clean"), config=cfg
+    )
+    clean.sync()
+    assert _statuses(pipe) == _statuses(clean)
+    assert _pack_tokens(pipe) == _pack_tokens(clean)
+    # token conservation: packed real tokens == sum of (n_tok + EOS)
+    # over accepted members — double-served crashed-window shards
+    # would exceed this exactly
+    expected = sum(
+        r["n_tok"] + 1
+        for r in pipe.members.read().collect()
+        if r["status"] == "accepted"
+    )
+    assert _pack_tokens(pipe) == expected
+
+
+def test_crash_replay_widened_window_deleted_doc_not_served(
+    spark, tmp_path, monkeypatch
+):
+    """Worst case of the widened-window replay: the crashed window's
+    doc is DELETED in the gap commits, so the retry packs nothing for
+    it — the stale dir must still be cleared even though the retry
+    writes no superseding shards for that content."""
+    fresh = lambda i: " ".join(  # noqa: E731
+        f"dw{i}a{j} gone{i}b{j}" for j in range(25)
+    )
+    src = _docs_table(spark, tmp_path, [("d00", fresh(0))])
+    cfg = CorpusConfig(seq_len=64, eos_id=0, splits={"train": 1.0})
+    pipe = CorpusPipeline(spark, src, str(tmp_path / "corpus"), config=cfg)
+    pipe.sync()
+
+    src.merge(spark.createDataFrame(
+        [("d10", fresh(10))], "doc_id string, text string",
+    ))
+    real_merge = pipe.members.merge
+    monkeypatch.setattr(
+        pipe.members, "merge",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("injected")),
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        pipe.sync()
+    # d10 deleted before the retry: the widened window's final state
+    # for d10 is delete -> nothing repacked
+    src.merge(
+        spark.createDataFrame([], "doc_id string, text string"),
+        delete_keys=spark.createDataFrame([("d10",)], "doc_id string"),
+    )
+    monkeypatch.setattr(pipe.members, "merge", real_merge)
+    pipe.sync()
+    packed = {
+        r["d"]
+        for r in pipe.read_packs("train")
+        .select(F.explode("docs").alias("d")).collect()
+    }
+    assert "d10" not in packed
+    assert "d10" not in _statuses(pipe)
+
+
+def test_read_packs_empty_split_returns_empty_frame(spark, tmp_path):
+    """ADVICE r4 (low): a split with no shard dirs yet returns an
+    empty pack-schema frame, not AnalysisException."""
+    src = _docs_table(spark, tmp_path, [("d01", _WORDS)])
+    pipe = CorpusPipeline(
+        spark, src, str(tmp_path / "corpus"),
+        config=CorpusConfig(seq_len=64, eos_id=0, splits={"train": 1.0}),
+    )
+    df = pipe.read_packs("train")  # before any sync
+    assert df.count() == 0
+    assert set(df.columns) == {
+        "pack_id", "tokens", "n_real", "docs", "window_hi"
+    }
+    # filter/shuffle paths on the empty frame are safe too
+    assert pipe.read_packs("train", filter_retracted=True).count() == 0
+    assert pipe.read_packs("train", shuffle_seed=3).count() == 0
+
+
+def test_hash_index_owner_preserved_without_exact_dedup(spark, tmp_path):
+    """ADVICE r4 (low): with exact_dedup off, deleting a member whose
+    content hash is OWNED by a different live member must not drop
+    that hash row from the index."""
+    cfg = CorpusConfig(
+        seq_len=64, eos_id=0, splits={"train": 1.0},
+        exact_dedup=False, near_dup=False, quality=False,
+    )
+    src = _docs_table(
+        spark, tmp_path, [("d01", _WORDS), ("d02", _WORDS)]
+    )
+    pipe = CorpusPipeline(spark, src, str(tmp_path / "corpus"), config=cfg)
+    pipe.sync()
+    hashes = {r["_h"]: r["owner"] for r in pipe.hashes.read().collect()}
+    assert list(hashes.values()) == ["d01"]  # min-owner rule
+
+    # delete the NON-owner sharer: the hash row must survive
+    src.merge(
+        spark.createDataFrame([], "doc_id string, text string"),
+        delete_keys=spark.createDataFrame([("d02",)], "doc_id string"),
+    )
+    pipe.sync()
+    after = {r["_h"]: r["owner"] for r in pipe.hashes.read().collect()}
+    assert after == hashes  # d01's entry intact
+    assert "d02" not in _statuses(pipe)
+
+    # deleting the owner itself still frees the hash
+    src.merge(
+        spark.createDataFrame([], "doc_id string, text string"),
+        delete_keys=spark.createDataFrame([("d01",)], "doc_id string"),
+    )
+    pipe.sync()
+    assert pipe.hashes.read().count() == 0
+
+
+def test_frozen_tokenizer_through_object_store_io(spark, tmp_path):
+    """ADVICE r4 (medium): tokenizer persistence goes through the
+    FileIO seam. On a conditional-put object store (where raw
+    os.path.exists always misses), the merges must still freeze after
+    window 1 — not silently re-learn every window."""
+    from dexspark.fileio import ConditionalPutFileIO, FsObjectClient
+
+    class RecordingClient(FsObjectClient):
+        def __init__(self, root):
+            super().__init__(root)
+            self.puts, self.gets = [], []
+
+        def put_object(self, key, body, *, if_none_match=False):
+            self.puts.append(key)
+            return super().put_object(
+                key, body, if_none_match=if_none_match
+            )
+
+        def get_object(self, key):
+            self.gets.append(key)
+            return super().get_object(key)
+
+    client = RecordingClient("/")
+    io = ConditionalPutFileIO(client)
+    src_schema = "doc_id string, text string"
+    import pyspark.sql.types as T
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), schema, key="doc_id",
+        num_buckets=4, io=io,
+    )
+    src.merge(spark.createDataFrame(
+        [("d01", _WORDS), ("d06", _FRESH)], src_schema
+    ))
+    cfg = CorpusConfig(
+        seq_len=64, eos_id=0, splits={"train": 1.0}, bpe_learn_merges=16
+    )
+    # io defaults from the SOURCE table (the CdcEngine construction)
+    pipe = CorpusPipeline(spark, src, str(tmp_path / "corpus"), config=cfg)
+    assert pipe.io is io
+    r1 = pipe.sync()
+    assert r1.get("bpe_merges_learned", 0) > 0
+    frozen = pipe._read_frozen()
+    assert frozen  # readable back through the seam
+    # the tokenizer write went THROUGH the store client (the seam),
+    # not raw os.path
+    assert any(k.endswith("_tokenizer.json") for k in client.puts)
+
+    src.merge(spark.createDataFrame(
+        [("d10", " ".join(f"novel{i}a item{i}b" for i in range(25)))],
+        src_schema,
+    ))
+    client.gets.clear()
+    r2 = pipe.sync()
+    assert "bpe_merges_learned" not in r2  # frozen, not re-learned
+    assert any(k.endswith("_tokenizer.json") for k in client.gets)
+    assert pipe._read_frozen() == frozen
+
+
+def test_cli_fim_ids_malformed_is_clean_usage_error(spark, tmp_path):
+    """ADVICE r4 (low): wrong arity / non-integer --fim-ids exits with
+    a usage error, not a raw ValueError traceback."""
+    from dexspark import cli
+
+    src = _docs_table(spark, tmp_path, _base_rows())
+    base = [
+        "--sync-corpus", str(tmp_path / "corpus"),
+        "--corpus-src", src.root,
+        "--corpus-splits", "train=1.0",
+        "--seq-len", "64", "--eos-id", "0",
+        "--fim-rate", "0.5",
+    ]
+    for bad in ("1,2", "a,b,c", "1,2,3,4", ""):
+        with pytest.raises(SystemExit, match="fim-ids"):
+            cli.main(base + ["--fim-ids", bad])
