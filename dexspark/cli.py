@@ -1022,15 +1022,30 @@ def main(argv: list[str] | None = None) -> int:
 
     rules = None
     if args.rules:
-        with open(args.rules) as f:
-            doc = json.load(f)
-        # accept both the flat RuleSet dict and the shipped rule-set
-        # artifact shape ({"header": ..., "rules": ...}, see
-        # dexspark/rulesets/) — silently loading zero rules from the
-        # nested form would be a trap
-        rules = RuleSet.from_dict(
-            doc["rules"] if isinstance(doc.get("rules"), dict) else doc
-        )
+        if args.rules.endswith(".csvs"):
+            # the reference's own codeless schema artifacts load
+            # directly (CSV-Schema 1.1 / JSON Schema 2020-12 /
+            # custom-poc rule list — rulesets/loaders.py)
+            from .rulesets import load_schema_artifact
+
+            rules, _ = load_schema_artifact(args.rules)
+        else:
+            with open(args.rules) as f:
+                doc = json.load(f)
+            if "validations" in doc or "$schema" in doc or (
+                "properties" in doc and "rules" not in doc
+            ):
+                from .rulesets import load_schema_artifact
+
+                rules, _ = load_schema_artifact(args.rules)
+            else:
+                # accept both the flat RuleSet dict and the shipped
+                # rule-set artifact shape ({"header": ..., "rules":
+                # ...}, see dexspark/rulesets/) — silently loading
+                # zero rules from the nested form would be a trap
+                rules = RuleSet.from_dict(
+                    doc["rules"] if isinstance(doc.get("rules"), dict) else doc
+                )
     cfg_kwargs = dict(
         num_buckets=args.num_buckets, applied_lineage=args.applied_lineage
     )

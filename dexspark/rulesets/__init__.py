@@ -21,13 +21,19 @@ import json
 from importlib import resources
 
 from ..config import RuleSet
+from .loaders import (  # noqa: F401  (re-exported surface)
+    load_csvs,
+    load_json_schema,
+    load_rule_list,
+    load_schema_artifact,
+)
 
 
 def available_rulesets() -> list[str]:
     return sorted(
         r.name[:-5]
         for r in resources.files(__package__).iterdir()
-        if r.name.endswith(".json")
+        if r.name.endswith(".json") and not r.name.endswith(".schema.json")
     )
 
 
