@@ -16,7 +16,7 @@ SDK directly:
       head_object(key) -> dict            {"last_modified": float-epoch};
                                           missing -> ObjectMissing
 
-Two clients ship here:
+Three clients ship here:
 
 - :class:`FsObjectClient` — a filesystem-backed client with REAL
   conditional-put atomicity (``os.link``), used by the test race
@@ -26,6 +26,13 @@ Two clients ship here:
   R2/GCS-XML-compat endpoints). Import-gated: the sandbox has no
   boto3, so only the mapping is expressed; the protocol it speaks is
   exactly what FsObjectClient fakes.
+- :class:`AzureBlobClient` — azure-storage-blob adapter for the
+  reference's actual deployment target (AzureBlobServiceImpl.kt),
+  conditional put via ``upload_blob(overwrite=False)`` = Azure's
+  ``If-None-Match: *`` ETag condition. Import-gated like Boto3Client;
+  the test suite drives the full protocol through a fake honoring
+  Azure's status-code semantics (409 BlobAlreadyExists / 412
+  ConditionNotMet / 404 BlobNotFound).
 
 Reference analogue: the reference pipeline keeps every artifact on
 object storage and routes I/O through one service class
@@ -59,6 +66,7 @@ __all__ = [
     "ConditionalPutFileIO",
     "FsObjectClient",
     "Boto3Client",
+    "AzureBlobClient",
 ]
 
 
@@ -325,6 +333,130 @@ class Boto3Client:
                 raise ObjectMissing(key) from None
             raise
         lm = h.get("LastModified")
+        return {
+            "last_modified": lm.timestamp() if lm is not None else time.time()
+        }
+
+
+class AzureBlobClient:
+    """azure-storage-blob adapter for :class:`ConditionalPutFileIO` —
+    the reference's actual storage target (fns-csv-pipeline routes all
+    blob I/O through one Azure service class,
+    AzureBlobServiceImpl.kt:26-48).
+
+    Maps the client duck type onto a ``ContainerClient``, with the
+    conditional put expressed as ``upload_blob(..., overwrite=False)``
+    — the SDK sends ``If-None-Match: *`` under the hood, so the
+    atomicity is Azure's ETag machinery, exactly the property the
+    commit protocol needs. Error mapping (by status/error code, so no
+    azure types are imported here):
+
+      409 ``BlobAlreadyExists`` / 412 ``ConditionNotMet``
+          -> :class:`PreconditionFailed` (clean conditional loss)
+      404 ``BlobNotFound``/``ResourceNotFound``
+          -> :class:`ObjectMissing`
+      anything else (throttles, auth, network) propagates — a 503
+      treated as "missing" would make retention skip live snapshots.
+
+    Import-gated like :class:`Boto3Client`: construct with an injected
+    ``container`` (any object honoring the ContainerClient surface —
+    the tests use a fake with Azure status-code semantics) or via
+    :meth:`from_connection_string` where the SDK is installed."""
+
+    def __init__(self, container, prefix: str = ""):
+        self.container = container
+        self.prefix = prefix.strip("/")
+
+    @classmethod
+    def from_connection_string(
+        cls, conn_str: str, container_name: str, prefix: str = ""
+    ):  # pragma: no cover - no azure sdk in sandbox
+        from azure.storage.blob import ContainerClient
+
+        return cls(
+            ContainerClient.from_connection_string(conn_str, container_name),
+            prefix=prefix,
+        )
+
+    def _k(self, key: str) -> str:
+        return f"{self.prefix}/{key}" if self.prefix else key
+
+    @staticmethod
+    def _status(e) -> int | None:
+        return getattr(e, "status_code", None)
+
+    @staticmethod
+    def _code(e) -> str:
+        c = getattr(e, "error_code", None)
+        # the SDK's error_code is an enum whose .value is the REST
+        # code string ("BlobNotFound"); fakes may use plain strings
+        return str(getattr(c, "value", c) or "")
+
+    def _is_missing(self, e) -> bool:
+        return self._status(e) == 404 or self._code(e) in (
+            "BlobNotFound",
+            "ContainerNotFound",
+            "ResourceNotFound",
+        )
+
+    def _is_condition_lost(self, e) -> bool:
+        return self._status(e) in (409, 412) or self._code(e) in (
+            "BlobAlreadyExists",
+            "ConditionNotMet",
+        )
+
+    def get_object(self, key: str) -> bytes:
+        try:
+            return self.container.download_blob(self._k(key)).readall()
+        except Exception as e:
+            if self._is_missing(e):
+                raise ObjectMissing(key) from None
+            raise
+
+    def put_object(
+        self, key: str, body: bytes, *, if_none_match: bool = False
+    ) -> None:
+        try:
+            self.container.upload_blob(
+                name=self._k(key), data=body, overwrite=not if_none_match
+            )
+        except Exception as e:
+            # conflict mapping ONLY on the conditional path: an
+            # overwrite=True 409 (e.g. container being deleted, lease
+            # held) is an operational error, not a clean loss
+            if if_none_match and self._is_condition_lost(e):
+                raise PreconditionFailed(key) from None
+            raise
+
+    def delete_object(self, key: str) -> None:
+        try:
+            self.container.delete_blob(self._k(key))
+        except Exception as e:
+            if self._is_missing(e):
+                raise ObjectMissing(key) from None
+            raise
+
+    def list_keys(self, prefix: str) -> list[str]:
+        p = self._k(prefix)
+        base = f"{self.prefix}/" if self.prefix else ""
+        # list_blobs pages internally (the SDK iterator follows
+        # continuation tokens), so this is already bounded-memory
+        # per page like Boto3Client's explicit loop
+        return [
+            b.name[len(base):]
+            for b in self.container.list_blobs(name_starts_with=p)
+        ]
+
+    def head_object(self, key: str) -> dict:
+        try:
+            props = self.container.get_blob_client(
+                self._k(key)
+            ).get_blob_properties()
+        except Exception as e:
+            if self._is_missing(e):
+                raise ObjectMissing(key) from None
+            raise
+        lm = getattr(props, "last_modified", None)
         return {
             "last_modified": lm.timestamp() if lm is not None else time.time()
         }

@@ -353,3 +353,289 @@ def test_manifest_get_roundtrips_bounded(spark, tmp_path):
     for _ in range(5):
         t.read().count()
     assert c.gets <= versions  # at most one GET per distinct version
+
+
+# ------------------------------------------------------------ azure client
+
+
+class _AzureError(Exception):
+    """Shape of azure.core.exceptions.HttpResponseError: carries
+    status_code + error_code (REST error string)."""
+
+    def __init__(self, status_code, error_code):
+        super().__init__(f"{status_code} {error_code}")
+        self.status_code = status_code
+        self.error_code = error_code
+
+
+class _FakeDownload:
+    def __init__(self, body):
+        self._body = body
+
+    def readall(self):
+        return self._body
+
+
+class _FakeBlobProps:
+    def __init__(self, last_modified):
+        self.last_modified = last_modified
+
+
+class _FakeBlobHandle:
+    def __init__(self, container, name):
+        self._c, self._name = container, name
+
+    def get_blob_properties(self):
+        if self._name not in self._c.store:
+            raise _AzureError(404, "BlobNotFound")
+        return _FakeBlobProps(self._c.mtimes[self._name])
+
+
+class _FakeAzureContainer:
+    """ContainerClient fake honoring Azure's status-code semantics:
+    upload_blob(overwrite=False) on an existing blob -> 409
+    BlobAlreadyExists (the SDK's If-None-Match:* translation); missing
+    blob -> 404 BlobNotFound. The conditional upload is made atomic
+    under a lock, mirroring the service-side ETag machinery."""
+
+    def __init__(self):
+        import threading
+
+        self.store: dict[str, bytes] = {}
+        self.mtimes: dict[str, object] = {}
+        self._lock = threading.Lock()
+
+    def _touch(self, name):
+        import datetime
+
+        self.mtimes[name] = datetime.datetime.now(datetime.timezone.utc)
+
+    def upload_blob(self, name, data, overwrite):
+        with self._lock:
+            if not overwrite and name in self.store:
+                raise _AzureError(409, "BlobAlreadyExists")
+            self.store[name] = bytes(data)
+            self._touch(name)
+
+    def download_blob(self, name):
+        if name not in self.store:
+            raise _AzureError(404, "BlobNotFound")
+        return _FakeDownload(self.store[name])
+
+    def delete_blob(self, name):
+        if name not in self.store:
+            raise _AzureError(404, "BlobNotFound")
+        del self.store[name]
+        self.mtimes.pop(name, None)
+
+    def list_blobs(self, name_starts_with):
+        class _B:
+            def __init__(self, name):
+                self.name = name
+
+        return [
+            _B(k) for k in sorted(self.store)
+            if k.startswith(name_starts_with)
+        ]
+
+    def get_blob_client(self, name):
+        return _FakeBlobHandle(self, name)
+
+
+def test_azure_client_mapping_against_fake_container():
+    """AzureBlobClient's error mapping over a fake with Azure
+    status-code semantics: 409 BlobAlreadyExists -> PreconditionFailed
+    -> ConcurrentCommitError, 404 BlobNotFound -> ObjectMissing ->
+    FileNotFoundError, prefix handling, list/mtime/delete contract."""
+    from dexspark.fileio import AzureBlobClient
+    from dexspark.lake import ConcurrentCommitError
+
+    fake = _FakeAzureContainer()
+    c = AzureBlobClient(fake, prefix="lake/meta")
+    io_ = ConditionalPutFileIO(c)
+    io_.put_if_absent("/t/_snapshots/snap-00000001.json", '{"v": 1}')
+    assert io_.read_text("/t/_snapshots/snap-00000001.json") == '{"v": 1}'
+    # the blob name carries the prefix
+    assert "lake/meta/t/_snapshots/snap-00000001.json" in fake.store
+    with pytest.raises(ConcurrentCommitError):
+        io_.put_if_absent("/t/_snapshots/snap-00000001.json", '{"v": 9}')
+    assert io_.read_text("/t/_snapshots/snap-00000001.json") == '{"v": 1}'
+    for i in range(2, 7):
+        io_.put_if_absent(f"/t/_snapshots/snap-{i:08d}.json", "{}")
+    assert io_.list_dir("/t/_snapshots") == [
+        f"snap-{i:08d}.json" for i in range(1, 7)
+    ]
+    assert io_.is_dir("/t/_snapshots")
+    assert io_.mtime("/t/_snapshots/snap-00000001.json") > 0
+    io_.delete("/t/_snapshots/snap-00000001.json")
+    with pytest.raises(FileNotFoundError):
+        io_.read_text("/t/_snapshots/snap-00000001.json")
+    with pytest.raises(FileNotFoundError):
+        io_.delete("/t/_snapshots/snap-00000001.json")
+    with pytest.raises(FileNotFoundError):
+        io_.mtime("/t/_snapshots/snap-00000001.json")
+    io_.remove_tree("/t/_snapshots")
+    assert io_.list_dir("/t/_snapshots") == []
+    assert not io_.is_dir("/t/_snapshots")
+
+
+def test_azure_client_412_condition_not_met_maps_to_loss():
+    """Some Azure layers surface the conditional-upload loss as 412
+    ConditionNotMet rather than 409 — both are a clean loss."""
+    from dexspark.fileio import AzureBlobClient
+
+    class Cond412Container(_FakeAzureContainer):
+        def upload_blob(self, name, data, overwrite):
+            if not overwrite and name in self.store:
+                raise _AzureError(412, "ConditionNotMet")
+            super().upload_blob(name, data, overwrite)
+
+    c = AzureBlobClient(Cond412Container())
+    c.put_object("k", b"1", if_none_match=True)
+    with pytest.raises(PreconditionFailed):
+        c.put_object("k", b"2", if_none_match=True)
+    assert c.get_object("k") == b"1"
+
+
+def test_azure_client_operational_errors_propagate():
+    """Throttles/auth errors must NOT map to missing/loss: a 503
+    treated as 'missing' would make retention skip live snapshots."""
+    from dexspark.fileio import AzureBlobClient
+
+    class Throttling(_FakeAzureContainer):
+        def download_blob(self, name):
+            raise _AzureError(503, "ServerBusy")
+
+        def upload_blob(self, name, data, overwrite):
+            raise _AzureError(403, "AuthorizationFailure")
+
+        def delete_blob(self, name):
+            raise _AzureError(500, "InternalError")
+
+    c = AzureBlobClient(Throttling())
+    with pytest.raises(_AzureError):
+        c.get_object("k")
+    with pytest.raises(_AzureError):
+        c.put_object("k", b"1", if_none_match=True)
+    with pytest.raises(_AzureError):
+        c.delete_object("k")
+    # unconditional-path 409 (e.g. lease conflict) propagates too:
+    # only the CONDITIONAL path's 409 is a clean loss
+
+    class Lease409(_FakeAzureContainer):
+        def upload_blob(self, name, data, overwrite):
+            raise _AzureError(409, "LeaseIdMissing")
+
+    with pytest.raises(_AzureError):
+        AzureBlobClient(Lease409()).put_object("k", b"1")
+
+
+def test_azure_client_conditional_put_single_winner():
+    """16 threads racing one key through the Azure client: exactly one
+    winner (the fake's lock mirrors the service-side ETag atomicity)."""
+    from dexspark.fileio import AzureBlobClient
+
+    c = AzureBlobClient(_FakeAzureContainer())
+
+    def attempt(i):
+        try:
+            c.put_object("snap/k.json", b"w%d" % i, if_none_match=True)
+            return ("won", i)
+        except PreconditionFailed:
+            return ("lost", i)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=16) as pool:
+        results = list(pool.map(attempt, range(16)))
+    winners = [i for s, i in results if s == "won"]
+    assert len(winners) == 1, results
+    assert c.get_object("snap/k.json") == b"w%d" % winners[0]
+
+
+class _FsAzureContainer:
+    """Azure-semantics container backed by the real filesystem via
+    FsObjectClient('/') — the deployment shape (one store holds both
+    Spark-written data files and io-PUT manifests), with the SDK's
+    status-code surface on top. Conditional-upload atomicity is
+    link(2)'s, mirroring the service-side ETag machinery."""
+
+    def __init__(self):
+        self._fs = FsObjectClient("/")
+
+    def upload_blob(self, name, data, overwrite):
+        try:
+            self._fs.put_object(
+                name, bytes(data), if_none_match=not overwrite
+            )
+        except PreconditionFailed:
+            raise _AzureError(409, "BlobAlreadyExists") from None
+
+    def download_blob(self, name):
+        try:
+            return _FakeDownload(self._fs.get_object(name))
+        except ObjectMissing:
+            raise _AzureError(404, "BlobNotFound") from None
+
+    def delete_blob(self, name):
+        try:
+            self._fs.delete_object(name)
+        except ObjectMissing:
+            raise _AzureError(404, "BlobNotFound") from None
+
+    def list_blobs(self, name_starts_with):
+        class _B:
+            def __init__(self, name):
+                self.name = name
+
+        return [_B(k) for k in self._fs.list_keys(name_starts_with)]
+
+    def get_blob_client(self, name):
+        fs = self._fs
+
+        class _H:
+            def get_blob_properties(self):
+                import datetime
+
+                try:
+                    ts = fs.head_object(name)["last_modified"]
+                except ObjectMissing:
+                    raise _AzureError(404, "BlobNotFound") from None
+                return _FakeBlobProps(
+                    datetime.datetime.fromtimestamp(
+                        ts, datetime.timezone.utc
+                    )
+                )
+
+        return _H()
+
+
+def test_lake_lifecycle_through_azure_fake(spark, tmp_path):
+    """The full table lifecycle (create/merge/epoch markers/replay
+    no-op/time-travel) with manifests on the Azure client — the race
+    matrix's table-level shape, through Azure status-code semantics."""
+    from dexspark.fileio import AzureBlobClient
+
+    io_ = ConditionalPutFileIO(AzureBlobClient(_FsAzureContainer()))
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, sequences_schema(), num_buckets=2, io=io_)
+    t.merge(_seq(spark, [("a", [1], 1, "web"), ("b", [2], 1, "books")]),
+            epochs=[0])
+    v1 = t.current_version()
+    t.merge(_seq(spark, [("b", [9], 1, "books"), ("c", [3], 1, "web")]),
+            epochs=[1])
+    assert _ids(t) == {"a", "b", "c"}
+    assert t.is_epoch_committed(0) and t.is_epoch_committed(1)
+    # marker-only commit (merge-noop snapshot): no data change
+    t.mark_epochs([2])
+    assert t.is_epoch_committed(2)
+    assert _ids(t) == {"a", "b", "c"}
+    # time travel reads the old manifest through the azure client
+    assert {r["doc_id"] for r in t.read(version=v1).collect()} == {"a", "b"}
+    assert t.read(version=v1).filter("doc_id = 'b'").collect()[0]["tokens"] == [2]
+    assert t.read().filter("doc_id = 'b'").collect()[0]["tokens"] == [9]
+    # losing a manifest race surfaces as ConcurrentCommitError ->
+    # LakeTable's rebase machinery (exercised via direct put)
+    from dexspark.lake import ConcurrentCommitError
+
+    snap = io_.list_dir(root + "/_snapshots")[0]
+    with pytest.raises(ConcurrentCommitError):
+        io_.put_if_absent(root + "/_snapshots/" + snap, "{}")
