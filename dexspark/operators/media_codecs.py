@@ -1,24 +1,31 @@
-"""Real, dependency-free media codecs: WAV (stdlib ``wave``) and BMP
-(struct-parsed, 24-bit uncompressed).
+"""Real, dependency-free media codecs: WAV (stdlib ``wave``), BMP
+(struct-parsed, 24-bit uncompressed) and PNG (stdlib ``zlib`` inflate
++ full scanline unfiltering).
 
 The multimodal pipeline's codec plug point (multimodal.real_decode)
 was a declared stub because this environment has no PIL/ffmpeg. These
-two formats need neither: WAV is a RIFF container the standard
-library parses natively, and uncompressed 24-bit BMP is a fixed
-header plus a padded BGR pixel array. Both get a REAL encoder (used
-by the deterministic synthetic corpus — no external data) and a REAL
-decoder producing genuine metadata and pixels/samples, so decode →
-resize → feature-extract runs end-to-end on actual bytes:
+formats need neither: WAV is a RIFF container the standard library
+parses natively, uncompressed 24-bit BMP is a fixed header plus a
+padded BGR pixel array, and PNG is zlib-deflated scanlines behind a
+chunked container — all parseable with stdlib ``struct``/``zlib``.
+Each gets a REAL encoder (used by the deterministic synthetic corpus
+— no external data) and a REAL decoder producing genuine metadata and
+pixels/samples, so decode → resize → feature-extract runs end-to-end
+on actual bytes:
 
-- images: true width/height from the BITMAPINFOHEADER, true pixel
-  array, nearest-neighbor resize over the real pixels, mean-RGB +
-  grid-pooled embeddings;
+- images: true width/height from the BITMAPINFOHEADER / IHDR, true
+  pixel array, nearest-neighbor resize over the real pixels, mean-RGB
+  + grid-pooled embeddings. The PNG decoder implements all five
+  scanline filters (None/Sub/Up/Average/Paeth), CRC-checks every
+  chunk, and handles 8-bit greyscale/RGB/RGBA; the encoder can write
+  any filter type, so every unfilter path is bit-exact round-trip
+  tested.
 - audio: true sample rate / channel count / frame count from the WAV
   header, RMS and windowed-energy embeddings over the real PCM.
 
-JPEG/PNG/MP4 still route to the NotImplementedError plug (they
-genuinely need external codecs); the Spark-side plumbing is identical
-for every format, so swapping PIL/ffmpeg in touches only this module.
+JPEG/MP4 still route to the NotImplementedError plug (they genuinely
+need external codecs); the Spark-side plumbing is identical for every
+format, so swapping PIL/ffmpeg in touches only this module.
 """
 
 from __future__ import annotations
@@ -26,6 +33,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -174,6 +182,197 @@ def image_embedding(
     return (v / n if n else v).astype("float32").tolist()
 
 
+# ------------------------------------------------------------------ PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_IHDR = struct.Struct(">IIBBBBB")  # w, h, depth, color, comp, filter, interlace
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # greyscale, truecolor, truecolor+alpha
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): nearest of left/up/upleft
+    to the linear estimate a + b - c, ties broken left, up, upleft."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_row(ft: int, raw, prev, bpp: int):
+    """Apply filter ``ft`` to one reconstructed row (encode side).
+    ``raw``/``prev`` are int arrays of the row's reconstructed bytes."""
+    n = len(raw)
+    if ft == 0:
+        return raw & 0xFF
+    if ft == 1:  # Sub
+        left = np.concatenate([np.zeros(bpp, dtype=raw.dtype), raw[:-bpp]])
+        return (raw - left) & 0xFF
+    if ft == 2:  # Up
+        return (raw - prev) & 0xFF
+    if ft == 3:  # Average
+        left = np.concatenate([np.zeros(bpp, dtype=raw.dtype), raw[:-bpp]])
+        return (raw - ((left + prev) >> 1)) & 0xFF
+    if ft == 4:  # Paeth (per-byte: the predictor is order-dependent
+        # only via upleft/left of the RECONSTRUCTED row, which on the
+        # encode side is just `raw` — still expressible per byte)
+        out = np.empty(n, dtype=raw.dtype)
+        for i in range(n):
+            a = int(raw[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            out[i] = (int(raw[i]) - _paeth(a, b, c)) & 0xFF
+        return out
+    raise ValueError(f"bad PNG filter type {ft}")
+
+
+def _unfilter_row(ft: int, enc, prev, bpp: int):
+    """Invert filter ``ft`` for one scanline (decode side)."""
+    n = len(enc)
+    if ft == 0:
+        return enc & 0xFF
+    if ft == 1:  # Sub: recon[i] = enc[i] + recon[i-bpp] -> per-channel
+        # prefix sum (mod-256 commutes with cumsum)
+        return (np.cumsum(enc.reshape(n // bpp, bpp), axis=0) & 0xFF).reshape(n)
+    if ft == 2:  # Up
+        return (enc + prev) & 0xFF
+    if ft == 3:  # Average: needs the just-reconstructed left byte
+        rec = np.empty(n, dtype=enc.dtype)
+        for i in range(n):
+            a = int(rec[i - bpp]) if i >= bpp else 0
+            rec[i] = (int(enc[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        return rec
+    if ft == 4:  # Paeth
+        rec = np.empty(n, dtype=enc.dtype)
+        for i in range(n):
+            a = int(rec[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            rec[i] = (int(enc[i]) + _paeth(a, b, c)) & 0xFF
+        return rec
+    raise ValueError(f"bad PNG filter type {ft}")
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def encode_png(pixels: "np.ndarray", filter_type: int = 0) -> bytes:
+    """uint8 array [h, w] / [h, w, 1] (greyscale), [h, w, 3] (RGB) or
+    [h, w, 4] (RGBA) -> PNG bytes (8-bit, non-interlaced).
+
+    ``filter_type`` selects the scanline filter for every row (0-4) —
+    real encoders pick per-row; a fixed type keeps the synthetic
+    corpus deterministic while letting tests exercise every unfilter
+    path bit-exactly."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise ValueError(f"unsupported channel count {ch}")
+    if h <= 0 or w <= 0:
+        raise ValueError(f"degenerate PNG dimensions ({w}x{h})")
+    rows = px.reshape(h, w * ch).astype(np.int64)
+    lines = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for r in range(h):
+        lines.append(filter_type)
+        lines.extend(
+            _filter_row(filter_type, rows[r], prev, ch).astype(np.uint8).tobytes()
+        )
+        prev = rows[r]
+    ihdr = _IHDR.pack(w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """PNG bytes -> real metadata + the pixel array.
+
+    Returns {width, height, color_type, channels,
+    pixels(np.uint8[h, w, channels])}. Supports the 8-bit
+    non-interlaced greyscale/RGB/RGBA forms with any scanline filter;
+    every chunk's CRC is verified; ancillary chunks are skipped."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) != ln or pos + 12 + ln > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + ln)
+        if zlib.crc32(typ + data) != crc:
+            raise ValueError(f"PNG chunk CRC mismatch ({typ!r})")
+        if typ == b"IHDR":
+            ihdr = _IHDR.unpack(data)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS.get(color)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"degenerate PNG dimensions ({w}x{h})")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG zlib stream: {e}") from None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        prev = _unfilter_row(int(lines[r, 0]), lines[r, 1:].astype(np.int64), prev, ch)
+        out[r] = prev
+    return {
+        "width": w,
+        "height": h,
+        "color_type": color,
+        "channels": ch,
+        "pixels": out.astype(np.uint8).reshape(h, w, ch),
+    }
+
+
+def png_to_rgb(decoded: dict) -> "np.ndarray":
+    """Normalize a decode_png result to [h, w, 3] RGB: greyscale is
+    replicated across channels, RGBA drops alpha (the downstream
+    embedding/resize shapes are 3-channel)."""
+    px = decoded["pixels"]
+    if px.shape[2] == 1:
+        return np.repeat(px, 3, axis=2)
+    if px.shape[2] == 4:
+        return np.ascontiguousarray(px[:, :, :3])
+    return px
+
+
 def probe(payload: bytes) -> dict | None:
     """Header-only metadata probe — no sample/pixel materialization.
 
@@ -204,6 +403,23 @@ def probe(payload: bytes) -> dict | None:
                 "height": abs(h_),
                 "n_frames": 1,
             }
+        if payload[:8] == _PNG_SIG:
+            # IHDR is mandated first: its 13 data bytes sit at a fixed
+            # offset, so the probe stays O(1) — no inflate
+            w_, h_, depth, color, comp, filt, inter = _IHDR.unpack_from(
+                payload, 16
+            )
+            if (
+                depth != 8 or comp != 0 or filt != 0 or inter != 0
+                or color not in _PNG_CHANNELS or w_ <= 0 or h_ <= 0
+            ):
+                return None
+            return {
+                "kind": "image",
+                "width": w_,
+                "height": h_,
+                "n_frames": 1,
+            }
     except Exception:
         return None
     return None
@@ -223,6 +439,26 @@ def synth_wav(seed: int, max_frames: int = 4_000) -> bytes:
         2 * np.pi * 2.7 * freq * t
     )
     return encode_wav((sig * 20_000).astype("<i2"))
+
+
+def synth_png(seed: int, max_side: int = 48) -> bytes:
+    """Deterministic synthetic image: seeded gradient + noise, REAL
+    PNG bytes. The seed also picks the scanline filter (0-4) and
+    whether an alpha channel is present, so a synthetic corpus
+    exercises every decode path."""
+    rng = np.random.default_rng(int(seed) & ((1 << 63) - 1))
+    w = int(rng.integers(8, max_side))
+    h = int(rng.integers(8, max_side))
+    yy, xx = np.mgrid[0:h, 0:w]
+    planes = [
+        (255 * xx / max(w - 1, 1)),
+        (255 * yy / max(h - 1, 1)),
+        rng.integers(0, 256, size=(h, w)),
+    ]
+    if int(seed) % 3 == 0:  # RGBA every third image
+        planes.append(rng.integers(128, 256, size=(h, w)))
+    px = np.stack(planes, axis=-1).astype(np.uint8)
+    return encode_png(px, filter_type=int(seed) % 5)
 
 
 def synth_bmp(seed: int, max_side: int = 48) -> bytes:

@@ -52,10 +52,11 @@ def real_decode(payload: bytes, kind: str) -> dict:
 
     REAL for the dependency-free formats (operators/media_codecs):
     WAV (``RIFF``) via the stdlib wave module, 24-bit uncompressed BMP
-    (``BM``) via struct parsing — genuine metadata, pixels and PCM.
-    Formats that need external codecs (JPEG/PNG/MP4 — PIL/ffmpeg, not
-    in this environment) still raise NotImplementedError; swapping
-    them in touches only this dispatch."""
+    (``BM``) via struct parsing, PNG (``\\x89PNG``) via stdlib zlib +
+    full scanline unfiltering — genuine metadata, pixels and PCM.
+    Formats that need external codecs (JPEG/MP4 — PIL/ffmpeg, not in
+    this environment) still raise NotImplementedError; swapping them
+    in touches only this dispatch."""
     from . import media_codecs as mc
 
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -78,9 +79,19 @@ def real_decode(payload: bytes, kind: str) -> dict:
             "n_frames": 1,
             "pixels": d["pixels"],
         }
+    if payload[:8] == mc._PNG_SIG:
+        d = mc.decode_png(payload)
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "n_frames": 1,
+            # RGB-normalized (grey replicated, alpha dropped): the
+            # downstream resize/embedding shapes are 3-channel
+            "pixels": mc.png_to_rgb(d),
+        }
     raise NotImplementedError(
         f"no dependency-free codec for this {kind} payload "
-        "(JPEG/PNG/MP4 need PIL/ffmpeg)"
+        "(JPEG/MP4 need PIL/ffmpeg)"
     )
 
 
@@ -184,6 +195,12 @@ def media_features(df: DataFrame, dim: int = 8) -> DataFrame:
                         vecs.append(
                             mc.image_embedding(mc.decode_bmp(b)["pixels"], dim=dim)
                         )
+                    elif b[:8] == mc._PNG_SIG:
+                        vecs.append(
+                            mc.image_embedding(
+                                mc.png_to_rgb(mc.decode_png(b)), dim=dim
+                            )
+                        )
                     else:
                         vecs.append(None)
                 except Exception:  # malformed payload: NULL, keep row
@@ -225,17 +242,23 @@ def resize_images(
             for p in pdf["payload"]:
                 b = bytes(p or b"")
                 try:
-                    if b[:2] != b"BM":
+                    if b[:2] == b"BM":
+                        d = mc.decode_bmp(b)
+                        px, enc = d["pixels"], mc.encode_bmp
+                    elif b[:8] == mc._PNG_SIG:
+                        # resize runs on the RGB-normalized pixels and
+                        # re-encodes PNG (filter 0): same format out
+                        d = mc.decode_png(b)
+                        px, enc = mc.png_to_rgb(d), mc.encode_png
+                    else:
                         raise ValueError("not an image payload")
-                    d = mc.decode_bmp(b)
                     if d["width"] <= 0 or d["height"] <= 0:
                         raise ValueError("degenerate dimensions")
                     scale = min(max_w / d["width"], max_h / d["height"], 1.0)
                     ow = max(1, int(d["width"] * scale))
                     oh = max(1, int(d["height"] * scale))
-                    px = mc.resize_nearest(d["pixels"], ow, oh)
                     ows.append(ow), ohs.append(oh)
-                    outs.append(mc.encode_bmp(px))
+                    outs.append(enc(mc.resize_nearest(px, ow, oh)))
                 except Exception:  # non-image / malformed: pass through
                     ows.append(None), ohs.append(None), outs.append(None)
             pdf["out_w"] = pd.array(ows, dtype="Int32")
@@ -248,10 +271,12 @@ def resize_images(
 
 def media_from_documents_real(docs: DataFrame) -> DataFrame:
     """Deterministic synthetic media table with REAL payloads: each
-    doc becomes a genuine WAV (seeded sine mix) or genuine BMP (seeded
-    gradient) keyed by doc_id — no external data, real codecs
-    (operators/media_codecs.synth_*). Runs as mapInPandas so the
-    synthesis is Arrow-batched like every other media op."""
+    doc becomes a genuine WAV (seeded sine mix) or genuine image —
+    alternating BMP / PNG (seeded gradient; the PNG synth also cycles
+    through all five scanline filters and RGBA) keyed by doc_id — no
+    external data, real codecs (operators/media_codecs.synth_*). Runs
+    as mapInPandas so the synthesis is Arrow-batched like every other
+    media op."""
     src = docs.select(
         F.col("doc_id").cast("long").alias("media_id"),
         F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
@@ -261,9 +286,14 @@ def media_from_documents_real(docs: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from . import media_codecs as mc
 
+        def synth(mid: int, kind: str) -> bytes:
+            if kind != "image":
+                return mc.synth_wav(mid)
+            return mc.synth_png(mid) if mid % 4 == 0 else mc.synth_bmp(mid)
+
         for pdf in it:
             payloads = [
-                mc.synth_bmp(int(mid)) if kind == "image" else mc.synth_wav(int(mid))
+                synth(int(mid), kind)
                 for mid, kind in zip(pdf["media_id"], pdf["kind"])
             ]
             pdf = pdf.copy()

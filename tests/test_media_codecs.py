@@ -72,12 +72,15 @@ def test_resize_nearest_real_pixels():
 def test_real_decode_dispatch():
     wav = mc.synth_wav(7)
     bmp = mc.synth_bmp(7)
+    png = mc.synth_png(7)
     dw = real_decode(wav, "audio")
     assert dw["sample_rate"] == 16_000 and dw["n_frames"] > 0
     db = real_decode(bmp, "image")
     assert db["width"] >= 8 and db["height"] >= 8
+    dp = real_decode(png, "image")
+    assert dp["width"] >= 8 and dp["pixels"].shape[2] == 3  # RGB-normal
     with pytest.raises(NotImplementedError):
-        real_decode(b"\x89PNG\r\n\x1a\n....", "image")
+        real_decode(b"\xff\xd8\xff\xe0....", "image")  # JPEG magic
 
 
 # ------------------------------------------------------------ Spark path
@@ -97,7 +100,8 @@ def test_decode_media_real_metadata(spark, media):
     assert len(rows) == 12
     for mid, r in rows.items():
         if r["kind"] == "image":
-            d = mc.decode_bmp(bytes(r["payload"]))
+            b = bytes(r["payload"])
+            d = mc.decode_png(b) if b[:8] == mc._PNG_SIG else mc.decode_bmp(b)
             assert (r["width"], r["height"]) == (d["width"], d["height"])
             assert r["n_frames"] == 1
         else:
@@ -129,7 +133,11 @@ def test_resize_images_real(spark, media):
             assert r["out_w"] is None and r["resized_payload"] is None
             continue
         assert 1 <= r["out_w"] <= 10 and 1 <= r["out_h"] <= 10
-        d = mc.decode_bmp(bytes(r["resized_payload"]))
+        rb = bytes(r["resized_payload"])
+        # format-preserving: PNG in -> PNG out, BMP in -> BMP out
+        assert rb[:8] == mc._PNG_SIG if bytes(r["payload"])[:8] == mc._PNG_SIG \
+            else rb[:2] == b"BM"
+        d = mc.decode_png(rb) if rb[:8] == mc._PNG_SIG else mc.decode_bmp(rb)
         # the resized payload really decodes to the declared box
         assert (d["width"], d["height"]) == (r["out_w"], r["out_h"])
         # aspect preserved within integer rounding
@@ -141,27 +149,31 @@ def test_resize_images_real(spark, media):
 
 def test_undecodable_payload_isolated(spark):
     # every malformed shape that previously could kill the task:
-    # PNG (no codec), RIFF-but-not-WAVE (wave.Error), truncated BM
-    # (struct.error), zero-width BMP (degenerate dims)
+    # PNG-ish-but-not-PNG bytes, corrupt real PNG, RIFF-but-not-WAVE
+    # (wave.Error), truncated BM (struct.error), zero-width BMP
     bad_bmp = mc.synth_bmp(3)[:10]
     zero_w = bytearray(mc.synth_bmp(4))
     struct_w_off = 18  # BITMAPINFOHEADER width field
     zero_w[struct_w_off : struct_w_off + 4] = (0).to_bytes(4, "little")
+    bad_png = bytearray(mc.synth_png(6))
+    bad_png[25] ^= 0xFF  # corrupt IHDR -> CRC mismatch
     rows = [
         (1, "image", bytearray(b"\x89PNGnotreallydecodable"), None),
         (2, "audio", bytearray(b"RIFF\x00\x00\x00\x00AVI LIST"), None),
         (3, "image", bytearray(bad_bmp), None),
         (4, "image", zero_w, None),
+        (5, "image", bad_png, None),
     ]
     df = spark.createDataFrame(
         rows, "media_id long, kind string, payload binary, meta string"
     )
     got = {r["media_id"]: r for r in decode_media(df).collect()}
-    assert len(got) == 4  # no task death: every row survives
+    assert len(got) == 5  # no task death: every row survives
     assert got[1]["width"] is None and got[1]["n_frames"] is None
     assert got[1]["n_bytes"] == 22
     assert got[2]["n_frames"] is None  # RIFF-non-WAVE isolated
     assert got[3]["width"] is None  # truncated header isolated
+    assert got[5]["width"] is None  # corrupt PNG isolated
     feats = {r["media_id"]: r["embedding"] for r in media_features(df).collect()}
     assert all(v is None for v in feats.values())
     rz = {r["media_id"]: r for r in resize_images(decode_media(df)).collect()}
@@ -194,3 +206,135 @@ def test_edge_cases_pure():
     assert (pb["width"], pb["height"]) == (db["width"], db["height"])
     assert mc.probe(b"RIFF\x00\x00\x00\x00AVI ") is None
     assert mc.probe(b"BMxx") is None
+
+
+# ------------------------------------------------------------ PNG codec
+
+
+def test_png_roundtrip_exact_all_filters_and_channels():
+    """Bit-exact encode->decode across every scanline filter
+    (None/Sub/Up/Average/Paeth) and channel layout (grey/RGB/RGBA)."""
+    rng = np.random.default_rng(42)
+    for ch in (1, 3, 4):
+        px = rng.integers(0, 256, size=(11, 9, ch)).astype(np.uint8)
+        for ft in range(5):
+            d = mc.decode_png(mc.encode_png(px, filter_type=ft))
+            assert (d["width"], d["height"], d["channels"]) == (9, 11, ch)
+            assert np.array_equal(d["pixels"], px), (ch, ft)
+    # 2D greyscale input accepted
+    g = rng.integers(0, 256, size=(5, 6)).astype(np.uint8)
+    d = mc.decode_png(mc.encode_png(g, filter_type=4))
+    assert np.array_equal(d["pixels"][:, :, 0], g)
+
+
+def test_png_to_rgb_normalization():
+    rng = np.random.default_rng(3)
+    grey = rng.integers(0, 256, size=(4, 5, 1)).astype(np.uint8)
+    rgb3 = mc.png_to_rgb(mc.decode_png(mc.encode_png(grey)))
+    assert rgb3.shape == (4, 5, 3)
+    assert np.array_equal(rgb3[..., 0], grey[..., 0])
+    assert np.array_equal(rgb3[..., 1], grey[..., 0])
+    rgba = rng.integers(0, 256, size=(4, 5, 4)).astype(np.uint8)
+    out = mc.png_to_rgb(mc.decode_png(mc.encode_png(rgba)))
+    assert out.shape == (4, 5, 3)
+    assert np.array_equal(out, rgba[..., :3])
+
+
+def test_png_malformed_rejected():
+    good = mc.encode_png(np.zeros((3, 3, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="not a PNG"):
+        mc.decode_png(b"\x89PNX" + good[4:])
+    # CRC corruption detected
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # inside IHDR data
+    with pytest.raises(ValueError, match="CRC"):
+        mc.decode_png(bytes(bad))
+    # truncation inside IDAT: either the chunk-length check or the
+    # zlib-stream check fires, both as ValueError (never zlib.error)
+    idat_start = 8 + 12 + 13  # sig + IHDR chunk
+    for cut in (idat_start + 7, idat_start + 13):
+        with pytest.raises(ValueError):
+            mc.decode_png(good[:cut])
+    # unsupported bit depth via a hand-built IHDR
+    ihdr = mc._IHDR.pack(3, 3, 16, 2, 0, 0, 0)
+    doc = mc._PNG_SIG + mc._png_chunk(b"IHDR", ihdr) + mc._png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported PNG variant"):
+        mc.decode_png(doc)
+    with pytest.raises(ValueError, match="channel count"):
+        mc.encode_png(np.zeros((2, 2, 2), dtype=np.uint8))
+
+
+def test_png_ancillary_chunks_skipped():
+    """tEXt and other ancillary chunks between IHDR and IDAT are
+    skipped (real-world PNGs carry them)."""
+    px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    good = mc.encode_png(px)
+    # splice a tEXt chunk after IHDR (sig 8 + IHDR chunk 12+13=25)
+    cut = 8 + 12 + 13
+    text = mc._png_chunk(b"tEXt", b"Comment\x00synthetic")
+    spliced = good[:cut] + text + good[cut:]
+    d = mc.decode_png(spliced)
+    assert np.array_equal(d["pixels"], px)
+    assert mc.probe(spliced)["width"] == 3
+
+
+def test_png_probe_and_synth():
+    png = mc.synth_png(12)
+    p = mc.probe(png)
+    d = mc.decode_png(png)
+    assert p["kind"] == "image"
+    assert (p["width"], p["height"]) == (d["width"], d["height"])
+    assert mc.synth_png(-5)[:8] == mc._PNG_SIG  # negative seeds fine
+    # seed 0 mod 3 == 0 -> RGBA; seed 1 -> RGB
+    assert mc.decode_png(mc.synth_png(0))["channels"] == 4
+    assert mc.decode_png(mc.synth_png(1))["channels"] == 3
+    # filters rotate with the seed: all five appear over 5 seeds
+    fts = set()
+    for s in range(5):
+        raw = zlib_inflate_first_scanline(mc.synth_png(s))
+        fts.add(raw)
+    assert fts == {0, 1, 2, 3, 4}
+
+
+def zlib_inflate_first_scanline(png: bytes) -> int:
+    """First scanline's filter byte (test helper)."""
+    import struct as _s
+    import zlib as _z
+
+    pos, idat = 8, b""
+    while pos + 12 <= len(png):
+        (ln,) = _s.unpack_from(">I", png, pos)
+        typ = png[pos + 4 : pos + 8]
+        if typ == b"IDAT":
+            idat += png[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    return _z.decompress(idat)[0]
+
+
+def test_png_through_spark_pipeline(spark):
+    """decode_media / media_features / resize_images over a corpus
+    whose images are all PNG: real header metadata, unit embeddings,
+    format-preserving resize."""
+    docs = spark.createDataFrame(
+        [(i * 4, f"t{i}", "web") for i in range(1, 7)],  # %4==0 -> PNG
+        "doc_id long, text string, source string",
+    )
+    media = media_from_documents_real(docs)
+    payloads = {
+        r["media_id"]: bytes(r["payload"]) for r in media.collect()
+    }
+    assert all(b[:8] == mc._PNG_SIG for b in payloads.values())
+    rows = {r["media_id"]: r for r in decode_media(media).collect()}
+    for mid, r in rows.items():
+        d = mc.decode_png(payloads[mid])
+        assert (r["width"], r["height"]) == (d["width"], d["height"])
+    feats = media_features(media, dim=8).collect()
+    assert all(
+        abs(np.linalg.norm(np.array(r["embedding"])) - 1.0) < 1e-4
+        for r in feats
+    )
+    rz = resize_images(decode_media(media), max_w=10, max_h=10).collect()
+    for r in rz:
+        out = mc.decode_png(bytes(r["resized_payload"]))
+        assert (out["width"], out["height"]) == (r["out_w"], r["out_h"])
+        assert out["channels"] == 3  # RGB-normalized re-encode
