@@ -51,9 +51,14 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    # r5: the index/clustering family production leans on joins the
+    # headline window (judge r4 task #6) — components is the
+    # iterative min-label propagation, ivf the cell-probed ANN path
+    "dedup_components",
     "text_fingerprint",
     "text_langid",
     "ann_topk_bruteforce",
+    "ann_ivf",
     "multimodal_decode",
 ]
 
@@ -309,14 +314,18 @@ def measure_packing(spark, n_docs: int = 200_000, seq_len: int = 2048) -> dict:
     }
 
 
-def measure_bpe(spark, n_docs: int = 200_000, words_per_doc: int = 120) -> dict:
-    """Words/sec through the default (partition-path) BPE encode over
-    a deterministic zipf-ish corpus; merges learned first (reported
-    separately). Best of 2, input localCheckpointed — the timed slice
-    is the encode."""
+_BPE_STATE: dict = {}
+
+
+def _bpe_corpus(spark, n_docs: int = 200_000, words_per_doc: int = 120):
+    """Deterministic zipf-ish text corpus + learned merges for the BPE
+    bench ops, built once per process (localCheckpointed input, merges
+    learned up front) so the timed slices measure only the encode."""
+    if "docs" in _BPE_STATE:
+        return _BPE_STATE["docs"], _BPE_STATE["merges"]
     from pyspark.sql import functions as F
 
-    from dexspark.operators.bpe import bpe_encode, learn_bpe
+    from dexspark.operators.bpe import learn_bpe
 
     docs = (
         spark.range(n_docs)
@@ -341,20 +350,38 @@ def measure_bpe(spark, n_docs: int = 200_000, words_per_doc: int = 120) -> dict:
     n_words = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
     t0 = time.monotonic()
     merges = learn_bpe(docs, num_merges=500, max_words=200_000)
-    learn_sec = time.monotonic() - t0
-    best = None
-    for _ in range(2):
+    _BPE_STATE.update(
+        docs=docs,
+        merges=merges,
+        n_docs=n_docs,
+        n_words=int(n_words),
+        learn_sec=round(time.monotonic() - t0, 3),
+    )
+    return docs, merges
+
+
+def measure_bpe(spark, encode_secs: list[float] | None = None) -> dict:
+    """Words/sec through the default (partition-path) BPE encode over
+    the shared bench corpus; merges learned first (reported
+    separately). ``encode_secs``: samples already collected inside the
+    headline window (r5: bpe_encode is a headline op) — reused as the
+    best-of pool instead of re-running."""
+    from dexspark.operators.bpe import bpe_encode
+
+    docs, merges = _bpe_corpus(spark)
+    samples = list(encode_secs or [])
+    while len(samples) < 2:
         t0 = time.monotonic()
         bpe_encode(docs, merges).write.format("noop").mode("overwrite").save()
-        dt = time.monotonic() - t0
-        best = dt if best is None or dt < best else best
+        samples.append(time.monotonic() - t0)
+    best = min(samples)
     return {
-        "docs": n_docs,
-        "words": int(n_words),
+        "docs": _BPE_STATE["n_docs"],
+        "words": _BPE_STATE["n_words"],
         "merges": len(merges),
-        "learn_sec": round(learn_sec, 3),
+        "learn_sec": _BPE_STATE["learn_sec"],
         "encode_sec": round(best, 3),
-        "words_per_sec": round(n_words / best, 1),
+        "words_per_sec": round(_BPE_STATE["n_words"] / best, 1),
     }
 
 
@@ -391,12 +418,26 @@ def main_default(sf_dir: str, cpus: int) -> None:
     # what we have; `reps` in the JSON says how many passes ran.
     budget = float(os.environ.get("DEXSPARK_BENCH_BUDGET_SEC", "480"))
     max_passes = int(os.environ.get("DEXSPARK_BENCH_REPS", "4"))
+    # BPE encode joins the headline window (r5): corpus + merges are
+    # prepared ONCE before the window (learning is measured separately
+    # by measure_bpe), so the timed op is the zero-shuffle mapInArrow
+    # encode itself — the tokenizer path production runs per refresh.
+    from dexspark.operators.bpe import bpe_encode
+
+    bpe_docs, bpe_merges = _bpe_corpus(spark)
     runs: dict[str, list[float]] = {}
     cdcs = []
     t_bench0 = time.monotonic()
     while len(cdcs) < max_passes:
         for name, ts in run_queries(spark, sf_dir, reps=1).items():
             runs.setdefault(name, []).extend(ts)
+        t0 = time.monotonic()
+        bpe_encode(bpe_docs, bpe_merges).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        runs.setdefault("bpe_encode", []).append(
+            round(time.monotonic() - t0, 3)
+        )
         cdcs.append(
             run_cdc(spark, f"{SCRATCH}/dexspark-bench-{cpus}", shared_binlog=binlog)
         )
@@ -412,8 +453,9 @@ def main_default(sf_dir: str, cpus: int) -> None:
     # deterministic 200k-doc token corpus into 2048-token rows —
     # zero-shuffle mapInArrow (operators/packing.pack_sequences)
     pack = measure_packing(spark)
-    # BPE tokenizer throughput — same side-metric contract as `pack`
-    bpe = measure_bpe(spark)
+    # BPE tokenizer throughput — derived from the headline window's
+    # own encode samples (learn cost reported separately)
+    bpe = measure_bpe(spark, encode_secs=runs.get("bpe_encode"))
     # host probe AFTER the timed window so it doesn't inflate `value`
     host = host_calibration(spark)
     sf = sf_dir.rstrip("/").split("sf")[-1]
