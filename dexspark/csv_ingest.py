@@ -433,7 +433,12 @@ def _bulk_groups(
                 ),
             )
         )
-        tagged = df.withColumn(FAIL_COL, fails)
+        # bulk path: parse/blank_row literals are shared across the
+        # header group, so portal text renders post-hoc (the rule-level
+        # reasons in rule_fails already rendered at construction)
+        from .validate import render_portal_reasons
+
+        tagged = df.withColumn(FAIL_COL, render_portal_reasons(fails, rules))
         tagged_groups.append((group_paths, tagged, has_data_by_path))
     return results, tagged_groups
 

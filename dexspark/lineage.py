@@ -49,8 +49,23 @@ def _write_epoch_partitioned(df: DataFrame, path: str) -> None:
     )
 
 
-def write_quarantine(df: DataFrame, path: str) -> None:
-    """df: raw + envelope columns + fail_reasons + batch_epoch."""
+def write_quarantine(df: DataFrame, path: str, rules=None) -> None:
+    """df: raw + envelope columns + fail_reasons + batch_epoch.
+
+    When ``rules`` (a config.RuleSet) carries portal templates for the
+    structured reason kinds (validate.STRUCTURED_REASON_KINDS), the
+    writer re-renders those ``kind:col:detail`` strings into the
+    portal's operator-facing text — one seam covering every quarantine
+    writer (engine rejects, patch post-image fails, router unrouted),
+    mirroring the reference's per-rule "Error message in Portal"
+    column. No templates (the default) = structured strings unchanged."""
+    if rules is not None and getattr(rules, "messages", ()):
+        from .validate import FAIL_COL, render_portal_reasons
+
+        if FAIL_COL in df.columns:
+            df = df.withColumn(
+                FAIL_COL, render_portal_reasons(F.col(FAIL_COL), rules)
+            )
     _write_epoch_partitioned(df, path)
 
 

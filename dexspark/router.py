@@ -76,6 +76,7 @@ class RoutedEngine:
         default: str | None = None,
         max_parallel_routes: int = 4,
         unrouted_retention_epochs: int = 0,
+        rules=None,
     ):
         if not routes:
             raise ValueError("RoutedEngine needs at least one route")
@@ -99,6 +100,11 @@ class RoutedEngine:
         # sink_retention_epochs analogue): keep the last N epoch
         # partitions under the MIN route watermark; 0 = keep forever
         self.unrouted_retention_epochs = int(unrouted_retention_epochs)
+        # optional RuleSet whose portal templates render the router's
+        # own "unrouted:<route>" reasons (validate.render_portal_reasons
+        # via the write_quarantine seam); each route's engine renders
+        # its reasons through its OWN config.rules
+        self.rules = rules
 
     # ------------------------------------------------------------ one batch
 
@@ -271,7 +277,7 @@ class RoutedEngine:
             .otherwise(F.lit(-1))
             .alias("batch_epoch"),
         )
-        write_quarantine(unrouted, self.unrouted_path)
+        write_quarantine(unrouted, self.unrouted_path, self.rules)
 
     def reprocess_unrouted(self, run_quarantine_replay: bool = True) -> dict:
         """Dead-letter replay after the routing table changed (a route
@@ -312,11 +318,18 @@ class RoutedEngine:
             pred = rc.eqNullSafe(F.lit(name))
             if name == self.default:
                 pred = pred | ~self._matched() | rc.isNull()
+            from .validate import render_portal_reasons
+
             sub = parsed.filter(pred).select(
                 "raw",
                 "doc_id",
-                F.array(
-                    F.concat(F.lit("unrouted:rerouted:"), F.lit(name))
+                # rendered through the DESTINATION engine's rule-set:
+                # the handoff row lands in that engine's quarantine
+                render_portal_reasons(
+                    F.array(
+                        F.concat(F.lit("unrouted:rerouted:"), F.lit(name))
+                    ),
+                    eng.config.rules,
                 ).alias(FAIL_COL),
                 F.when(F.col("batch_epoch") >= 0, F.col("batch_epoch"))
                 .otherwise(F.lit(-1))
@@ -332,13 +345,18 @@ class RoutedEngine:
             still = parsed.filter(~self._matched() | rc.isNull())
         else:  # a default absorbs everything: the sink empties
             still = parsed.filter(F.lit(False))
+        from .validate import render_portal_reasons as _render
+
         failing = still.select(
             "raw",
             "doc_id",
-            F.array(
-                F.concat(
-                    F.lit("unrouted:"), F.coalesce(rc, F.lit("null"))
-                )
+            _render(
+                F.array(
+                    F.concat(
+                        F.lit("unrouted:"), F.coalesce(rc, F.lit("null"))
+                    )
+                ),
+                self.rules,
             ).alias(FAIL_COL),
             F.when(F.col("batch_epoch") >= 0, F.col("batch_epoch"))
             .otherwise(F.lit(-1))

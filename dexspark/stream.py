@@ -697,7 +697,10 @@ class CdcEngine:
                 # empty frame writes no partitions anyway)
                 f_quar = (
                     pool.submit(
-                        write_quarantine, quarantined, self.quarantine_path
+                        write_quarantine,
+                        quarantined,
+                        self.quarantine_path,
+                        self.config.rules,
                     )
                     if n_quarantined
                     else None
@@ -1112,7 +1115,9 @@ class CdcEngine:
             # count from the rollup, post-image fails from cnt)
             if by_class.get("reject", 0) or n_bad:
                 write_quarantine(
-                    rejects.unionByName(bad_q), self.quarantine_path
+                    rejects.unionByName(bad_q),
+                    self.quarantine_path,
+                    self.config.rules,
                 )
             if self.config.profile and new_epochs:
                 # per-epoch profile of the resolved POST-IMAGES (the
@@ -1317,11 +1322,16 @@ class CdcEngine:
         n_del = delete_keys.count()
         if n_up or n_del:
             self.table.merge(upserts, delete_keys if n_del else None)
+        from .validate import render_portal_reasons
+
         failing = tagged.filter(F.col("_still_q")).select(
             "raw",
             "doc_id",
-            F.coalesce(
-                FAIL_COL, F.array(F.lit("envelope:raw:unclassifiable"))
+            render_portal_reasons(
+                F.coalesce(
+                    FAIL_COL, F.array(F.lit("envelope:raw:unclassifiable"))
+                ),
+                rules,
             ).alias(FAIL_COL),
             F.coalesce(F.col("batch_epoch"), F.lit(-1)).alias("batch_epoch"),
         )

@@ -211,6 +211,77 @@ def with_fail_reasons(df: DataFrame, rules: RuleSet) -> DataFrame:
     return df.withColumn(FAIL_COL, fail_reasons_column(rules, df.schema))
 
 
+# ------------------------------------------- post-hoc portal rendering
+# Validation-rule reasons are template-rendered at CONSTRUCTION
+# (_msg/_msg_col above, csv_ingest._file_msg for file-level verdicts).
+# The remaining quarantine writers emit structured "kind:col:detail"
+# strings from sites that never see a RuleSet (envelope anomalies in
+# events._finalize, the router's unrouted sink, the near-dup gate, the
+# CSV parse/blank-row channels). Rather than plumb the rule-set into
+# every reader signature, the quarantine WRITER (lineage.
+# write_quarantine) re-renders those structured strings when the
+# rule-set carries a template for their kind — so the operator-facing
+# text story is uniform across every fail path (XLSX "Error message in
+# Portal" column, sheet V2020-07-30).
+
+# kinds that may reach a quarantine sink still in structured form; the
+# second ':'-segment binds {col}, the remainder {detail} ("unrouted:
+# <route>" has two segments: {col}=route, {detail}="").
+STRUCTURED_REASON_KINDS = (
+    "envelope",  # events._finalize: missing field / bad epoch / parse
+    "parse",  # csv_ingest: malformed CSV record (V2)
+    "blank_row",  # csv_ingest: all-fields-empty row (V9)
+    "unrouted",  # router: no route claimed the row
+    "near_dup",  # stream near-dup gate: near_dup:doc:<matched_id>
+)
+
+
+def render_portal_reasons(reasons: Column, rules: RuleSet | None) -> Column:
+    """Rewrite structured ``kind:col:detail`` reason strings into portal
+    text for every kind the rule-set templates; other elements pass
+    through unchanged. Pure Column ``transform`` — compiled per-kind at
+    plan build, no shuffle, no Python. ``{value}`` renders empty here
+    (the received value is only available at construction time — rules
+    that interpolate it already render there)."""
+    entries = (
+        [(k, rules.template(k)) for k in STRUCTURED_REASON_KINDS]
+        if rules is not None
+        else []
+    )
+    entries = [(k, t) for k, t in entries if t]
+    if not entries:
+        return reasons
+
+    import re as _re
+
+    def _render_one(x: Column) -> Column:
+        parts = F.split(x, ":", 3)
+        col_p = F.coalesce(F.element_at(parts, 2), F.lit(""))
+        det_p = F.coalesce(F.element_at(parts, 3), F.lit(""))
+        branch = None
+        for kind, t in entries:
+            pieces: list[Column] = []
+            for seg in _re.split(r"(\{col\}|\{detail\}|\{value\})", t):
+                if seg == "{col}":
+                    pieces.append(col_p)
+                elif seg == "{detail}":
+                    pieces.append(det_p)
+                elif seg == "{value}":
+                    pieces.append(F.lit(""))
+                elif seg:
+                    pieces.append(F.lit(seg))
+            rendered = F.concat(*pieces) if pieces else F.lit("")
+            cond = F.element_at(parts, 1) == F.lit(kind)
+            branch = (
+                F.when(cond, rendered)
+                if branch is None
+                else branch.when(cond, rendered)
+            )
+        return branch.otherwise(x)
+
+    return F.transform(reasons, _render_one)
+
+
 def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean rows without fail col, quarantined rows with reasons)."""
     ok = df.filter(F.size(FAIL_COL) == 0).drop(FAIL_COL)
