@@ -49,7 +49,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table dir (tools/sf1_suite)
+            con.sql(f"create view {t} as select * from read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.sql(f"create view {t} as select * from read_parquet('{p}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
