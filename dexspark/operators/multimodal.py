@@ -4,13 +4,15 @@ Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through per-row Python.
 
-Codecs (round 4): REAL for the dependency-free formats — WAV via the
-stdlib wave module, 24-bit uncompressed BMP via struct parsing
-(operators/media_codecs; bit-exact round-trips, real resize over
-actual pixels, embeddings over actual samples). ``real_decode``
-dispatches by magic bytes; JPEG/PNG/MP4 still raise
-NotImplementedError at the plug point (they need PIL/ffmpeg, not in
-this container) — swapping external codecs in touches only that
+Codecs (rounds 4-5): REAL for the dependency-free formats — WAV via
+the stdlib wave module, 24-bit uncompressed BMP via struct parsing,
+PNG via stdlib zlib + scanline unfiltering, and baseline JPEG via a
+from-scratch T.81 Huffman + numpy-DCT codec (operators/media_codecs;
+lossless formats bit-exact round-trip tested, JPEG PSNR/quality-
+monotonicity tested; real resize over actual pixels, embeddings over
+actual samples). ``real_decode`` dispatches by magic bytes; only MP4
+still raises NotImplementedError at the plug point (video needs
+ffmpeg, not in this container) — swapping it in touches only that
 dispatch. The original hash-derived stub path (``decode_media_stub``)
 is kept for the oracle-pinned driver query and as the
 format-agnostic stand-in. Everything Spark-side — schema, batch
@@ -53,10 +55,11 @@ def real_decode(payload: bytes, kind: str) -> dict:
     REAL for the dependency-free formats (operators/media_codecs):
     WAV (``RIFF``) via the stdlib wave module, 24-bit uncompressed BMP
     (``BM``) via struct parsing, PNG (``\\x89PNG``) via stdlib zlib +
-    full scanline unfiltering — genuine metadata, pixels and PCM.
-    Formats that need external codecs (JPEG/MP4 — PIL/ffmpeg, not in
-    this environment) still raise NotImplementedError; swapping them
-    in touches only this dispatch."""
+    full scanline unfiltering, and baseline JPEG (``\\xff\\xd8``) via
+    the T.81 Huffman + numpy-DCT decoder — genuine metadata, pixels
+    and PCM. Only MP4 (needs ffmpeg, not in this environment) still
+    raises NotImplementedError; swapping a video codec in touches
+    only this dispatch."""
     from . import media_codecs as mc
 
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -89,9 +92,17 @@ def real_decode(payload: bytes, kind: str) -> dict:
             # downstream resize/embedding shapes are 3-channel
             "pixels": mc.png_to_rgb(d),
         }
+    if payload[:2] == b"\xff\xd8":
+        d = mc.decode_jpeg(payload)
+        return {
+            "width": d["width"],
+            "height": d["height"],
+            "n_frames": 1,
+            "pixels": d["pixels"],
+        }
     raise NotImplementedError(
         f"no dependency-free codec for this {kind} payload "
-        "(JPEG/MP4 need PIL/ffmpeg)"
+        "(MP4 needs ffmpeg)"
     )
 
 
@@ -126,10 +137,11 @@ def decode_media_stub(df: DataFrame) -> DataFrame:
 
 
 def decode_media(df: DataFrame) -> DataFrame:
-    """Arrow-batched REAL decode for WAV/BMP payloads (same output
-    schema as the stub path — the two are interchangeable downstream).
-    width/height come from the actual BMP header; audio n_frames from
-    the actual WAV header. Payloads with no dependency-free codec get
+    """Arrow-batched REAL decode for WAV/BMP/PNG/JPEG payloads (same
+    output schema as the stub path — the two are interchangeable
+    downstream). width/height come from the actual image headers
+    (JPEG: a marker walk to SOF0); audio n_frames from the actual WAV
+    header. Payloads with no dependency-free codec get
     NULL dimensions (they would route to the external-codec plug in a
     PIL/ffmpeg deployment) rather than failing the batch — per-item
     error isolation, the engine's quarantine philosophy."""
@@ -164,8 +176,8 @@ def decode_media(df: DataFrame) -> DataFrame:
 
 def media_features(df: DataFrame, dim: int = 8) -> DataFrame:
     """REAL feature extraction over decodable payloads: windowed-RMS
-    energy embeddings for WAV, grid-pooled mean-RGB for BMP — computed
-    from the actual samples/pixels (operators/media_codecs). Output
+    energy embeddings for WAV, grid-pooled mean-RGB for BMP/PNG/JPEG —
+    computed from the actual samples/pixels (operators/media_codecs). Output
     shape matches the embeddings table, so ANN/cosine-dedup run on it
     unchanged. Undecodable payloads yield NULL embeddings."""
     from . import media_codecs as mc
@@ -201,6 +213,12 @@ def media_features(df: DataFrame, dim: int = 8) -> DataFrame:
                                 mc.png_to_rgb(mc.decode_png(b)), dim=dim
                             )
                         )
+                    elif b[:2] == b"\xff\xd8":
+                        vecs.append(
+                            mc.image_embedding(
+                                mc.decode_jpeg(b)["pixels"], dim=dim
+                            )
+                        )
                     else:
                         vecs.append(None)
                 except Exception:  # malformed payload: NULL, keep row
@@ -219,11 +237,11 @@ def media_features(df: DataFrame, dim: int = 8) -> DataFrame:
 def resize_images(
     decoded: DataFrame, max_w: int = 224, max_h: int = 224
 ) -> DataFrame:
-    """REAL image resize: decodes the BMP payload, nearest-neighbor
-    resamples the actual pixel array to fit the box (aspect
-    preserved), and re-encodes the resized BMP as the output payload.
-    Non-image / undecodable payloads pass through untouched with NULL
-    out dims."""
+    """REAL image resize: decodes the BMP/PNG/JPEG payload,
+    nearest-neighbor resamples the actual pixel array to fit the box
+    (aspect preserved), and re-encodes in the SAME format as the
+    output payload. Non-image / undecodable payloads pass through
+    untouched with NULL out dims."""
     from . import media_codecs as mc
 
     out_schema = T.StructType(
@@ -250,6 +268,9 @@ def resize_images(
                         # re-encodes PNG (filter 0): same format out
                         d = mc.decode_png(b)
                         px, enc = mc.png_to_rgb(d), mc.encode_png
+                    elif b[:2] == b"\xff\xd8":
+                        d = mc.decode_jpeg(b)
+                        px, enc = d["pixels"], mc.encode_jpeg
                     else:
                         raise ValueError("not an image payload")
                     if d["width"] <= 0 or d["height"] <= 0:
@@ -272,11 +293,12 @@ def resize_images(
 def media_from_documents_real(docs: DataFrame) -> DataFrame:
     """Deterministic synthetic media table with REAL payloads: each
     doc becomes a genuine WAV (seeded sine mix) or genuine image —
-    alternating BMP / PNG (seeded gradient; the PNG synth also cycles
-    through all five scanline filters and RGBA) keyed by doc_id — no
-    external data, real codecs (operators/media_codecs.synth_*). Runs
-    as mapInPandas so the synthesis is Arrow-batched like every other
-    media op."""
+    rotating BMP / PNG / JPEG (seeded gradient; the PNG synth cycles
+    through all five scanline filters and RGBA, the JPEG synth through
+    quality levels, 4:4:4 / 4:2:0 and restart intervals) keyed by
+    doc_id — no external data, real codecs
+    (operators/media_codecs.synth_*). Runs as mapInPandas so the
+    synthesis is Arrow-batched like every other media op."""
     src = docs.select(
         F.col("doc_id").cast("long").alias("media_id"),
         F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
@@ -289,7 +311,11 @@ def media_from_documents_real(docs: DataFrame) -> DataFrame:
         def synth(mid: int, kind: str) -> bytes:
             if kind != "image":
                 return mc.synth_wav(mid)
-            return mc.synth_png(mid) if mid % 4 == 0 else mc.synth_bmp(mid)
+            if mid % 4 == 0:
+                return mc.synth_png(mid)
+            if mid % 4 == 2:
+                return mc.synth_jpeg(mid)
+            return mc.synth_bmp(mid)
 
         for pdf in it:
             payloads = [

@@ -79,8 +79,12 @@ def test_real_decode_dispatch():
     assert db["width"] >= 8 and db["height"] >= 8
     dp = real_decode(png, "image")
     assert dp["width"] >= 8 and dp["pixels"].shape[2] == 3  # RGB-normal
+    jpg = mc.synth_jpeg(7)
+    dj = real_decode(jpg, "image")
+    assert dj["width"] >= 8 and dj["pixels"].shape[2] == 3
     with pytest.raises(NotImplementedError):
-        real_decode(b"\xff\xd8\xff\xe0....", "image")  # JPEG magic
+        # MP4 ftyp box: the one remaining external-codec plug
+        real_decode(b"\x00\x00\x00\x18ftypmp42....", "video")
 
 
 # ------------------------------------------------------------ Spark path
@@ -101,7 +105,12 @@ def test_decode_media_real_metadata(spark, media):
     for mid, r in rows.items():
         if r["kind"] == "image":
             b = bytes(r["payload"])
-            d = mc.decode_png(b) if b[:8] == mc._PNG_SIG else mc.decode_bmp(b)
+            if b[:8] == mc._PNG_SIG:
+                d = mc.decode_png(b)
+            elif b[:2] == b"\xff\xd8":
+                d = mc.decode_jpeg(b)
+            else:
+                d = mc.decode_bmp(b)
             assert (r["width"], r["height"]) == (d["width"], d["height"])
             assert r["n_frames"] == 1
         else:
@@ -134,10 +143,18 @@ def test_resize_images_real(spark, media):
             continue
         assert 1 <= r["out_w"] <= 10 and 1 <= r["out_h"] <= 10
         rb = bytes(r["resized_payload"])
-        # format-preserving: PNG in -> PNG out, BMP in -> BMP out
-        assert rb[:8] == mc._PNG_SIG if bytes(r["payload"])[:8] == mc._PNG_SIG \
-            else rb[:2] == b"BM"
-        d = mc.decode_png(rb) if rb[:8] == mc._PNG_SIG else mc.decode_bmp(rb)
+        # format-preserving: PNG in -> PNG out, JPEG in -> JPEG out,
+        # BMP in -> BMP out
+        src = bytes(r["payload"])
+        if src[:8] == mc._PNG_SIG:
+            assert rb[:8] == mc._PNG_SIG
+            d = mc.decode_png(rb)
+        elif src[:2] == b"\xff\xd8":
+            assert rb[:2] == b"\xff\xd8"
+            d = mc.decode_jpeg(rb)
+        else:
+            assert rb[:2] == b"BM"
+            d = mc.decode_bmp(rb)
         # the resized payload really decodes to the declared box
         assert (d["width"], d["height"]) == (r["out_w"], r["out_h"])
         # aspect preserved within integer rounding
@@ -338,3 +355,136 @@ def test_png_through_spark_pipeline(spark):
         out = mc.decode_png(bytes(r["resized_payload"]))
         assert (out["width"], out["height"]) == (r["out_w"], r["out_h"])
         assert out["channels"] == 3  # RGB-normalized re-encode
+
+
+# ------------------------------------------------------------ JPEG codec
+
+
+def _psnr(a, b) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else float(10 * np.log10(255**2 / mse))
+
+
+def _grad_image(h=37, w=53):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [
+            255 * xx / (w - 1),
+            255 * yy / (h - 1),
+            128 + 96 * np.sin(xx / 5.0) * np.cos(yy / 7.0),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_psnr_all_modes():
+    """Lossy codec bar: decode(encode(img)) stays close to the source
+    across 4:4:4 / 4:2:0 and with/without restart markers, on odd
+    (non-multiple-of-8/16) dimensions."""
+    img = _grad_image()
+    for subsample in (False, True):
+        for ri in (0, 4):
+            b = mc.encode_jpeg(img, quality=85, subsample=subsample,
+                               restart_interval=ri)
+            d = mc.decode_jpeg(b)
+            assert (d["width"], d["height"]) == (53, 37)
+            floor = 30.0 if subsample else 38.0
+            assert _psnr(img, d["pixels"]) > floor, (subsample, ri)
+
+
+def test_jpeg_quality_monotone():
+    """Higher quality -> strictly better PSNR and larger payload —
+    the quantization-table scaling behaves per the IJG curve."""
+    img = _grad_image()
+    stats = []
+    for q in (30, 60, 90):
+        b = mc.encode_jpeg(img, quality=q)
+        stats.append((len(b), _psnr(img, mc.decode_jpeg(b)["pixels"])))
+    sizes, psnrs = zip(*stats)
+    assert sizes[0] < sizes[1] < sizes[2]
+    assert psnrs[0] < psnrs[1] < psnrs[2]
+
+
+def test_jpeg_uniform_block_exact():
+    """A uniform image is DC-only: the round trip must be EXACT (the
+    DCT/quant/Huffman chain introduces zero error on it) — a
+    known-value check that catches table/zigzag/predictor bugs that
+    PSNR thresholds would absorb."""
+    for val in (0, 77, 128, 255):
+        u = np.full((16, 24, 3), val, np.uint8)
+        d = mc.decode_jpeg(mc.encode_jpeg(u, quality=90))
+        assert int(np.abs(d["pixels"].astype(int) - val).max()) == 0, val
+
+
+def test_jpeg_greyscale_and_determinism():
+    g = (_grad_image()[..., 0]).astype(np.uint8)
+    b1 = mc.encode_jpeg(g, quality=90)
+    b2 = mc.encode_jpeg(g, quality=90)
+    assert b1 == b2  # bit-deterministic encoder
+    d = mc.decode_jpeg(b1)
+    assert d["pixels"].shape == (37, 53, 3)  # grey replicated to RGB
+    assert _psnr(np.stack([g] * 3, -1), d["pixels"]) > 40
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    b = bytearray(mc.encode_jpeg(_grad_image()))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        mc.decode_jpeg(bytes(b))
+    assert mc.probe(bytes(b)) is None  # probe refuses non-baseline too
+    with pytest.raises(ValueError):
+        mc.decode_jpeg(b"\x00\x01\x02")
+
+
+def test_jpeg_probe_and_synth_paths():
+    """probe() reads dims from the marker walk only; the synth corpus
+    covers 4:4:4, 4:2:0, restart and no-restart streams."""
+    saw_ss = saw_ri = False
+    for seed in range(12):
+        payload = mc.synth_jpeg(seed)
+        p = mc.probe(payload)
+        d = mc.decode_jpeg(payload)
+        assert p == {
+            "kind": "image",
+            "width": d["width"],
+            "height": d["height"],
+            "n_frames": 1,
+        }
+        saw_ss = saw_ss or bool(seed % 2)
+        saw_ri = saw_ri or (seed % 3 != 0)
+    assert saw_ss and saw_ri
+
+
+def test_jpeg_through_spark_pipeline(spark):
+    """decode_media / media_features / resize_images over a corpus
+    whose images are all JPEG: header metadata matches the full
+    decode, embeddings are unit-norm, and resize re-encodes JPEG."""
+    from dexspark.operators.multimodal import (
+        decode_media as dm,
+        media_features as mf,
+        media_from_documents_real as mk,
+        resize_images as rz,
+    )
+
+    docs = spark.createDataFrame(
+        # doc_id % 4 == 2 and even -> image lane, JPEG branch
+        [(i, f"t{i}", "web") for i in (2, 6, 10, 14, 18, 22)],
+        "doc_id long, text string, source string",
+    )
+    media = mk(docs)
+    payloads = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert all(b[:2] == b"\xff\xd8" for b in payloads.values())
+    rows = {r["media_id"]: r for r in dm(media).collect()}
+    for mid, r in rows.items():
+        d = mc.decode_jpeg(payloads[mid])
+        assert (r["width"], r["height"]) == (d["width"], d["height"])
+    feats = mf(media, dim=8).collect()
+    assert all(
+        r["embedding"] is not None
+        and abs(np.linalg.norm(np.array(r["embedding"])) - 1.0) < 1e-4
+        for r in feats
+    )
+    for r in rz(dm(media), max_w=10, max_h=10).collect():
+        out = mc.decode_jpeg(bytes(r["resized_payload"]))
+        assert (out["width"], out["height"]) == (r["out_w"], r["out_h"])

@@ -62,10 +62,10 @@ def test_decode_is_arrow_batched(media):
 
 
 def test_real_codec_is_stubbed():
-    # JPEG still routes to the external-codec plug (WAV/BMP/PNG are
-    # real dependency-free codecs now)
+    # only MP4 still routes to the external-codec plug
+    # (WAV/BMP/PNG/JPEG are real dependency-free codecs now)
     with pytest.raises(NotImplementedError):
-        real_decode(b"\xff\xd8\xff\xe0", "image")
+        real_decode(b"\x00\x00\x00\x18ftypmp42", "video")
 
 
 def test_decoded_schema_stable(media):
