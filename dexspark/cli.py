@@ -1132,9 +1132,13 @@ def main(argv: list[str] | None = None) -> int:
 
     # metadata / read-only modes: no engine (and no warehouse) needed
     if args.health:
-        from .health import binlog_lag, warehouse_health
+        from .health import binlog_lag, trigger_advice, warehouse_health
 
         h = warehouse_health(spark, table, args.warehouse)
+        # trigger sizing from the deployment's own lineage history
+        # (O(epochs); null fields when history can't separate the
+        # per-trigger constant — see health.trigger_advice)
+        h["trigger_advice"] = trigger_advice(spark, args.warehouse)
         if args.binlog:
             # optional consumer-lag section: one O(binlog) scan
             h["lag"] = binlog_lag(spark, table, args.binlog)

@@ -223,3 +223,83 @@ def quarantine_drift(
         "reasons": out,
         "drift_l1": round(l1, 6),
     }
+
+
+def trigger_advice(
+    spark: SparkSession,
+    warehouse: str,
+    target_overhead: float = 0.1,
+) -> dict:
+    """Trigger sizing advice from the stream's OWN lineage sink.
+
+    BENCH.md's scaling sections pin the strong-scaling shortfall at
+    small triggers to a per-trigger fixed cost (scheduling + plan
+    build + commit) that the data-proportional work must amortize:
+    efficiency collapses when batches are small, and is recovered by
+    sizing triggers so per-batch compute dominates the constant. This
+    turns that measurement into an operator-facing answer, computed
+    from the deployment's own history rather than a hard-coded
+    constant: a least-squares fit of per-batch wall time =
+    ``fixed + rate * events`` over the lineage sink's epochs (one
+    bounded O(epochs) job — lineage is O(groups)-sized by design),
+    then the smallest events/trigger at which the fixed share is
+    ≤ ``target_overhead``.
+
+    Returns ``{batches, per_trigger_fixed_ms, us_per_event,
+    median_events_per_trigger, overhead_at_median,
+    recommended_min_events_per_trigger, target_overhead}``; fields are
+    null when the sink is missing or has <3 distinct batch sizes (a
+    one-size history cannot separate slope from intercept — run with
+    varied trigger sizes, or accept the cross-deployment default of
+    sizing compute ≥ ~10x the constant)."""
+    path = os.path.join(warehouse, "lineage")
+    empty = {
+        "batches": 0,
+        "per_trigger_fixed_ms": None,
+        "us_per_event": None,
+        "median_events_per_trigger": None,
+        "overhead_at_median": None,
+        "recommended_min_events_per_trigger": None,
+        "target_overhead": target_overhead,
+    }
+    if _epoch_dirs(path) in (None, (0, 0)):
+        return empty
+    rows = (
+        spark.read.parquet(path)
+        .groupBy("batch_epoch")
+        .agg(
+            F.sum("events_seen").alias("events"),
+            F.max("wall_ms").alias("wall_ms"),
+        )
+        .filter(F.col("wall_ms").isNotNull() & (F.col("events") > 0))
+        .collect()
+    )
+    pts = [(int(r["events"]), float(r["wall_ms"])) for r in rows]
+    out = dict(empty, batches=len(pts))
+    if len({e for e, _ in pts}) < 3:
+        return out
+    n = float(len(pts))
+    sx = sum(e for e, _ in pts)
+    sy = sum(w for _, w in pts)
+    sxx = sum(e * e for e, _ in pts)
+    sxy = sum(e * w for e, w in pts)
+    denom = n * sxx - sx * sx
+    if denom <= 0:
+        return out
+    rate = (n * sxy - sx * sy) / denom  # ms per event
+    fixed = (sy - rate * sx) / n
+    if rate <= 0 or fixed < 0:
+        # a degenerate fit (noise-dominated history, or fixed cost
+        # below measurement resolution) yields no useful advice
+        return out
+    med = sorted(e for e, _ in pts)[len(pts) // 2]
+    t = min(max(float(target_overhead), 1e-6), 0.99)
+    rec = int(fixed * (1.0 - t) / (t * rate)) + 1
+    out.update(
+        per_trigger_fixed_ms=round(fixed, 1),
+        us_per_event=round(rate * 1000.0, 4),
+        median_events_per_trigger=int(med),
+        overhead_at_median=round(fixed / (fixed + rate * med), 4),
+        recommended_min_events_per_trigger=rec,
+    )
+    return out

@@ -217,3 +217,89 @@ def test_health_empty_quarantine_dir(spark, tmp_warehouse):
         "rows": 0,
         "top_reasons": [],
     }
+
+
+# ------------------------------------------------------ trigger advice
+
+
+def _write_lineage(spark, warehouse, pts):
+    """Synthetic lineage sink: one (epoch, events, wall_ms) row each,
+    written with the production sink schema/partitioning."""
+    from dexspark.lineage import LINEAGE_SCHEMA
+
+    rows = [
+        (int(ep), 0, "binlog", int(ev), int(ev), 0, 0, int(ev), int(wall))
+        for ep, (ev, wall) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, LINEAGE_SCHEMA)
+    df.write.partitionBy("batch_epoch").parquet(
+        os.path.join(warehouse, "lineage")
+    )
+
+
+def test_trigger_advice_recovers_fixed_and_rate(spark, tmp_path):
+    """An exactly-linear wall(events) history: the fit must recover
+    the constant and the marginal rate, and the recommendation is the
+    closed-form amortization point."""
+    from dexspark.health import trigger_advice
+
+    wh = str(tmp_path)
+    fixed, rate = 900.0, 0.002  # ms, ms/event (the BENCH.md shape)
+    pts = [(n, fixed + rate * n) for n in (50_000, 150_000, 400_000, 1_000_000)]
+    _write_lineage(spark, wh, pts)
+    a = trigger_advice(spark, wh, target_overhead=0.1)
+    assert a["batches"] == 4
+    assert abs(a["per_trigger_fixed_ms"] - fixed) < 1.0
+    assert abs(a["us_per_event"] - rate * 1000) < 0.05
+    # fixed/(fixed + rate*n) <= 0.1  =>  n >= 9*fixed/rate = 4.05M
+    assert a["recommended_min_events_per_trigger"] == int(9 * fixed / rate) + 1
+    med = a["median_events_per_trigger"]
+    assert med == 400_000
+    assert abs(
+        a["overhead_at_median"] - fixed / (fixed + rate * med)
+    ) < 1e-3
+    # recommendation really hits the target
+    n = a["recommended_min_events_per_trigger"]
+    assert fixed / (fixed + rate * n) <= 0.1
+
+
+def test_trigger_advice_degrades_gracefully(spark, tmp_path):
+    from dexspark.health import trigger_advice
+
+    # no sink at all
+    a = trigger_advice(spark, str(tmp_path / "nowhere"))
+    assert a["batches"] == 0 and a["recommended_min_events_per_trigger"] is None
+    # constant batch size: slope/intercept are not separable
+    wh = str(tmp_path / "flat")
+    _write_lineage(spark, wh, [(100_000, 1000), (100_000, 1100), (100_000, 900)])
+    a = trigger_advice(spark, wh)
+    assert a["batches"] == 3
+    assert a["recommended_min_events_per_trigger"] is None
+
+
+def test_trigger_advice_in_cli_health(spark, tmp_warehouse, capsys):
+    """--health carries the advice section end-to-end (real engine
+    lineage; 3 equal-ish epochs -> graceful null advice is fine, the
+    contract is presence + serializability)."""
+    import sys
+
+    from dexspark.cli import main as cli_main
+
+    table, eng = _run_engine(spark, tmp_warehouse)
+    argv = [
+        "dexspark", "--table", os.path.join(tmp_warehouse, "t"),
+        "--warehouse", tmp_warehouse, "--health",
+    ]
+    old = sys.argv
+    try:
+        sys.argv = argv
+        assert cli_main() == 0
+    finally:
+        sys.argv = old
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ta = out["trigger_advice"]
+    assert ta["batches"] >= 3
+    assert set(ta) >= {
+        "per_trigger_fixed_ms", "us_per_event",
+        "recommended_min_events_per_trigger", "target_overhead",
+    }
