@@ -840,6 +840,8 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated entropy data")
         b = d[self.pos]
         if b == 0xFF:
             nxt = d[self.pos + 1]
@@ -900,7 +902,18 @@ def decode_jpeg(payload: bytes) -> dict:
     ``pixels`` is HxWx3 uint8 RGB (greyscale replicated). Supports
     multiple DQT/DHT segments, sampling factors in {1,2} (4:4:4,
     4:2:2, 4:2:0), DRI/RSTn resync; rejects progressive (SOF2) and
-    arithmetic-coded streams with explicit errors."""
+    arithmetic-coded streams with explicit errors. Truncated or
+    corrupt payloads always raise ValueError (the per-item isolation
+    contract every codec here shares)."""
+    try:
+        return _decode_jpeg(payload)
+    except ValueError:
+        raise
+    except (IndexError, struct.error, KeyError) as exc:
+        raise ValueError(f"corrupt or truncated JPEG: {exc}") from exc
+
+
+def _decode_jpeg(payload: bytes) -> dict:
     d = payload
     if d[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")

@@ -488,3 +488,16 @@ def test_jpeg_through_spark_pipeline(spark):
     for r in rz(dm(media), max_w=10, max_h=10).collect():
         out = mc.decode_jpeg(bytes(r["resized_payload"]))
         assert (out["width"], out["height"]) == (r["out_w"], r["out_h"])
+
+
+def test_jpeg_truncation_always_valueerror():
+    """The per-item isolation contract: any truncation point raises
+    ValueError (never IndexError/KeyError/struct.error), so the Spark
+    pipelines' except-and-NULL isolation holds for every malformed
+    payload shape."""
+    b = mc.synth_jpeg(5)
+    for cut in range(8, len(b), max(1, len(b) // 40)):
+        try:
+            mc.decode_jpeg(b[:cut])
+        except ValueError:
+            pass  # the only permitted failure type
