@@ -725,21 +725,26 @@ def encode_jpeg(
 ) -> bytes:
     """HxWx3 RGB (or HxW greyscale) uint8 -> baseline JFIF bytes.
 
-    ``subsample=True`` writes 4:2:0 (chroma block-averaged 2x2,
-    interleaved 2x2-luma MCUs); default 4:4:4. ``restart_interval``
-    > 0 emits DRI + RSTn every N MCUs (the decoder's resync path)."""
+    ``subsample`` picks the chroma layout: ``False`` = 4:4:4 (default),
+    ``True`` or ``"420"`` = 4:2:0 (chroma block-averaged 2x2,
+    interleaved 2x2-luma MCUs), ``"422"`` = 4:2:2 (chroma averaged
+    horizontally only, 2x1-luma MCUs). ``restart_interval`` > 0 emits
+    DRI + RSTn every N MCUs (the decoder's resync path)."""
     px = np.asarray(pixels)
     grey = px.ndim == 2
     h, w = px.shape[:2]
     if h < 1 or w < 1:
         raise ValueError("empty image")
+    mode = {False: "444", True: "420"}.get(subsample, subsample)
+    if mode not in ("444", "420", "422"):
+        raise ValueError(f"unsupported subsampling {subsample!r}")
     ql = _quality_scale(_Q_LUMA, quality)
     qc = _quality_scale(_Q_CHROMA, quality)
     if grey:
         comps = [(px.astype(np.float64), ql, 1, 1)]
     else:
         y, cb, cr = _rgb_to_ycbcr(px)
-        if subsample:
+        if mode == "420":
             # pad to /16 so 2x2 block-averaging then /8 tiling is exact
             cbp = np.pad(cb, ((0, -h % 16), (0, -w % 16)), mode="edge")
             crp = np.pad(cr, ((0, -h % 16), (0, -w % 16)), mode="edge")
@@ -750,6 +755,13 @@ def encode_jpeg(
                 axis=(1, 3)
             )
             comps = [(y, ql, 2, 2), (cb, qc, 1, 1), (cr, qc, 1, 1)]
+        elif mode == "422":
+            # horizontal-only averaging; pad width to /16
+            cbp = np.pad(cb, ((0, 0), (0, -w % 16)), mode="edge")
+            crp = np.pad(cr, ((0, 0), (0, -w % 16)), mode="edge")
+            cb = cbp.reshape(cbp.shape[0], cbp.shape[1] // 2, 2).mean(axis=2)
+            cr = crp.reshape(crp.shape[0], crp.shape[1] // 2, 2).mean(axis=2)
+            comps = [(y, ql, 2, 1), (cb, qc, 1, 1), (cr, qc, 1, 1)]
         else:
             comps = [(y, ql, 1, 1), (cb, qc, 1, 1), (cr, qc, 1, 1)]
     hmax = max(c[2] for c in comps)

@@ -501,3 +501,20 @@ def test_jpeg_truncation_always_valueerror():
             mc.decode_jpeg(b[:cut])
         except ValueError:
             pass  # the only permitted failure type
+
+
+def test_jpeg_422_between_420_and_444():
+    """4:2:2 halves chroma horizontally only: fidelity and size land
+    strictly between 4:2:0 and 4:4:4 on a chroma-varying image, and
+    the decoder's (2,1)-sampling upsample path round-trips it."""
+    img = _grad_image()
+    stats = {}
+    for mode in ("420", "422", "444"):
+        b = mc.encode_jpeg(img, quality=85, subsample=mode,
+                           restart_interval=3)
+        stats[mode] = (len(b), _psnr(img, mc.decode_jpeg(b)["pixels"]))
+    assert stats["420"][0] < stats["422"][0] < stats["444"][0]
+    assert stats["420"][1] < stats["422"][1] < stats["444"][1]
+    assert stats["422"][1] > 32
+    with pytest.raises(ValueError, match="subsampling"):
+        mc.encode_jpeg(img, subsample="411")
