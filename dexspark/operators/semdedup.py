@@ -1,0 +1,144 @@
+"""Semantic deduplication over embeddings (SemDeDup, Abbas et al. 2023).
+
+The embedding-space complement of the token-level dedup family:
+k-means-cluster the corpus embeddings, then inside each cluster mark
+as duplicates every vector whose cosine similarity to a
+higher-priority cluster member exceeds ``tau``. This is exactly the
+released SemDeDup procedure — per cluster they take the upper
+triangle of the pairwise similarity matrix in a chosen keep order and
+drop row ``x`` when ``max_{y before x} cos(x, y) > tau`` — re-expressed
+as joins so no cluster's matrix is ever materialized.
+
+Keep orders (the paper evaluates both):
+- ``"min_id"``  — keep the earliest vector by id (deterministic,
+  replay-stable under re-ingest; the engine default).
+- ``"far"``     — keep LOW-similarity-to-centroid examples first (the
+  paper's choice: duplicates near the centroid are the redundant
+  ones; ties broken by id).
+
+Scale shape:
+- cluster assignment is the ANN module's broadcast-centroid argmax
+  (``operators/ann.py``): a map-side cross join against the tiny
+  centroid set, never a shuffle of the corpus;
+- candidate pairs come from a CELL-EQUALITY self-join (co-partitioned
+  on the cell key), so candidate volume is sum of cell^2, not N^2;
+- ``cell_cap`` bounds the quadratic term per cell: oversized cells are
+  excluded from pair generation and their members all kept —
+  recall degrades gracefully instead of a skewed cell going O(N^2)
+  (same guard as the sign-LSH buckets and the IVF posting lists);
+- the dropped-id set is ONE distinct aggregation; survivors come back
+  via a left-anti join on the id.
+
+With Lloyd-refined centroids (``refine_iters > 0``) this is the full
+SemDeDup; with seed centroids it is the deterministic variant the
+bench/query surface uses. Reference anchor: duplicate-header rule +
+LWW dedup (SURVEY V5/A5) — the same keep-one-representative contract
+lifted to semantic space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .ann import _cosine, _nearest_cells, centroids, refine_centroids
+
+#: Cells larger than this never generate candidate pairs (quadratic
+#: guard; members are kept). Mirrors ann._ANN_BUCKET_CAP semantics.
+DEFAULT_CELL_CAP = 4096
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    cts: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, embedding, cell): each vector's nearest centroid by cosine
+    (broadcast argmax, ties to the lowest cell id)."""
+    return _nearest_cells(
+        embeddings.select(id_col, "embedding"), cts, id_col, top=1
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    tau: float = 0.7,
+    keep: str = "min_id",
+    refine_iters: int = 0,
+    cell_cap: int = DEFAULT_CELL_CAP,
+    id_col: str = "vec_id",
+    cts: DataFrame | None = None,
+) -> DataFrame:
+    """(id, cell, keep) — every input vector flagged keep/drop.
+
+    ``cts`` overrides the centroid set (e.g. one maintained
+    incrementally); otherwise deterministic seed centroids, optionally
+    Lloyd-refined ``refine_iters`` rounds.
+    """
+    if keep not in ("min_id", "far"):
+        raise ValueError(f"keep must be 'min_id' or 'far', got {keep!r}")
+    if cts is None:
+        cts = centroids(embeddings, n_cells)
+        if refine_iters > 0:
+            cts = refine_centroids(embeddings, cts, refine_iters)
+
+    assigned = assign_cells(embeddings, cts, id_col)
+    if keep == "far":
+        # priority = ascending similarity to own centroid (outliers
+        # kept first), ties by id — rank within the cell so the pair
+        # predicate is a plain column comparison.
+        sim = (
+            assigned.join(F.broadcast(cts), "cell")
+            .select(
+                id_col,
+                "cell",
+                "embedding",
+                _cosine(F.col("embedding"), F.col("centroid")).alias("_csim"),
+            )
+        )
+        w = Window.partitionBy("cell").orderBy("_csim", id_col)
+        ranked = sim.withColumn("_rk", F.row_number().over(w)).drop("_csim")
+    else:
+        ranked = assigned.withColumn("_rk", F.col(id_col))
+    ranked = ranked.localCheckpoint(eager=False)
+
+    small = (
+        ranked.groupBy("cell")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= cell_cap)
+        .select("cell")
+    )
+    cand = ranked.join(F.broadcast(small), "cell")
+    a, b = cand.alias("a"), cand.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a._rk") < F.col("b._rk")),
+        )
+        .filter(
+            _cosine(F.col("a.embedding"), F.col("b.embedding")) >= tau
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        ranked.join(dropped.withColumn("_dup", F.lit(True)), id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semdedup_keep(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    **kwargs,
+) -> DataFrame:
+    """Survivor rows of ``embeddings`` with all their columns — the
+    gate form (left-anti join on the dropped ids)."""
+    flags = semdedup(embeddings, id_col=id_col, **kwargs)
+    drop_ids = flags.filter(~F.col("keep")).select(id_col)
+    return embeddings.join(drop_ids, id_col, "left_anti")
