@@ -46,6 +46,7 @@ def _corpus_cfg(args):
         pad_id=args.pad_id,
         splits=splits,
         bpe_learn_merges=args.bpe_merges,
+        max_ppl=args.max_ppl,
     )
     if args.fim_rate > 0:
         if not args.fim_ids:
@@ -471,6 +472,15 @@ def main(argv: list[str] | None = None) -> int:
         default="psm",
         help="FIM layout: prefix-suffix-middle (default) or the "
         "joint suffix-prefix-middle variant",
+    )
+    ap.add_argument(
+        "--max-ppl",
+        type=float,
+        default=None,
+        help="corpus modes: drop documents whose perplexity under a "
+        "self-trained bigram LM is >= this (operators/lmfilter, the "
+        "CCNet-style learned quality gate; --sync-corpus freezes the "
+        "LM at the first window)",
     )
     ap.add_argument(
         "--health",

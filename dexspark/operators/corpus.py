@@ -6,6 +6,8 @@ The composite a training-data team actually runs, assembled from the
 engine's individually-verified operators in the canonical order:
 
     quality gate      (textquality.filter_quality — Gopher-style rules)
+    perplexity gate   (lmfilter — CCNet-style learned rule; optional,
+                       max_ppl under a self-trained bigram LM)
     exact dedup       (md5(text) groupBy, keep min doc_id)
     near-dup dedup    (minhash signatures -> capped LSH band buckets ->
                        connected components -> keep representative)
@@ -54,6 +56,16 @@ class CorpusConfig:
     seed: int = 0
     quality: bool = True
     thresholds: QualityThresholds | None = None
+    # Perplexity gate (operators/lmfilter, the CCNet-style learned
+    # quality rule): None = off; else drop documents whose perplexity
+    # under a self-trained add-one bigram LM is >= max_ppl. Runs
+    # after the written quality rules, before dedup, over the same
+    # unit column the other gates use (text or token ids). In the
+    # incremental pipeline the LM is FROZEN at the first window
+    # (lm_max_bigrams caps the persisted model; cut mass backs off).
+    max_ppl: float | None = None
+    lm_min_count: int = 1
+    lm_max_bigrams: int = 250_000
     exact_dedup: bool = True
     near_dup: bool = True
     decontaminate_ngram: int = 8
@@ -215,6 +227,23 @@ def prepare_corpus(
             report["stages"]["after_quality"] = cur.count()
         else:
             report["stages"]["after_quality"] = "skipped (no text column)"
+
+    if cfg.max_ppl is not None:
+        from .lmfilter import filter_by_perplexity, learn_bigram_lm
+
+        lm = learn_bigram_lm(
+            cur, text_col=unit, id_col=id_col, min_count=cfg.lm_min_count
+        )
+        if lm.vocab_size > 0:
+            lm.persist()
+            cur = filter_by_perplexity(
+                cur, lm, cfg.max_ppl, text_col=unit, id_col=id_col
+            ).localCheckpoint(eager=False)
+            report["stages"]["after_perplexity"] = cur.count()
+            report["lm_vocab"] = lm.vocab_size
+            lm.unpersist()
+        else:
+            report["stages"]["after_perplexity"] = "skipped (empty corpus)"
 
     if cfg.exact_dedup:
         key = content_hash_expr(text if has_text else "tokens", has_text)

@@ -10,6 +10,10 @@ through the SAME gates as the batch pipeline, against persisted
 state, appending packed shards per window:
 
     quality gate       map-only over the window's docs (text corpora)
+    perplexity gate    optional (cfg.max_ppl): scored under an LM
+                       FROZEN at the first window (``_lm.json``) —
+                       retraining per window would silently shift the
+                       admission boundary between windows
     exact dedup        content hash vs the persisted ``_hashes`` index
                        (bucket-pruned probe, O(window))
     near-dup dedup     the CDC-maintained minhash signature + LSH
@@ -52,6 +56,8 @@ with the engine's binlog epochs, ann.sync_index and mview):
                    ``filter_retracted=True``) — the standard
                    data-deletion answer at training-shard scale.
     _tokenizer.json  frozen BPE merges (written once).
+    _lm.json         frozen perplexity-gate LM (written once, only
+                     when ``cfg.max_ppl`` is set).
     split=<s>/w<lo>-<hi>/  packed parquet shards for the window.
 
 Replay safety: every gate decision is a deterministic function of
@@ -279,6 +285,49 @@ class CorpusPipeline:
             return self._read_frozen()  # raced: the frozen rules win
         return merges
 
+    # -- frozen perplexity LM ---------------------------------------
+    @property
+    def _lm_path(self) -> str:
+        return os.path.join(self.out_dir, "_lm.json")
+
+    def _read_frozen_lm(self):
+        try:
+            return json.loads(self.io.read_text(self._lm_path))
+        except FileNotFoundError:
+            return None
+
+    def _frozen_lm(self, gated: DataFrame, report: dict):
+        """Load the persisted perplexity-gate LM, or freeze one now
+        (first non-empty window): learned on this window's
+        post-quality docs — the same position the batch pipeline
+        trains at. Same write-once ``put_if_absent`` contract as the
+        tokenizer freeze: a racing writer adopts the winner's model,
+        so gate decisions never depend on which replica won. An empty
+        window freezes nothing (the gate no-ops until a window with
+        content arrives — freezing a vocab-0 model would admit
+        everything forever)."""
+        from .lmfilter import learn_bigram_lm, lm_to_dict
+
+        frozen = self._read_frozen_lm()
+        if frozen is not None:
+            return frozen
+        lm = learn_bigram_lm(
+            gated,
+            text_col=self.unit,
+            id_col="doc_id",
+            min_count=self.cfg.lm_min_count,
+        )
+        doc = lm_to_dict(lm, self.cfg.lm_max_bigrams)
+        if doc["vocab_size"] == 0:
+            return None
+        report["lm_vocab"] = doc["vocab_size"]
+        try:
+            self.io.put_if_absent(self._lm_path, json.dumps(doc))
+        except ConcurrentCommitError:
+            report.pop("lm_vocab", None)
+            return self._read_frozen_lm()  # raced: the frozen LM wins
+        return doc
+
     # -- the fold ---------------------------------------------------
     def sync(self) -> dict:
         """Fold every source commit in ``(synced, current]`` into the
@@ -356,6 +405,25 @@ class CorpusPipeline:
             report["stages"]["after_quality"] = cur_df.count()
         elif cfg.quality:
             report["stages"]["after_quality"] = "skipped (no text column)"
+
+        # 1b) perplexity gate under the frozen LM (cfg.max_ppl)
+        if cfg.max_ppl is not None:
+            from .lmfilter import filter_by_perplexity, lm_from_dict
+
+            lmd = self._frozen_lm(cur_df, report)
+            if lmd is not None:
+                cur_df = filter_by_perplexity(
+                    cur_df,
+                    lm_from_dict(self.spark, lmd),
+                    cfg.max_ppl,
+                    text_col=unit,
+                    id_col="doc_id",
+                ).localCheckpoint(eager=False)
+                report["stages"]["after_perplexity"] = cur_df.count()
+            else:
+                report["stages"]["after_perplexity"] = (
+                    "skipped (no model yet)"
+                )
 
         # 2) exact dedup: intra-window keep-min, then probe the
         # persisted hash index. A match is void when the matched hash

@@ -64,11 +64,25 @@ BOS = "<s>"
 def _bigrams(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, v, w) — one row per bigram occurrence, BOS-prefixed.
 
-    The split is staged into its own projection once (the engine-wide
+    ``text_col`` may be a string column (split on spaces) or an array
+    column (the north-star token payload; elements stringified) — the
+    same dtype switch the minhash/ngram family uses. The split is
+    staged into its own projection once (the engine-wide
     quadratic-split guard: every later expression references the
-    staged array, never re-splits the string).
+    staged array, never re-splits the string). Empty arrays drop out
+    (an empty document has no bigrams to score; the gate form
+    therefore drops it, like every other content gate).
     """
-    staged = docs.select(id_col, F.split(F.col(text_col), " ").alias("_w"))
+    from pyspark.sql.types import ArrayType
+
+    if isinstance(docs.schema[text_col].dataType, ArrayType):
+        # empty arrays have no bigrams; strings never hit this (split
+        # of "" is [""]), so the string path stays at ONE split/scan
+        docs = docs.filter(F.size(text_col) > 0)
+        words = F.transform(F.col(text_col), lambda x: x.cast("string"))
+    else:
+        words = F.split(F.col(text_col), " ")
+    staged = docs.select(id_col, words.alias("_w"))
     ctx = F.concat(
         F.array(F.lit(BOS)),
         F.expr("slice(_w, 1, greatest(size(_w) - 1, 0))"),
@@ -153,6 +167,45 @@ def score_perplexity(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_tok"),
         F.exp(-F.sum(F.log("_p")) / F.count("*")).alias("ppl"),
+    )
+
+
+def lm_to_dict(lm: BigramLM, max_bigrams: int = 250_000) -> dict:
+    """Serialize a (bounded) LM for the frozen-gate contract.
+
+    Keeps the ``max_bigrams`` highest-count bigrams (ties broken by
+    the gram itself, so the cut is deterministic); contexts and the
+    vocabulary scalar stay exact, so everything cut backs off to the
+    additive floor — the same semantics as ``min_count`` pruning. The
+    bounded form is what a pipeline freezes at window 1
+    (``_lm.json``); an LM too big for the bound should stay a table
+    and be joined, not frozen.
+    """
+    top = (
+        lm.bigram.orderBy(F.col("c2").desc(), "v", "w")
+        .limit(int(max_bigrams))
+        .collect()
+    )
+    ctx = lm.context.collect()
+    return {
+        "bigram": [[r["v"], r["w"], r["c2"]] for r in top],
+        "context": [[r["v"], r["c1"]] for r in ctx],
+        "vocab_size": lm.vocab_size,
+    }
+
+
+def lm_from_dict(spark, doc: dict) -> BigramLM:
+    """Rebuild a scoring-ready LM from ``lm_to_dict`` output. The
+    frames are driver-local lists, so the scoring joins broadcast."""
+    bigram = spark.createDataFrame(
+        [(v, w, int(c)) for v, w, c in doc["bigram"]],
+        "v string, w string, c2 long",
+    )
+    context = spark.createDataFrame(
+        [(v, int(c)) for v, c in doc["context"]], "v string, c1 long"
+    )
+    return BigramLM(
+        bigram=bigram, context=context, vocab_size=int(doc["vocab_size"])
     )
 
 

@@ -115,6 +115,45 @@ def test_prepare_corpus_end_to_end(spark, tmp_path):
     }
 
 
+def test_prepare_corpus_perplexity_gate(spark, tmp_path):
+    """cfg.max_ppl inserts the lmfilter gate between the written
+    quality rules and exact dedup: the LM self-trains on the
+    post-quality corpus, the threshold drops the highest-perplexity
+    document, and the accounting/report keys land."""
+    from dexspark.operators.lmfilter import learn_bigram_lm, score_perplexity
+    from dexspark.operators.textquality import filter_quality
+
+    docs = _docs(spark)
+    gated = filter_quality(docs)
+    lm = learn_bigram_lm(gated)
+    ppls = {r["doc_id"]: r["ppl"]
+            for r in score_perplexity(gated, lm).collect()}
+    ranked = sorted(ppls, key=ppls.get)
+    worst = ranked[-1]
+    thr = (ppls[ranked[-1]] + ppls[ranked[-2]]) / 2  # drops exactly one
+
+    cfg = CorpusConfig(
+        seq_len=64, eos_id=0, splits={"train": 0.8, "val": 0.2},
+        max_ppl=thr,
+    )
+    report = prepare_corpus(
+        spark, docs, str(tmp_path / "corpus"),
+        eval_sets=[_eval_set(spark)], config=cfg,
+    )
+    st = report["stages"]
+    assert st["after_quality"] == 6
+    assert st["after_perplexity"] == 5
+    assert report["lm_vocab"] == lm.vocab_size
+    # the dropped doc is the worst-scoring one, and it never reaches
+    # the later stages' universe
+    packed_ids = set()
+    for info in report["splits"].values():
+        if info["n_packs"]:
+            for r in spark.read.parquet(info["path"]).collect():
+                packed_ids.update(r["docs"])
+    assert worst not in packed_ids
+
+
 def test_prepare_corpus_tokens_passthrough(spark, tmp_path):
     """A corpus that already carries token arrays skips the tokenizer
     and packs the given tokens verbatim."""
@@ -152,6 +191,27 @@ def test_cli_prepare_corpus(spark, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["stages"]["after_decontamination"] == 2
     assert os.path.isdir(out)
+
+
+def test_cli_max_ppl_flag(spark, tmp_path, capsys):
+    from dexspark import cli
+
+    src = str(tmp_path / "docs")
+    _docs(spark).write.parquet(src)
+    rc = cli.main(
+        [
+            "--prepare-corpus", str(tmp_path / "out"),
+            "--corpus-src", src,
+            "--corpus-splits", "train=1.0",
+            "--seq-len", "64",
+            "--max-ppl", "1e9",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # wired through: the gate ran (admitting everything at 1e9)
+    assert report["stages"]["after_perplexity"] == report["stages"]["after_quality"]
+    assert report["lm_vocab"] > 0
 
 
 def test_prepare_corpus_bpe_tokenizer(spark, tmp_path):

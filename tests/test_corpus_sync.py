@@ -748,6 +748,60 @@ def test_frozen_tokenizer_across_windows(spark, tmp_path):
     assert got == want
 
 
+def test_frozen_perplexity_lm_across_windows(spark, tmp_path):
+    """cfg.max_ppl gates each window under an LM frozen at window 1:
+    a later window's out-of-domain doc is rejected by the FROZEN
+    model (a per-window retrain would have admitted it — its window
+    trains a model that knows its vocabulary), an in-domain doc is
+    admitted, and _lm.json never changes after the freeze."""
+    from dexspark.operators.lmfilter import (
+        learn_bigram_lm, lm_from_dict, score_perplexity,
+    )
+
+    w1_rows = [("d01", _WORDS), ("d06", _FRESH)]
+    w2_in = ("d10", _WORDS.replace("alpha ", "newword "))  # near-domain
+    w2_out = ("d11", " ".join(f"zz{i}q yy{i}r xx{i}s" for i in range(22)))
+
+    # pick the threshold from an offline model trained exactly where
+    # the pipeline will train (window-1 docs; both pass quality)
+    w1 = spark.createDataFrame(w1_rows, "doc_id string, text string")
+    lm0 = learn_bigram_lm(w1)
+    w2 = spark.createDataFrame([w2_in, w2_out], "doc_id string, text string")
+    ppl = {r["doc_id"]: r["ppl"]
+           for r in score_perplexity(w1.union(w2), lm0).collect()}
+    admit = max(v for k, v in ppl.items() if k != "d11")
+    assert ppl["d11"] > admit  # out-of-domain genuinely separates
+    thr = (admit + ppl["d11"]) / 2
+
+    cfg = CorpusConfig(
+        seq_len=64, eos_id=0, splits={"train": 1.0},
+        near_dup=False, max_ppl=thr,
+    )
+    src = _docs_table(spark, tmp_path, w1_rows)
+    pipe = CorpusPipeline(spark, src, str(tmp_path / "corpus"), config=cfg)
+    r1 = pipe.sync()
+    assert r1["stages"]["after_perplexity"] == 2
+    assert r1["lm_vocab"] == lm0.vocab_size
+    lm_path = os.path.join(str(tmp_path / "corpus"), "_lm.json")
+    with open(lm_path) as f:
+        frozen_bytes = f.read()
+    # the frozen model scores exactly like the offline twin
+    lmf = lm_from_dict(spark, json.loads(frozen_bytes))
+    got = {r["doc_id"]: r["ppl"]
+           for r in score_perplexity(w2, lmf).collect()}
+    assert got["d11"] == pytest.approx(ppl["d11"], rel=1e-12)
+
+    src.merge(w2)
+    r2 = pipe.sync()
+    assert "lm_vocab" not in r2  # not re-learned
+    assert r2["stages"]["after_perplexity"] == 1  # d11 rejected
+    assert r2["stages"]["accepted"] == 1
+    st = _statuses(pipe)
+    assert st["d10"] == "accepted" and "d11" not in st
+    with open(lm_path) as f:
+        assert f.read() == frozen_bytes  # freeze held
+
+
 def test_crash_replay_widened_window_no_duplicate_packs(
     spark, tmp_path, monkeypatch
 ):

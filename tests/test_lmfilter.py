@@ -164,13 +164,75 @@ def test_band_and_filter(spark):
     assert kept.columns == docs.columns  # full rows ride through
 
 
+def test_token_array_corpus(spark):
+    """The north-star payload: bigram LM straight over token-id
+    arrays (stringified element switch, no text column)."""
+    train = [[1, 2, 1, 3], [2, 1, 1, 2]]
+    score = [[1, 2], [9, 8], [1, 9], []]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)],
+        "doc_id long, tokens array<int>",
+    )
+    sdocs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(score)],
+        "doc_id long, tokens array<int>",
+    )
+    c2, c1, vv = _py_lm([" ".join(map(str, t)) for t in train])
+    lm = lmfilter.learn_bigram_lm(docs, text_col="tokens")
+    assert lm.vocab_size == vv
+    got = {
+        r["doc_id"]: (r["n_tok"], r["ppl"])
+        for r in lmfilter.score_perplexity(sdocs, lm, text_col="tokens").collect()
+    }
+    assert 3 not in got  # empty array: no bigrams, no score row
+    for i, t in enumerate(score[:3]):
+        n, ppl = _py_ppl(" ".join(map(str, t)), c2, c1, vv)
+        assert got[i][0] == n
+        assert got[i][1] == pytest.approx(ppl, rel=1e-12)
+    # and the gate form drops the empty doc along with the tail
+    kept = lmfilter.filter_by_perplexity(
+        sdocs, lm, max_ppl=1e9, text_col="tokens"
+    )
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 2]
+
+
+def test_lm_dict_roundtrip_and_cap(spark):
+    train = ["a b a b a c", "c a b a d d"]
+    score = ["a b c d", "d d a"]
+    lm = lmfilter.learn_bigram_lm(_docs(spark, train))
+
+    # uncapped round trip: identical scores
+    lm2 = lmfilter.lm_from_dict(spark, lmfilter.lm_to_dict(lm))
+    assert lm2.vocab_size == lm.vocab_size
+    a = {r["doc_id"]: r["ppl"]
+         for r in lmfilter.score_perplexity(_docs(spark, score), lm).collect()}
+    b = {r["doc_id"]: r["ppl"]
+         for r in lmfilter.score_perplexity(_docs(spark, score), lm2).collect()}
+    assert a == b
+
+    # capped: keeps exactly the top-k bigrams by (count desc, gram),
+    # contexts stay exact, cut mass backs off — equal to a Python
+    # model holding the same surviving bigrams
+    doc = lmfilter.lm_to_dict(lm, max_bigrams=3)
+    assert len(doc["bigram"]) == 3
+    c2_full, c1, vv = _py_lm(train)
+    order = sorted(c2_full.items(), key=lambda kv: (-kv[1], kv[0]))
+    c2_cap = dict(order[:3])
+    assert {(v, w) for v, w, _ in doc["bigram"]} == set(c2_cap)
+    lm3 = lmfilter.lm_from_dict(spark, doc)
+    got = {r["doc_id"]: r["ppl"]
+           for r in lmfilter.score_perplexity(_docs(spark, score), lm3).collect()}
+    for i, t in enumerate(score):
+        assert got[i] == pytest.approx(_py_ppl(t, c2_cap, c1, vv)[1], rel=1e-12)
+
+
 def test_plans_python_free_and_split_staged_once(spark):
     d = _docs(spark, ["a b c d e", "b c d e a"])
     lm = lmfilter.learn_bigram_lm(d)
     scored = lmfilter.score_perplexity(d, lm)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
-    # one staged split per corpus scan: score grams + the LM's gram
-    # subtree (c1 folds off c2, so no third)
+    # one staged split per corpus scan: score grams + the LM's two
+    # count subtrees (bigram + context each carry the gram scan)
     opt = scored._jdf.queryExecution().optimizedPlan().toString()
     assert 1 <= opt.count("split(") <= 3
