@@ -47,6 +47,8 @@ def _corpus_cfg(args):
         splits=splits,
         bpe_learn_merges=args.bpe_merges,
         max_ppl=args.max_ppl,
+        semantic_dedup=args.semantic_dedup,
+        semantic_tau=args.semantic_tau,
     )
     if args.fim_rate > 0:
         if not args.fim_ids:
@@ -481,6 +483,20 @@ def main(argv: list[str] | None = None) -> int:
         "self-trained bigram LM is >= this (operators/lmfilter, the "
         "CCNet-style learned quality gate; --sync-corpus freezes the "
         "LM at the first window)",
+    )
+    ap.add_argument(
+        "--semantic-dedup",
+        action="store_true",
+        help="corpus modes: SemDeDup semantic near-dup stage after the "
+        "token-level near-dup (operators/semdedup; needs an "
+        "'embedding' column on the corpus — reported skipped "
+        "otherwise)",
+    )
+    ap.add_argument(
+        "--semantic-tau",
+        type=float,
+        default=0.7,
+        help="cosine threshold for --semantic-dedup",
     )
     ap.add_argument(
         "--health",

@@ -11,6 +11,8 @@ engine's individually-verified operators in the canonical order:
     exact dedup       (md5(text) groupBy, keep min doc_id)
     near-dup dedup    (minhash signatures -> capped LSH band buckets ->
                        connected components -> keep representative)
+    semantic dedup    (semdedup — optional, corpora with an embedding
+                       column: SemDeDup over centroid cells)
     decontamination   (decontaminate.decontaminate vs eval-set frames)
     split assignment  (sampling.assign_split — deterministic hash bands)
     tokenize          (real byte-level BPE — operators/bpe.py — when
@@ -66,6 +68,15 @@ class CorpusConfig:
     max_ppl: float | None = None
     lm_min_count: int = 1
     lm_max_bigrams: int = 250_000
+    # Semantic dedup (operators/semdedup, SemDeDup): runs after the
+    # token-level near-dup stage when the corpus carries an
+    # ``embedding`` column — near-identical MEANING with different
+    # surface tokens (translations, paraphrases, re-crawls) that
+    # minhash cannot see. Seed centroids are the semantic_cells
+    # smallest doc ids (deterministic; works for string ids).
+    semantic_dedup: bool = False
+    semantic_tau: float = 0.7
+    semantic_cells: int = 64
     exact_dedup: bool = True
     near_dup: bool = True
     decontaminate_ngram: int = 8
@@ -262,6 +273,33 @@ def prepare_corpus(
             cur, text=unit, id_col=id_col
         ).localCheckpoint(eager=False)
         report["stages"]["after_near_dup"] = cur.count()
+
+    if cfg.semantic_dedup:
+        if "embedding" in cur.columns:
+            from .semdedup import semdedup
+
+            emb = cur.select(F.col(id_col).alias("vec_id"), "embedding")
+            cts = (
+                emb.orderBy("vec_id")
+                .limit(cfg.semantic_cells)
+                .select(
+                    F.col("vec_id").alias("cell"),
+                    F.col("embedding").alias("centroid"),
+                )
+            )
+            keep = (
+                semdedup(emb, tau=cfg.semantic_tau, cts=cts)
+                .filter(F.col("keep"))
+                .select(F.col("vec_id").alias(id_col))
+            )
+            cur = cur.join(keep, id_col, "left_semi").localCheckpoint(
+                eager=False
+            )
+            report["stages"]["after_semantic_dedup"] = cur.count()
+        else:
+            report["stages"]["after_semantic_dedup"] = (
+                "skipped (no embedding column)"
+            )
 
     for ev in eval_sets or []:
         if unit not in ev.columns:

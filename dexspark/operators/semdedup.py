@@ -132,6 +132,63 @@ def semdedup(
     )
 
 
+def semdedup_against(
+    corpus: DataFrame,
+    reference: DataFrame,
+    n_cells: int = 8,
+    tau: float = 0.7,
+    cell_cap: int = DEFAULT_CELL_CAP,
+    id_col: str = "vec_id",
+    cts: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic decontamination: corpus rows whose embedding is within
+    ``tau`` cosine of ANY reference (eval-set) embedding are dropped;
+    survivors return with all their columns.
+
+    The cross-corpus form of the SemDeDup candidate structure — both
+    sides are assigned to the same centroid cells, so the probe join
+    is cell-equality (each corpus vector is compared only against the
+    reference vectors landing in its cell, the IVF posting-list
+    shape), never corpus x reference. ``cell_cap`` bounds the
+    per-cell reference fan-out: oversized REFERENCE cells are skipped
+    (their corpus vectors are kept — the gate degrades open, matching
+    the candidate-cap convention). Centroids default to seeds from
+    the REFERENCE side (tiny, stable: the eval set defines the
+    geometry; re-running with a grown corpus never moves cells).
+    """
+    if cts is None:
+        # the n_cells smallest reference ids (NOT ann.centroids' id <
+        # n_cells predicate — reference ids are arbitrary, and may be
+        # strings); sort+limit over the tiny eval set is free
+        cts = (
+            reference.orderBy(id_col)
+            .limit(n_cells)
+            .select(
+                F.col(id_col).alias("cell"),
+                F.col("embedding").alias("centroid"),
+            )
+        )
+    c = assign_cells(corpus, cts, id_col)
+    r = assign_cells(reference, cts, id_col)
+    small = (
+        r.groupBy("cell")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= cell_cap)
+        .select("cell")
+    )
+    r = r.join(F.broadcast(small), "cell")
+    contaminated = (
+        c.alias("a")
+        .join(r.alias("b"), "cell")
+        .filter(
+            _cosine(F.col("a.embedding"), F.col("b.embedding")) >= tau
+        )
+        .select(F.col(f"a.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
 def semdedup_keep(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -193,6 +193,56 @@ def test_cli_prepare_corpus(spark, tmp_path, capsys):
     assert os.path.isdir(out)
 
 
+def test_prepare_corpus_semantic_dedup_stage(spark, tmp_path):
+    """cfg.semantic_dedup drops same-meaning/different-surface docs
+    the minhash stage cannot see: d06's embedding is a near-copy of
+    d01's (their TEXTS share nothing), so the semantic stage removes
+    d06 while the token stages kept it."""
+    embs = {
+        "d01": [1.0, 0.0, 0.0, 0.0],
+        "d02": [0.0, 1.0, 0.0, 0.0],
+        "d03": [0.0, 0.0, 1.0, 0.0],
+        "d04": [0.0, 0.0, 0.0, 1.0],
+        "d05": [-1.0, 0.0, 0.0, 0.0],
+        "d06": [1.01, 0.0, 0.0, 0.0],  # semantic dup of d01
+        "d07": [0.0, -1.0, 0.0, 0.0],
+    }
+    edf = spark.createDataFrame(
+        [(k, v) for k, v in embs.items()],
+        "doc_id string, embedding array<float>",
+    )
+    docs = _docs(spark).join(edf, "doc_id")
+    cfg = CorpusConfig(
+        seq_len=64, eos_id=0, splits={"train": 1.0},
+        semantic_dedup=True, semantic_tau=0.9,
+    )
+    report = prepare_corpus(
+        spark, docs, str(tmp_path / "c"),
+        eval_sets=[_eval_set(spark)], config=cfg,
+    )
+    st = report["stages"]
+    assert st["after_near_dup"] == 3  # d01, d06, d07 (as ever)
+    assert st["after_semantic_dedup"] == 2  # d06 out
+    assert st["after_decontamination"] == 1  # then d07 out
+    packed = set()
+    for info in report["splits"].values():
+        if info["n_packs"]:
+            for r in spark.read.parquet(info["path"]).collect():
+                packed.update(r["docs"])
+    assert packed == {"d01"}
+
+    # corpora without embeddings: the stage reports itself skipped
+    r2 = prepare_corpus(
+        spark, _docs(spark), str(tmp_path / "c2"),
+        config=CorpusConfig(
+            seq_len=64, splits={"train": 1.0}, semantic_dedup=True
+        ),
+    )
+    assert r2["stages"]["after_semantic_dedup"] == (
+        "skipped (no embedding column)"
+    )
+
+
 def test_cli_max_ppl_flag(spark, tmp_path, capsys):
     from dexspark import cli
 

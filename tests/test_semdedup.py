@@ -157,6 +157,33 @@ def test_survivors_are_stable(spark, emb):
     kept1.unpersist()
 
 
+def test_semdedup_against_drops_reference_matches(spark, emb):
+    """Cross-corpus decontamination: corpus vectors near an eval-set
+    vector are dropped; cells come from the reference side."""
+    ref = (
+        emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 60))
+        .select(
+            F.col("vec_id").alias("vec_id"),
+            F.transform(
+                "embedding", lambda v: (v * F.lit(0.999)).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    kept = sd.semdedup_against(emb, ref, n_cells=4, tau=0.9)
+    ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    for i in range(50, 60):
+        assert i not in ids  # contaminated rows gone
+    # nothing else is near a scaled copy at tau=0.9 on this data
+    assert len(ids) == emb.count() - 10
+    assert kept.columns == emb.columns  # full rows survive
+
+
+def test_semdedup_against_cell_cap_degrades_open(spark, emb):
+    ref = emb.limit(20)
+    kept = sd.semdedup_against(emb, ref, n_cells=4, tau=0.0, cell_cap=0)
+    assert kept.count() == emb.count()  # capped-out cells: keep all
+
+
 def test_bad_keep_rejected(spark, emb):
     with pytest.raises(ValueError, match="keep"):
         sd.semdedup(emb, keep="random")
