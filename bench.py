@@ -385,6 +385,69 @@ def measure_bpe(spark, encode_secs: list[float] | None = None) -> dict:
     }
 
 
+def measure_llm_filters(spark) -> dict:
+    """Side metrics for the learned-gate family (reported beside
+    pack/bpe, NOT folded into ``value``):
+
+    - perplexity: bigram-LM learn (two count aggs, persisted) then
+      score (explode -> LM join -> per-doc agg) over the shared
+      200k-doc/24M-word bench corpus — the CCNet-style gate at the
+      corpus-refresh position;
+    - semdedup: the full SemDeDup pass (broadcast-centroid argmax +
+      capped cell-equality pair join) over a deterministic 64k x 64
+      synthetic embedding corpus (512 cells, ~125 vectors/cell).
+    """
+    from pyspark.sql import functions as F
+
+    from dexspark.operators import semdedup as sd
+    from dexspark.operators.lmfilter import learn_bigram_lm, score_perplexity
+
+    docs, _ = _bpe_corpus(spark)
+    t0 = time.monotonic()
+    lm = learn_bigram_lm(docs)
+    lm.bigram.persist().count()
+    lm.context.persist().count()
+    learn_sec = time.monotonic() - t0
+    t0 = time.monotonic()
+    score_perplexity(docs, lm).write.format("noop").mode("overwrite").save()
+    score_sec = time.monotonic() - t0
+    n_words = _BPE_STATE["n_words"]
+    lm_out = {
+        "docs": _BPE_STATE["n_docs"],
+        "words": n_words,
+        "learn_sec": round(learn_sec, 3),
+        "score_sec": round(score_sec, 3),
+        "words_per_sec": round(n_words / score_sec, 1),
+    }
+    lm.unpersist()
+
+    n_vec, dim, cells = 64_000, 64, 512
+    emb = (
+        spark.range(n_vec)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: F.sin(F.col("id") * i + i).cast("float"),
+            ).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    t0 = time.monotonic()
+    sd.semdedup(emb, n_cells=cells, tau=0.9).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    sem_sec = time.monotonic() - t0
+    sem_out = {
+        "vectors": n_vec,
+        "dim": dim,
+        "cells": cells,
+        "sec": round(sem_sec, 3),
+        "vectors_per_sec": round(n_vec / sem_sec, 1),
+    }
+    return {"perplexity": lm_out, "semdedup": sem_out}
+
+
 def main_default(sf_dir: str, cpus: int) -> None:
     """The driver-contract bench. ``value`` is the sum of the measured
     operations the metric names — each headline query once, plus the
@@ -456,6 +519,9 @@ def main_default(sf_dir: str, cpus: int) -> None:
     # BPE tokenizer throughput — derived from the headline window's
     # own encode samples (learn cost reported separately)
     bpe = measure_bpe(spark, encode_secs=runs.get("bpe_encode"))
+    # learned-gate family (perplexity filter + SemDeDup), also after
+    # the timed window
+    llm_filters = measure_llm_filters(spark)
     # host probe AFTER the timed window so it doesn't inflate `value`
     host = host_calibration(spark)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -480,6 +546,7 @@ def main_default(sf_dir: str, cpus: int) -> None:
                 "merge_mode": MERGE_MODE,
                 "pack": pack,
                 "bpe": bpe,
+                "llm_filters": llm_filters,
                 "host": host,
             }
         )

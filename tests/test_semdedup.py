@@ -1,11 +1,13 @@
 """SemDeDup (operators/semdedup) verification.
 
-The Python oracle below replicates the Spark arithmetic BIT-EXACTLY:
-``ann._cosine`` folds ``acc + u*v`` sequentially over the arrays
-(``F.aggregate``), and Python floats are the same IEEE doubles, so
-``_cos`` reproduces every similarity to the last ulp — assignment
-argmax, rank order, and the tau comparison are then exact, and the
-kept sets must match exactly (no tolerance anywhere).
+The Python oracle below replicates the hof path's Spark arithmetic
+BIT-EXACTLY: ``ann._dot`` folds ``acc + u*v`` sequentially over the
+arrays (``F.aggregate``), norms are staged and multiplied, and Python
+floats are the same IEEE doubles, so ``_cos`` reproduces every
+similarity to the last ulp — assignment argmax, rank order, and the
+tau comparison are then exact, and the kept sets must match exactly
+(no tolerance anywhere). The default arrow (numpy-matmul) assignment
+is cross-checked against the hof path on the same data.
 """
 
 from __future__ import annotations
@@ -23,8 +25,9 @@ SF_DIR = os.environ.get("DEXSPARK_TEST_SF", "/root/testdata/sf0.001")
 
 
 def _cos(x, y):
-    """Bit-exact mirror of ann._cosine: sequential fold, then
-    dot / sqrt / sqrt in that association order."""
+    """Bit-exact mirror of the operator's hof path: sequential folds
+    for the dots, then dot / (norm_x * norm_y) in that association
+    order (norms are staged once and multiplied)."""
 
     def dot(a, b):
         acc = 0.0
@@ -32,7 +35,7 @@ def _cos(x, y):
             acc = acc + u * v
         return acc
 
-    return dot(x, y) / math.sqrt(dot(x, x)) / math.sqrt(dot(y, y))
+    return dot(x, y) / (math.sqrt(dot(x, x)) * math.sqrt(dot(y, y)))
 
 
 def _py_semdedup(rows, cents, tau, keep="min_id", cell_cap=4096):
@@ -87,7 +90,7 @@ def _kept(flags_df):
 def test_min_id_matches_python_oracle_on_testdata(spark, emb):
     # tau=0.25 sits inside the observed pairwise-cosine range, so
     # real drops happen (max pairwise cos on this table is ~0.48)
-    flags = sd.semdedup(emb, n_cells=8, tau=0.25)
+    flags = sd.semdedup(emb, n_cells=8, tau=0.25, method="hof")
     rows = _collect_rows(emb)
     cents = [(r["cell"], list(r["centroid"])) for r in centroids(emb, 8).collect()]
     expect = _py_semdedup(rows, cents, tau=0.25)
@@ -98,7 +101,7 @@ def test_min_id_matches_python_oracle_on_testdata(spark, emb):
 
 
 def test_far_rule_matches_python_oracle(spark, emb):
-    flags = sd.semdedup(emb, n_cells=8, tau=0.25, keep="far")
+    flags = sd.semdedup(emb, n_cells=8, tau=0.25, keep="far", method="hof")
     rows = _collect_rows(emb)
     cents = [(r["cell"], list(r["centroid"])) for r in centroids(emb, 8).collect()]
     expect = _py_semdedup(rows, cents, tau=0.25, keep="far")
@@ -113,7 +116,7 @@ def test_refined_centroids_path(spark, emb):
     # comparison — what's verified is assignment + dedup on top
     cts = refine_centroids(emb, centroids(emb, 8), iterations=2)
     cts.persist().count()
-    flags = sd.semdedup(emb, tau=0.25, cts=cts)
+    flags = sd.semdedup(emb, tau=0.25, cts=cts, method="hof")
     cents = [(r["cell"], list(r["centroid"])) for r in cts.collect()]
     expect = _py_semdedup(_collect_rows(emb), cents, tau=0.25)
     assert _kept(flags) == expect
@@ -184,9 +187,24 @@ def test_semdedup_against_cell_cap_degrades_open(spark, emb):
     assert kept.count() == emb.count()  # capped-out cells: keep all
 
 
+def test_arrow_assignment_matches_hof(spark, emb):
+    """The default numpy-matmul assignment and the pure-JVM fold agree
+    on every cell and every kept id on the real table (they can only
+    diverge on float-rounding centroid ties, absent in random data) —
+    for both keep rules."""
+    for keep in ("min_id", "far"):
+        a = sd.semdedup(emb, n_cells=8, tau=0.25, keep=keep, method="arrow")
+        h = sd.semdedup(emb, n_cells=8, tau=0.25, keep=keep, method="hof")
+        rows_a = {r["vec_id"]: (r["cell"], r["keep"]) for r in a.collect()}
+        rows_h = {r["vec_id"]: (r["cell"], r["keep"]) for r in h.collect()}
+        assert rows_a == rows_h, keep
+
+
 def test_bad_keep_rejected(spark, emb):
     with pytest.raises(ValueError, match="keep"):
         sd.semdedup(emb, keep="random")
+    with pytest.raises(ValueError, match="method"):
+        sd.semdedup(emb, method="gpu")
 
 
 def test_plan_no_python_no_cartesian(spark, emb):
