@@ -227,6 +227,91 @@ def mix_token_budget(
     return wholesale.unionByName(edge)
 
 
+def temperature_budgets(
+    df: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.7,
+    strata: str = "source",
+    tokens: str = "n_chars",
+) -> dict[str, int]:
+    """Per-stratum token budgets from temperature-scaled sampling —
+    the standard multilingual/DoReMi-style re-weighting: stratum i
+    gets a share proportional to ``n_i ** alpha`` of its observed
+    token mass. ``alpha=1`` keeps natural proportions, ``alpha=0``
+    splits the budget uniformly, the usual 0.2-0.7 band up-weights
+    small strata without letting the largest one dominate.
+
+    A stratum can never be asked for more than it has: saturated
+    strata (share >= n_i) are capped at n_i and the loop re-splits the
+    remaining budget over the rest by the same rule (water-filling;
+    terminates in <= #strata rounds, deterministic — strata are
+    processed in sorted order and shares truncate to ints).
+
+    ONE map-side-partial aggregate over the corpus (#strata result
+    rows); the returned dict feeds :func:`mix_token_budget`, so the
+    whole temperature mix stays histogram + boundary-sliver shaped.
+    NULL strata rows are ignored (they cannot be budgeted); NULL or
+    negative token counts cost 0, matching the mixers.
+    """
+    if total_tokens < 0:
+        raise ValueError("total_tokens must be >= 0")
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    toks = _toks_col(tokens)
+    counts = {
+        r[strata]: int(r["_n"])
+        for r in df.filter(F.col(strata).isNotNull())
+        .groupBy(strata)
+        .agg(F.sum(toks).alias("_n"))
+        .collect()
+    }
+    budgets: dict[str, int] = {}
+    remaining = int(total_tokens)
+    active = {s for s, n in counts.items() if n > 0}
+    for s in set(counts) - active:
+        budgets[s] = 0
+    while active and remaining > 0:
+        weights = {s: counts[s] ** alpha for s in active}
+        tot_w = sum(weights.values())
+        saturated = False
+        for s in sorted(active):
+            share = int(remaining * weights[s] / tot_w)
+            if share >= counts[s]:
+                budgets[s] = counts[s]
+                remaining -= counts[s]
+                active.remove(s)
+                saturated = True
+                break
+        if not saturated:
+            # nobody saturates: final split of the remainder
+            for s in sorted(active):
+                budgets[s] = int(remaining * weights[s] / tot_w)
+            active.clear()
+    for s in active:
+        budgets[s] = 0
+    return budgets
+
+
+def mix_temperature(
+    df: DataFrame,
+    total_tokens: int,
+    alpha: float = 0.7,
+    strata: str = "source",
+    key: str = "doc_id",
+    tokens: str = "n_chars",
+    seed: int = 0,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Temperature-scaled data mixing in one call: derive per-stratum
+    budgets (:func:`temperature_budgets`) and take each stratum's
+    deterministic prefix under them (:func:`mix_token_budget`)."""
+    budgets = temperature_budgets(df, total_tokens, alpha, strata, tokens)
+    return mix_token_budget(
+        df, budgets, strata=strata, key=key, tokens=tokens,
+        seed=seed, n_buckets=n_buckets,
+    )
+
+
 def assign_split(
     df: DataFrame,
     weights: dict[str, float],

@@ -141,6 +141,70 @@ def _corpus(spark):
     return spark.createDataFrame(rows), spark.createDataFrame(bench)
 
 
+def _counted(spark, counts: dict):
+    rows = []
+    for s, n in counts.items():
+        # one row per 10 tokens keeps frames tiny with exact sums
+        per, rem = divmod(n, 10)
+        rows += [Row(doc_id=f"{s}-{i}", source=s, n_chars=10) for i in range(per)]
+        if rem:
+            rows.append(Row(doc_id=f"{s}-r", source=s, n_chars=rem))
+    return spark.createDataFrame(rows)
+
+
+def test_temperature_budgets_hand_cases(spark):
+    from dexspark.operators.sampling import temperature_budgets
+
+    # equal strata: any alpha splits evenly
+    d = _counted(spark, {"a": 100, "b": 100})
+    for alpha in (0.0, 0.5, 1.0):
+        assert temperature_budgets(d, 100, alpha) == {"a": 50, "b": 50}
+    # alpha=1 keeps natural proportions
+    d = _counted(spark, {"a": 900, "b": 100})
+    assert temperature_budgets(d, 500, 1.0) == {"a": 450, "b": 50}
+    # alpha=0 is uniform; water-filling caps the small stratum and
+    # re-gives its unused share to the big one
+    d = _counted(spark, {"a": 1000, "b": 10})
+    assert temperature_budgets(d, 600, 0.0) == {"a": 590, "b": 10}
+    # budget above the corpus: everyone saturates at their own mass
+    d = _counted(spark, {"a": 50, "b": 20})
+    assert temperature_budgets(d, 1000, 0.7) == {"a": 50, "b": 20}
+    # intermediate alpha up-weights the small stratum monotonically
+    d = _counted(spark, {"a": 1600, "b": 100})
+    b1 = temperature_budgets(d, 400, 1.0)["b"]
+    b5 = temperature_budgets(d, 400, 0.5)["b"]
+    b0 = temperature_budgets(d, 400, 0.0)["b"]
+    assert b1 < b5 < b0
+    with pytest.raises(ValueError):
+        temperature_budgets(d, -1)
+    with pytest.raises(ValueError):
+        temperature_budgets(d, 10, alpha=-0.1)
+
+
+def test_mix_temperature_is_budgeted_prefix(spark):
+    """mix_temperature == mix_token_budget_exact under the derived
+    budgets (the one-window semantic definition), and every stratum's
+    taken mass is within budget."""
+    from dexspark.operators.sampling import (
+        mix_temperature,
+        temperature_budgets,
+    )
+
+    d = _docs(spark, n=300, n_src=3)
+    budgets = temperature_budgets(d, 5000, alpha=0.5)
+    got = mix_temperature(d, 5000, alpha=0.5, n_buckets=64)
+    want = mix_token_budget_exact(d, budgets)
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+    taken = {
+        r["source"]: r["t"]
+        for r in got.groupBy("source").agg(F.sum("n_chars").alias("t")).collect()
+    }
+    for s, t in taken.items():
+        assert t <= budgets[s]
+
+
 def test_ngrams_shape(spark):
     corpus, _ = _corpus(spark)
     g = ngrams(corpus, n=4).filter("doc_id = 1").collect()
