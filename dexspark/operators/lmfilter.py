@@ -128,13 +128,16 @@ def learn_bigram_lm(
     """
     grams = _bigrams(docs, text_col, id_col)
     c2 = grams.groupBy("v", "w").agg(F.count("*").alias("c2"))
-    # c1 folds straight off c2: the context count is the sum of its
-    # bigrams' counts. Aggregating the (already tiny relative to the
-    # corpus) bigram table avoids a second corpus scan.
+    # c1 and the vocabulary both fold straight off c2 (context count =
+    # sum of its bigrams' counts; every predicted word appears in some
+    # bigram) — the corpus itself is scanned ONCE, for the bigram
+    # aggregate; everything downstream reads the far smaller count
+    # table. Vocab comes from the UNPRUNED table: min_count must not
+    # shrink the smoothing denominator.
     c1 = c2.groupBy("v").agg(F.sum("c2").alias("c1"))
+    vocab = c2.agg(F.countDistinct("w").alias("n")).collect()[0]["n"] or 0
     if min_count > 1:
         c2 = c2.filter(F.col("c2") >= min_count)
-    vocab = grams.agg(F.countDistinct("w").alias("n")).collect()[0]["n"]
     return BigramLM(bigram=c2, context=c1, vocab_size=int(vocab))
 
 
