@@ -1249,40 +1249,34 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 
 @query(
-    "text_token_count",
-    rf"""
-    SELECT doc_id,
-      len(string_split_regex(text, '\s+')) AS n_ws_tokens,
-      len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_ish,
-      round(len(list_filter(string_split(text, ' '),
-                w -> w IN {_STOPWORDS!r}))::DOUBLE
-            / len(string_split(text, ' ')), 4) AS stopword_ratio,
-      round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))::DOUBLE
-            / length(text), 4) AS punct_ratio,
-      CASE WHEN n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END AS length_ok,
-      round(1.0 - len(list_distinct(string_split(text, ' ')))
-            / len(string_split(text, ' '))::DOUBLE, 4) AS dup_word_frac,
-      round(least((SELECT coalesce(max(cnt), 0) FROM (
-                     SELECT count(*) AS cnt
-                     FROM unnest([array_to_string(w[i:i+1], ' ')
-                                  FOR i IN range(1, greatest(len(w) - 1, 0) + 1)]) AS t(g)
-                     GROUP BY g)) * 2.0
-            / greatest(len(w), 1), 1.0), 4) AS top_bigram_frac
-    FROM (SELECT *, string_split(text, ' ') AS w FROM documents)
-    """,
+    "text_quality_gates",
+    None,  # SQL attached below — it needs helpers defined later
 )
-def text_token_count(spark, sf_dir):
-    # the repetition columns (Gopher quality rules) come from the REAL
-    # operator — operators/textquality.py — so the driver oracle
-    # verifies the shipped repetition_stats implementation, including
-    # its O(n log n) sort-and-fold top-bigram count (no shuffle).
-    from .operators.textquality import _max_run_count, _word_ngrams
+def text_quality_gates(spark, sf_dir):
+    """The full per-document admission-gate surface in ONE query —
+    token counting, the complete Gopher/MassiveText repetition-stats
+    family + compiled threshold flags (operators/textquality.py), and
+    the CCNet bigram-LM perplexity band (operators/lmfilter.py; LM
+    learned with min_count=2 prune on the trusted slice doc_id%7==0,
+    every other document scored under it; trusted docs carry sentinel
+    0/0.0/'trained'). Consolidated per the <=50-query driver-window contract
+    (tests/test_queries_oracle.py) — same pattern as the r3
+    consolidations. All stats are per-row JVM expressions (one scan);
+    the perplexity join is the lmfilter module's broadcast-friendly
+    count-table join."""
+    from .operators.lmfilter import (
+        band as ppl_band,
+        learn_bigram_lm,
+        score_perplexity,
+    )
+    from .operators.textquality import quality_flags, repetition_stats
 
     d = _t(spark, sf_dir, "documents")
-    # split staged into its own projection — inside _word_ngrams'
-    # lambda it would re-evaluate per bigram (O(words²) per doc, the
-    # textquality.repetition_stats fix)
-    d = d.withColumn("_w", F.split(F.col("text"), " "))
+    stats = quality_flags(repetition_stats(d))
+    # token-count columns need the word array too; staged split (the
+    # engine-wide quadratic-split rule — the filter lambda below would
+    # otherwise re-split per word)
+    stats = stats.withColumn("_w", F.split(F.col("text"), " "))
     words = F.col("_w")
     stop_ratio = F.size(
         F.filter(words, lambda w: w.isin(*_STOPWORDS))
@@ -1290,7 +1284,7 @@ def text_token_count(spark, sf_dir):
     punct_ratio = F.length(
         F.regexp_replace(F.col("text"), r"[^.!?,;:]", "")
     ).cast("double") / F.length("text")
-    return d.select(
+    gated = stats.select(
         "doc_id",
         F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
         F.size(
@@ -1299,20 +1293,31 @@ def text_token_count(spark, sf_dir):
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.col("n_chars").between(100, 400).cast("int").alias("length_ok"),
-        F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct(words)) / F.size(words).cast("double"),
-            4,
-        ).alias("dup_word_frac"),
-        F.round(
-            F.least(
-                _max_run_count(_word_ngrams(words, 2)).cast("double")
-                * 2.0
-                / F.greatest(F.size(words), F.lit(1)),
-                F.lit(1.0),
-            ),
-            4,
-        ).alias("top_bigram_frac"),
+        "n_words",
+        "dup_word_frac",
+        "dup_line_frac",
+        "top_bigram_frac",
+        "top_trigram_frac",
+        "mean_word_len",
+        "frac_alpha_words",
+        "symbol_word_ratio",
+        F.array_join("fail_reasons", "; ").alias("fail_summary"),
+        F.col("quality_pass").cast("int").alias("quality_pass"),
+    )
+    lm = learn_bigram_lm(d.filter(F.col("doc_id") % 7 == 0), min_count=2)
+    ppl = ppl_band(
+        score_perplexity(d.filter(F.col("doc_id") % 7 != 0), lm),
+        head=_PPL_HEAD,
+        tail=_PPL_TAIL,
+    ).withColumnRenamed("n_tok", "ppl_n_tok")
+    # trusted (training-slice) docs carry sentinel 0/0.0/'trained'
+    # instead of NULLs: the driver's row-sort compares cells directly,
+    # and mixed None/str cells are unorderable in Python
+    return gated.join(ppl, ["doc_id"], "left").select(
+        *[c for c in gated.columns],
+        F.coalesce("ppl_n_tok", F.lit(0)).alias("ppl_n_tok"),
+        F.coalesce("ppl", F.lit(0.0)).alias("ppl"),
+        F.coalesce("band", F.lit("trained")).alias("band"),
     )
 
 
@@ -1579,6 +1584,115 @@ def llm_mix_token_budget(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("kept_tokens"),
     )
+
+
+# ---- oracle SQL for text_quality_gates (query defined earlier) ------
+# Recomputes every statistic of the consolidated per-document gate
+# query in DuckDB: token counts, the full Gopher stats family (the
+# top-n-gram mode count via unnest+group-by+max — the Spark side
+# counts it per-row with a sort+run-length fold, no shuffle), the
+# threshold flags (conditions/messages generated from
+# QualityThresholds.rules() in BOTH engines so the fail_summary text
+# cannot drift), and the CCNet bigram-LM perplexity band (identical
+# add-one smoothing + min_count=2 prune; ppl is a double compared
+# under the driver's 6-significant-digit normalization —
+# summation-order noise is ~1e-13 relative, far below it).
+_PPL_HEAD, _PPL_TAIL = 32.0, 36.0
+
+
+def _quality_gates_sql() -> str:
+    from .operators.textquality import QualityThresholds
+
+    rules = QualityThresholds().rules()
+    cases = ",\n             ".join(
+        f"CASE WHEN {cond} THEN '{msg}' END" for msg, cond in rules
+    )
+    return rf"""
+    WITH w AS (
+      SELECT doc_id, text, n_chars,
+             string_split(text, ' ') AS w,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    g2 AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+      FROM w, UNNEST(range(1, greatest(len(w)-1,0)+1)) AS t(i)
+    ),
+    g3 AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      FROM w, UNNEST(range(1, greatest(len(w)-2,0)+1)) AS t(i)
+    ),
+    m2 AS (SELECT doc_id, max(c) AS m FROM
+             (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1,2) GROUP BY 1),
+    m3 AS (SELECT doc_id, max(c) AS m FROM
+             (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1,2) GROUP BY 1),
+    stats AS (
+      SELECT w.doc_id,
+             len(string_split_regex(w.text, '\s+')) AS n_ws_tokens,
+             len(regexp_extract_all(w.text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+               AS n_bpe_ish,
+             round(len(list_filter(w.w, x -> x IN {_STOPWORDS!r}))::DOUBLE
+               / len(w.w), 4) AS stopword_ratio,
+             round(length(regexp_replace(w.text, '[^.!?,;:]', '', 'g'))::DOUBLE
+               / length(w.text), 4) AS punct_ratio,
+             CASE WHEN w.n_chars BETWEEN 100 AND 400 THEN 1 ELSE 0 END
+               AS length_ok,
+             len(w.w) AS n_words,
+             round(1.0 - len(list_distinct(w.w)) / greatest(len(w.w),1), 4)
+               AS dup_word_frac,
+             round(1.0 - len(list_distinct(w.lines)) / greatest(len(w.lines),1), 4)
+               AS dup_line_frac,
+             round(least(coalesce(m2.m,0) * 2.0 / greatest(len(w.w),1), 1.0), 4)
+               AS top_bigram_frac,
+             round(least(coalesce(m3.m,0) * 3.0 / greatest(len(w.w),1), 1.0), 4)
+               AS top_trigram_frac,
+             round(list_sum(list_transform(w.w, x -> length(x))) * 1.0
+               / greatest(len(w.w),1), 4) AS mean_word_len,
+             round(len(list_filter(w.w, x -> regexp_matches(x, '[a-zA-Z]')))
+               * 1.0 / greatest(len(w.w),1), 4) AS frac_alpha_words,
+             round((len(regexp_extract_all(w.text, '#'))
+                    + len(regexp_extract_all(w.text, '\.\.\.'))) * 1.0
+               / greatest(len(w.w),1), 4) AS symbol_word_ratio
+      FROM w LEFT JOIN m2 ON w.doc_id=m2.doc_id LEFT JOIN m3 ON w.doc_id=m3.doc_id
+    ),
+    flagged AS (
+      SELECT *, list_filter([{cases}], x -> x IS NOT NULL) AS reasons
+      FROM stats
+    ),
+    bg AS (SELECT doc_id,
+                  CASE WHEN i=1 THEN '<s>' ELSE w[i-1] END AS v,
+                  w[i] AS wd
+           FROM w, UNNEST(range(1, len(w)+1)) AS t(i)),
+    c2 AS (SELECT v, wd, count(*) AS c2 FROM bg WHERE doc_id%7=0 GROUP BY 1,2),
+    c1 AS (SELECT v, sum(c2) AS c1 FROM c2 GROUP BY 1),
+    vv AS (SELECT count(DISTINCT wd) AS vsz FROM c2),
+    c2p AS (SELECT * FROM c2 WHERE c2 >= 2),
+    sc AS (SELECT bg.doc_id,
+                  (coalesce(c2p.c2,0)+1.0)/(coalesce(c1.c1,0)+vv.vsz) AS p
+           FROM bg LEFT JOIN c2p ON bg.v=c2p.v AND bg.wd=c2p.wd
+                   LEFT JOIN c1 ON bg.v=c1.v
+                   CROSS JOIN vv
+           WHERE bg.doc_id % 7 <> 0),
+    ppl AS (SELECT doc_id, count(*) AS ppl_n_tok,
+                   exp(-sum(ln(p))/count(*)) AS ppl
+            FROM sc GROUP BY 1)
+    SELECT f.doc_id, f.n_ws_tokens, f.n_bpe_ish, f.stopword_ratio,
+           f.punct_ratio, f.length_ok, f.n_words, f.dup_word_frac,
+           f.dup_line_frac, f.top_bigram_frac, f.top_trigram_frac,
+           f.mean_word_len, f.frac_alpha_words, f.symbol_word_ratio,
+           coalesce(array_to_string(f.reasons, '; '), '') AS fail_summary,
+           CAST(len(f.reasons) = 0 AS INT) AS quality_pass,
+           coalesce(p.ppl_n_tok, 0) AS ppl_n_tok,
+           coalesce(p.ppl, 0.0) AS ppl,
+           CASE WHEN p.ppl IS NULL THEN 'trained'
+                WHEN p.ppl < {_PPL_HEAD} THEN 'head'
+                WHEN p.ppl < {_PPL_TAIL} THEN 'middle'
+                ELSE 'tail' END AS band
+    FROM flagged f LEFT JOIN ppl p ON f.doc_id = p.doc_id
+    """
+
+
+ORACLE_SQL["text_quality_gates"] = _quality_gates_sql()
 
 
 # =====================================================================

@@ -20,6 +20,7 @@ SUBSET = [
     "j5_asof_join",
     "stream_window_counts",
     "f6_metadata_required_keys",
+    "text_quality_gates",
 ]
 
 pytestmark = pytest.mark.skipif(
