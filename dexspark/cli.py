@@ -49,6 +49,8 @@ def _corpus_cfg(args):
         max_ppl=args.max_ppl,
         semantic_dedup=args.semantic_dedup,
         semantic_tau=args.semantic_tau,
+        dsir_frac=args.dsir_frac,
+        dsir_buckets=args.dsir_buckets,
     )
     if args.fim_rate > 0:
         if not args.fim_ids:
@@ -499,6 +501,27 @@ def main(argv: list[str] | None = None) -> int:
         help="cosine threshold for --semantic-dedup",
     )
     ap.add_argument(
+        "--dsir-frac",
+        type=float,
+        default=None,
+        help="corpus modes: keep this fraction of the clean pool by "
+        "DSIR importance resampling toward --dsir-target "
+        "(operators/dsir; --sync-corpus freezes the model + admission "
+        "cutoff at the first window)",
+    )
+    ap.add_argument(
+        "--dsir-target",
+        help="parquet path of the DSIR target corpus (required with "
+        "--dsir-frac in --prepare-corpus; in the incremental modes it "
+        "is only read until _dsir.json is frozen)",
+    )
+    ap.add_argument(
+        "--dsir-buckets",
+        type=int,
+        default=8192,
+        help="hashed n-gram feature buckets for --dsir-frac",
+    )
+    ap.add_argument(
         "--health",
         action="store_true",
         help="instead of tailing: one-shot health rollup as JSON — "
@@ -875,6 +898,11 @@ def main(argv: list[str] | None = None) -> int:
             args.sync_corpus,
             eval_sets=evals,
             config=cfg,
+            dsir_target=(
+                spark.read.parquet(args.dsir_target)
+                if args.dsir_target
+                else None
+            ),
         )
         print(json.dumps(pipe.sync()))
         return 0
@@ -901,12 +929,19 @@ def main(argv: list[str] | None = None) -> int:
             src = LakeTable(spark, args.corpus_src).read()
         else:
             src = spark.read.parquet(args.corpus_src)
+        if cfg.dsir_frac is not None and not args.dsir_target:
+            ap.error("--dsir-frac needs --dsir-target in --prepare-corpus")
         report = prepare_corpus(
             spark,
             src,
             args.prepare_corpus,
             eval_sets=evals,
             config=cfg,
+            dsir_target=(
+                spark.read.parquet(args.dsir_target)
+                if args.dsir_target
+                else None
+            ),
         )
         print(json.dumps(report))
         return 0
@@ -1101,6 +1136,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg_kwargs["corpus_dir"] = args.corpus_out
         cfg_kwargs["corpus_config"] = _corpus_cfg(args)
         cfg_kwargs["corpus_eval_paths"] = args.corpus_eval
+        cfg_kwargs["corpus_dsir_target_path"] = args.dsir_target
     cfg = EngineConfig(**cfg_kwargs)
 
     if args.pack_corpus is not None:

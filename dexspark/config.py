@@ -168,6 +168,9 @@ class EngineConfig:
     # and eval-set parquet paths decontamination gates against.
     corpus_config: object | None = None
     corpus_eval_paths: list | None = None
+    # parquet path of the DSIR target corpus (only read when the
+    # CorpusConfig sets dsir_frac and no _dsir.json is frozen yet)
+    corpus_dsir_target_path: str | None = None
     # Sink retention: when > 0, after each batch the engine expires
     # quarantine / lineage / applied-lineage epoch partitions older
     # than the last N epochs under the committed watermark

@@ -14,6 +14,9 @@ engine's individually-verified operators in the canonical order:
     semantic dedup    (semdedup — optional, corpora with an embedding
                        column: SemDeDup over centroid cells)
     decontamination   (decontaminate.decontaminate vs eval-set frames)
+    targeted select   (dsir — optional, dsir_frac + a target corpus:
+                       Gumbel top-k importance resampling toward the
+                       target's hashed-n-gram distribution)
     split assignment  (sampling.assign_split — deterministic hash bands)
     tokenize          (real byte-level BPE — operators/bpe.py — when
                        the config carries/learns merges; deterministic
@@ -77,6 +80,18 @@ class CorpusConfig:
     semantic_dedup: bool = False
     semantic_tau: float = 0.7
     semantic_cells: int = 64
+    # DSIR targeted selection (operators/dsir, Xie et al. 2023):
+    # None = off; else keep round(dsir_frac * pool) documents drawn by
+    # Gumbel top-k importance resampling toward the hashed-n-gram
+    # distribution of a TARGET corpus (prepare_corpus(dsir_target=...)).
+    # Runs after decontamination — the selection budget is spent on the
+    # clean, deduplicated pool only. In the incremental pipeline both
+    # the model and the admission cutoff are FROZEN at the first
+    # window, like the perplexity LM.
+    dsir_frac: float | None = None
+    dsir_buckets: int = 8192
+    dsir_grams: tuple = (1, 2)
+    dsir_alpha: float = 1.0
     exact_dedup: bool = True
     near_dup: bool = True
     decontaminate_ngram: int = 8
@@ -196,6 +211,7 @@ def prepare_corpus(
     config: CorpusConfig | None = None,
     text: str = "text",
     id_col: str = "doc_id",
+    dsir_target: DataFrame | None = None,
 ) -> dict:
     """Run the full preparation pipeline; write packed shards under
     ``out_dir/split=<name>/`` and return the accounting report.
@@ -227,6 +243,18 @@ def prepare_corpus(
     # or token ids (the north-star payload) — minhash/ngrams switch on
     # the column dtype, so downstream code is identical
     unit = text if has_text else "tokens"
+    if cfg.dsir_frac is not None:
+        # fail fast at the entry point (same stance as the eval-set
+        # column check below)
+        if not (0 < cfg.dsir_frac <= 1):
+            raise ValueError(f"dsir_frac must be in (0, 1]: {cfg.dsir_frac}")
+        if dsir_target is None:
+            raise ValueError("dsir_frac needs a dsir_target corpus")
+        if unit not in dsir_target.columns:
+            raise ValueError(
+                f"dsir_target lacks the {unit!r} column the corpus gates "
+                f"run on (token-only corpora need token-typed targets)"
+            )
     cur = docs
     report["stages"]["input"] = cur.count()
 
@@ -321,6 +349,30 @@ def prepare_corpus(
     if eval_sets:
         cur = cur.localCheckpoint(eager=False)
         report["stages"]["after_decontamination"] = cur.count()
+
+    if cfg.dsir_frac is not None:
+        from .dsir import learn_dsir, resample_dsir
+
+        pool = cur.count()
+        k = max(1, int(round(cfg.dsir_frac * pool)))
+        model = learn_dsir(
+            dsir_target,
+            cur,
+            text_col=unit,
+            id_col=id_col,
+            n_buckets=cfg.dsir_buckets,
+            k_grams=tuple(cfg.dsir_grams),
+            alpha=cfg.dsir_alpha,
+        )
+        cur = (
+            resample_dsir(
+                cur, model, k, seed=cfg.seed, text_col=unit, id_col=id_col
+            )
+            .drop("log_w")
+            .localCheckpoint(eager=False)
+        )
+        report["stages"]["after_dsir"] = cur.count()
+        report["dsir"] = {"pool": pool, "k": k, "n_buckets": cfg.dsir_buckets}
 
     cur = assign_split(cur, cfg.splits, key=id_col, seed=cfg.seed)
     if "tokens" not in cur.columns:

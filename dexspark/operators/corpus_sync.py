@@ -20,6 +20,11 @@ state, appending packed shards per window:
                        posting-list indexes (operators/dedup_index) —
                        probe cost O(window band keys), never O(corpus)
     decontamination    broadcast eval-set gram join (O(window))
+    targeted select    optional (cfg.dsir_frac): DSIR importance
+                       resampling toward a target corpus — the
+                       (model, cutoff) pair is FROZEN at the first
+                       window (``_dsir.json``); each window gates by a
+                       pure filter on the deterministic Gumbel score
     split assignment   deterministic hash bands (stable: adding docs
                        never moves existing ones)
     tokenize           the tokenizer is FROZEN at the first window
@@ -39,8 +44,9 @@ with the engine's binlog epochs, ann.sync_index and mview):
 
     _members/      key doc_id: (_h, status, split, n_tok) for every
                    exact-stage survivor; status is 'accepted' (packed),
-                   'near_dup' (shadowed by an indexed doc) or
-                   'decontaminated'. Commits LAST — its watermark IS
+                   'near_dup' (shadowed by an indexed doc),
+                   'decontaminated' or 'dsir_rejected'. Commits LAST —
+                   its watermark IS
                    the pipeline cursor, so a crash anywhere replays
                    the window deterministically.
     _hashes/       key _h: content-hash -> owning doc_id (the
@@ -58,6 +64,9 @@ with the engine's binlog epochs, ann.sync_index and mview):
     _tokenizer.json  frozen BPE merges (written once).
     _lm.json         frozen perplexity-gate LM (written once, only
                      when ``cfg.max_ppl`` is set).
+    _dsir.json       frozen DSIR selection model + admission cutoff
+                     (written once, only when ``cfg.dsir_frac`` is
+                     set and a target corpus was provided).
     split=<s>/w<lo>-<hi>/  packed parquet shards for the window.
 
 Replay safety: every gate decision is a deterministic function of
@@ -114,6 +123,7 @@ from .textquality import filter_quality
 _ST_ACCEPTED = "accepted"
 _ST_NEAR_DUP = "near_dup"
 _ST_DECON = "decontaminated"
+_ST_DSIR = "dsir_rejected"
 
 
 def _members_schema(key_type) -> T.StructType:
@@ -168,6 +178,7 @@ class CorpusPipeline:
         io=None,
         compact_every: int = 8,
         vacuum_keep_last: int = 20,
+        dsir_target: DataFrame | None = None,
     ):
         self.spark = spark
         self.source = source
@@ -198,6 +209,15 @@ class CorpusPipeline:
                 "'tokens' column"
             )
         self.unit = text if self.has_text else "tokens"
+        # DSIR targeted selection (cfg.dsir_frac): the target corpus is
+        # only needed ONCE, at model-freeze time (first non-empty
+        # window). A pipeline resumed after the freeze needs no target.
+        self.dsir_target = dsir_target
+        if self.dsir_target is not None and self.unit not in dsir_target.columns:
+            raise ValueError(
+                f"dsir_target lacks the {self.unit!r} column the corpus "
+                "gates run on"
+            )
         for ev in self.eval_sets:
             if self.unit not in ev.columns:
                 raise ValueError(
@@ -326,6 +346,69 @@ class CorpusPipeline:
         except ConcurrentCommitError:
             report.pop("lm_vocab", None)
             return self._read_frozen_lm()  # raced: the frozen LM wins
+        return doc
+
+    # -- frozen DSIR selection model + cutoff -----------------------
+    @property
+    def _dsir_path(self) -> str:
+        return os.path.join(self.out_dir, "_dsir.json")
+
+    def _read_frozen_dsir(self):
+        try:
+            return json.loads(self.io.read_text(self._dsir_path))
+        except FileNotFoundError:
+            return None
+
+    def _frozen_dsir(self, accepted: DataFrame, report: dict):
+        """Load the persisted DSIR (model, cutoff) pair, or freeze one
+        now. The model is the target-vs-pool log-ratio learned with
+        window-1's post-decontamination docs as the pool (the same
+        position the batch pipeline learns at); the cutoff is window
+        1's k-th largest Gumbel score, k = round(dsir_frac * window) —
+        so window 1's own selection is EXACTLY the batch top-k, and
+        every later window applies the frozen admission boundary as a
+        pure filter (the lmfilter freeze discipline: re-deriving the
+        cutoff per window would silently shift what "target-like
+        enough" means as the pool drifts). Needs ``dsir_target`` only
+        at freeze time; an empty window freezes nothing."""
+        from .dsir import gumbel_scored, learn_dsir
+
+        frozen = self._read_frozen_dsir()
+        if frozen is not None:
+            return frozen
+        if self.dsir_target is None:
+            return None
+        n = accepted.count()
+        if n == 0:
+            return None
+        cfg = self.cfg
+        model = learn_dsir(
+            self.dsir_target,
+            accepted,
+            text_col=self.unit,
+            id_col="doc_id",
+            n_buckets=cfg.dsir_buckets,
+            k_grams=tuple(cfg.dsir_grams),
+            alpha=cfg.dsir_alpha,
+        )
+        k = max(1, int(round(cfg.dsir_frac * n)))
+        kth = (
+            gumbel_scored(
+                accepted, model, seed=cfg.seed,
+                text_col=self.unit, id_col="doc_id",
+            )
+            .orderBy(F.col("dsir_score").desc(), "doc_id")
+            .limit(k)
+            .agg(F.min("dsir_score").alias("cut"))
+            .collect()[0]["cut"]
+        )
+        doc = {"model": model.to_dict(), "cutoff": float(kth)}
+        report["dsir_frozen"] = {"pool": n, "k": k, "cutoff": float(kth)}
+        try:
+            self.io.put_if_absent(self._dsir_path, json.dumps(doc))
+        except ConcurrentCommitError:
+            report.pop("dsir_frozen", None)
+            return self._read_frozen_dsir()  # raced: the frozen pair wins
         return doc
 
     # -- the fold ---------------------------------------------------
@@ -521,6 +604,32 @@ class CorpusPipeline:
                 text=unit,
                 id_col="doc_id",
             )
+        # 4b) DSIR targeted selection under the frozen (model, cutoff)
+        # pair (cfg.dsir_frac): a pure filter on the deterministic
+        # Gumbel score — map-only, O(window), replay-stable.
+        # ``pre_dsir`` keeps the pre-gate pool so the members table can
+        # record the dsir_rejected verdict distinctly.
+        pre_dsir = None
+        if cfg.dsir_frac is not None:
+            accepted = accepted.localCheckpoint(eager=True)
+            pre_dsir = accepted
+            dsd = self._frozen_dsir(accepted, report)
+            if dsd is not None:
+                from .dsir import DsirModel, gumbel_scored
+
+                accepted = gumbel_scored(
+                    accepted,
+                    DsirModel.from_dict(dsd["model"]),
+                    seed=cfg.seed,
+                    text_col=unit,
+                    id_col="doc_id",
+                ).filter(
+                    F.col("dsir_score") >= dsd["cutoff"]
+                ).drop("log_w", "dsir_score").localCheckpoint(eager=True)
+                report["stages"]["after_dsir"] = accepted.count()
+            else:
+                report["stages"]["after_dsir"] = "skipped (no model yet)"
+
         accepted = accepted.localCheckpoint(eager=True)
         n_accepted = accepted.count()
         report["stages"]["accepted"] = n_accepted
@@ -687,10 +796,18 @@ class CorpusPipeline:
         # the cursor: one merge recording every exact-stage survivor's
         # verdict, deleting members that left without re-entering
         acc_ids = accepted.select("doc_id", "split", "n_tok")
+        # the frame that defines "passed decontamination": the pre-DSIR
+        # pool when the gate ran, else the accepted frame itself
+        decon_pool = pre_dsir if pre_dsir is not None else accepted
         decon_ids = (
             survivors.select("doc_id")
-            .join(accepted.select("doc_id"), "doc_id", "left_anti")
+            .join(decon_pool.select("doc_id"), "doc_id", "left_anti")
             .withColumn("_st", F.lit(_ST_DECON))
+        )
+        dsir_ids = (
+            decon_pool.select("doc_id")
+            .join(accepted.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("_st", F.lit(_ST_DSIR))
         )
         nd_ids = (
             exact.select("doc_id")
@@ -700,7 +817,8 @@ class CorpusPipeline:
         verdicts = (
             exact.select("doc_id", "_h")
             .join(acc_ids, "doc_id", "left")
-            .join(decon_ids.unionByName(nd_ids), "doc_id", "left")
+            .join(decon_ids.unionByName(nd_ids).unionByName(dsir_ids),
+                  "doc_id", "left")
             .select(
                 "doc_id",
                 "_h",

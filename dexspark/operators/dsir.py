@@ -219,6 +219,23 @@ def _gumbel(key: Column, seed: int) -> Column:
     return -F.log(-F.log(u))
 
 
+def gumbel_scored(
+    df: DataFrame,
+    model: DsirModel,
+    seed: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows + ``log_w`` + ``dsir_score`` (= log_w + deterministic
+    Gumbel). The per-row half of importance resampling; selection is a
+    top-k or a threshold filter over ``dsir_score``. The incremental
+    corpus pipeline freezes a cutoff and gates each window with a pure
+    filter on this column (map-only, O(window))."""
+    return score_dsir(df, model, text_col, id_col).withColumn(
+        "dsir_score", F.col("log_w") + _gumbel(F.col(id_col), seed)
+    )
+
+
 def resample_dsir(
     df: DataFrame,
     model: DsirModel,
@@ -239,19 +256,17 @@ def resample_dsir(
     approxQuantile and keeps selection a pure filter; returns ~k rows
     (sampling error of the quantile sketch) — the 10^10-row path.
     """
-    scored = score_dsir(df, model, text_col, id_col).withColumn(
-        "_gumbel_score", F.col("log_w") + _gumbel(F.col(id_col), seed)
-    )
+    scored = gumbel_scored(df, model, seed, text_col, id_col)
     if method == "topk":
-        out = scored.orderBy(F.col("_gumbel_score").desc(), id_col).limit(int(k))
+        out = scored.orderBy(F.col("dsir_score").desc(), id_col).limit(int(k))
     elif method == "threshold":
         n = scored.count()
         if k >= n:
             out = scored
         else:
             q = 1.0 - (k / n)
-            (cut,) = scored.approxQuantile("_gumbel_score", [q], 0.001)
-            out = scored.filter(F.col("_gumbel_score") >= cut)
+            (cut,) = scored.approxQuantile("dsir_score", [q], 0.001)
+            out = scored.filter(F.col("dsir_score") >= cut)
     else:
         raise ValueError(f"unknown resample method: {method!r}")
-    return out.drop("_gumbel_score")
+    return out.drop("dsir_score")

@@ -119,6 +119,11 @@ class CdcEngine:
                     for p in (self.config.corpus_eval_paths or [])
                 ],
                 config=self.config.corpus_config,
+                dsir_target=(
+                    spark.read.parquet(self.config.corpus_dsir_target_path)
+                    if self.config.corpus_dsir_target_path
+                    else None
+                ),
             )
         self._nd_sig = self._nd_band = None
         if self.config.near_dup_gate:

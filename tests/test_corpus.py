@@ -384,3 +384,122 @@ def test_cli_prepare_corpus_from_dexlake_table(spark, tmp_path, capsys):
     # 30 docs x (10 tokens + EOS) = 330 real tokens
     assert report["splits"]["train"]["real_tokens"] == 330
     assert _os.path.isdir(_os.path.join(out, "split=train"))
+
+
+def test_prepare_corpus_dsir_stage(spark, tmp_path):
+    """cfg.dsir_frac inserts Gumbel top-k importance resampling after
+    decontamination: exactly round(frac * pool) docs survive, heavily
+    enriched toward the target corpus's hashed-n-gram distribution;
+    the accounting/report keys land; bad configs fail at entry."""
+    import pytest as _pytest
+
+    from dexspark.operators.corpus import prepare_corpus as _prep
+
+    # a pool big enough for enrichment to be unambiguous: 40 target-like
+    # docs, 40 off-domain; all long enough to pass the quality gate
+    sparky = "spark query plan shuffle stage executor partition " \
+             "broadcast join aggregate exchange codegen " + _WORDS
+    nature = "cat dog tree house garden bird river mountain cloud " \
+             "meadow stone forest " + _WORDS
+    rows = [(f"s{i:02d}", sparky + f" tail{i}") for i in range(40)]
+    rows += [(f"n{i:02d}", nature + f" tail{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    target = spark.createDataFrame(
+        [(f"t{i}", sparky + f" extra{i}") for i in range(10)],
+        "doc_id string, text string",
+    )
+
+    cfg = CorpusConfig(
+        seq_len=64, eos_id=0, splits={"train": 1.0},
+        near_dup=False,  # the two families are intentionally self-similar
+        dsir_frac=0.25, dsir_buckets=256,
+    )
+    report = prepare_corpus(
+        spark, docs, str(tmp_path / "corpus"), config=cfg, dsir_target=target
+    )
+    st = report["stages"]
+    assert st["after_dsir"] == 20  # round(0.25 * 80)
+    assert report["dsir"] == {"pool": 80, "k": 20, "n_buckets": 256}
+    packed_ids = set()
+    for info in report["splits"].values():
+        if info["n_packs"]:
+            for r in spark.read.parquet(info["path"]).collect():
+                packed_ids.update(r["docs"])
+    assert len(packed_ids) == 20
+    assert sum(1 for d in packed_ids if d.startswith("s")) >= 18
+
+    # entry-point validation: missing target, bad fraction, wrong unit
+    with _pytest.raises(ValueError, match="dsir_target"):
+        _prep(spark, docs, str(tmp_path / "x1"), config=cfg)
+    with _pytest.raises(ValueError, match="dsir_frac"):
+        _prep(spark, docs, str(tmp_path / "x2"),
+              config=CorpusConfig(dsir_frac=1.5), dsir_target=target)
+    tok_docs = docs.select("doc_id", F.array(F.lit(1), F.lit(2)).alias("tokens"))
+    with _pytest.raises(ValueError, match="lacks the 'tokens'"):
+        _prep(spark, tok_docs, str(tmp_path / "x3"),
+              config=CorpusConfig(dsir_frac=0.5, quality=False),
+              dsir_target=target)
+
+
+def test_cli_dsir_flags(spark, tmp_path, capsys):
+    """--dsir-frac/--dsir-target/--dsir-buckets drive the DSIR stage in
+    --prepare-corpus; --dsir-frac without a target is a clean usage
+    error, not a traceback."""
+    from dexspark import cli
+
+    # per-doc unique filler: the default pipeline runs near-dup, and a
+    # shared suffix would collapse the families before DSIR ever runs
+    sparky = "spark query plan shuffle stage executor partition " \
+             "broadcast join aggregate exchange codegen"
+    nature = "cat dog tree house garden bird river mountain cloud " \
+             "meadow stone forest"
+    rows = [
+        (f"s{i:02d}", sparky + " " + " ".join(f"su{i}w{j}" for j in range(50)))
+        for i in range(8)
+    ]
+    rows += [
+        (f"n{i:02d}", nature + " " + " ".join(f"nu{i}w{j}" for j in range(50)))
+        for i in range(8)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id string, text string") \
+        .write.parquet(src)
+    tgt = str(tmp_path / "target")
+    spark.createDataFrame(
+        [
+            (f"t{i}", sparky + " " + " ".join(f"tu{i}w{j}" for j in range(50)))
+            for i in range(6)
+        ],
+        "doc_id string, text string",
+    ).write.parquet(tgt)
+    out = str(tmp_path / "out")
+
+    rc = cli.main(
+        [
+            "--prepare-corpus", out,
+            "--corpus-src", src,
+            "--corpus-splits", "train=1.0",
+            "--seq-len", "64",
+            "--eos-id", "0",
+            "--dsir-frac", "0.25",
+            "--dsir-target", tgt,
+            "--dsir-buckets", "256",
+        ]
+    )
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["stages"]["after_dsir"] == 4  # round(0.25 * 16)
+    assert report["dsir"]["n_buckets"] == 256
+
+    with pytest.raises(SystemExit) as exc:
+        cli.main(
+            [
+                "--prepare-corpus", str(tmp_path / "out2"),
+                "--corpus-src", src,
+                "--corpus-splits", "train=1.0",
+                "--seq-len", "64",
+                "--eos-id", "0",
+                "--dsir-frac", "0.25",
+            ]
+        )
+    assert exc.value.code == 2  # argparse usage error

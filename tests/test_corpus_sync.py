@@ -1048,3 +1048,117 @@ def test_cli_fim_ids_malformed_is_clean_usage_error(spark, tmp_path):
     for bad in ("1,2", "a,b,c", "1,2,3,4", ""):
         with pytest.raises(SystemExit, match="fim-ids"):
             cli.main(base + ["--fim-ids", bad])
+
+
+def test_frozen_dsir_gate_across_windows(spark, tmp_path):
+    """cfg.dsir_frac gates each window under a (model, cutoff) pair
+    frozen at window 1: window 1's own selection equals the batch
+    top-k on the same pool, a later window's docs are admitted or
+    rejected by the FROZEN admission boundary (scored offline from
+    _dsir.json), the members table records the distinct
+    'dsir_rejected' verdict, and _dsir.json never changes."""
+    from dexspark.operators.dsir import DsirModel, gumbel_scored
+
+    sparky = "spark query plan shuffle stage executor partition " \
+             "broadcast join aggregate exchange codegen " + _WORDS
+    nature = "cat dog tree house garden bird river mountain cloud " \
+             "meadow stone forest " + _WORDS
+    w1_rows = [(f"s{i:02d}", sparky + f" tail{i}") for i in range(4)]
+    w1_rows += [(f"n{i:02d}", nature + f" tail{i}") for i in range(4)]
+    target = spark.createDataFrame(
+        [(f"t{i}", sparky + f" extra{i}") for i in range(6)],
+        "doc_id string, text string",
+    )
+
+    cfg = CorpusConfig(
+        seq_len=64, eos_id=0, splits={"train": 1.0},
+        near_dup=False, dsir_frac=0.5, dsir_buckets=256,
+    )
+    out = str(tmp_path / "corpus")
+    src = _docs_table(spark, tmp_path, w1_rows)
+    pipe = CorpusPipeline(
+        spark, src, out, config=cfg, dsir_target=target
+    )
+    r1 = pipe.sync()
+    assert r1["stages"]["after_dsir"] == 4  # round(0.5 * 8)
+    assert r1["dsir_frozen"]["pool"] == 8 and r1["dsir_frozen"]["k"] == 4
+
+    # window-1 selection == the batch pipeline's top-k on the same pool
+    batch = prepare_corpus(
+        spark,
+        spark.createDataFrame(w1_rows, "doc_id string, text string"),
+        str(tmp_path / "batch"),
+        config=cfg,
+        dsir_target=target,
+    )
+    assert batch["stages"]["after_dsir"] == 4
+    st = _statuses(pipe)
+    inc_sel = {d for d, s in st.items() if s == "accepted"}
+    batch_ids = set()
+    for info in batch["splits"].values():
+        if info["n_packs"]:
+            for r in spark.read.parquet(info["path"]).collect():
+                batch_ids.update(r["docs"])
+    assert inc_sel == batch_ids
+    assert {d for d, s in st.items() if s == "dsir_rejected"} == (
+        set(d for d, _ in w1_rows) - inc_sel
+    )
+
+    dsir_path = os.path.join(out, "_dsir.json")
+    with open(dsir_path) as f:
+        frozen_bytes = f.read()
+    dsd = json.loads(frozen_bytes)
+
+    # window 2: new docs from both families; expected admissions come
+    # from scoring OFFLINE under the frozen pair
+    w2_rows = [("s90", sparky + " tail90"), ("s91", sparky + " tail91"),
+               ("n90", nature + " tail90"), ("n91", nature + " tail91")]
+    w2 = spark.createDataFrame(w2_rows, "doc_id string, text string")
+    model = DsirModel.from_dict(dsd["model"])
+    offline = {
+        r["doc_id"]: r["dsir_score"]
+        for r in gumbel_scored(w2, model, seed=cfg.seed).collect()
+    }
+    expect_in = {d for d, s in offline.items() if s >= dsd["cutoff"]}
+    assert expect_in  # the frozen boundary admits at least one
+    assert expect_in < set(offline)  # ...and rejects at least one
+
+    src.merge(w2)
+    r2 = pipe.sync()
+    assert "dsir_frozen" not in r2  # not re-learned
+    assert r2["stages"]["after_dsir"] == len(expect_in)
+    st2 = _statuses(pipe)
+    assert {d for d, _ in w2_rows if st2[d] == "accepted"} == expect_in
+    with open(dsir_path) as f:
+        assert f.read() == frozen_bytes  # freeze held
+
+
+def test_dsir_skips_until_target_available(spark, tmp_path):
+    """A pipeline with dsir_frac set but NO target skips the gate
+    (reported) until a sync is given one — then freezes and gates."""
+    sparky = "spark query plan shuffle stage executor partition " \
+             "broadcast join aggregate exchange codegen " + _WORDS
+    rows = [(f"s{i:02d}", sparky + f" tail{i}") for i in range(4)]
+    cfg = CorpusConfig(
+        seq_len=64, eos_id=0, splits={"train": 1.0},
+        near_dup=False, dsir_frac=0.5, dsir_buckets=256,
+    )
+    out = str(tmp_path / "corpus")
+    src = _docs_table(spark, tmp_path, rows)
+    pipe = CorpusPipeline(spark, src, out, config=cfg)
+    r1 = pipe.sync()
+    assert r1["stages"]["after_dsir"] == "skipped (no model yet)"
+    assert r1["stages"]["accepted"] == 4  # everything admitted
+    assert not os.path.exists(os.path.join(out, "_dsir.json"))
+
+    target = spark.createDataFrame(
+        [("t0", sparky + " extra")], "doc_id string, text string"
+    )
+    src.merge(spark.createDataFrame(
+        [("s90", sparky + " tail90"), ("s91", sparky + " tail91")],
+        "doc_id string, text string",
+    ))
+    pipe2 = CorpusPipeline(spark, src, out, config=cfg, dsir_target=target)
+    r2 = pipe2.sync()
+    assert isinstance(r2["stages"]["after_dsir"], int)
+    assert os.path.exists(os.path.join(out, "_dsir.json"))
