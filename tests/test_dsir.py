@@ -197,3 +197,14 @@ def test_bad_alpha_rejected(spark, corpora):
     t, r, _, _ = corpora
     with pytest.raises(ValueError):
         learn_dsir(t, r, alpha=0.0)
+
+
+def test_topk_selections_nest_as_k_grows(spark, corpora):
+    """Gumbel top-k draws nest: the k=10 selection is a subset of the
+    k=25 selection under the same seed (ablation-friendly, the same
+    rate-monotone property the stratified sampler guarantees)."""
+    t, r, _, _ = corpora
+    model = learn_dsir(t, r, n_buckets=B, k_grams=KG)
+    small = {x["doc_id"] for x in resample_dsir(r, model, 10, seed=5).collect()}
+    big = {x["doc_id"] for x in resample_dsir(r, model, 25, seed=5).collect()}
+    assert small < big
