@@ -401,6 +401,16 @@ def main(argv: list[str] | None = None) -> int:
         "mapInArrow (operators/packing)",
     )
     ap.add_argument(
+        "--pack-policy",
+        choices=["concat", "bestfit"],
+        default="concat",
+        help="--pack-corpus policy: 'concat' = GPT concat-and-chunk "
+        "(no pad waste, documents may split across rows); 'bestfit' = "
+        "first-fit-decreasing bin packing (every document lands whole "
+        "in one row — the fine-tuning/sample-packing shape — oversized "
+        "docs pre-chunked, rows padded)",
+    )
+    ap.add_argument(
         "--seq-len", type=int, default=2048, help="--pack-corpus row length"
     )
     ap.add_argument(
@@ -1140,17 +1150,29 @@ def main(argv: list[str] | None = None) -> int:
     cfg = EngineConfig(**cfg_kwargs)
 
     if args.pack_corpus is not None:
-        from .operators.packing import pack_sequences
+        from .operators.packing import pack_best_fit, pack_sequences
 
-        pack_sequences(
-            table.read(),
-            args.seq_len,
-            eos_id=args.eos_id,
-            pad_id=args.pad_id,
-            id_col=table.manifest().get("key", "doc_id"),
-        ).write.mode("overwrite").parquet(args.pack_corpus)
+        key = table.manifest().get("key", "doc_id")
+        if args.pack_policy == "bestfit":
+            packed = pack_best_fit(
+                table.read(),
+                args.seq_len,
+                pad_id=args.pad_id,
+                eos_id=args.eos_id,
+                id_col=key,
+            )
+        else:
+            packed = pack_sequences(
+                table.read(),
+                args.seq_len,
+                eos_id=args.eos_id,
+                pad_id=args.pad_id,
+                id_col=key,
+            )
+        packed.write.mode("overwrite").parquet(args.pack_corpus)
         n = spark.read.parquet(args.pack_corpus).count()  # footer counts
         print(json.dumps({"packs": n, "seq_len": args.seq_len,
+                          "policy": args.pack_policy,
                           "out": args.pack_corpus}))
         return 0
 

@@ -194,3 +194,135 @@ def pack_sequences(
             yield b
 
     return narrow.mapInArrow(pack_partition, pack_schema())
+
+
+def pack_best_fit(
+    df: DataFrame,
+    seq_len: int,
+    pad_id: int = 0,
+    eos_id: int | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    sort_within_partitions: bool = True,
+) -> DataFrame:
+    """Sample-level (bin) packing: every document lands WHOLE in
+    exactly one pack — first-fit-decreasing — padding each pack to
+    ``seq_len``. The OTHER standard packing policy: concat-and-chunk
+    (:func:`pack_sequences`) wastes no tokens but splits documents
+    across sequence boundaries; bin packing keeps each sample intact
+    (no cross-document attention contamination, the fine-tuning /
+    instruction-data shape) at the cost of pad waste, which FFD keeps
+    near the bin-packing optimum.
+
+    ``eos_id`` (when given) is appended after each document inside
+    the pack and counts against capacity. Documents longer than the
+    capacity are pre-chunked with :func:`chunk_documents` so every
+    piece fits (each PIECE then packs whole; provenance keeps the doc
+    id per piece). Empty/NULL docs occupy only their optional EOS.
+
+    Scale shape: zero shuffle — FFD runs per Arrow record batch
+    inside ``mapInArrow`` (memory O(batch), bins never cross batches;
+    with ``sort_within_partitions=True`` the partition is globally
+    length-sorted, so each batch sees a decreasing run and per-batch
+    FFD tracks whole-partition FFD closely). Same determinism
+    contract as pack_sequences: output is a pure function of
+    (partitioning, intra-partition order).
+
+    Output: :func:`pack_schema` — ``tokens`` padded to ``seq_len``,
+    ``n_real`` = real token count, ``docs`` = the documents placed in
+    the pack, placement order. ``tokens[:n_real]`` equals the
+    concatenation of the listed documents' tokens (each followed by
+    EOS when ``eos_id`` is set) — the no-split invariant the tests
+    reconstruct byte-for-byte."""
+    if seq_len <= 1:
+        raise ValueError("seq_len must be > 1")
+    per_doc = 1 if eos_id is not None else 0
+    capacity = seq_len - per_doc
+    if capacity <= 0:
+        raise ValueError("seq_len leaves no room for content + EOS")
+
+    long_mask = F.size(F.coalesce(F.col(tokens_col), F.array())) > capacity
+    long_docs = df.filter(long_mask)
+    short_docs = df.filter(~long_mask)
+    pieces = short_docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.coalesce(F.col(tokens_col), F.array()).alias("tokens"),
+    )
+    # always union the (possibly empty) chunked side: the filter
+    # prunes it at scan time, and skipping a driver-side isEmpty()
+    # probe keeps plan construction action-free
+    chunked = chunk_documents(
+        long_docs, max_len=capacity, tokens_col=tokens_col
+    ).select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(tokens_col).alias("tokens"),
+    )
+    pieces = pieces.unionByName(chunked)
+    if sort_within_partitions:
+        # decreasing length = the "D" in FFD; doc_id breaks ties so
+        # the order (hence the packing) is deterministic
+        pieces = pieces.sortWithinPartitions(
+            F.size("tokens").desc(), "doc_id"
+        )
+
+    def pack_batchwise(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pyarrow as pa
+
+        part_key = None
+        seq = 0
+        for batch in batches:
+            if part_key is None:
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                part_key = str(ctx.partitionId() if ctx else 0)
+            tokens = batch.column("tokens")
+            ids = batch.column("doc_id").to_pylist()
+            flat = tokens.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = np.asarray(tokens.offsets).astype(np.int64)
+            lens = (offs[1:] - offs[:-1]) + per_doc
+            # stable sort keeps the upstream doc_id tiebreak binding
+            order = np.argsort(-lens, kind="stable")
+            bins: list[list] = []  # [remaining, [row_idx, ...]]
+            for i in order:
+                need = int(lens[i])
+                for b in bins:
+                    if b[0] >= need:
+                        b[0] -= need
+                        b[1].append(int(i))
+                        break
+                else:
+                    bins.append([seq_len - need, [int(i)]])
+            out_ids, out_tok, out_real, out_docs = [], [], [], []
+            for b in bins:
+                parts = []
+                docs = []
+                for i in b[1]:
+                    parts.append(flat[offs[i] : offs[i + 1]])
+                    if eos_id is not None:
+                        parts.append(np.array([eos_id], dtype=np.int64))
+                    docs.append(ids[i])
+                body = (
+                    np.concatenate(parts)
+                    if parts
+                    else np.empty(0, dtype=np.int64)
+                )
+                n_real = int(len(body))
+                pad = np.full(seq_len - n_real, pad_id, dtype=np.int64)
+                out_ids.append(f"{part_key}-{seq}")
+                seq += 1
+                out_tok.append(np.concatenate([body, pad]).tolist())
+                out_real.append(n_real)
+                out_docs.append(docs)
+            if out_ids:
+                yield pa.record_batch(
+                    {
+                        "pack_id": pa.array(out_ids, pa.string()),
+                        "tokens": pa.array(out_tok, pa.list_(pa.int32())),
+                        "n_real": pa.array(out_real, pa.int32()),
+                        "docs": pa.array(out_docs, pa.list_(pa.string())),
+                    }
+                )
+
+    return pieces.mapInArrow(pack_batchwise, pack_schema())

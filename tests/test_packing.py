@@ -202,3 +202,134 @@ def test_cli_pack_corpus(spark, tmp_warehouse, capsys):
     assert all(len(r["tokens"]) == 16 for r in got)
     n_in = sum(len(tks) + 1 for _, tks, _, _ in rows)  # +EOS per doc
     assert sum(r["n_real"] for r in got) == n_in
+
+
+# ---- best-fit (bin) packing: whole-document packs -------------------
+
+def _bf_reconstruct(packs, doc_tokens, eos_id):
+    """Assert the no-split invariant: each pack's real tokens equal the
+    concatenation of its listed docs' tokens (+EOS each, when set)."""
+    for r in packs:
+        want = []
+        for d in r["docs"]:
+            want.extend(doc_tokens[d])
+            if eos_id is not None:
+                want.append(eos_id)
+        assert list(r["tokens"][: r["n_real"]]) == want, r["pack_id"]
+        assert all(t == 0 for t in r["tokens"][r["n_real"]:])
+
+
+def test_best_fit_no_split_and_conservation(spark):
+    from dexspark.operators.packing import pack_best_fit
+
+    rows = [(f"d{i}", list(range(100 + i, 100 + i + (i % 9) + 1)))
+            for i in range(40)]
+    doc_tokens = {d: t for d, t in rows}
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>") \
+        .coalesce(1)
+    packs = pack_best_fit(df, seq_len=16, eos_id=99).collect()
+    _bf_reconstruct(packs, doc_tokens, 99)
+    # every doc in exactly one pack
+    placed = [d for r in packs for d in r["docs"]]
+    assert sorted(placed) == sorted(doc_tokens)
+    assert len(placed) == len(set(placed))
+    # conservation incl. one EOS per doc
+    assert sum(r["n_real"] for r in packs) == sum(
+        len(t) + 1 for t in doc_tokens.values()
+    )
+    assert all(len(r["tokens"]) == 16 for r in packs)
+
+
+def test_best_fit_reaches_ffd_bin_count(spark):
+    from dexspark.operators.packing import pack_best_fit
+
+    # lengths 6,5,4,3,2 into capacity 10 -> FFD packs [6,4] and [5,3,2]
+    rows = [(f"d{n}", list(range(n))) for n in (6, 5, 4, 3, 2)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>") \
+        .coalesce(1)
+    packs = pack_best_fit(df, seq_len=10, eos_id=None).collect()
+    assert len(packs) == 2
+    sizes = sorted(tuple(sorted(len(list(range(int(d[1:])))) for d in r["docs"]))
+                   for r in packs)
+    assert sizes == [(2, 3, 5), (4, 6)]
+
+
+def test_best_fit_chunks_oversized_docs(spark):
+    from dexspark.operators.packing import pack_best_fit
+
+    rows = [("big", list(range(25))), ("s1", [1, 2]), ("s2", [3])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>") \
+        .coalesce(1)
+    packs = pack_best_fit(df, seq_len=10, eos_id=None).collect()
+    # 25 tokens -> chunks of 10/10/5; every piece whole in a pack.
+    # Multiset accounting over ALL real tokens proves nothing was
+    # lost or duplicated across the chunk/pack composition.
+    assert sum(r["n_real"] for r in packs) == 25 + 2 + 1
+    from collections import Counter
+
+    all_real = [int(x) for r in packs for x in r["tokens"][: r["n_real"]]]
+    assert Counter(all_real) == Counter(list(range(25)) + [1, 2] + [3])
+
+
+def test_best_fit_empty_null_docs_and_determinism(spark):
+    from dexspark.operators.packing import pack_best_fit
+
+    rows = [("e", []), ("n", None), ("a", [7, 8, 9])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>") \
+        .coalesce(1)
+    packs = pack_best_fit(df, seq_len=8, eos_id=5).collect()
+    placed = sorted(d for r in packs for d in r["docs"])
+    assert placed == ["a", "e", "n"]  # empties still placed (EOS only)
+    assert sum(r["n_real"] for r in packs) == 3 + 1 + 1 + 1
+    a = sorted((r["pack_id"], tuple(r["tokens"])) for r in packs)
+    b = sorted(
+        (r["pack_id"], tuple(r["tokens"]))
+        for r in pack_best_fit(df, seq_len=8, eos_id=5).collect()
+    )
+    assert a == b
+
+
+def test_best_fit_plan_is_map_only(spark):
+    from dexspark.operators.packing import pack_best_fit
+
+    df = spark.createDataFrame(
+        [("d", [1, 2, 3])], "doc_id string, tokens array<int>"
+    )
+    plan = (
+        pack_best_fit(df, seq_len=8, eos_id=0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("MapInArrow") == 1
+
+
+def test_cli_pack_policy_bestfit(spark, tmp_warehouse, capsys):
+    """--pack-policy bestfit routes --pack-corpus through the bin
+    packer: whole-doc packs, conservation, padded rows."""
+    import json as _json
+    import os
+
+    from dexspark import cli
+    from dexspark.lake import LakeTable
+    from dexspark.schema import sequences_schema
+
+    t = LakeTable.create(
+        spark, os.path.join(tmp_warehouse, "t"), sequences_schema(),
+        key="doc_id", num_buckets=2,
+    )
+    rows = [(f"d{i}", list(range(i % 7 + 1)), i % 7 + 1, "web") for i in range(50)]
+    t.overwrite(spark.createDataFrame(rows, schema=sequences_schema()))
+
+    out_dir = os.path.join(tmp_warehouse, "packed_bf")
+    rc = cli.main(
+        ["--table", t.root, "--pack-corpus", out_dir, "--seq-len", "16",
+         "--eos-id", "99", "--pad-id", "0", "--pack-policy", "bestfit"]
+    )
+    assert rc == 0
+    info = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["policy"] == "bestfit"
+    got = spark.read.parquet(out_dir).collect()
+    assert all(len(r["tokens"]) == 16 for r in got)
+    placed = [d for r in got for d in r["docs"]]
+    assert sorted(placed) == sorted(d for d, *_ in rows)  # whole, once
+    assert sum(r["n_real"] for r in got) == sum(n + 1 for _, _, n, _ in rows)
