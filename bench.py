@@ -305,12 +305,25 @@ def measure_packing(spark, n_docs: int = 200_000, seq_len: int = 2048) -> dict:
         ).mode("overwrite").save()
         dt = time.monotonic() - t0
         best = dt if best is None or dt < best else best
+    # the whole-document (FFD bin) policy, same input/protocol
+    from dexspark.operators.packing import pack_best_fit
+
+    bf_best = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        pack_best_fit(docs, seq_len, eos_id=50256).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        dt = time.monotonic() - t0
+        bf_best = dt if bf_best is None or dt < bf_best else bf_best
     return {
         "docs": n_docs,
         "tokens": int(n_tokens),
         "seq_len": seq_len,
         "pack_sec": round(best, 3),
         "tokens_per_sec": round(n_tokens / best, 1),
+        "bestfit_sec": round(bf_best, 3),
+        "bestfit_tokens_per_sec": round(n_tokens / bf_best, 1),
     }
 
 
